@@ -1,0 +1,253 @@
+"""Deduplication operators over a document corpus.
+
+Four families, each shaped for 100 TB execution:
+
+- **Exact** (`exact_dedup`): hash-groupBy on a content digest. One
+  shuffle on the digest; at scale this is the cheapest possible dedup
+  and the digest doubles as the canonical document key.
+
+- **MinHash + LSH** (`minhash_signatures`, `lsh_candidate_pairs`,
+  `minhash_dedup_pairs`): shingle → k minhashes → band → bucket-join.
+  Candidate generation is an equi-join on ``(band_idx, band_hash)`` —
+  the only quadratic work happens *within* a bucket, which is the whole
+  point of LSH. Hashes are MD5 hex strings compared lexicographically:
+  deterministic, seedable (hash index prefixes the shingle), and
+  portable to any SQL oracle.
+
+- **SimHash** (`simhash64`): 60-bit sign-aggregated token-hash
+  fingerprint; near-dup candidates differ in few bits. Expressed as
+  explode(token)×explode(bit) + groupBy-sum — the canonical map-reduce
+  simhash, no UDF.
+
+- **N-gram Jaccard** (`ngram_jaccard_pairs`): exact Jaccard on char
+  shingle sets for candidate pairs (use after LSH blocking at scale;
+  the all-pairs-within-block form here takes any blocking column).
+
+Embedding-cosine near-dup lives in ``similarity.py`` (same candidate
+mechanics over vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.operators.text import char_shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical content; keep the minimum id as canonical.
+
+    Returns ``(content_md5, canonical_id, n_copies)`` — one row per
+    distinct content. Join back on the digest to tag or drop copies.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _minhash_one(shingles: Column, seed: int) -> Column:
+    """Lexicographic-min MD5 of seed-prefixed shingles — one hash family."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    shingle_len: int = 5,
+) -> DataFrame:
+    """Per-document k-wide MinHash signature.
+
+    ``(id, sig array<string>)``; signature element ``i`` is the min over
+    the document's distinct ``shingle_len``-char shingles of
+    ``md5(i ":" shingle)``. All column algebra — the shingle array stays
+    inside one row, no explode, no shuffle until someone groups.
+    """
+    sh = F.array_distinct(char_shingles(F.col(text_col), shingle_len))
+    sig = F.array(*[_minhash_one(sh, i) for i in range(k)])
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing >= 1 band.
+
+    Scale shape: explode to ``bands`` rows per doc, shuffle once on
+    ``(band_idx, band_hash)``, self-join within buckets, distinct-pair
+    dedup. Returns ``(id_a, id_b)`` with ``id_a < id_b``.
+    """
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    shingle_len: int = 5,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash near-dup: candidates + estimated Jaccard filter.
+
+    Estimated Jaccard = fraction of equal signature positions. Returns
+    ``(id_a, id_b, est_jaccard)`` for pairs >= ``threshold``.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_len)
+    rows_per_band = k // bands
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(k))
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """SimHash fingerprint from whitespace tokens (<= 60 bits for
+    portable signed-64 arithmetic).
+
+    Token hash = first 15 hex chars of MD5 → 60-bit integer. Bit ``j``
+    of the fingerprint is 1 iff more token hashes have bit ``j`` set
+    than unset. Map-reduce shape: explode(token) × explode(bit) →
+    groupBy(doc, bit) → sum(sign) → re-assemble.
+    """
+    from speech_data_pipeline_spark.operators.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    )
+    bit = tok.select(
+        "id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    ).withColumn(
+        "vote",
+        F.when(F.expr("shiftright(h, cast(j as int)) % 2") == 1, 1).otherwise(-1),
+    )
+    return (
+        bit.groupBy("id", "j")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn(
+            "bitval",
+            F.when(
+                F.col("v") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over char-shingle sets for pairs within a block.
+
+    ``|A ∩ B| / |A ∪ B|`` via explode + equi-join on ``(block,
+    shingle)`` + groupBy-count — never materializes the cross product,
+    only co-occurring shingles shuffle. Returns ``(id_a, id_b,
+    jaccard)`` above ``threshold``.
+    """
+    sh = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(char_shingles(F.col(text_col), shingle_len))
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

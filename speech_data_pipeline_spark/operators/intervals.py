@@ -1,0 +1,197 @@
+"""Interval/segment algebra over segment tables.
+
+A *segment table* is any DataFrame with a partition key column (the
+reference's ``audio_id``; here usually ``user_id``) and inclusive
+``start``/exclusive ``end`` bound columns (integer microseconds or double
+seconds — the algebra is unit-agnostic).
+
+Every operator here is a declarative DataFrame transform; Catalyst picks
+the physical plan. Scale notes are given per-operator.
+
+Reference parity citations (SURVEY.md §2.3/§2.4):
+- lead_gaps            → modules/separation_filter.py:108-114 (J4)
+- containment_join     → modules/separation_filter.py:190-193,231-236 (J1),
+                         modules/speaker_rematch.py:147-155 (J2)
+- max_overlap_join     → modules/speaker_rematch.py:224-234 (J3)
+- suppress_non_monotonic → modules/models/silero_vad.py:136-139 (F7)
+- clamp                → modules/vad_multi.py:33-35 (F11)
+- overlap_length       → modules/speaker_rematch.py:227-230 (X15)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def overlap_length(
+    a_start: Column, a_end: Column, b_start: Column, b_end: Column
+) -> Column:
+    """``max(0, min(ends) - max(starts))`` — temporal overlap (X15)."""
+    return F.greatest(
+        F.least(a_end, b_end) - F.greatest(a_start, b_start),
+        F.lit(0).cast("long"),
+    )
+
+
+def clamp(
+    df: DataFrame,
+    pad: float,
+    lower: float = 0.0,
+    upper_col: str = "duration",
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Pad bounds outward then clamp into ``[lower, upper_col]`` (F11)."""
+    return df.withColumn(
+        start, F.greatest(F.col(start) - F.lit(pad), F.lit(lower))
+    ).withColumn(end, F.least(F.col(end) + F.lit(pad), F.col(upper_col)))
+
+
+def lead_gaps(
+    df: DataFrame,
+    key: str = "user_id",
+    start: str = "start_us",
+    end: str = "end_us",
+) -> DataFrame:
+    """Derive the gap row between each segment and its successor (J4).
+
+    ``lead`` over ``(partitionBy key, orderBy start)``; overlapping
+    successors (next start < this end) produce no gap row, matching the
+    reference's skip (modules/separation_filter.py:112-114).
+
+    Scale: one shuffle on ``key``; window is within-partition after
+    that. No driver-side iteration.
+    """
+    w = Window.partitionBy(key).orderBy(start, end)
+    return (
+        df.withColumn("next_start", F.lead(start).over(w))
+        .withColumn("next_end", F.lead(end).over(w))
+        .where(F.col("next_start").isNotNull() & (F.col("next_start") >= F.col(end)))
+        .select(
+            F.col(key),
+            F.col(end).alias("gap_start"),
+            F.col("next_start").alias("gap_end"),
+            (F.col("next_start") - F.col(end)).alias("gap_len"),
+            F.struct(F.col(start), F.col(end)).alias("prev"),
+            F.struct(
+                F.col("next_start").alias(start), F.col("next_end").alias(end)
+            ).alias("next"),
+        )
+    )
+
+
+def suppress_non_monotonic(
+    df: DataFrame,
+    key: str = "user_id",
+    start: str = "start_us",
+    end: str = "end_us",
+) -> DataFrame:
+    """Drop rows fully covered by any earlier-starting row (F7).
+
+    Keeps a row only if its ``end`` exceeds the running max ``end`` of
+    all preceding rows (ordered by ``start``) — the reference's
+    monotonic-scan suppression of out-of-order/contained rows.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(start, end)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("_prev_max_end", F.max(end).over(w))
+        .where(F.col("_prev_max_end").isNull() | (F.col(end) > F.col("_prev_max_end")))
+        .drop("_prev_max_end")
+    )
+
+
+def containment_join(
+    inner: DataFrame,
+    outer: DataFrame,
+    key: str = "user_id",
+    inner_start: str = "start_us",
+    inner_end: str = "end_us",
+    outer_start: str = "start_us",
+    outer_end: str = "end_us",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each ``inner`` segment to every ``outer`` segment containing it (J1/J2).
+
+    Equi-join on the partition key plus range predicates. Catalyst plans
+    this as a sort-merge (or broadcast-hash when one side is small) on
+    the key with the range predicates as post-join filters — per-key
+    cardinality is bounded (segments per file ~1e2-1e4), so the within-key
+    quadratic term is fine and nothing is driver-side.
+
+    The column-name collision is avoided by aliasing both sides; the
+    caller gets ``i_*`` and ``o_*`` prefixed bound columns.
+    """
+    i = inner.select(
+        F.col(key).alias("_k"),
+        F.col(inner_start).alias("i_start"),
+        F.col(inner_end).alias("i_end"),
+        *[c for c in inner.columns if c not in (key, inner_start, inner_end)],
+    )
+    o = outer.select(
+        F.col(key).alias("_k"),
+        F.col(outer_start).alias("o_start"),
+        F.col(outer_end).alias("o_end"),
+        *[c for c in outer.columns if c not in (key, outer_start, outer_end)],
+    )
+    joined = i.join(
+        o,
+        (i["_k"] == o["_k"])
+        & (F.col("i_start") >= F.col("o_start"))
+        & (F.col("i_end") <= F.col("o_end")),
+        how,
+    )
+    return joined.drop(o["_k"]).withColumnRenamed("_k", key)
+
+
+def max_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    right_tag: str = "tag",
+    left_start: str = "start_us",
+    left_end: str = "end_us",
+    right_start: str = "start_us",
+    right_end: str = "end_us",
+) -> DataFrame:
+    """For each left segment, the right segment with maximal overlap (J3).
+
+    Overlap predicate join then ``max_by(tag, overlap)`` per left row —
+    the reference's find_overlap_global_speaker as one shuffle-grouped
+    aggregate instead of a nested loop.
+    """
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_start).alias("l_start"),
+        F.col(left_end).alias("l_end"),
+    )
+    r = right.select(
+        F.col(key).alias("_k2"),
+        F.col(right_start).alias("r_start"),
+        F.col(right_end).alias("r_end"),
+        F.col(right_tag).alias("r_tag"),
+    )
+    ov = overlap_length(
+        F.col("l_start"), F.col("l_end"), F.col("r_start"), F.col("r_end")
+    )
+    return (
+        l.join(
+            r,
+            (F.col("_k") == F.col("_k2"))
+            & (F.col("l_start") < F.col("r_end"))
+            & (F.col("r_start") < F.col("l_end")),
+            "inner",
+        )
+        .withColumn("_ov", ov)
+        .groupBy(F.col("_k").alias(key), "l_start", "l_end")
+        .agg(
+            F.max_by("r_tag", F.struct(F.col("_ov"), F.col("r_tag"))).alias(
+                "best_tag"
+            ),
+            F.max("_ov").alias("best_overlap"),
+        )
+    )

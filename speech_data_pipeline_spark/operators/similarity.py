@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- **Brute-force cosine top-k** (`cosine_topk`): exact, one scan, the
+  dot product as a higher-order-function fold (JVM-side, no Python).
+  At 100 TB this is the per-partition rerank primitive, not the global
+  search — but it is exact and is the correctness baseline.
+
+- **LSH-bucketed ANN** (`rp_lsh_bucket`, `lsh_topk`): random-hyperplane
+  (signed random projection) bucketing. Hyperplanes are generated from
+  a fixed seed and inlined as literals, so bucketing is deterministic
+  and reproducible across engines. Search cost = one equi-join on the
+  bucket key + rerank within bucket; probe multiple buckets by flipping
+  bits for recall (multi-probe left as the documented extension).
+
+The reference's embedding analytics (ECAPA vectors, SURVEY.md M4/M5)
+use the same column contract: ``(id, embedding array<float>)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i * b_i in double precision, left-to-right (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    ``orderBy(desc(cos)).limit(k)`` compiles to TakeOrderedAndProject —
+    a per-partition heap + driver merge of k rows, no full sort, no
+    full shuffle. That plan shape is exactly what survives 1000
+    executors.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes for signed random projection."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def rp_lsh_bucket(
+    df: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Attach the sign-bit bucket key from the given hyperplanes.
+
+    Bucket = string of sign bits of ⟨v, plane_i⟩ — a plain column
+    expression per plane; planes are literals baked into the plan, so
+    the same rows land in the same buckets on any engine or cluster.
+    """
+    bits = [
+        F.when(dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) >= 0, "1")
+        .otherwise("0")
+        for p in planes
+    ]
+    return df.withColumn(out_col, F.concat(*bits))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: restrict to the query's LSH bucket, then exact rerank.
+
+    Returns the same schema as :func:`cosine_topk` plus the bucket key.
+    Recall < 1 by construction; at scale add multi-probe or more
+    tables. The bucket equi-filter prunes the scan before any distance
+    math runs.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    q_bucket = "".join("1" if float(np.dot(p, q)) >= 0 else "0" for p in planes)
+    bucketed = rp_lsh_bucket(df, planes, vec_col)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        bucketed.where(F.col("bucket") == q_bucket)
+        .select(
+            F.col(id_col),
+            F.lit(q_bucket).alias("bucket"),
+            F.round(cosine(F.col(vec_col), qcol), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking.
+
+    Pairs sharing an LSH bucket are reranked exactly; pairs above
+    ``threshold`` survive. One shuffle on the bucket key; quadratic
+    work only within buckets (2^n_planes buckets bound the skew).
+    """
+    sample = df.select(vec_col).first()
+    dim = len(sample[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    b = rp_lsh_bucket(df, planes, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.id") < F.col("c.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("c.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("c.v")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

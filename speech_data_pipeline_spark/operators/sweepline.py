@@ -1,0 +1,122 @@
+"""Sweep-line overlap flattening (SURVEY.md W3; reference
+modules/diarization.py:24-64).
+
+Input: possibly-overlapping tagged segments ``(key, start, end, tag)``
+(speaker-labelled diarization rows in the reference). Output: a flat,
+non-overlapping partition of the covered timeline where each emitted
+piece carries the full set of tags active over it.
+
+Two implementations with identical semantics:
+
+- ``flatten_active_counts`` — declarative: explode each segment into
+  (+1 at start, -1 at end) boundary events, running sum = concurrency.
+  Pure window functions; use when only the *count* of active tags is
+  needed. Scales as one shuffle + one window pass.
+
+- ``flatten_active_sets`` — the full active-*set* semantics. A running
+  set (add on start event, remove on end event) is not expressible as a
+  built-in window aggregate, so it runs as an O(n log n) per-key kernel
+  in ``applyInPandas`` — same algorithm as the reference, but per
+  partition-key group on executors instead of per file on one machine.
+
+Reference edge semantics preserved: at equal boundary time, end events
+are processed before start events (diarization.py:39 sorts by
+``(time, is_end DESC)`` so back-to-back segments don't fabricate an
+overlap); zero-length pieces between coincident boundaries are not
+emitted; pieces with an empty active set (gaps) are not emitted.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def flatten_active_counts(
+    df: DataFrame,
+    key: str = "user_id",
+    start: str = "start_us",
+    end: str = "end_us",
+) -> DataFrame:
+    """Timeline pieces with the number of concurrently-active segments.
+
+    Returns ``(key, piece_start, piece_end, n_active)`` for every
+    maximal piece with ``n_active >= 1``.
+    """
+    starts = df.select(F.col(key), F.col(start).alias("t"), F.lit(1).alias("delta"))
+    ends = df.select(F.col(key), F.col(end).alias("t"), F.lit(-1).alias("delta"))
+    events = starts.unionByName(ends).groupBy(key, "t").agg(
+        F.sum("delta").alias("delta")
+    )
+    w = Window.partitionBy(key).orderBy("t")
+    flat = (
+        events.withColumn(
+            "n_active",
+            F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("piece_end", F.lead("t").over(w))
+        .where(F.col("piece_end").isNotNull() & (F.col("n_active") >= 1))
+        .select(
+            F.col(key),
+            F.col("t").alias("piece_start"),
+            "piece_end",
+            F.col("n_active").cast("long").alias("n_active"),
+        )
+    )
+    return flat
+
+
+def flatten_active_sets(
+    df: DataFrame,
+    key: str = "user_id",
+    tag: str = "tag",
+    start: str = "start_us",
+    end: str = "end_us",
+) -> DataFrame:
+    """Timeline pieces with the sorted set of active tags (full W3).
+
+    Returns ``(key, piece_start, piece_end, tags array<string>,
+    n_active)``. Multi-instance tags are reference-counted (the same
+    tag active twice stays in the set until both instances end).
+    """
+    key_type = dict(df.dtypes)[key]
+    schema = (
+        f"{key} {key_type}, piece_start long, piece_end long, "
+        "tags array<string>, n_active long"
+    )
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        events = []  # (time, is_start, tag); ends sort before starts at ties
+        for t in pdf.itertuples(index=False):
+            events.append((getattr(t, start), 1, str(getattr(t, tag))))
+            events.append((getattr(t, end), 0, str(getattr(t, tag))))
+        events.sort(key=lambda e: (e[0], e[1]))
+        active: dict[str, int] = {}
+        rows = []
+        prev_t = None
+        k = pdf[key].iloc[0]
+        for t, is_start, tg in events:
+            if prev_t is not None and t > prev_t and active:
+                rows.append((k, prev_t, t, sorted(active), len(active)))
+            if is_start:
+                active[tg] = active.get(tg, 0) + 1
+            else:
+                active[tg] -= 1
+                if active[tg] == 0:
+                    del active[tg]
+            prev_t = t
+        return pd.DataFrame(
+            rows, columns=[key, "piece_start", "piece_end", "tags", "n_active"]
+        )
+
+    return df.groupBy(key).applyInPandas(sweep, schema=schema)
+
+
+def split_single_overlap(flat: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """F5: split flattened pieces into single-tag vs overlapping (size>1)."""
+    single = flat.where(F.col("n_active") == 1).withColumn(
+        "tag", F.col("tags")[0]
+    ).drop("tags", "n_active")
+    overlap = flat.where(F.col("n_active") > 1)
+    return single, overlap

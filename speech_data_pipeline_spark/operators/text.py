@@ -1,0 +1,131 @@
+"""Text-analysis operators over a document corpus.
+
+Large-scale training-data-pipeline surface (the transcript-processing
+analog of the reference's stage 5 text outputs,
+modules/models/whisper_asr.py:171-178): token counting, quality
+scoring, language identification, document fingerprinting.
+
+Everything here is built-in-function column algebra — JVM-side,
+whole-stage codegen, no Python in the hot path. Each function takes and
+returns DataFrames so the operators compose into pipelines and push
+filters/projections down to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker lexicons for the n-gram/stopword language-ID
+#: heuristic. Deterministic, dependency-free; real deployments would swap
+#: in fastText/CLD3 behind the same column contract.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "que", "de", "es"),
+    "zh": ("的", "是", "不", "了", "在"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string> (empty array for blank text)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword estimate.
+
+    The subword estimate counts runs of word characters and single
+    non-word non-space characters — a deterministic stand-in for a BPE
+    tokenizer's piece count (chars/4 heuristic also provided).
+    """
+    t = F.col(text_col)
+    return df.withColumn("n_tokens", F.size(tokens(t))).withColumn(
+        "n_subwords",
+        F.size(F.filter(F.split(t, r"(?<=\W)|(?=\W)"), lambda s: F.trim(s) != "")),
+    ).withColumn("n_tokens_approx", (F.length(t) / F.lit(4.0)).cast("long"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition quality features.
+
+    Emits per-document features plus a composite ``quality`` in [0,1]:
+    the mean of four clamped component scores. Thresholds follow common
+    published web-corpus filters (Gopher/C4-style length and symbol
+    ratios), computed entirely with built-in expressions.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    uniq_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens
+    ).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_tokens > 0, n_alpha / n_tokens).otherwise(F.lit(0.0))
+    len_score = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(
+        n_punct / F.greatest(n_chars, F.lit(1)) * F.lit(10.0), F.lit(1.0)
+    )
+    case_score = F.lit(1.0) - F.least(
+        n_upper / F.greatest(n_alpha, F.lit(1)) * F.lit(2.0), F.lit(1.0)
+    )
+    return (
+        df.withColumn("n_chars_c", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("uniq_token_ratio", F.round(uniq_ratio, 6))
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn(
+            "quality",
+            F.round((len_score + punct_score + case_score + uniq_ratio) / 4.0, 6),
+        )
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language-ID heuristic.
+
+    Scores each language by the number of marker-token occurrences
+    (word-boundary matches), predicts the argmax with deterministic
+    lexicographic tie-break, abstains to 'und' when no marker hits.
+    """
+    t = F.lower(F.col(text_col))
+    scores = []
+    out = df
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        pattern = r"\b(" + "|".join(markers) + r")\b"
+        col = F.size(F.regexp_extract_all(t, F.lit(pattern), 1))
+        out = out.withColumn(f"score_{lang}", col)
+        scores.append((lang, F.col(f"score_{lang}")))
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # reversed so earlier languages win lexicographic ties via later overwrite
+    for lang, s in reversed(scores):
+        pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def char_shingles(text: Column, k: int) -> Column:
+    """All ``k``-char shingles of ``text`` as array<string> (with repeats).
+
+    For texts shorter than ``k`` the single truncated prefix is emitted,
+    so every non-empty document has at least one shingle.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - F.lit(k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: text.substr(i, F.lit(k)))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+    """Deterministic document fingerprint (rolling-hash analog).
+
+    The minimum MD5 over all ``k``-char shingles — a winnowing-style
+    content fingerprint, stable under corpus reordering and portable
+    across engines (pure md5 + substring + lexicographic min).
+    """
+    return df.withColumn(
+        "fingerprint",
+        F.array_min(F.transform(char_shingles(F.col(text_col), k), F.md5)),
+    )

@@ -1,0 +1,10 @@
+from speech_data_pipeline_spark.queries.registry import (  # noqa: F401
+    QUERIES,
+    ORACLES,
+    query,
+)
+
+# Importing the modules populates the registry.
+from speech_data_pipeline_spark.queries import relational  # noqa: F401,E402
+from speech_data_pipeline_spark.queries import intervals_q  # noqa: F401,E402
+from speech_data_pipeline_spark.queries import text_q  # noqa: F401,E402

@@ -1,0 +1,464 @@
+"""Interval-algebra queries over the `events`-derived segment table.
+
+`events` plays the role of the reference's per-file segment streams
+(FIXTURES.md §"Mapping onto driver tables"): ``user_id`` is the
+partition key (the reference's ``audio_id``), the event timestamp is
+the segment start, and ``value`` seconds give the segment length. All
+arithmetic is in integer microseconds (exact cross-engine).
+
+Every query here has a DuckDB oracle except the capped-session and
+sweep-set kernels, whose sequential semantics are deliberately
+non-SQL-expressible (SURVEY.md §7 known-hard #1); those are checked by
+kernel golden tests (tests/test_sessions.py, tests/test_sweepline.py)
+and driver rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.operators import intervals as iv_ops
+from speech_data_pipeline_spark.operators import sessions as sess_ops
+from speech_data_pipeline_spark.operators import sweepline as sweep_ops
+from speech_data_pipeline_spark.operators import windows as win_ops
+from speech_data_pipeline_spark.queries.registry import query
+from speech_data_pipeline_spark.sources.catalog import (
+    DERIVED_INTERVALS_SQL,
+    derived_intervals,
+    load_table,
+)
+
+_IV = f"WITH iv AS ({DERIVED_INTERVALS_SQL})"
+
+#: 10-minute session gap, in microseconds.
+GAP_US = 600_000_000
+#: 30-minute capped-session max span.
+CAP_US = 1_800_000_000
+
+
+@query(
+    "j4_lead_gaps",
+    oracle=f"""
+    {_IV}
+    SELECT user_id, gap_start, gap_end, gap_len FROM (
+      SELECT user_id,
+             end_us AS gap_start,
+             lead(start_us) OVER w AS gap_end,
+             lead(start_us) OVER w - end_us AS gap_len
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_us, end_us)
+    ) WHERE gap_end IS NOT NULL AND gap_end >= gap_start
+    """,
+)
+def j4_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successor-pair gap derivation (J4): lead() window, no self-join."""
+    return iv_ops.lead_gaps(derived_intervals(spark, sf_dir)).select(
+        "user_id", "gap_start", "gap_end", "gap_len"
+    )
+
+
+@query(
+    "f7_monotonic_suppression",
+    oracle=f"""
+    {_IV}
+    SELECT user_id, start_us, end_us FROM (
+      SELECT user_id, start_us, end_us,
+             max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv
+    ) WHERE prev_max IS NULL OR end_us > prev_max
+    """,
+)
+def f7_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contained-row suppression (F7): running-max window + filter."""
+    return iv_ops.suppress_non_monotonic(derived_intervals(spark, sf_dir)).select(
+        "user_id", "start_us", "end_us"
+    )
+
+
+@query(
+    "f11_clamp_pad",
+    oracle=f"""
+    {_IV}, bounds AS (
+      SELECT user_id, max(end_us) AS user_max_end FROM iv GROUP BY user_id
+    )
+    SELECT iv.event_id, iv.user_id,
+           greatest(iv.start_us - 5000000, 0) AS start_clamped,
+           least(iv.end_us + 5000000, b.user_max_end) AS end_clamped
+    FROM iv JOIN bounds b ON iv.user_id = b.user_id
+    """,
+)
+def f11_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-and-clamp bounds (F11) against a per-key upper bound.
+
+    The per-user bound comes from a broadcast-able grouped aggregate —
+    same shape as joining a file-durations table at scale.
+    """
+    ivd = derived_intervals(spark, sf_dir)
+    bounds = ivd.groupBy("user_id").agg(F.max("end_us").alias("user_max_end"))
+    return (
+        ivd.join(F.broadcast(bounds), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.greatest(F.col("start_us") - F.lit(5_000_000), F.lit(0).cast("long")).alias(
+                "start_clamped"
+            ),
+            F.least(F.col("end_us") + F.lit(5_000_000), F.col("user_max_end")).alias(
+                "end_clamped"
+            ),
+        )
+    )
+
+
+@query(
+    "w1_sessionize_gap",
+    oracle=f"""
+    {_IV}, flagged AS (
+      SELECT user_id, start_us, end_us,
+             CASE WHEN max(end_us) OVER
+                    (PARTITION BY user_id ORDER BY start_us, end_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR start_us - max(end_us) OVER
+                    (PARTITION BY user_id ORDER BY start_us, end_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > {GAP_US}
+             THEN 1 ELSE 0 END AS new_session
+      FROM iv
+    )
+    SELECT user_id, session_id, min(start_us) AS session_start,
+           max(end_us) AS session_end, count(*) AS n_segments
+    FROM (
+      SELECT user_id, start_us, end_us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def w1_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-bounded session merge (W1, uncapped form): lag/flag/cumsum.
+
+    Strict ``>`` break (reference parity, utils.py:78). One shuffle on
+    the key, then two window passes and a grouped agg — the scalable
+    sessionization default.
+    """
+    out = sess_ops.sessionize_gap(derived_intervals(spark, sf_dir), GAP_US)
+    return out.select(
+        "user_id", "session_id", "session_start", "session_end", "n_segments"
+    )
+
+
+@query("w1_sessionize_capped")  # non-SQL-expressible: sequential span cap
+def w1_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full combine_timestamps semantics (W1): gap + running span cap.
+
+    Non-associative recurrence → applyInPandas kernel per user_id
+    (SURVEY.md §7 known-hard #1). Golden tests cover the edge
+    semantics; the driver records a rows-only check here.
+    """
+    out = sess_ops.sessionize_capped(
+        derived_intervals(spark, sf_dir), interval=GAP_US, max_duration=CAP_US
+    )
+    return out.select(
+        "user_id", "session_id", "session_start", "session_end", "n_segments"
+    )
+
+
+@query(
+    "w3_sweepline_counts",
+    oracle=f"""
+    {_IV}, ev AS (
+      SELECT user_id, start_us AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT user_id, end_us AS t, -1 AS delta FROM iv
+    ), merged AS (
+      SELECT user_id, t, sum(delta) AS delta FROM ev GROUP BY user_id, t
+    )
+    SELECT user_id, piece_start, piece_end, n_active FROM (
+      SELECT user_id, t AS piece_start,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t) AS piece_end,
+             sum(delta) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_active
+      FROM merged
+    ) WHERE piece_end IS NOT NULL AND n_active >= 1
+    """,
+)
+def w3_sweepline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line overlap flattening, concurrency-count form (W3).
+
+    Boundary events + running sum — fully declarative, one shuffle.
+    """
+    return sweep_ops.flatten_active_counts(derived_intervals(spark, sf_dir))
+
+
+@query(
+    "w3_sweepline_sets",
+    oracle=f"""
+    {_IV}, tagged AS (
+      SELECT user_id, start_us, end_us, event_type AS tag FROM iv
+    ), bounds AS (
+      SELECT DISTINCT user_id, t FROM (
+        SELECT user_id, start_us AS t FROM tagged
+        UNION ALL SELECT user_id, end_us AS t FROM tagged
+      )
+    ), pieces AS (
+      SELECT user_id, t AS piece_start,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t) AS piece_end
+      FROM bounds
+    )
+    SELECT p.user_id, p.piece_start, p.piece_end,
+           array_to_string(list_sort(list(DISTINCT g.tag)), '|') AS tags,
+           count(DISTINCT g.tag) AS n_distinct_tags
+    FROM pieces p
+    JOIN tagged g
+      ON g.user_id = p.user_id
+     AND g.start_us < p.piece_end AND g.end_us > p.piece_start
+    WHERE p.piece_end IS NOT NULL
+    GROUP BY p.user_id, p.piece_start, p.piece_end
+    """,
+)
+def w3_sweepline_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line with full active-set semantics (W3 kernel).
+
+    Spark side runs the O(n log n) applyInPandas kernel; the oracle
+    reproduces the semantics declaratively as piece×interval stabbing
+    (O(n²) — fine for the oracle, not the engine path). Distinct-tag
+    normalization on both sides makes the outputs comparable.
+    """
+    tagged = derived_intervals(spark, sf_dir).select(
+        "user_id", "start_us", "end_us", F.col("event_type").alias("tag")
+    )
+    flat = sweep_ops.flatten_active_sets(tagged)
+    return flat.select(
+        "user_id",
+        "piece_start",
+        "piece_end",
+        F.concat_ws("|", F.array_sort(F.array_distinct("tags"))).alias("tags"),
+        F.size(F.array_distinct("tags")).cast("long").alias("n_distinct_tags"),
+    )
+
+
+@query(
+    "w4_sliding_windows",
+    oracle=f"""
+    {_IV}, segs AS (
+      SELECT user_id, start_us, end_us,
+             CAST(ceil((end_us - start_us - 3600000000) / 1800000000.0) AS BIGINT) + 1
+               AS n_windows
+      FROM iv WHERE end_us - start_us > 3600000000
+    )
+    SELECT user_id, start_us AS seg_start, end_us AS seg_end,
+           i AS w_idx,
+           start_us + i * 1800000000 AS win_start,
+           least(start_us + i * 1800000000 + 3600000000, end_us) AS win_end
+    FROM segs, unnest(generate_series(0, n_windows - 1)) AS t(i)
+    """,
+)
+def w4_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored sliding-window explode (W4): 60 min windows, 30 min hop over
+    segments longer than one window. sequence+explode, no UDF."""
+    ivd = derived_intervals(spark, sf_dir).where(
+        F.col("end_us") - F.col("start_us") > 3_600_000_000
+    )
+    return win_ops.sliding_windows(ivd, window=3_600_000_000, hop=1_800_000_000)
+
+
+@query(
+    "a12_budgeted_topk",
+    oracle=f"""
+    {_IV}, d AS (
+      SELECT user_id, event_id, end_us - start_us AS dur_us FROM iv
+    )
+    SELECT user_id, event_id, dur_us FROM (
+      SELECT user_id, event_id, dur_us,
+             sum(dur_us) OVER (PARTITION BY user_id
+                               ORDER BY dur_us DESC, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM d
+    ) WHERE cum <= 500000000000
+    """,
+)
+def a12_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted greedy accumulation (A12): longest-first within a 500000 s budget."""
+    d = derived_intervals(spark, sf_dir).select(
+        "user_id", "event_id", (F.col("end_us") - F.col("start_us")).alias("dur_us")
+    )
+    return win_ops.budgeted_topk(
+        d, budget=500_000_000_000, weight_col="dur_us", order_cols=("event_id",)
+    )
+
+
+@query(
+    "j1_containment_join",
+    oracle=f"""
+    {_IV},
+    clicks AS (SELECT * FROM iv WHERE event_type = 'click'),
+    views  AS (SELECT * FROM iv WHERE event_type = 'view')
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+    FROM clicks c JOIN views v
+      ON c.user_id = v.user_id
+     AND c.start_us >= v.start_us AND c.end_us <= v.end_us
+    """,
+)
+def j1_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (J1/J2): clicks inside view spans.
+
+    Key-equi join + range predicates; per-key cardinality bounds the
+    quadratic term exactly as in the per-file reference scan.
+    """
+    ivd = derived_intervals(spark, sf_dir)
+    clicks = ivd.where(F.col("event_type") == "click").select(
+        "user_id", "start_us", "end_us", F.col("event_id").alias("click_id")
+    )
+    views = ivd.where(F.col("event_type") == "view").select(
+        "user_id", "start_us", "end_us", F.col("event_id").alias("view_id")
+    )
+    out = iv_ops.containment_join(clicks, views)
+    return out.select("click_id", "view_id", "user_id")
+
+
+@query(
+    "j3_max_overlap_join",
+    oracle=f"""
+    {_IV},
+    purchases AS (SELECT user_id, start_us AS l_start, end_us AS l_end
+                  FROM iv WHERE event_type = 'purchase'),
+    views AS (SELECT user_id, start_us, end_us, CAST(event_id AS VARCHAR) AS tag
+              FROM iv WHERE event_type = 'view')
+    SELECT user_id, l_start, l_end, best_tag, best_overlap FROM (
+      SELECT p.user_id, p.l_start, p.l_end, v.tag AS best_tag,
+             greatest(least(p.l_end, v.end_us) - greatest(p.l_start, v.start_us), 0)
+               AS best_overlap,
+             row_number() OVER (
+               PARTITION BY p.user_id, p.l_start, p.l_end
+               ORDER BY greatest(least(p.l_end, v.end_us)
+                                 - greatest(p.l_start, v.start_us), 0) DESC,
+                        v.tag DESC) AS rn
+      FROM purchases p JOIN views v
+        ON p.user_id = v.user_id
+       AND p.l_start < v.end_us AND v.start_us < p.l_end
+    ) WHERE rn = 1
+    """,
+)
+def j3_max_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-overlap interval join (J3): overlap join + max_by per row."""
+    ivd = derived_intervals(spark, sf_dir)
+    purchases = ivd.where(F.col("event_type") == "purchase").select(
+        "user_id", "start_us", "end_us"
+    )
+    views = ivd.where(F.col("event_type") == "view").select(
+        "user_id", "start_us", "end_us", F.col("event_id").cast("string").alias("tag")
+    )
+    return iv_ops.max_overlap_join(purchases, views)
+
+
+@query(
+    "w9_barrier_sessionize",
+    oracle=f"""
+    {_IV}, segs AS (
+      SELECT user_id, start_us, end_us, 0 AS is_barrier
+      FROM iv WHERE event_type <> 'error'
+    ), bars AS (
+      SELECT user_id, start_us, start_us AS end_us, 1 AS is_barrier
+      FROM iv WHERE event_type = 'error'
+    ), unioned AS (
+      SELECT * FROM segs UNION ALL SELECT * FROM bars
+    ), with_bid AS (
+      SELECT user_id, start_us, end_us, is_barrier,
+             sum(is_barrier) OVER (PARTITION BY user_id
+                                   ORDER BY start_us, is_barrier DESC, end_us
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS barrier_id
+      FROM unioned
+    ), flagged AS (
+      SELECT user_id, barrier_id, start_us, end_us,
+             CASE WHEN max(end_us) OVER w IS NULL
+                  OR start_us - max(end_us) OVER w > {GAP_US}
+             THEN 1 ELSE 0 END AS new_session
+      FROM with_bid WHERE is_barrier = 0
+      WINDOW w AS (PARTITION BY user_id, barrier_id ORDER BY start_us, end_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, barrier_id, session_id, min(start_us) AS session_start,
+           max(end_us) AS session_end, count(*) AS n_segments
+    FROM (
+      SELECT user_id, barrier_id, start_us, end_us,
+             sum(new_session) OVER (PARTITION BY user_id, barrier_id
+                                    ORDER BY start_us, end_us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    GROUP BY user_id, barrier_id, session_id
+    """,
+)
+def w9_barriers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Barrier-flushed sessionization (W9): 'error' events break sessions.
+
+    Barrier ids from one running sum over the unioned stream — no range
+    join — then gap sessionization within (user, barrier_id).
+    """
+    ivd = derived_intervals(spark, sf_dir)
+    segs = ivd.where(F.col("event_type") != "error")
+    bars = ivd.where(F.col("event_type") == "error").select("user_id", "start_us")
+    out = sess_ops.sessionize_barriers(segs, bars, GAP_US)
+    return out.select(
+        "user_id",
+        "barrier_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "n_segments",
+    )
+
+
+@query(
+    "f2_gap_classifier",
+    oracle=f"""
+    {_IV}, g AS (
+      SELECT user_id,
+             end_us AS gap_start,
+             lead(start_us) OVER w AS gap_end,
+             value AS prev_value,
+             lead(value) OVER w AS next_value
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_us, end_us)
+    )
+    SELECT user_id, gap_start, gap_end,
+           CASE WHEN (gap_end - gap_start < 30000000)
+                  OR (prev_value > 100.0 AND next_value > 100.0)
+                THEN 'silence' ELSE 'noise' END AS gap_class
+    FROM g WHERE gap_end IS NOT NULL AND gap_end >= gap_start
+    """,
+)
+def f2_gap_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound-predicate gap classifier (F2 analog).
+
+    Short-gap short-circuit OR neighbor-energy conjunction — the
+    reference's silence classifier shape over lead-derived gap rows
+    (single window pass; prev/next context without self-joins).
+    """
+    from pyspark.sql import Window
+
+    ivd = derived_intervals(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("start_us", "end_us")
+    g = (
+        ivd.withColumn("gap_end", F.lead("start_us").over(w))
+        .withColumn("next_value", F.lead("value").over(w))
+        .where(F.col("gap_end").isNotNull() & (F.col("gap_end") >= F.col("end_us")))
+    )
+    is_silence = (F.col("gap_end") - F.col("end_us") < 30_000_000) | (
+        (F.col("value") > 100.0) & (F.col("next_value") > 100.0)
+    )
+    return g.select(
+        "user_id",
+        F.col("end_us").alias("gap_start"),
+        "gap_end",
+        F.when(is_silence, "silence").otherwise("noise").alias("gap_class"),
+    )

@@ -1,0 +1,335 @@
+"""Text-analysis, dedup, and similarity queries over `documents` and
+`embeddings` — the training-data-pipeline surface.
+
+Oracle-parity design notes:
+- all hashing is MD5 hex (identical in Spark and DuckDB), compared
+  lexicographically — no engine-specific hash functions anywhere;
+- DuckDB regexps are RE2 (no lookaround), so shared patterns use only
+  alternation/classes; the oracle may use different *functions* as long
+  as results match;
+- embedding math folds left-to-right in double and is rounded to 6
+  places on output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.operators import dedup as dd
+from speech_data_pipeline_spark.operators import similarity as sim
+from speech_data_pipeline_spark.operators import text as tx
+from speech_data_pipeline_spark.queries.registry import query
+from speech_data_pipeline_spark.sources.catalog import load_table
+
+_SUBWORD_PAT = r"[A-Za-z0-9_]+|[^ \t\n\rA-Za-z0-9_]"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))
+             AS n_tokens,
+           len(regexp_extract_all(text, '{_SUBWORD_PAT}'))
+             AS n_subwords,
+           CAST(floor(length(text) / 4.0) AS BIGINT) AS n_tokens_approx
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword piece count."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.size(tx.tokens(t)).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(_SUBWORD_PAT), 0))
+        .cast("long")
+        .alias("n_subwords"),
+        F.floor(F.length(t) / F.lit(4.0)).cast("long").alias("n_tokens_approx"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=r"""
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CASE WHEN len(toks) > 0
+                      THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS uniq_token_ratio,
+           round(CASE WHEN len(toks) > 0
+                      THEN n_alpha / CAST(len(toks) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS mean_word_len,
+           round((least(len(toks) / 50.0, 1.0)
+                  + (1.0 - least(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0))
+                  + (1.0 - least(n_upper / CAST(greatest(n_alpha, 1) AS DOUBLE) * 2.0, 1.0))
+                  + CASE WHEN len(toks) > 0
+                         THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                         ELSE 0.0 END) / 4.0, 6) AS quality
+    FROM feat
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/case/repetition composite."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.quality_score(d).select(
+        "doc_id", "n_tokens", "uniq_token_ratio", "mean_word_len", "quality"
+    )
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, markers in sorted(tx.LANG_MARKERS.items()):
+        pattern = r"\b(" + "|".join(markers) + r")\b"
+        score_cols.append(
+            f"len(regexp_extract_all(lower(text), '{pattern}', 1)) AS score_{lang}"
+        )
+    langs = sorted(tx.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN score_{lang} = {best} AND {best} > 0 "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    cols = ", ".join(f"score_{l}" for l in langs)
+    return f"""
+    WITH scored AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM documents)
+    SELECT doc_id, lang, {cols}, {pred} AS pred_lang FROM scored
+    """
+
+
+@query("text_language_id", oracle=_langid_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID with deterministic tie-breaks."""
+    d = load_table(spark, sf_dir, "documents")
+    out = tx.language_id(d)
+    score_cols = [f"score_{l}" for l in sorted(tx.LANG_MARKERS)]
+    return out.select("doc_id", "lang", *score_cols, "pred_lang")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_aggregate(
+             list_transform(
+               range(1, greatest(length(text) - 7, 1) + 1),
+               i -> md5(substr(text, CAST(i AS INTEGER), 8))),
+             'min') AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-shingle-hash document fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.fingerprint(d, k=8).select("doc_id", "fingerprint")
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_md5,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: digest groupBy, min-id canonical (one shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(d)
+
+
+def _minhash_oracle(k: int = 16, shingle_len: int = 5, bands: int = 4) -> str:
+    rows = k // bands
+    sig_entries = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min')"
+        for i in range(k)
+    )
+    band_conds = []
+    for b in range(bands):
+        conj = " AND ".join(
+            f"a.sig[{b * rows + r + 1}] = b.sig[{b * rows + r + 1}]"
+            for r in range(rows)
+        )
+        band_conds.append(f"({conj})")
+    share_band = " OR ".join(band_conds)
+    eq_count = " + ".join(
+        f"CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(k)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(length(text) - {shingle_len - 1}, 1) + 1),
+               i -> substr(text, CAST(i AS INTEGER), {shingle_len}))) AS sh
+      FROM documents
+    ), sigs AS (
+      SELECT id, [{sig_entries}] AS sig FROM sh
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(({eq_count}) / {float(k)}, 6) AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.id < b.id
+    WHERE ({share_band})
+      AND round(({eq_count}) / {float(k)}, 6) >= 0.5
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join).
+
+    Engine path: banded equi-join — quadratic only within buckets. The
+    oracle verifies semantics with the O(n²) pairwise form.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_dedup_pairs(d, k=16, shingle_len=5, bands=4, threshold=0.5)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT lang AS blk, doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(length(text) - 2, 1) + 1),
+               i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+      FROM documents
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                        AS DOUBLE), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+    WHERE round(len(list_intersect(a.sh, b.sh))
+                / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                       AS DOUBLE), 6) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard within language blocks.
+
+    Engine path: explode+equi-join on (block, shingle) — co-occurring
+    shingles shuffle, the cross product never materializes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, block_col="lang", shingle_len=3, threshold=0.2)
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')))
+               AS token
+      FROM documents
+    ), h AS (
+      SELECT id, substr(md5(token), 1, 15) AS hx FROM tok
+    ), bit AS (
+      SELECT id, j,
+             CASE WHEN
+               (CAST(floor(
+                 (strpos('0123456789abcdef',
+                         substr(hx, 15 - CAST(floor(j / 4) AS INTEGER), 1)) - 1)
+                 / pow(2, j % 4)) AS BIGINT) % 2) = 1
+             THEN 1 ELSE -1 END AS vote
+      FROM h, unnest(generate_series(0, {bits - 1})) AS t(j)
+    ), votes AS (
+      SELECT id, j, sum(vote) AS v FROM bit GROUP BY id, j
+    )
+    SELECT id, CAST(sum(CASE WHEN v > 0
+                             THEN CAST(pow(2, j) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY id
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 60-bit fingerprints (map-reduce form, no UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash64(d)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+_COS_ORACLE = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             round(
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+      FROM embeddings e, q
+    )
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@query("sim_cosine_topk", oracle=_COS_ORACLE)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to the vec_id=0 embedding.
+
+    TakeOrderedAndProject plan: per-partition heap, k-row merge — no
+    global sort at any scale.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+@query(
+    "a5_embedding_energy",
+    oracle="""
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS energy,
+           round(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 6) AS peak
+    FROM embeddings
+    """,
+)
+def a5_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform-style energy (A5) + peak (A6) as higher-order folds."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            6,
+        ).alias("energy"),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+            , 6
+        ).alias("peak"),
+    )
