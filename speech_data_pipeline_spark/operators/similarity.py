@@ -24,6 +24,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from speech_data_pipeline_spark.functions import trunc6
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i * b_i in double precision, left-to-right (deterministic)."""
@@ -64,7 +66,7 @@ def cosine_topk(
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+            trunc6(cosine(F.col(vec_col), q)).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -123,7 +125,7 @@ def lsh_topk(
         .select(
             F.col(id_col),
             F.lit(q_bucket).alias("bucket"),
-            F.round(cosine(F.col(vec_col), qcol), 6).alias("cos_sim"),
+            trunc6(cosine(F.col(vec_col), qcol)).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -160,7 +162,7 @@ def embedding_neardup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("c.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("c.v")), 6).alias("cos_sim"),
+            trunc6(cosine(F.col("a.v"), F.col("c.v"))).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

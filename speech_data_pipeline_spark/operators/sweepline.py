@@ -79,7 +79,10 @@ def flatten_active_sets(
     Returns ``(key, piece_start, piece_end, tags array<string>,
     n_active)``. Multi-instance tags are reference-counted (the same
     tag active twice stays in the set until both instances end).
+    Zero/negative-length segments are dropped on entry: they cover no
+    timeline and would otherwise inject spurious piece boundaries.
     """
+    df = df.where(F.col(end) > F.col(start))
     key_type = dict(df.dtypes)[key]
     schema = (
         f"{key} {key_type}, piece_start long, piece_end long, "

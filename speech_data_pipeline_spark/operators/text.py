@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from speech_data_pipeline_spark.functions import trunc6
+
 #: Tiny per-language marker lexicons for the n-gram/stopword language-ID
 #: heuristic. Deterministic, dependency-free; real deployments would swap
 #: in fastText/CLD3 behind the same column contract.
@@ -76,11 +78,11 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("n_chars_c", n_chars.cast("long"))
         .withColumn("n_tokens", n_tokens.cast("long"))
-        .withColumn("uniq_token_ratio", F.round(uniq_ratio, 6))
-        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn("uniq_token_ratio", trunc6(uniq_ratio))
+        .withColumn("mean_word_len", trunc6(mean_word_len))
         .withColumn(
             "quality",
-            F.round((len_score + punct_score + case_score + uniq_ratio) / 4.0, 6),
+            trunc6((len_score + punct_score + case_score + uniq_ratio) / 4.0),
         )
     )
 

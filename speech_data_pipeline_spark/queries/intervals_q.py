@@ -201,6 +201,7 @@ def w3_sweepline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {_IV}, tagged AS (
       SELECT user_id, start_us, end_us, event_type AS tag FROM iv
+      WHERE end_us > start_us
     ), bounds AS (
       SELECT DISTINCT user_id, t FROM (
         SELECT user_id, start_us AS t FROM tagged

@@ -25,13 +25,13 @@ def _dec(c, scale: int = 2):
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_disc_price,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                 * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_charge,
+                 * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -53,14 +53,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias(
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias(
                 "sum_base_price"
             ),
-            F.round(
-                F.sum(_dec("l_extendedprice") * disc).cast("double"), 2
-            ).alias("sum_disc_price"),
-            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.sum(_dec("l_extendedprice") * disc), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -70,8 +70,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle="""
     SELECT n_name,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -103,7 +103,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -153,7 +153,7 @@ def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a3_argmax_order_per_customer",
     oracle="""
     SELECT o_custkey, best_orderkey,
-           round(CAST(CAST(best_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+           CAST(round(CAST(best_totalprice AS DECIMAL(18,3)), 2) AS DOUBLE)
              AS best_totalprice
     FROM (
       SELECT o_custkey, o_orderkey AS best_orderkey,
@@ -174,9 +174,9 @@ def a3_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(
             "o_orderkey", F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
         ).alias("best_orderkey"),
-        F.round(F.max(_dec("o_totalprice")).cast("double"), 2).alias(
-            "best_totalprice"
-        ),
+        F.round(F.max(F.col("o_totalprice").cast("decimal(18,3)")), 2)
+        .cast("double")
+        .alias("best_totalprice"),
     )
 
 
@@ -184,7 +184,7 @@ def a3_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a4_global_argmax_order",
     oracle="""
     SELECT best_orderkey,
-           round(CAST(CAST(best_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+           CAST(round(CAST(best_totalprice AS DECIMAL(18,3)), 2) AS DOUBLE)
              AS best_totalprice
     FROM (
       SELECT o_orderkey AS best_orderkey,
@@ -201,9 +201,9 @@ def a4_global_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(
             "o_orderkey", F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
         ).alias("best_orderkey"),
-        F.round(F.max(_dec("o_totalprice")).cast("double"), 2).alias(
-            "best_totalprice"
-        ),
+        F.round(F.max(F.col("o_totalprice").cast("decimal(18,3)")), 2)
+        .cast("double")
+        .alias("best_totalprice"),
     )
 
 
@@ -282,7 +282,7 @@ def u1_union(spark: SparkSession, sf_dir: str) -> DataFrame:
            concat('part_', CAST(p_partkey AS VARCHAR), '/', p_type) AS tagged,
            greatest(p_size, 25) AS size_floor25,
            least(p_size, 25) AS size_cap25,
-           round(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 11 / 10 AS DOUBLE), 2) AS price_up10,
+           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * 11 / 10, 2) AS DOUBLE) AS price_up10,
            substring(p_type, 1, 6) AS type_prefix
     FROM part
     """,
@@ -303,7 +303,7 @@ def x_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tagged"),
         F.greatest("p_size", F.lit(25)).alias("size_floor25"),
         F.least("p_size", F.lit(25)).alias("size_cap25"),
-        F.round((_dec("p_retailprice") * 11 / 10).cast("double"), 2).alias(
+        F.round(_dec("p_retailprice") * 11 / 10, 2).cast("double").alias(
             "price_up10"
         ),
         F.substring("p_type", 1, 6).alias("type_prefix"),

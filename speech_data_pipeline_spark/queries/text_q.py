@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from speech_data_pipeline_spark.functions import trunc6
 from speech_data_pipeline_spark.operators import dedup as dd
 from speech_data_pipeline_spark.operators import similarity as sim
 from speech_data_pipeline_spark.operators import text as tx
@@ -65,18 +66,18 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
-           round(CASE WHEN len(toks) > 0
+           floor((CASE WHEN len(toks) > 0
                       THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
-                      ELSE 0.0 END, 6) AS uniq_token_ratio,
-           round(CASE WHEN len(toks) > 0
+                      ELSE 0.0 END) * 1000000.0) / 1000000.0 AS uniq_token_ratio,
+           floor((CASE WHEN len(toks) > 0
                       THEN n_alpha / CAST(len(toks) AS DOUBLE)
-                      ELSE 0.0 END, 6) AS mean_word_len,
-           round((least(len(toks) / 50.0, 1.0)
+                      ELSE 0.0 END) * 1000000.0) / 1000000.0 AS mean_word_len,
+           floor(((least(len(toks) / 50.0, 1.0)
                   + (1.0 - least(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0))
                   + (1.0 - least(n_upper / CAST(greatest(n_alpha, 1) AS DOUBLE) * 2.0, 1.0))
                   + CASE WHEN len(toks) > 0
                          THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
-                         ELSE 0.0 END) / 4.0, 6) AS quality
+                         ELSE 0.0 END) / 4.0) * 1000000.0) / 1000000.0 AS quality
     FROM feat
     """,
 )
@@ -153,11 +154,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(d)
 
 
+def _hex7_to_int_sql(md5_expr: str) -> str:
+    """DuckDB SQL turning the first 7 hex chars of an md5 into an int.
+
+    DuckDB has no base-conversion function, so fold nibble positions:
+    ``Σ (strpos(hexdigits, char_i) - 1) * 16^(6-i)``.
+    """
+    terms = [
+        f"(strpos('0123456789abcdef', substr({md5_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (6 - i)}"
+        for i in range(7)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _minhash_oracle(k: int = 16, shingle_len: int = 5, bands: int = 4) -> str:
+    from speech_data_pipeline_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
     rows = k // bands
+    coeffs = minhash_coeffs(k)
     sig_entries = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min')"
-        for i in range(k)
+        f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P}),"
+        f" 'min')"
+        for a, b in coeffs
     )
     band_conds = []
     for b in range(bands):
@@ -171,21 +193,24 @@ def _minhash_oracle(k: int = 16, shingle_len: int = 5, bands: int = 4) -> str:
         f"CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END"
         for i in range(k)
     )
+    h = _hex7_to_int_sql("md5(s)")
     return f"""
     WITH sh AS (
       SELECT doc_id AS id,
-             list_distinct(list_transform(
-               range(1, greatest(length(text) - {shingle_len - 1}, 1) + 1),
-               i -> substr(text, CAST(i AS INTEGER), {shingle_len}))) AS sh
+             list_transform(
+               list_distinct(list_transform(
+                 range(1, greatest(length(text) - {shingle_len - 1}, 1) + 1),
+                 i -> substr(text, CAST(i AS INTEGER), {shingle_len}))),
+               s -> {h}) AS hs
       FROM documents
     ), sigs AS (
       SELECT id, [{sig_entries}] AS sig FROM sh
     )
     SELECT a.id AS id_a, b.id AS id_b,
-           round(({eq_count}) / {float(k)}, 6) AS est_jaccard
+           floor((({eq_count}) / {float(k)}) * 1000000.0) / 1000000.0 AS est_jaccard
     FROM sigs a JOIN sigs b ON a.id < b.id
     WHERE ({share_band})
-      AND round(({eq_count}) / {float(k)}, 6) >= 0.5
+      AND floor((({eq_count}) / {float(k)}) * 1000000.0) / 1000000.0 >= 0.5
     """
 
 
@@ -203,31 +228,46 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle="""
-    WITH sh AS (
+    WITH allsh AS (
       SELECT lang AS blk, doc_id AS id,
-             list_distinct(list_transform(
-               range(1, greatest(length(text) - 2, 1) + 1),
-               i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+             unnest(list_distinct(list_transform(
+               range(1, greatest(length(text) - 7, 1) + 1),
+               i -> substr(text, CAST(i AS INTEGER), 8)))) AS shingle
       FROM documents
+    ), docfreq AS (
+      SELECT blk, shingle, count(*) AS df FROM allsh GROUP BY blk, shingle
+    ), sh AS (
+      SELECT a.blk, a.id, a.shingle
+      FROM allsh a JOIN docfreq f
+        ON a.blk = f.blk AND a.shingle = f.shingle
+      WHERE f.df <= 20
+    ), sizes AS (
+      SELECT id, count(*) AS n FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.blk = b.blk AND a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
     )
-    SELECT a.id AS id_a, b.id AS id_b,
-           round(len(list_intersect(a.sh, b.sh))
-                 / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
-                        AS DOUBLE), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
-    WHERE round(len(list_intersect(a.sh, b.sh))
-                / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
-                       AS DOUBLE), 6) >= 0.2
+    SELECT id_a, id_b,
+           floor((n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE)) * 1000000.0) / 1000000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE floor((n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE)) * 1000000.0) / 1000000.0 >= 0.05
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard within language blocks.
+    """Rare-8-gram Jaccard within language blocks (stop-shingle removal).
 
-    Engine path: explode+equi-join on (block, shingle) — co-occurring
-    shingles shuffle, the cross product never materializes.
+    Engine path: explode + document-frequency filter + equi-join on
+    (block, shingle) — co-occurring rare shingles shuffle, the cross
+    product never materializes, and the df cap bounds per-shingle skew.
     """
     d = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(d, block_col="lang", shingle_len=3, threshold=0.2)
+    return dd.ngram_jaccard_pairs(
+        d, block_col="lang", shingle_len=8, threshold=0.05, max_df=20
+    )
 
 
 def _simhash_oracle(bits: int = 60) -> str:
@@ -279,13 +319,13 @@ _COS_ORACLE = """
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     scored AS (
       SELECT e.vec_id,
-             round(
+             floor((
                list_sum(list_transform(range(1, len(e.embedding) + 1),
                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
                / (sqrt(list_sum(list_transform(e.embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                   * sqrt(list_sum(list_transform(q.qv,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 1000000.0) / 1000000.0 AS cos_sim
       FROM embeddings e, q
     )
     SELECT vec_id, cos_sim FROM scored
@@ -308,10 +348,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a5_embedding_energy",
     oracle="""
     SELECT vec_id,
-           round(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS energy,
-           round(list_max(list_transform(embedding,
-                 x -> abs(CAST(x AS DOUBLE)))), 6) AS peak
+           floor((list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000.0) / 1000000.0 AS energy,
+           floor((list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))))) * 1000000.0) / 1000000.0 AS peak
     FROM embeddings
     """,
 )
@@ -320,16 +360,14 @@ def a5_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
-        F.round(
+        trunc6(
             F.aggregate(
                 "embedding",
                 F.lit(0.0),
                 lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            ),
-            6,
+            )
         ).alias("energy"),
-        F.round(
+        trunc6(
             F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
-            , 6
         ).alias("peak"),
     )
