@@ -1,0 +1,65 @@
+"""Golden tests for interval algebra (SURVEY.md J1-J4, F7, F11, X15)."""
+
+from conftest import rows
+
+from speech_data_pipeline_spark.operators.intervals import (
+    clamp,
+    containment_join,
+    lead_gaps,
+    max_overlap_join,
+    suppress_non_monotonic,
+)
+
+
+def seg_df(spark, data, cols=("user_id", "start_us", "end_us")):
+    return spark.createDataFrame(data, list(cols))
+
+
+def test_lead_gaps_skips_overlapping_successor(spark):
+    df = seg_df(
+        spark,
+        [("a", 0, 10), ("a", 5, 8), ("a", 20, 30), ("a", 40, 50)],
+    )
+    out = rows(lead_gaps(df), "gap_start", "gap_end", "gap_len")
+    # (0,10)->(5,...) overlaps: no gap row; (5,8)->(20): gap 8-20 wait:
+    # ordered by start: (0,10),(5,8),(20,30),(40,50).
+    # (0,10)->next start 5 < end 10 -> skipped; (5,8)->20 gap; (20,30)->40 gap
+    assert out == [(8, 20, 12), (30, 40, 10)]
+
+
+def test_suppress_non_monotonic(spark):
+    df = seg_df(spark, [("a", 0, 100), ("a", 10, 50), ("a", 20, 150)])
+    out = rows(suppress_non_monotonic(df), "start_us", "end_us")
+    assert out == [(0, 100), (20, 150)]
+
+
+def test_containment_join(spark):
+    inner = seg_df(spark, [("a", 10, 20), ("a", 200, 210)])
+    outer = seg_df(spark, [("a", 0, 100), ("a", 5, 25), ("b", 0, 1000)])
+    out = rows(
+        containment_join(inner, outer), "i_start", "i_end", "o_start", "o_end"
+    )
+    assert out == [(10, 20, 0, 100), (10, 20, 5, 25)]
+
+
+def test_max_overlap_join_tiebreak(spark):
+    left = seg_df(spark, [("a", 10, 30)])
+    right = spark.createDataFrame(
+        [("a", 0, 20, "t1"), ("a", 20, 40, "t2"), ("a", 5, 25, "t0")],
+        ["user_id", "start_us", "end_us", "tag"],
+    )
+    out = rows(max_overlap_join(left, right), "best_tag", "best_overlap")
+    # overlaps: t1=10, t2=10, t0=15 -> t0 wins on overlap
+    assert out == [("t0", 15)]
+    # drop t0: t1 and t2 tie at 10 -> max tag string wins (t2)
+    right2 = right.where(right.tag != "t0")
+    out = rows(max_overlap_join(left, right2), "best_tag", "best_overlap")
+    assert out == [("t2", 10)]
+
+
+def test_clamp(spark):
+    df = spark.createDataFrame(
+        [("a", 2.0, 9.0, 10.0)], ["user_id", "start", "end", "duration"]
+    )
+    out = rows(clamp(df, pad=3.0), "start", "end")
+    assert out == [(0.0, 10.0)]

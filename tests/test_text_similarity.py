@@ -1,0 +1,104 @@
+"""Semantics tests for text analysis and similarity search operators."""
+
+import math
+
+from conftest import rows
+
+from speech_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    hyperplanes,
+    lsh_topk,
+    rp_lsh_bucket,
+)
+from speech_data_pipeline_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world,  foo"), (2, "   "), (3, "one")], ["doc_id", "text"]
+    )
+    out = {r[0]: (r[1], r[2]) for r in rows(token_count(df), "doc_id", "n_tokens", "n_subwords")}
+    assert out[1] == (3, 4)  # 'hello','world',',','foo'
+    assert out[2][0] == 0
+    assert out[3] == (1, 1)
+
+
+def test_quality_bounds_and_repetition(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a varied sentence with many distinct and useful words here."),
+            (2, "spam spam spam spam spam spam spam spam spam spam"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r[0]: r for r in rows(quality_score(df), "doc_id", "uniq_token_ratio", "quality")}
+    assert 0.0 <= out[1][2] <= 1.0 and 0.0 <= out[2][2] <= 1.0
+    assert out[1][1] > out[2][1]  # repetition tanks uniq ratio
+
+
+def test_language_id_obvious_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and the dog is here"),
+            (2, "der Hund ist nicht da und die Katze ist hier"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r[0]: r[1] for r in rows(language_id(df), "doc_id", "pred_lang")}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_fingerprint_stable_and_discriminative(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz")],
+        ["doc_id", "text"],
+    )
+    out = {r[0]: r[1] for r in rows(fingerprint(df), "doc_id", "fingerprint")}
+    assert out[1] == out[2] != out[3]
+
+
+def vecs(spark):
+    data = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+        (4, [1.0, 0.01, 0.0, 0.0]),  # closest to 0
+    ]
+    return spark.createDataFrame(data, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_ordering(spark):
+    out = rows(cosine_topk(vecs(spark), [1.0, 0.0, 0.0, 0.0], k=3), "vec_id")
+    got = [r[0] for r in sorted(out)]
+    assert set(got) == {0, 1, 4}
+    full = cosine_topk(vecs(spark), [1.0, 0.0, 0.0, 0.0], k=5).collect()
+    assert [r.vec_id for r in full[:3]] == [0, 4, 1]
+    assert math.isclose(full[0].cos_sim, 1.0, abs_tol=1e-6)
+
+
+def test_lsh_bucket_deterministic_and_topk_subset(spark):
+    planes = hyperplanes(4, 3, seed=7)
+    b1 = rows(rp_lsh_bucket(vecs(spark), planes), "vec_id", "bucket")
+    b2 = rows(rp_lsh_bucket(vecs(spark), planes), "vec_id", "bucket")
+    assert b1 == b2
+    out = lsh_topk(vecs(spark), [1.0, 0.0, 0.0, 0.0], k=3, n_planes=2, seed=7)
+    got = {r.vec_id for r in out.collect()}
+    exact = {0, 4, 1}
+    assert got <= exact | {2, 3} and 0 in got  # query's own bucket contains it
+
+
+def test_embedding_neardup_pairs(spark):
+    out = rows(embedding_neardup_pairs(vecs(spark), n_planes=2, threshold=0.95))
+    pairs = {(a, b) for a, b, _ in out}
+    assert (0, 4) in pairs
+    assert all(not (a == 2 or b == 2) for a, b in pairs)
