@@ -1,0 +1,313 @@
+"""ML-inference operator surface (SURVEY.md §2.10, M1-M10) with
+deterministic stub backends.
+
+Every reference model stage becomes an Arrow-batched pandas kernel
+(``mapInPandas`` for 1→N "table function" models, scalar pandas UDF for
+1→1 scoring) with a pluggable backend:
+
+- the **stub** backend (this module) is a pure deterministic function of
+  the waveform — CI-testable, no GPUs, no downloads;
+- a **real** backend (Silero/MDX/Sortformer/ECAPA/Whisper/...) plugs in
+  behind the same column contract; per-executor model caching via the
+  module-global `_MODEL_CACHE` pattern below (load once per worker
+  process — the reference reloads Silero per *file*,
+  modules/vad_multi.py:50, which this design fixes for free).
+
+Cardinalities mirror SURVEY §2.10: M1/M3/M7 are 1→N (mapInPandas),
+M2/M4/M6/M8/M10 are 1→1 (scalar kernels), M5 is per-group
+(applyInPandas — the fit is global per audio file).
+
+No real model libraries exist in this container; real backends raise
+NotImplementedError at the single `load_backend` seam.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: per-executor model cache: populated lazily inside kernels, survives
+#: across Arrow batches and tasks in the same Python worker.
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def load_backend(name: str, backend: str = "stub"):
+    """Resolve a model backend, caching per executor process."""
+    key = f"{name}:{backend}"
+    if key not in _MODEL_CACHE:
+        if backend != "stub":
+            raise NotImplementedError(
+                f"real backend '{backend}' for {name} requires model "
+                "libraries not present in this environment"
+            )
+        _MODEL_CACHE[key] = object()  # stubs are stateless; cache the marker
+    return _MODEL_CACHE[key]
+
+
+# --------------------------------------------------------------------------
+# M1: VAD — 1 audio → N speech segments
+# --------------------------------------------------------------------------
+
+VAD_SCHEMA = "audio_id string, start double, end double"
+
+
+def vad(df: DataFrame, threshold: float = 0.01, min_gap: float = 0.02) -> DataFrame:
+    """Energy-threshold VAD stub: emits maximal runs where |x| > threshold.
+
+    Input: ``(audio_id, samples array<float>, sr)``. Output: VAD segment
+    table in seconds (reference M1, modules/vad_multi.py:21-46).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        load_backend("vad")
+        for pdf in batches:
+            rows = []
+            for aid, samples, sr in zip(pdf["audio_id"], pdf["samples"], pdf["sr"]):
+                x = np.abs(np.asarray(samples, dtype=np.float64))
+                active = x > threshold
+                if not active.any():
+                    continue
+                runs = []
+                in_run = False
+                s0 = 0
+                for i, a in enumerate(active):
+                    if a and not in_run:
+                        in_run, s0 = True, i
+                    elif not a and in_run:
+                        runs.append((s0, i))
+                        in_run = False
+                if in_run:
+                    runs.append((s0, len(active)))
+                merged = []
+                for s, e in runs:
+                    if merged and (s - merged[-1][1]) / sr <= min_gap:
+                        merged[-1] = (merged[-1][0], e)
+                    else:
+                        merged.append((s, e))
+                for s, e in merged:
+                    rows.append((aid, s / sr, e / sr))
+            yield pd.DataFrame(rows, columns=["audio_id", "start", "end"])
+
+    return df.mapInPandas(kernel, schema=VAD_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# M2: source separation — waveform → (vocal, nonvocal) energy split
+# --------------------------------------------------------------------------
+
+
+def separate(df: DataFrame, gate: float = 0.1) -> DataFrame:
+    """Separation stub: amplitude gate — samples with |x| >= ``gate`` go
+    to the vocal track, the rest to nonvocal (M2 analog, deterministic).
+    Adds ``vocal`` and ``nonvocal`` array columns alongside the input."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        load_backend("separator")
+        for pdf in batches:
+            voc, nvoc = [], []
+            for samples in pdf["samples"]:
+                x = np.asarray(samples, dtype=np.float64)
+                mask = np.abs(x) >= gate
+                voc.append(np.where(mask, x, 0.0).tolist())
+                nvoc.append(np.where(mask, 0.0, x).tolist())
+            out = pdf[["audio_id", "sr"]].copy()
+            out["vocal"] = voc
+            out["nonvocal"] = nvoc
+            yield out
+
+    return df.mapInPandas(
+        kernel,
+        schema="audio_id string, sr int, vocal array<double>, nonvocal array<double>",
+    )
+
+
+# --------------------------------------------------------------------------
+# M3: diarization — segments → speaker-tagged sub-segments (1→N)
+# --------------------------------------------------------------------------
+
+DIAR_SCHEMA = "audio_id string, start double, end double, speaker string"
+
+
+def diarize(df: DataFrame, turn_sec: float = 1.0, n_speakers: int = 2) -> DataFrame:
+    """Diarizer stub: alternates speakers every ``turn_sec`` within each
+    input segment (deterministic phase from the segment start)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        load_backend("diarizer")
+        for pdf in batches:
+            rows = []
+            for aid, s, e in zip(pdf["audio_id"], pdf["start"], pdf["end"]):
+                t = s
+                while t < e:
+                    nxt = min(t + turn_sec, e)
+                    spk = f"speaker_{int(t // turn_sec) % n_speakers}"
+                    rows.append((aid, t, nxt, spk))
+                    t = nxt
+            yield pd.DataFrame(rows, columns=["audio_id", "start", "end", "speaker"])
+
+    return df.mapInPandas(kernel, schema=DIAR_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# M4: embedding — chunk → fixed-dim vector
+# --------------------------------------------------------------------------
+
+EMB_DIM = 8
+
+
+def embed(df: DataFrame, samples_col: str = "samples") -> DataFrame:
+    """Embedder stub: 8 deterministic moments/features of the waveform
+    (M4 analog: mean, std, abs-mean, rms, min, max, zero-cross rate,
+    length-log). Appends ``embedding array<double>``."""
+
+    @F.pandas_udf("array<double>")
+    def _embed(samples: pd.Series) -> pd.Series:
+        load_backend("embedder")
+
+        def feats(v):
+            x = np.asarray(v, dtype=np.float64)
+            if len(x) == 0:
+                return [0.0] * EMB_DIM
+            zc = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) if len(x) > 1 else 0.0
+            return [
+                float(np.mean(x)),
+                float(np.std(x)),
+                float(np.mean(np.abs(x))),
+                float(np.sqrt(np.mean(x * x))),
+                float(np.min(x)),
+                float(np.max(x)),
+                zc,
+                float(np.log1p(len(x))),
+            ]
+
+        return samples.map(feats)
+
+    return df.withColumn("embedding", _embed(F.col(samples_col)))
+
+
+# --------------------------------------------------------------------------
+# M5: per-file clustering — all chunks of one audio → labels
+# --------------------------------------------------------------------------
+
+
+def cluster_per_group(
+    df: DataFrame,
+    key: str = "audio_id",
+    emb_col: str = "embedding",
+    distance_threshold: float = 0.5,
+) -> DataFrame:
+    """Clustering stub (M5 analog): greedy leader clustering on
+    Euclidean distance, fit per key inside applyInPandas — same
+    per-group-global-fit shape as UMAP+HDBSCAN in the reference
+    (modules/speaker_rematch.py:90-137), deterministic (input-order by
+    chunk index, fixed threshold)."""
+    other_cols = [c for c in df.columns if c not in (key, emb_col)]
+    in_types = dict(df.dtypes)
+    schema_parts = [f"{key} {in_types[key]}"]
+    schema_parts += [f"{c} {in_types[c]}" for c in other_cols]
+    schema_parts.append("label int")
+    schema = ", ".join(schema_parts)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        load_backend("cluster")
+        sort_cols = [c for c in ("chunk_idx", "start") if c in pdf.columns]
+        if sort_cols:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        leaders: list[np.ndarray] = []
+        labels = []
+        for v in pdf[emb_col]:
+            x = np.asarray(v, dtype=np.float64)
+            for li, l in enumerate(leaders):
+                if np.linalg.norm(x - l) <= distance_threshold:
+                    labels.append(li)
+                    break
+            else:
+                leaders.append(x)
+                labels.append(len(leaders) - 1)
+        out = pdf[[key, *other_cols]].copy()
+        out["label"] = labels
+        return out
+
+    return df.groupBy(key).applyInPandas(kernel, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# M6: pairwise verification — (emb_a, emb_b) → score
+# --------------------------------------------------------------------------
+
+
+def verify_pairs(df: DataFrame, a_col: str = "emb_a", b_col: str = "emb_b") -> DataFrame:
+    """Verification stub: cosine similarity of embeddings + boolean
+    prediction at 0.25 (M6 analog over the J5 cross join)."""
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        load_backend("verifier")
+
+        def cos(p):
+            x, y = np.asarray(p[0], float), np.asarray(p[1], float)
+            nx, ny = np.linalg.norm(x), np.linalg.norm(y)
+            if nx == 0 or ny == 0:
+                return 0.0
+            return float(np.dot(x, y) / (nx * ny))
+
+        return pd.Series([cos(p) for p in zip(a, b)])
+
+    return df.withColumn("score", _cos(F.col(a_col), F.col(b_col))).withColumn(
+        "prediction", F.col("score") > 0.25
+    )
+
+
+# --------------------------------------------------------------------------
+# M7/M8: ASR + language detection stubs
+# --------------------------------------------------------------------------
+
+ASR_SCHEMA = "audio_id string, start double, end double, text string, language string"
+
+
+def transcribe(df: DataFrame) -> DataFrame:
+    """ASR stub (M7): one pseudo-word per second derived from the segment
+    position — deterministic, shape-faithful (per-segment rows with
+    text + language)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        load_backend("asr")
+        for pdf in batches:
+            rows = []
+            for aid, s, e in zip(pdf["audio_id"], pdf["start"], pdf["end"]):
+                n_words = max(1, int(e - s))
+                text = " ".join(f"w{int(s)}_{i}" for i in range(n_words))
+                rows.append((aid, s, e, text, "en"))
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "start", "end", "text", "language"]
+            )
+
+    return df.mapInPandas(kernel, schema=ASR_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# M10: quality scoring stub
+# --------------------------------------------------------------------------
+
+
+def score_quality(df: DataFrame, samples_col: str = "samples") -> DataFrame:
+    """DNSMOS stub (M10): rms-derived pseudo-MOS in [1, 5]."""
+
+    @F.pandas_udf("double")
+    def _mos(samples: pd.Series) -> pd.Series:
+        load_backend("mos")
+
+        def mos(v):
+            x = np.asarray(v, dtype=np.float64)
+            if len(x) == 0:
+                return 1.0
+            rms = float(np.sqrt(np.mean(x * x)))
+            return float(np.clip(1.0 + 8.0 * rms, 1.0, 5.0))
+
+        return samples.map(mos)
+
+    return df.withColumn("mos", _mos(F.col(samples_col)))

@@ -1,0 +1,267 @@
+"""The reference's five-stage pipeline as composable DataFrame
+functions (SURVEY.md §3 traces), on stub model backends.
+
+Each stage is DataFrame→DataFrame; the shell-script orchestration of
+the reference (scripts/data_pipeline.sh:18-70, one process + JSON files
+per stage) collapses into one lineage with optional parquet checkpoints
+between stages. The ``audio_id`` partition key flows through every
+stage, so the session/sweep kernels and interval joins all shuffle at
+most once.
+
+Stage ↔ reference trace map:
+  vad_stage          → §3.2 (scan → VAD M1 → pad/clamp F11 → merge W1)
+  separation_stage   → separation_filter.py: lead-gap J4 + windows W4 +
+                       energy A5/A6 + ratio projections
+  diarization_stage  → §3.3 (vocal combine F1/F2/U1/W9/W1 →
+                       diarize M3 → sweep W3 → split F5)
+  rematch_stage      → speaker_rematch.py: chunk F3/F4 → embed M4 →
+                       per-file cluster M5 → relabel X3 → merge W2 →
+                       mapping join J6, guards F9/F10
+  host_match_stage   → host_rematch.py: A1 durations → A12 budget →
+                       J5 cross-join verify M6 → F6 accept → W11 rank
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.ml import stubs
+from speech_data_pipeline_spark.operators.intervals import clamp
+from speech_data_pipeline_spark.operators.sessions import (
+    sessionize_capped,
+    sessionize_gap,
+)
+from speech_data_pipeline_spark.operators.sweepline import (
+    flatten_active_sets,
+    split_single_overlap,
+)
+from speech_data_pipeline_spark.operators.windows import (
+    budgeted_topk,
+    sliding_windows,
+)
+
+
+def _us(col):  # seconds (double) -> integer microseconds for the kernels
+    return F.floor(col * F.lit(1_000_000.0)).cast("long")
+
+
+def vad_stage(audio: DataFrame, pad: float = 0.05) -> DataFrame:
+    """Audio → padded, clamped, gap-merged VAD segment table (seconds)."""
+    segs = stubs.vad(audio)
+    durations = audio.select("audio_id", (F.size("samples") / F.col("sr")).alias("duration"))
+    padded = clamp(
+        segs.join(durations, "audio_id"), pad=pad, start="start", end="end"
+    )
+    merged = sessionize_gap(
+        padded.withColumn("start_us", _us(F.col("start")))
+        .withColumn("end_us", _us(F.col("end"))),
+        interval=0,
+        key="audio_id",
+    )
+    return merged.select(
+        "audio_id",
+        (F.col("session_start") / 1e6).alias("start"),
+        (F.col("session_end") / 1e6).alias("end"),
+    )
+
+
+def separation_stage(
+    audio: DataFrame,
+    vad: DataFrame,
+    window: float = 3.0,
+    hop: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """VAD segments → (windowed vocal-ratio table, gap/nonvad table)."""
+    sep = stubs.separate(audio)
+    wins = sliding_windows(
+        vad.withColumn("start_us", _us(F.col("start"))).withColumn(
+            "end_us", _us(F.col("end"))
+        ),
+        window=int(window * 1e6),
+        hop=int(hop * 1e6),
+        key="audio_id",
+    )
+
+    def seg_energy(arr_col: str, s_col, e_col):
+        sliced = F.expr(
+            f"slice({arr_col}, cast({s_col} / 1e6 * sr as int) + 1, "
+            f"cast(({e_col} - {s_col}) / 1e6 * sr as int))"
+        )
+        return F.aggregate(sliced, F.lit(0.0), lambda a, x: a + x * x)
+
+    scored = (
+        wins.join(sep, "audio_id")
+        .withColumn("v_e", seg_energy("vocal", "win_start", "win_end"))
+        .withColumn("nv_e", seg_energy("nonvocal", "win_start", "win_end"))
+        .withColumn(
+            "v_r",
+            F.when(F.col("v_e") + F.col("nv_e") > 0, F.col("v_e") / (F.col("v_e") + F.col("nv_e"))).otherwise(0.0),
+        )
+        .withColumn("nv_r", 1 - F.col("v_r"))
+        .select(
+            "audio_id",
+            (F.col("win_start") / 1e6).alias("start"),
+            (F.col("win_end") / 1e6).alias("end"),
+            "v_r",
+            "nv_r",
+        )
+    )
+    w = Window.partitionBy("audio_id").orderBy("start", "end")
+    gaps = (
+        vad.withColumn("next_start", F.lead("start").over(w))
+        .where(F.col("next_start").isNotNull() & (F.col("next_start") >= F.col("end")))
+        .select(
+            "audio_id",
+            F.col("end").alias("start"),
+            F.col("next_start").alias("end"),
+            F.struct(F.col("start").alias("s"), F.col("end").alias("e")).alias("prev"),
+        )
+    )
+    return scored, gaps
+
+
+def diarization_stage(
+    scored: DataFrame,
+    gaps: DataFrame,
+    v_r_threshold: float = 0.5,
+    max_chunk: float = 1000.0,
+    join_interval: float = 5.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Windowed scores + gaps → single/overlap speaker segment tables."""
+    vocal = scored.where(F.col("v_r") >= v_r_threshold).select(
+        "audio_id", "start", "end", F.lit("voice").alias("seg_type")
+    )
+    silence = gaps.select(
+        "audio_id", "start", "end", F.lit("silence").alias("seg_type")
+    )
+    unioned = vocal.unionByName(silence)
+    combined = sessionize_capped(
+        unioned.withColumn("start_us", _us(F.col("start"))).withColumn(
+            "end_us", _us(F.col("end"))
+        ),
+        interval=join_interval * 1e6,
+        max_duration=max_chunk * 1e6,
+        key="audio_id",
+        type_col="seg_type",
+        must_include="voice",
+    )
+    diar_in = combined.select(
+        "audio_id",
+        (F.col("session_start") / 1e6).alias("start"),
+        (F.col("session_end") / 1e6).alias("end"),
+    )
+    diarized = stubs.diarize(diar_in)
+    flat = flatten_active_sets(
+        diarized.withColumn("start_us", _us(F.col("start")))
+        .withColumn("end_us", _us(F.col("end")))
+        .withColumnRenamed("speaker", "tag"),
+        key="audio_id",
+    )
+    single, overlap = split_single_overlap(flat)
+    to_sec = lambda df: df.withColumn(  # noqa: E731
+        "start", F.col("piece_start") / 1e6
+    ).withColumn("end", F.col("piece_end") / 1e6).drop("piece_start", "piece_end")
+    return to_sec(single), to_sec(overlap)
+
+
+def rematch_stage(
+    audio: DataFrame,
+    single: DataFrame,
+    min_duration: float = 0.5,
+    min_chunks: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Single-speaker segments → globally relabeled segments + mapping."""
+    segs = single.where(F.col("end") - F.col("start") > min_duration)
+    sliced = segs.join(audio, "audio_id").select(
+        "audio_id",
+        "start",
+        "end",
+        F.col("tag").alias("local_speaker"),
+        F.expr(
+            "slice(samples, cast(start * sr as int) + 1, "
+            "cast((end - start) * sr as int))"
+        ).alias("samples"),
+    )
+    emb = stubs.embed(sliced).drop("samples")
+    enough = (
+        emb.groupBy("audio_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+        .where(F.col("n_chunks") >= min_chunks)
+        .select("audio_id")
+    )
+    emb = emb.join(F.broadcast(enough), "audio_id")
+    labeled = stubs.cluster_per_group(emb, key="audio_id")
+    relabeled = labeled.withColumn(
+        "speaker", F.concat(F.lit("speaker_"), F.col("label").cast("string"))
+    )
+    mapping = (
+        relabeled.groupBy("audio_id", "local_speaker")
+        .agg(
+            F.max_by(
+                "speaker", F.struct((F.col("end") - F.col("start")), F.col("speaker"))
+            ).alias("global_speaker")
+        )
+    )
+    merged = sessionize_capped(
+        relabeled.withColumn("start_us", _us(F.col("start"))).withColumn(
+            "end_us", _us(F.col("end"))
+        ),
+        interval=0.25 * 1e6,
+        max_duration=20.0 * 1e6,
+        key="audio_id",
+        break_cols=("speaker",),
+    ).select(
+        "audio_id",
+        "speaker",
+        (F.col("session_start") / 1e6).alias("start"),
+        (F.col("session_end") / 1e6).alias("end"),
+    )
+    return merged, mapping
+
+
+def host_match_stage(
+    audio: DataFrame,
+    rematched: DataFrame,
+    hosts: DataFrame,
+    budget_sec: float = 180.0,
+) -> DataFrame:
+    """Rematched segments × host voiceprints → accepted matches."""
+    durs = rematched.withColumn("dur", F.col("end") - F.col("start"))
+    budgeted = budgeted_topk(
+        durs.withColumn("dur_us", _us(F.col("dur"))),
+        budget=int(budget_sec * 1e6),
+        key="audio_id",
+        weight_col="dur_us",
+        order_cols=("speaker", "start"),
+    )
+    sliced = budgeted.join(audio, "audio_id").select(
+        "audio_id",
+        "speaker",
+        F.expr(
+            "slice(samples, cast(start * sr as int) + 1, "
+            "cast((end - start) * sr as int))"
+        ).alias("samples"),
+        "dur",
+    )
+    spk_emb = (
+        stubs.embed(sliced)
+        .groupBy("audio_id", "speaker")
+        .agg(
+            F.array(*[F.avg(F.col("embedding")[i]) for i in range(stubs.EMB_DIM)]).alias(
+                "emb_b"
+            ),
+            F.sum("dur").alias("audio_duration"),
+        )
+    )
+    host_emb = stubs.embed(hosts, samples_col="samples").select(
+        F.col("host_id"), F.col("embedding").alias("emb_a")
+    )
+    scored = stubs.verify_pairs(spk_emb.crossJoin(F.broadcast(host_emb)))
+    accepted = scored.where(F.col("prediction") & (F.col("score") > 0.5))
+    w = Window.partitionBy("audio_id", "host_id").orderBy(
+        F.col("score").desc(), F.col("speaker")
+    )
+    return accepted.withColumn("rank", F.row_number().over(w)).select(
+        "audio_id", "host_id", "speaker", "score", "audio_duration", "rank"
+    )

@@ -1,0 +1,94 @@
+"""Structured Streaming ingest (SURVEY.md §2.11 — an extension, not
+reference parity: the reference is pure batch; its per-dataset loop
+over a landing folder, scripts/data_pipeline.sh:18-70, maps to a file
+stream source + checkpointed incremental processing).
+
+- ``read_event_stream`` — file-source stream over a parquet landing
+  dir (schema pinned; new files picked up per micro-batch; the
+  streaming-native replacement for the J9 anti-join pattern, since the
+  source checkpoint already dedups processed files).
+- ``streaming_sessionize`` — ``session_window`` gap sessionization
+  with a watermark: the streaming form of W1's *uncapped* variant
+  (session_window cannot express the span cap — same limitation
+  documented for batch in operators/sessions.py; the capped kernel
+  stays a batch/foreachBatch concern).
+- ``streaming_type_counts`` — windowed counts with late-data handling,
+  the canonical watermark + tumbling-window aggregate.
+
+Tests drive these with ``trigger(availableNow=True)`` against the
+static parquet test data and compare to the equivalent batch query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch nanos (see sources/catalog.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over a parquet landing directory.
+
+    Adds an event-time ``ts_ts`` timestamp column derived from the
+    nanosecond-long ``ts`` for watermarking/windowing.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(landing_dir)
+    )
+    return raw.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_sessionize(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Gap sessionization with ``session_window`` + watermark.
+
+    Emits one row per closed session: (user_id, session start/end,
+    n_events, total_value). Late events beyond the watermark are
+    dropped — the streaming tradeoff the batch kernel does not make.
+    """
+    return (
+        events.withWatermark("ts_ts", watermark)
+        .groupBy(F.session_window("ts_ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_type_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window per-type counts with late-data watermark."""
+    return (
+        events.withWatermark("ts_ts", watermark)
+        .groupBy(F.window("ts_ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )

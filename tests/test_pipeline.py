@@ -1,0 +1,111 @@
+"""End-to-end pipeline parity smoke (SURVEY.md §5 plan item 4):
+synthetic audio (tones + silence, two alternating 'speakers') through
+all five stages on stub models; assert the stage tables have the
+reference's shapes and invariants.
+"""
+
+import numpy as np
+import pytest
+
+from speech_data_pipeline_spark.plans.stages import (
+    diarization_stage,
+    host_match_stage,
+    rematch_stage,
+    separation_stage,
+    vad_stage,
+)
+
+SR = 100  # tiny sample rate keeps arrays small
+
+
+def synth_audio(spark):
+    """Two files: speech bursts with silences; one all-silence file."""
+
+    def burst(level, sec):
+        return [level, -level] * (SR * sec // 2)
+
+    def silence(sec):
+        return [0.0] * (SR * sec)
+
+    a = burst(0.5, 2) + silence(2) + burst(0.3, 2) + silence(1) + burst(0.6, 3)
+    b = burst(0.4, 1) + silence(3) + burst(0.2, 2)
+    c = silence(5)
+    rows = [("f1", a, SR), ("f2", b, SR), ("f3", c, SR)]
+    return spark.createDataFrame(rows, ["audio_id", "samples", "sr"])
+
+
+@pytest.fixture(scope="module")
+def stages(spark):
+    audio = synth_audio(spark)
+    vad = vad_stage(audio)
+    scored, gaps = separation_stage(audio, vad)
+    single, overlap = diarization_stage(scored, gaps)
+    rematched, mapping = rematch_stage(audio, single)
+    hosts = spark.createDataFrame(
+        [("host_a", [0.5, -0.5] * 50, SR)], ["host_id", "samples", "sr"]
+    )
+    matches = host_match_stage(audio, rematched, hosts)
+    return dict(
+        audio=audio, vad=vad, scored=scored, gaps=gaps, single=single,
+        overlap=overlap, rematched=rematched, mapping=mapping, matches=matches,
+    )
+
+
+def test_vad_finds_bursts_not_silence(stages):
+    vad = stages["vad"].collect()
+    ids = {r.audio_id for r in vad}
+    assert "f1" in ids and "f2" in ids
+    assert "f3" not in ids  # all-silence file produces no segments
+    for r in vad:
+        assert r.end > r.start >= 0
+
+
+def test_vad_segments_non_overlapping_sorted(stages):
+    by_file = {}
+    for r in stages["vad"].collect():
+        by_file.setdefault(r.audio_id, []).append((r.start, r.end))
+    for segs in by_file.values():
+        segs.sort()
+        for (s1, e1), (s2, e2) in zip(segs, segs[1:]):
+            assert s2 > e1  # merged at interval=0: strictly separated
+
+
+def test_separation_scores_in_unit_range(stages):
+    rows = stages["scored"].collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.v_r <= 1.0 and abs(r.v_r + r.nv_r - 1.0) < 1e-9
+
+
+def test_diarization_partitions_timeline(stages):
+    single = stages["single"].collect()
+    assert single
+    for r in single:
+        assert r.tag.startswith("speaker_")
+    by_file = {}
+    for r in single:
+        by_file.setdefault(r.audio_id, []).append((r.start, r.end))
+    for segs in by_file.values():
+        segs.sort()
+        for (s1, e1), (s2, e2) in zip(segs, segs[1:]):
+            assert s2 >= e1 - 1e-9  # flattened pieces never overlap
+
+
+def test_rematch_mapping_and_merge(stages):
+    mapping = stages["mapping"].collect()
+    assert mapping
+    for r in mapping:
+        assert r.global_speaker.startswith("speaker_")
+    rem = stages["rematched"].collect()
+    assert rem
+    for r in rem:
+        assert r.end - r.start <= 20.0 + 1e-9  # W2 span cap
+
+
+def test_host_match_schema_and_acceptance(stages):
+    m = stages["matches"]
+    assert set(m.columns) == {
+        "audio_id", "host_id", "speaker", "score", "audio_duration", "rank"
+    }
+    for r in m.collect():
+        assert r.score > 0.5  # F6 acceptance predicate enforced
