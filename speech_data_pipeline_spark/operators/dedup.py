@@ -287,6 +287,8 @@ def ngram_jaccard_pairs(
 
     Returns ``(id_a, id_b, jaccard)`` above ``threshold``.
     """
+    from pyspark.sql import Window
+
     all_sh = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
@@ -294,12 +296,15 @@ def ngram_jaccard_pairs(
             F.array_distinct(char_shingles(F.col(text_col), shingle_len))
         ).alias("shingle"),
     )
-    doc_freq = all_sh.groupBy("blk", "shingle").agg(
-        F.count(F.lit(1)).alias("df")
+    # Document frequency as a window count over (blk, shingle): one
+    # shuffle, no re-join against a grouped aggregate, and the shingle
+    # explode is evaluated once instead of twice.
+    w_df = Window.partitionBy("blk", "shingle")
+    sh = (
+        all_sh.withColumn("_df", F.count(F.lit(1)).over(w_df))
+        .where(F.col("_df") <= max_df)
+        .select("blk", "id", "shingle")
     )
-    sh = all_sh.join(
-        doc_freq.where(F.col("df") <= max_df), ["blk", "shingle"]
-    ).select("blk", "id", "shingle")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

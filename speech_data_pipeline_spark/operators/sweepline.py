@@ -46,16 +46,22 @@ def flatten_active_counts(
     """
     starts = df.select(F.col(key), F.col(start).alias("t"), F.lit(1).alias("delta"))
     ends = df.select(F.col(key), F.col(end).alias("t"), F.lit(-1).alias("delta"))
-    events = starts.unionByName(ends).groupBy(key, "t").agg(
-        F.sum("delta").alias("delta")
-    )
-    w = Window.partitionBy(key).orderBy("t")
+    events = starts.unionByName(ends)
+    # Single shuffle: a running sum over individual boundary rows equals
+    # the per-timestamp grouped sum at the LAST row of each timestamp, so
+    # instead of groupBy(key, t) (a second exchange on a different key)
+    # we keep only last-of-t rows with a window predicate. The second
+    # window pass reuses the first's hash partitioning (filter preserves
+    # it), so it sorts without exchanging.
+    w = Window.partitionBy(key).orderBy("t", "delta")
+    events = events.withColumn(
+        "n_active",
+        F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("_next_t", F.lead("t").over(w))
+    last_of_t = events.where(F.col("_next_t").isNull() | (F.col("_next_t") > F.col("t")))
+    w2 = Window.partitionBy(key).orderBy("t")
     flat = (
-        events.withColumn(
-            "n_active",
-            F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .withColumn("piece_end", F.lead("t").over(w))
+        last_of_t.withColumn("piece_end", F.lead("t").over(w2))
         .where(F.col("piece_end").isNotNull() & (F.col("n_active") >= 1))
         .select(
             F.col(key),

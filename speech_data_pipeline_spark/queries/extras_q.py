@@ -161,3 +161,139 @@ def pivot_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(seg("AUTOMOBILE"), seg("BUILDING"), seg("MACHINERY"))
     )
+
+
+@query(
+    "a10_windowed_means",
+    oracle="""
+    SELECT user_id,
+           date_trunc('day', ts) AS day,
+           floor((CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                  / (100.0 * count(*))) * 1000000.0) / 1000000.0 AS mean_value,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id, date_trunc('day', ts)
+    """,
+)
+def a10_windowed_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: per-(user, day) mean — windowed mean-reduce.
+
+    The sum accumulates as exact decimal (merge-order-proof), converts
+    to integer cents, and the mean is one double division of exact
+    integers — bit-identical across engines (decimal *division* scale
+    rules differ between engines, so the division must happen in
+    doubles). Day bucketing truncates the nanos-long ts to
+    86400-second boundaries — identical to the oracle's date_trunc
+    because the data's epoch values are all positive.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.timestamp_micros(
+        (F.expr("ts div 1000") / F.lit(86_400_000_000)).cast("long")
+        * F.lit(86_400_000_000)
+    )
+    cents = (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("long")
+    return (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(
+            (
+                F.floor(cents / (F.lit(100.0) * F.count(F.lit(1))) * F.lit(1e6)) / 1e6
+            ).alias("mean_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "a11_collect_set_types",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types_seen,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a11_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: collect_set accumulation (speakers-seen analog), emitted as
+    a sorted joined string so the value hash is order-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws("|", F.array_sort(F.collect_set("event_type"))).alias(
+            "types_seen"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "j7_composite_key_lookup",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'P'
+    """,
+)
+def j7_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: equi-key lookup join (the (start,end)->value dict analog):
+    filtered build side, streamed probe side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_orderpriority"
+    )
+
+
+@query(
+    "x_array_battery",
+    oracle="""
+    SELECT vec_id,
+           list_slice(embedding, 3, 6) AS sliced,
+           CASE WHEN len(embedding) >= 70 THEN list_slice(embedding, 1, 70)
+                ELSE list_concat(embedding,
+                       list_transform(range(1, 70 - len(embedding) + 1),
+                                      i -> CAST(0.0 AS FLOAT)))
+           END AS padded,
+           floor((list_sum(list_transform(
+             list_zip(embedding, list_reverse(embedding)),
+             p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) * 1000000.0)
+             / 1000000.0 AS sub_sum,
+           floor((list_sum(list_transform(
+             list_zip(embedding, list_reverse(embedding)),
+             p -> (CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE)) / 2.0))) * 1000000.0)
+             / 1000000.0 AS mix_sum
+    FROM embeddings
+    """,
+)
+def x_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6/X7/X9/X10 as a query: slice, trim-or-pad, element-wise
+    subtract and mixdown (vs the reversed vector), reduced to sums so
+    the oracle compares scalars plus the raw sliced/padded arrays."""
+    from speech_data_pipeline_spark.functions.arrays import (
+        mono_mixdown,
+        subtract_waves,
+        trim_or_pad,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rev = F.reverse(F.col("embedding"))
+    sub = subtract_waves(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.transform(rev, lambda x: x.cast("double")),
+    )
+    mix = mono_mixdown(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.transform(rev, lambda x: x.cast("double")),
+    )
+    return e.select(
+        "vec_id",
+        F.slice(F.col("embedding"), 3, 4).alias("sliced"),
+        trim_or_pad(F.col("embedding"), 70, 0.0).alias("padded"),
+        (
+            F.floor(F.aggregate(sub, F.lit(0.0), lambda a, x: a + x) * F.lit(1e6))
+            / 1e6
+        ).alias("sub_sum"),
+        (
+            F.floor(F.aggregate(mix, F.lit(0.0), lambda a, x: a + x) * F.lit(1e6))
+            / 1e6
+        ).alias("mix_sum"),
+    )
