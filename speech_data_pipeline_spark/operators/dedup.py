@@ -10,9 +10,10 @@ Four families, each shaped for 100 TB execution:
   `minhash_dedup_pairs`): shingle → k minhashes → band → bucket-join.
   Candidate generation is an equi-join on ``(band_idx, band_hash)`` —
   the only quadratic work happens *within* a bucket, which is the whole
-  point of LSH. Hashes are MD5 hex strings compared lexicographically:
-  deterministic, seedable (hash index prefixes the shingle), and
-  portable to any SQL oracle.
+  point of LSH. One MD5 per distinct shingle provides a 28-bit base
+  hash; k seeded affine families ``(a_i*h + b_i) mod p`` derive the
+  signature — deterministic and portable to any SQL oracle (no
+  engine-specific hash functions).
 
 - **SimHash** (`simhash64`): 60-bit sign-aggregated token-hash
   fingerprint; near-dup candidates differ in few bits. Expressed as

@@ -114,18 +114,21 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
     """,
 )
 def j9_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join — the engine's incremental-processing primitive (J9).
 
     Identical shape to `todo = inputs ANTI JOIN done` in the stage
-    runner (plans/incremental.py). Broadcast-able when `done` is small;
-    otherwise a shuffled hash anti-join.
+    runner (plans/incremental.py); the status filter on the done-side
+    mirrors retry_failed semantics (failed outputs don't count as
+    done). Broadcast-able when the done-set is small; otherwise a
+    shuffled hash anti-join.
     """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     return c.join(
         o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")

@@ -1,0 +1,83 @@
+"""Tests for the audio corpus source layer (S1/S6/S9/S10)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from speech_data_pipeline_spark.sources.audio import (
+    probe_durations,
+    resolve_transcript_sidecars,
+    scan_audio_dir,
+    scan_reference_voiceprints,
+)
+
+
+@pytest.fixture(scope="module")
+def audio_dir():
+    tmp = tempfile.mkdtemp()
+    for name, content in [
+        ("ep1.mp3", b"a" * 100),
+        ("ep2.WAV", b"b" * 50),
+        ("notes.txt", b"ignore me"),
+        ("ep3.flac", b""),
+    ]:
+        with open(os.path.join(tmp, name), "wb") as f:
+            f.write(content)
+    os.mkdir(os.path.join(tmp, "sub"))
+    with open(os.path.join(tmp, "sub", "ep4.ogg"), "wb") as f:
+        f.write(b"c" * 10)
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_scan_filters_extensions_and_strips_ids(spark, audio_dir):
+    got = {r.audio_id: r.length for r in scan_audio_dir(spark, audio_dir).collect()}
+    # ep3.flac is 0 bytes: binaryFile drops empty files (the F8 guard);
+    # ep2.WAV matches case-insensitively
+    assert got == {"ep1": 100, "ep2": 50}
+
+
+def test_scan_recursive(spark, audio_dir):
+    got = {r.audio_id for r in scan_audio_dir(spark, audio_dir, recursive=True).collect()}
+    assert got == {"ep1", "ep2", "ep4"}
+
+
+def test_probe_durations_zero_on_empty(spark, audio_dir):
+    scanned = scan_audio_dir(spark, audio_dir)
+    zero = scanned.limit(0).union(
+        scanned.limit(1).selectExpr(
+            "'broken' as audio_id", "path", "cast(0 as long) as length",
+            "modificationTime", "content"
+        )
+    )
+    got = {
+        r.audio_id: r.duration
+        for r in probe_durations(scanned.unionByName(zero)).collect()
+    }
+    assert got["broken"] == 0.0 and got["ep1"] > 0
+
+
+def test_voiceprint_scan(spark, audio_dir):
+    with open(os.path.join(audio_dir, "host_jane.wav"), "wb") as f:
+        f.write(b"w" * 5)
+    got = {r.host_id for r in scan_reference_voiceprints(spark, audio_dir).collect()}
+    assert "host_jane" in got and "ep1" not in got
+
+
+def test_sidecar_preference(spark):
+    audio = spark.createDataFrame([("a",), ("b",), ("c",)], ["audio_id"])
+    sidecars = spark.createDataFrame(
+        [
+            ("a", "en", "plain-a"),
+            ("a", "en-orig", "orig-a"),
+            ("b", "en", "plain-b"),
+        ],
+        ["audio_id", "kind", "text"],
+    )
+    got = {
+        r.audio_id: r.transcript
+        for r in resolve_transcript_sidecars(audio, sidecars).collect()
+    }
+    assert got == {"a": "orig-a", "b": "plain-b"}  # c dropped, orig preferred
