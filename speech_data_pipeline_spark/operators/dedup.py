@@ -37,6 +37,22 @@ from speech_data_pipeline_spark.operators.text import char_shingles
 from speech_data_pipeline_spark.functions import trunc6
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition iff the input has fewer partitions than the cluster
+    has cores.
+
+    A small corpus in one parquet row group scans as ONE partition, so
+    every expensive per-row expression downstream (md5 per shingle)
+    would run single-threaded. At real scale the scan already has
+    thousands of partitions and this is a no-op — the guard costs one
+    plan-to-RDD translation, no job.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Group identical content; keep the minimum id as canonical.
 
@@ -168,7 +184,7 @@ def minhash_dedup_pairs(
     signatures are functionally dependent on the ids.
     """
     rows_per_band = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_len)
+    sigs = minhash_signatures(_ensure_parallelism(df), id_col, text_col, k, shingle_len)
     banded = sigs.select(
         "id",
         "sig",
@@ -290,6 +306,7 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
+    df = _ensure_parallelism(df)
     all_sh = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
