@@ -152,13 +152,46 @@ def w1_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("w1_sessionize_capped")  # non-SQL-expressible: sequential span cap
+@query(
+    "w1_sessionize_capped",
+    oracle=f"""
+    WITH RECURSIVE iv AS ({DERIVED_INTERVALS_SQL}
+    ), numbered AS (
+      SELECT user_id, start_us, end_us,
+             row_number() OVER (PARTITION BY user_id ORDER BY start_us, end_us) AS rn
+      FROM iv
+    ), walk AS (
+      SELECT user_id, rn, start_us, end_us,
+             start_us AS sess_start, end_us AS sess_end,
+             CAST(1 AS BIGINT) AS session_id
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.rn, n.start_us, n.end_us,
+             CASE WHEN (n.start_us - w.sess_end > {GAP_US})
+                    OR (n.end_us - w.sess_start > {CAP_US})
+                  THEN n.start_us ELSE w.sess_start END,
+             CASE WHEN (n.start_us - w.sess_end > {GAP_US})
+                    OR (n.end_us - w.sess_start > {CAP_US})
+                  THEN n.end_us ELSE greatest(w.sess_end, n.end_us) END,
+             w.session_id + CASE WHEN (n.start_us - w.sess_end > {GAP_US})
+                                   OR (n.end_us - w.sess_start > {CAP_US})
+                                 THEN 1 ELSE 0 END
+      FROM walk w JOIN numbered n ON n.user_id = w.user_id AND n.rn = w.rn + 1
+    )
+    SELECT user_id, session_id, min(start_us) AS session_start,
+           max(end_us) AS session_end, count(*) AS n_segments
+    FROM walk GROUP BY user_id, session_id
+    """,
+)
 def w1_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full combine_timestamps semantics (W1): gap + running span cap.
 
     Non-associative recurrence → applyInPandas kernel per user_id
-    (SURVEY.md §7 known-hard #1). Golden tests cover the edge
-    semantics; the driver records a rows-only check here.
+    (SURVEY.md §7 known-hard #1). The oracle replays the recurrence as
+    a DuckDB recursive CTE stepping one segment per iteration — slow
+    but exact, upgrading this kernel from a rows-only check to a full
+    value-hash comparison. Golden + property tests pin the edge
+    semantics (strict-gt gap, cap vs running session start).
     """
     out = sess_ops.sessionize_capped(
         derived_intervals(spark, sf_dir), interval=GAP_US, max_duration=CAP_US
