@@ -297,3 +297,131 @@ def x_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("mix_sum"),
     )
+
+
+@query(
+    "window_function_battery",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           lag(c_custkey) OVER w AS prev_key,
+           floor(cume_dist() OVER w * 1000000.0) / 1000000.0 AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/analytic window surface: rank, dense_rank, ntile, lag,
+    cume_dist in one partitioned ordered window."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("c_custkey").over(w).alias("prev_key"),
+        (F.floor(F.cume_dist().over(w) * F.lit(1e6)) / 1e6).alias("cdist"),
+    )
+
+
+@query(
+    "percentile_acctbal_by_nation",
+    oracle="""
+    SELECT c_nationkey,
+           floor(median(c_acctbal) * 1000000.0) / 1000000.0 AS med,
+           floor(quantile_cont(c_acctbal, 0.9) * 1000000.0) / 1000000.0 AS p90,
+           count(*) AS n
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def percentile_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) per group.
+
+    Both engines implement linear interpolation over sorted values;
+    the arithmetic is the same IEEE expression, truncated at 1e-6.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        (F.floor(F.expr("percentile(c_acctbal, 0.5)") * F.lit(1e6)) / 1e6).alias(
+            "med"
+        ),
+        (F.floor(F.expr("percentile(c_acctbal, 0.9)") * F.lit(1e6)) / 1e6).alias(
+            "p90"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           event_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property extraction + predicate (the
+    reference's nested-dict payloads as queryable columns)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k_value"), "event_type").where(
+        F.col("k_value") > 50
+    )
+
+
+@query(
+    "w1_native_session_window",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS t_us FROM events
+    ), flagged AS (
+      SELECT user_id, t_us,
+             CASE WHEN lag(t_us) OVER w IS NULL
+                  OR t_us - lag(t_us) OVER w >= 600000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM iv WINDOW w AS (PARTITION BY user_id ORDER BY t_us)
+    ), sess AS (
+      SELECT user_id, t_us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(t_us) AS win_start_us,
+           max(t_us) + 600000000 AS win_end_us,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def w1_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session_window in batch mode (the uncapped W1):
+    window end = last event + gap, break on gap >= interval (note:
+    session_window's break is >=, unlike the reference kernel's strict
+    >; the oracle mirrors session_window here)."""
+    ev = load_table(spark, sf_dir, "events")
+    with_ts = ev.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        with_ts.groupBy(
+            F.session_window("ts_ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            F.unix_micros(F.col("w.end")).alias("win_end_us"),
+            "n_events",
+        )
+    )
