@@ -371,3 +371,54 @@ def a5_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
         ).alias("peak"),
     )
+
+
+def _neardup_oracle(n_planes: int = 8, dim: int = 64, threshold: float = 0.3) -> str:
+    import numpy as np
+
+    from speech_data_pipeline_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed=42)
+
+    def dot_sql(plane: "np.ndarray", e: str) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({e}[i] AS DOUBLE) * ({lit})[i]))"
+        )
+
+    bucket = " || ".join(
+        f"(CASE WHEN {dot_sql(p, 'embedding')} >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    cos = """
+        list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           floor(({cos}) * 1000000.0) / 1000000.0 AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE floor(({cos}) * 1000000.0) / 1000000.0 >= {threshold}
+    """
+
+
+@query("sim_embedding_neardup", oracle=_neardup_oracle())
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
+    blocking + exact rerank within buckets (threshold 0.3 - the
+    synthetic embeddings carry no true near-dups; the p99 within-bucket
+    cosine is ~0.32, so 0.3 exercises the full path with real output).
+
+    The oracle replays the identical hyperplanes (seeded literals baked
+    into both plans) with an O(n²)-within-bucket SQL join.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(e, n_planes=8, seed=42, threshold=0.3)
