@@ -39,18 +39,29 @@ def recursive_gap_split(
     )
 
     def split(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values([start, end], kind="mergesort").reset_index(drop=True)
         s = pdf[start].to_numpy()
         e = pdf[end].to_numpy()
+        # Global prefix cummax is valid at every recursion level: a split
+        # only happens at a strictly positive gap, so the first element
+        # of each right-piece ends later than everything before the cut,
+        # making local and global cummax identical from its second
+        # element on. One O(n) pass replaces per-level recomputation.
+        cummax_e = np.maximum.accumulate(e)
+        gap_at = np.empty_like(s)
+        gap_at[0] = 0
+        gap_at[1:] = s[1:] - cummax_e[:-1]  # gap before element i
         pieces: list[tuple[int, int]] = []
 
         def rec(lo: int, hi: int) -> None:  # [lo, hi) index range
-            if e[lo:hi].max() - s[lo] <= max_span or hi - lo <= 1:
+            if cummax_e[hi - 1] - s[lo] <= max_span or hi - lo <= 1:
                 pieces.append((lo, hi))
                 return
-            gaps = s[lo + 1 : hi] - pd.Series(e[lo : hi - 1]).cummax().to_numpy()
-            cut = int(gaps.argmax()) + lo + 1
-            if gaps.max() <= 0:  # no internal gap: unsplittable overlap blob
+            rel = gap_at[lo + 1 : hi]
+            cut = int(rel.argmax()) + lo + 1
+            if rel.max() <= 0:  # no internal gap: unsplittable overlap blob
                 pieces.append((lo, hi))
                 return
             rec(lo, cut)
