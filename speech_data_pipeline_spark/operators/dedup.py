@@ -316,31 +316,34 @@ def ngram_jaccard_pairs(
     )
     # Document frequency as a window count over (blk, shingle): one
     # shuffle, no re-join against a grouped aggregate, and the shingle
-    # explode is evaluated once instead of twice.
+    # explode is evaluated once instead of twice. A second window over
+    # id attaches each document's rare-shingle count to every row, so
+    # the pair join carries both set sizes and no size-lookup joins are
+    # needed afterwards.
     w_df = Window.partitionBy("blk", "shingle")
+    w_id = Window.partitionBy("id")
     sh = (
         all_sh.withColumn("_df", F.count(F.lit(1)).over(w_df))
         .where(F.col("_df") <= max_df)
-        .select("blk", "id", "shingle")
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_id))
+        .select("blk", "id", "shingle", "n_sh")
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
+    return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             trunc6(
