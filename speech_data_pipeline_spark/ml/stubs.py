@@ -311,3 +311,45 @@ def score_quality(df: DataFrame, samples_col: str = "samples") -> DataFrame:
         return samples.map(mos)
 
     return df.withColumn("mos", _mos(F.col(samples_col)))
+
+
+# --------------------------------------------------------------------------
+# M9: CTC forced alignment stub
+# --------------------------------------------------------------------------
+
+ALIGN_SCHEMA = (
+    "audio_id string, word string, word_idx int, start double, end double, "
+    "score double"
+)
+
+
+def align(df: DataFrame) -> DataFrame:
+    """Forced-alignment stub (M9): distributes a transcript's words
+    uniformly over the segment span (reference
+    modules/models/alignment.py:57-65 emits word spans; a real
+    ctc-forced-aligner backend plugs in behind load_backend).
+
+    Input rows: ``(audio_id, start, end, text)``; output one row per
+    word with its span and a deterministic pseudo-score.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        load_backend("aligner")
+        for pdf in batches:
+            rows = []
+            for aid, s, e, text in zip(
+                pdf["audio_id"], pdf["start"], pdf["end"], pdf["text"]
+            ):
+                words = [w for w in str(text).split() if w]
+                if not words:
+                    continue
+                step = (e - s) / len(words)
+                for i, w in enumerate(words):
+                    score = 0.5 + 0.5 * (len(w) % 5) / 5.0
+                    rows.append((aid, w, i, s + i * step, s + (i + 1) * step, score))
+            yield pd.DataFrame(
+                rows,
+                columns=["audio_id", "word", "word_idx", "start", "end", "score"],
+            )
+
+    return df.mapInPandas(kernel, schema=ALIGN_SCHEMA)

@@ -109,3 +109,22 @@ def test_host_match_schema_and_acceptance(stages):
     }
     for r in m.collect():
         assert r.score > 0.5  # F6 acceptance predicate enforced
+
+
+def test_asr_and_alignment_stubs(spark, stages):
+    from speech_data_pipeline_spark.ml.stubs import align, transcribe
+
+    seg = stages["single"].select(
+        "audio_id", "start", "end"
+    ).limit(5)
+    asr = transcribe(seg)
+    assert asr.count() > 0 and "text" in asr.columns
+    aligned = align(asr.select("audio_id", "start", "end", "text"))
+    rows = aligned.collect()
+    assert rows
+    # word spans tile the segment and stay ordered
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault((r.audio_id, round(r.start, 6)), []).append(r)
+    for r in rows:
+        assert r.end > r.start and 0.5 <= r.score <= 1.0
