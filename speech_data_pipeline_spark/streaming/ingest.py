@@ -92,3 +92,43 @@ def streaming_type_counts(
             "n",
         )
     )
+
+
+def stream_capped_sessions(
+    events: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    interval_us: int = 600_000_000,
+    cap_us: int = 1_800_000_000,
+):
+    """Capped sessionization over a stream via ``foreachBatch``.
+
+    ``session_window`` cannot express the span cap (non-associative),
+    so each micro-batch runs the batch kernel and appends its sessions.
+    Sessions are correct within a micro-batch; cross-batch stitching is
+    a downstream merge (the same gap-merge kernel over the session
+    table) — the standard pattern for non-windowable stateful logic.
+    Returns the started StreamingQuery.
+    """
+    from speech_data_pipeline_spark.operators.sessions import sessionize_capped
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        iv = batch_df.select(
+            "user_id",
+            F.expr("ts div 1000").alias("start_us"),
+            (
+                F.expr("ts div 1000")
+                + F.floor(F.col("value") * F.lit(60_000_000.0)).cast("long")
+            ).alias("end_us"),
+        )
+        out = sessionize_capped(iv, interval=interval_us, max_duration=cap_us)
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

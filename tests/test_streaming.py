@@ -70,3 +70,32 @@ def test_streaming_sessionize_matches_batch_session_window(spark, landing):
     got = got.withColumn("total_value", F.round("total_value", 6))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
     assert got.count() > 0
+
+
+def test_stream_capped_sessions_foreachbatch(spark, landing):
+    import tempfile
+
+    from speech_data_pipeline_spark.streaming.ingest import stream_capped_sessions
+
+    out = tempfile.mkdtemp() + "/sessions"
+    q = stream_capped_sessions(
+        read_event_stream(spark, landing), out, tempfile.mkdtemp()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    # single availableNow batch over static data == batch kernel output
+    from speech_data_pipeline_spark.operators.sessions import sessionize_capped
+
+    iv = (
+        spark.read.parquet(f"{landing}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "ts div 1000 as start_us",
+            "ts div 1000 + cast(floor(value * 60000000.0) as long) as end_us",
+        )
+    )
+    want = sessionize_capped(iv, interval=600_000_000, max_duration=1_800_000_000)
+    assert sorted(map(tuple, got.drop("batch_id").collect())) == sorted(
+        map(tuple, want.collect())
+    )
