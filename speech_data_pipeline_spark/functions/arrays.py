@@ -54,3 +54,22 @@ def subtract_waves(a: Column, b: Column) -> Column:
 def mono_mixdown(left: Column, right: Column) -> Column:
     """X10 (speaker_rematch.py:18-19): two channels → mean channel."""
     return F.zip_with(left, right, lambda x, y: (x + y) / F.lit(2.0))
+
+
+def repeat_pad_to(wave: Column, n: int) -> Column:
+    """W5 prelude (reference modules/models/dnsmos.py:128-134): pad a
+    waveform to at least ``n`` samples by repeating it, then cut to
+    exactly ``n``. Short clips loop; long clips truncate."""
+    reps = F.ceil(F.lit(n) / F.greatest(F.size(wave), F.lit(1))).cast("int")
+    tiled = F.flatten(F.array_repeat(wave, reps))
+    return F.slice(tiled, 1, n)
+
+
+def polyval(x: Column, coeffs: list[float]) -> Column:
+    """X14 (reference modules/models/dnsmos.py:78-104): evaluate a
+    polynomial with the given coefficients (highest degree first) via
+    Horner's rule — plain column arithmetic, no UDF."""
+    acc: Column = F.lit(float(coeffs[0]))
+    for c in coeffs[1:]:
+        acc = acc * x + F.lit(float(c))
+    return acc

@@ -90,12 +90,20 @@ def sessionize_capped(
     type_col: str | None = None,
     must_include: str | None = None,
     break_cols: Iterable[str] = (),
+    compat_overwrite_end: bool = False,
 ) -> DataFrame:
     """Full ``combine_timestamps`` semantics (W1) / speaker-aware (W2).
 
     ``break_cols`` adds the reference's ``combine_same_speaker`` break
     (modules/speaker_rematch.py:25-43): a change in any break column
     ends the session, making this one kernel serve both W1 and W2.
+
+    ``compat_overwrite_end``: the reference sets the session end to the
+    *last merged segment's* end unconditionally
+    (modules/models/utils.py:94-96) — on overlapping input a contained
+    segment can SHRINK the session. The engine default keeps a running
+    max (identical on the reference's own non-overlapping VAD input);
+    the flag reproduces the overwrite byte-for-byte.
 
     Sequential per-key kernel in ``applyInPandas``; see module docstring
     for why this cannot be a window-function composition.
@@ -149,7 +157,7 @@ def sessionize_capped(
                 flush()
                 cur = [s, e, 1, list(ty), bv]
             else:
-                cur[1] = max(cur[1], e)
+                cur[1] = e if compat_overwrite_end else max(cur[1], e)
                 cur[2] += 1
                 cur[3].extend(ty)
         flush()

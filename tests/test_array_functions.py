@@ -43,3 +43,18 @@ def test_normalize_wave(spark):
 def test_subtract_and_mixdown(spark):
     assert one(spark, subtract_waves(F.col("w2"), F.col("w2"))) == [0.0, 0.0]
     assert one(spark, mono_mixdown(F.col("w2"), F.col("w2"))) == [1.0, 3.0]
+
+
+def test_repeat_pad_to(spark):
+    from speech_data_pipeline_spark.functions.arrays import repeat_pad_to
+
+    assert one(spark, repeat_pad_to(F.col("w2"), 5)) == [1.0, 3.0, 1.0, 3.0, 1.0]
+    assert one(spark, repeat_pad_to(F.col("w"), 3)) == [0.0, 1.0, 2.0]
+
+
+def test_polyval_horner(spark):
+    from speech_data_pipeline_spark.functions.arrays import polyval
+
+    # 2x^2 + 3x + 4 at x=5 -> 69
+    df = spark.createDataFrame([(5.0,)], ["x"])
+    assert df.select(polyval(F.col("x"), [2, 3, 4]).alias("y")).first().y == 69.0

@@ -113,3 +113,23 @@ def test_barrier_sessionize(spark):
     )
     # barrier at 25 splits [0,20] from [30,40] despite interval=100
     assert out == [(0, 0, 20, 2), (1, 30, 40, 1)]
+
+
+def test_capped_compat_overwrite_end(spark):
+    # contained segment: reference semantics shrink the session end to
+    # the last merged segment's end (utils.py:94-96); engine default
+    # keeps the running max.
+    df = seg_df(spark, [("a", 0, 100), ("a", 10, 20)])
+    default = rows(
+        sessionize_capped(df, interval=5, max_duration=1000, key="user_id"),
+        "session_start", "session_end",
+    )
+    assert default == [(0, 100)]
+    compat = rows(
+        sessionize_capped(
+            df, interval=5, max_duration=1000, key="user_id",
+            compat_overwrite_end=True,
+        ),
+        "session_start", "session_end",
+    )
+    assert compat == [(0, 20)]
