@@ -496,3 +496,65 @@ def f2_gap_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_end",
         F.when(is_silence, "silence").otherwise("noise").alias("gap_class"),
     )
+
+
+@query(
+    "pipeline_composite_user_report",
+    oracle=f"""
+    {_IV}, kept AS (
+      SELECT user_id, start_us, end_us FROM (
+        SELECT user_id, start_us, end_us,
+               max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max
+        FROM iv
+      ) WHERE prev_max IS NULL OR end_us > prev_max
+    ), flagged AS (
+      SELECT user_id, start_us, end_us,
+             CASE WHEN max(end_us) OVER w IS NULL
+                  OR start_us - max(end_us) OVER w > {GAP_US}
+             THEN 1 ELSE 0 END AS new_session
+      FROM kept
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_us, end_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sessions AS (
+      SELECT user_id, session_id, min(start_us) AS s_start,
+             max(end_us) AS s_end, count(*) AS n_segments
+      FROM (
+        SELECT user_id, start_us, end_us,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY start_us, end_us
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_id
+        FROM flagged
+      ) GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           max(s_end - s_start) AS longest_session_us,
+           sum(s_end - s_start) AS total_session_us,
+           CAST(sum(n_segments) AS BIGINT) AS n_segments
+    FROM sessions GROUP BY user_id
+    """,
+)
+def pipeline_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline composite: the stage-2/3 shape as ONE declarative plan —
+    monotonic suppression (F7) → gap sessionization (W1) → per-user
+    session report (A1/A3). Three window passes and one aggregate over
+    a single shuffle on the partition key; Catalyst fuses the whole
+    thing into one stage chain with no intermediate materialization
+    (the reference writes JSON between each of these steps).
+    """
+    ivd = derived_intervals(spark, sf_dir)
+    kept = iv_ops.suppress_non_monotonic(ivd)
+    sessions = sess_ops.sessionize_gap(kept, GAP_US)
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max(F.col("session_end") - F.col("session_start")).alias(
+            "longest_session_us"
+        ),
+        F.sum(F.col("session_end") - F.col("session_start")).alias(
+            "total_session_us"
+        ),
+        F.sum("n_segments").cast("long").alias("n_segments"),
+    )
