@@ -6,11 +6,12 @@ partition key (the reference's ``audio_id``), the event timestamp is
 the segment start, and ``value`` seconds give the segment length. All
 arithmetic is in integer microseconds (exact cross-engine).
 
-Every query here has a DuckDB oracle except the capped-session and
-sweep-set kernels, whose sequential semantics are deliberately
-non-SQL-expressible (SURVEY.md §7 known-hard #1); those are checked by
-kernel golden tests (tests/test_sessions.py, tests/test_sweepline.py)
-and driver rows-only checks.
+Every query here has a DuckDB oracle — including the capped-session
+kernel, whose sequential recurrence is replayed as a recursive CTE, and
+the sweep-set kernel, verified against an O(n²) stabbing-query SQL
+form. Kernel golden + property tests additionally pin the edge
+semantics (tests/test_sessions.py, tests/test_sweepline.py,
+tests/test_properties.py).
 """
 
 from __future__ import annotations
