@@ -13,9 +13,13 @@ from speech_data_pipeline_spark.operators import multimodal as mm
 from speech_data_pipeline_spark.operators.splitting import recursive_gap_split
 from speech_data_pipeline_spark.queries.registry import query
 from speech_data_pipeline_spark.sources.catalog import (
+    DERIVED_INTERVALS_SQL,
     derived_intervals,
     load_table,
 )
+
+#: W8 split threshold: 4 hours in microseconds.
+W8_MAX_SPAN = 4 * 3_600_000_000
 
 
 @query(
@@ -40,12 +44,78 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(mm.attach_binary(d, "text"))
 
 
-@query("w8_recursive_split")  # recursion with data-dependent cuts: rows-only
+@query(
+    "w8_recursive_split",
+    oracle=f"""
+    WITH RECURSIVE iv AS ({DERIVED_INTERVALS_SQL}
+    ), pre AS (
+      SELECT user_id, start_us, end_us,
+             row_number() OVER w AS rn,
+             max(end_us) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cummax_e,
+             CASE WHEN row_number() OVER w = 1 THEN 0
+                  ELSE start_us - max(end_us) OVER
+                         (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             END AS gap_at
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_us, end_us)
+    ), cnts AS (
+      SELECT user_id, count(*) AS n FROM pre GROUP BY user_id
+    ), walk AS (
+      SELECT user_id, CAST(1 AS BIGINT) AS lo, CAST(n AS BIGINT) AS hi FROM cnts
+      UNION ALL
+      SELECT w.user_id,
+             CASE WHEN d.side = 0 THEN w.lo
+                  ELSE (SELECT p.rn FROM pre p WHERE p.user_id = w.user_id
+                        AND p.rn > w.lo AND p.rn <= w.hi
+                        ORDER BY p.gap_at DESC, p.rn ASC LIMIT 1) END AS lo,
+             CASE WHEN d.side = 0
+                  THEN (SELECT p.rn FROM pre p WHERE p.user_id = w.user_id
+                        AND p.rn > w.lo AND p.rn <= w.hi
+                        ORDER BY p.gap_at DESC, p.rn ASC LIMIT 1) - 1
+                  ELSE w.hi END AS hi
+      FROM walk w
+      JOIN (SELECT 0 AS side UNION ALL SELECT 1) d ON true
+      WHERE w.hi > w.lo
+        AND (SELECT max(p.gap_at) FROM pre p WHERE p.user_id = w.user_id
+             AND p.rn > w.lo AND p.rn <= w.hi) > 0
+        AND (SELECT p.cummax_e FROM pre p
+             WHERE p.user_id = w.user_id AND p.rn = w.hi)
+            - (SELECT p.start_us FROM pre p
+               WHERE p.user_id = w.user_id AND p.rn = w.lo) > {W8_MAX_SPAN}
+    ), pieces AS (
+      SELECT w.user_id, w.lo, w.hi FROM walk w
+      WHERE NOT (w.hi > w.lo
+        AND coalesce((SELECT max(p.gap_at) FROM pre p WHERE p.user_id = w.user_id
+                      AND p.rn > w.lo AND p.rn <= w.hi) > 0, false)
+        AND (SELECT p.cummax_e FROM pre p
+             WHERE p.user_id = w.user_id AND p.rn = w.hi)
+            - (SELECT p.start_us FROM pre p
+               WHERE p.user_id = w.user_id AND p.rn = w.lo) > {W8_MAX_SPAN})
+    ), np_ AS (
+      SELECT user_id, lo, hi,
+             row_number() OVER (PARTITION BY user_id ORDER BY lo) - 1 AS piece_id
+      FROM pieces
+    )
+    SELECT s.user_id, s.start_us, s.end_us,
+           CAST(np_.piece_id AS BIGINT) AS piece_id,
+           (SELECT p.start_us FROM pre p
+            WHERE p.user_id = np_.user_id AND p.rn = np_.lo) AS piece_start,
+           (SELECT p.cummax_e FROM pre p
+            WHERE p.user_id = np_.user_id AND p.rn = np_.hi) AS piece_end
+    FROM np_ JOIN pre s
+      ON s.user_id = np_.user_id AND s.rn BETWEEN np_.lo AND np_.hi
+    """,
+)
 def w8_recursive_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8: recursively split >4 h user spans at the largest internal gap.
 
-    Non-SQL-expressible (data-dependent recursion); covered by golden
-    tests in tests/test_splitting.py, rows-only checked by the driver.
+    The data-dependent recursion is replayed exactly in DuckDB as a
+    recursive CTE over (lo, hi) index ranges: each iteration splits
+    every still-too-long range at its max-gap cut (earliest tie, same
+    as the kernel's argmax); final pieces are the ranges that stop
+    splitting. Verified identical to a pure-NumPy kernel replay before
+    wiring. Golden tests in tests/test_splitting.py pin edge semantics.
     """
     ivd = derived_intervals(spark, sf_dir)
     out = recursive_gap_split(ivd, max_span=4 * 3_600_000_000)
@@ -247,12 +317,17 @@ def j7_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_array_battery",
     oracle="""
     SELECT vec_id,
-           list_slice(embedding, 3, 6) AS sliced,
-           CASE WHEN len(embedding) >= 70 THEN list_slice(embedding, 1, 70)
-                ELSE list_concat(embedding,
-                       list_transform(range(1, 70 - len(embedding) + 1),
-                                      i -> CAST(0.0 AS FLOAT)))
-           END AS padded,
+           array_to_string(list_transform(list_slice(embedding, 3, 6),
+             x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                       AS VARCHAR)), '|') AS sliced,
+           array_to_string(list_transform(
+             CASE WHEN len(embedding) >= 70 THEN list_slice(embedding, 1, 70)
+                  ELSE list_concat(embedding,
+                         list_transform(range(1, 70 - len(embedding) + 1),
+                                        i -> CAST(0.0 AS FLOAT)))
+             END,
+             x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                       AS VARCHAR)), '|') AS padded,
            floor((list_sum(list_transform(
              list_zip(embedding, list_reverse(embedding)),
              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) * 1000000.0)
@@ -267,12 +342,26 @@ def j7_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6/X7/X9/X10 as a query: slice, trim-or-pad, element-wise
     subtract and mixdown (vs the reversed vector), reduced to sums so
-    the oracle compares scalars plus the raw sliced/padded arrays."""
+    the oracle compares scalars. The sliced/padded arrays are emitted
+    as '|'-joined strings of floor(x*1e6) integers — integer string
+    formatting is engine-identical, where raw float arrays crash the
+    driver canonicalizer (round-1 gate) and float repr may diverge."""
     from speech_data_pipeline_spark.functions.arrays import (
         mono_mixdown,
         subtract_waves,
         trim_or_pad,
     )
+
+    def _arr_str(col):
+        return F.concat_ws(
+            "|",
+            F.transform(
+                col,
+                lambda x: F.floor(x.cast("double") * F.lit(1e6))
+                .cast("long")
+                .cast("string"),
+            ),
+        )
 
     e = load_table(spark, sf_dir, "embeddings")
     rev = F.reverse(F.col("embedding"))
@@ -286,8 +375,8 @@ def x_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "vec_id",
-        F.slice(F.col("embedding"), 3, 4).alias("sliced"),
-        trim_or_pad(F.col("embedding"), 70, 0.0).alias("padded"),
+        _arr_str(F.slice(F.col("embedding"), 3, 4)).alias("sliced"),
+        _arr_str(trim_or_pad(F.col("embedding"), 70, 0.0)).alias("padded"),
         (
             F.floor(F.aggregate(sub, F.lit(0.0), lambda a, x: a + x) * F.lit(1e6))
             / 1e6

@@ -128,7 +128,8 @@ def f11_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
              THEN 1 ELSE 0 END AS new_session
       FROM iv
     )
-    SELECT user_id, session_id, min(start_us) AS session_start,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(start_us) AS session_start,
            max(end_us) AS session_end, count(*) AS n_segments
     FROM (
       SELECT user_id, start_us, end_us,
@@ -212,7 +213,8 @@ def w1_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), merged AS (
       SELECT user_id, t, sum(delta) AS delta FROM ev GROUP BY user_id, t
     )
-    SELECT user_id, piece_start, piece_end, n_active FROM (
+    SELECT user_id, piece_start, piece_end,
+           CAST(n_active AS BIGINT) AS n_active FROM (
       SELECT user_id, t AS piece_start,
              lead(t) OVER (PARTITION BY user_id ORDER BY t) AS piece_end,
              sum(delta) OVER (PARTITION BY user_id ORDER BY t
@@ -420,7 +422,9 @@ def j3_max_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id, barrier_id ORDER BY start_us, end_us
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
-    SELECT user_id, barrier_id, session_id, min(start_us) AS session_start,
+    SELECT user_id, CAST(barrier_id AS BIGINT) AS barrier_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           min(start_us) AS session_start,
            max(end_us) AS session_end, count(*) AS n_segments
     FROM (
       SELECT user_id, barrier_id, start_us, end_us,
@@ -533,7 +537,7 @@ def f2_gap_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            count(*) AS n_sessions,
            max(s_end - s_start) AS longest_session_us,
-           sum(s_end - s_start) AS total_session_us,
+           CAST(sum(s_end - s_start) AS BIGINT) AS total_session_us,
            CAST(sum(n_segments) AS BIGINT) AS n_segments
     FROM sessions GROUP BY user_id
     """,

@@ -90,6 +90,20 @@ def main() -> int:
         scols, ocols = sorted(sdf.columns), sorted(odf.columns)
         if scols != ocols:
             msgs.append(f"schema spark={scols} duck={ocols}")
+        else:
+            # The driver's value hash is dtype-KIND-sensitive (round-1
+            # lesson: DuckDB HUGEINT sums surface as float64 and
+            # hash-mismatch Spark's int64 even when values are equal).
+            # Width differences (int32 vs int64) and datetime unit
+            # differences (ns vs us) passed the real gate, so compare
+            # numpy dtype kind only.
+            dt = [
+                (c, str(sdf[c].dtype), str(odf[c].dtype))
+                for c in scols
+                if sdf[c].dtype.kind != odf[c].dtype.kind
+            ]
+            if dt:
+                msgs.append(f"dtype-kind {dt}")
         if not msgs:
             cs, co = canon(sdf), canon(odf)
             if cs != co:
