@@ -177,17 +177,22 @@ def minhash_dedup_pairs(
     Estimated Jaccard = fraction of equal signature positions. Returns
     ``(id_a, id_b, est_jaccard)`` for pairs >= ``threshold``.
 
-    The signature is carried *through* the band join, so the expensive
-    shingle→signature subtree is evaluated once per side and never
-    re-joined; duplicate pairs (several shared bands) are collapsed by a
-    dropDuplicates on the pair key — deterministic because the carried
-    signatures are functionally dependent on the ids.
+    Scale shape (round-2 rework after profiling): the expensive
+    shingle→MD5→signature subtree is materialized ONCE (persisted; on a
+    real cluster this is the signature table you'd write to storage),
+    the band self-join carries only lean ``(id, band_idx, band_hash)``
+    rows — no k-element array duplicated 2 × bands times through the
+    shuffle — and the two signatures are attached after pair dedup via
+    joins against the compact persisted sig table. Three narrow
+    shuffles on small relations instead of one wide shuffle carrying
+    the signature payload through the explode.
     """
     rows_per_band = k // bands
-    sigs = minhash_signatures(_ensure_parallelism(df), id_col, text_col, k, shingle_len)
+    sigs = minhash_signatures(
+        _ensure_parallelism(df), id_col, text_col, k, shingle_len
+    ).persist()
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -207,9 +212,19 @@ def minhash_dedup_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("id", "sig", "band.band_idx", "band.band_hash")
+    ).select("id", "band.band_idx", "band.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     est = (
         F.size(
             F.filter(
@@ -220,19 +235,14 @@ def minhash_dedup_pairs(
         / F.lit(float(k))
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+        pairs.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
         )
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("est_jaccard", trunc6(est))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
