@@ -109,30 +109,242 @@ def reassemble_payload(chunks: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode binary media to waveform/pixels.
+#: Default waveform chunk length in SAMPLES (~32 MB of doubles): far
+#: under the 2 GB Arrow/row ceiling yet big enough that per-chunk
+#: overhead is noise. A 3-hour 44.1 kHz file becomes ~120 rows.
+WAVEFORM_CHUNK_SAMPLES = 4_000_000
 
-    STUB: the container ships no codecs (librosa/PIL/ffmpeg absent).
-    With ``fake=True`` a deterministic pseudo-decode (bytes → floats in
-    [-1, 1)) exercises the full plumbing; otherwise this raises to make
-    the missing-backend contract explicit.
+
+def chunk_waveforms(
+    audio: DataFrame,
+    chunk_samples: int = WAVEFORM_CHUNK_SAMPLES,
+    samples_col: str = "samples",
+) -> DataFrame:
+    """Full-waveform rows → bounded chunk rows (W6 over samples).
+
+    ``(audio_id, samples, sr)`` → ``(audio_id, sr, chunk_len, chunk_idx,
+    chunk)`` with every ``chunk`` at most ``chunk_samples`` long. This
+    is the mandatory long-file representation (SURVEY.md §7 known-hard
+    #5): a 3-hour waveform in one cell breaks the Arrow 2 GB batch
+    limit, a chunk row never does. Pure column algebra (sequence +
+    explode + slice) — no Python, no shuffle.
+
+    ``chunk_len`` records the chunking stride IN the table so that
+    downstream slicing always uses the right stride — a mismatched
+    constant silently mis-slices, which is why it is data, not an
+    argument.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires a codec backend (librosa/PIL/ffmpeg); "
-            "not available in this environment - use fake=True for the "
-            "deterministic test decoder"
+    n_chunks = F.greatest(
+        F.ceil(F.size(samples_col) / F.lit(chunk_samples)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    return (
+        audio.withColumn("_n", n_chunks)
+        .withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n") - 1)),
         )
+        .select(
+            "audio_id",
+            "sr",
+            F.lit(int(chunk_samples)).cast("long").alias("chunk_len"),
+            "chunk_idx",
+            F.expr(
+                f"slice({samples_col}, chunk_idx * {chunk_samples} + 1, "
+                f"{chunk_samples})"
+            ).alias("chunk"),
+        )
+    )
+
+
+def attach_sliced_samples(
+    segs: DataFrame,
+    audio: DataFrame,
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Join segments to audio and attach the per-segment waveform slice.
+
+    Accepts EITHER the full-waveform table ``(audio_id, samples, sr)``
+    OR the chunked table from :func:`chunk_waveforms` (detected by the
+    ``chunk_idx`` column; the chunk stride comes from its ``chunk_len``
+    column, never an argument). Output: all ``segs`` columns + ``sr`` +
+    ``samples`` (the slice ``[start*sr, end*sr)``), identical between
+    the two representations.
+
+    Chunked path (the 100 TB shape): each segment explodes to only the
+    chunk indices it touches (``sequence(floor(s0/L), floor((s1-1)/L))``)
+    then equi-joins on ``(audio_id, chunk_idx)`` — never a range join,
+    never a full-waveform row — slices the intersection inside each
+    chunk, and reassembles ordered via ``array_sort(collect_list)``.
+    A segment's in-flight data is bounded by its own length, not the
+    file's.
+    """
+    seg_cols = segs.columns
+    slice_expr = (
+        f"slice(samples, cast({start} * sr as int) + 1, "
+        f"cast(({end} - {start}) * sr as int))"
+    )
+    if "chunk_idx" not in audio.columns:
+        return segs.join(audio, "audio_id").select(
+            *seg_cols, "sr", F.expr(slice_expr).alias("samples")
+        )
+
+    elem = audio.schema["chunk"].dataType.simpleString()  # e.g. array<double>
+    sr_tbl = audio.groupBy("audio_id").agg(
+        F.first("sr").alias("sr"), F.first("chunk_len").alias("_L")
+    )
+    s = (
+        segs.withColumn("_seg_id", F.monotonically_increasing_id())
+        .join(sr_tbl, "audio_id")
+        .withColumn("_s0", F.expr(f"cast({start} * sr as int)").cast("long"))
+        .withColumn(
+            "_len", F.expr(f"cast(({end} - {start}) * sr as int)").cast("long")
+        )
+        .withColumn("_s1", F.col("_s0") + F.greatest(F.col("_len"), F.lit(0)))
+    )
+    touched = s.where(F.col("_len") > 0).withColumn(
+        "chunk_idx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_s0") / F.col("_L")),
+                F.floor((F.col("_s1") - 1) / F.col("_L")),
+            )
+        ),
+    )
+    parts = touched.join(
+        audio.select("audio_id", "chunk_idx", "chunk"), ["audio_id", "chunk_idx"]
+    ).withColumn(
+        "_part",
+        F.expr(
+            "slice(chunk, cast(greatest(_s0 - chunk_idx * _L, 0) as int) + 1, "
+            "cast(least(_s1, (chunk_idx + 1) * _L) "
+            "     - greatest(_s0, chunk_idx * _L) as int))"
+        ),
+    )
+    sliced = parts.groupBy("_seg_id").agg(
+        *[F.first(c).alias(c) for c in seg_cols],
+        F.first("sr").alias("sr"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "_part"))),
+                lambda p: p["_part"],
+            )
+        ).alias("samples"),
+    )
+    # Segments whose sample range is empty or entirely past the
+    # waveform still get a row (with an empty slice), matching the
+    # full-array path's semantics.
+    unmatched = s.join(
+        sliced.select("_seg_id"), "_seg_id", "left_anti"
+    ).select(
+        "_seg_id",
+        *seg_cols,
+        "sr",
+        F.expr(f"cast(array() as {elem})").alias("samples"),
+    )
+    return sliced.unionByName(unmatched).select(*seg_cols, "sr", "samples")
+
+
+def decode_wav_bytes(payload: bytes) -> tuple[list[float], int]:
+    """Pure-NumPy RIFF/WAV decode: uncompressed PCM (8/16/24/32-bit) and
+    IEEE-float WAV, multi-channel mixed down to mono by mean.
+
+    This is the one *real* decoder behind the codec seam — no external
+    library needed for uncompressed WAV (reference decode sites:
+    modules/separation_filter.py:101 librosa.load,
+    modules/speaker_rematch.py:47 torchaudio.load — both hit WAV files
+    produced by the pipeline's own export). Compressed formats still
+    require a codec backend and raise.
+    """
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "not an uncompressed RIFF/WAV payload; compressed formats "
+            "require a codec backend (librosa/ffmpeg) unavailable here"
+        )
+    pos, fmt, fmt_body, data = 12, None, b"", None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (csize,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt, fmt_body = struct.unpack("<HHIIHH", body[:16]), body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt or data chunk")
+    audio_format, n_ch, sr, _brate, _balign, bits = fmt
+    if audio_format == 0xFFFE and len(fmt_body) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: actual code is the first two bytes of
+        # the SubFormat GUID at offset 24 of the fmt body.
+        (audio_format,) = struct.unpack("<H", fmt_body[24:26])
+    if audio_format == 1:  # integer PCM
+        if bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+            as32 = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            as32 = np.where(as32 >= 1 << 23, as32 - (1 << 24), as32)
+            x = as32.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3:  # IEEE float
+        dt = "<f4" if bits == 32 else "<f8"
+        x = np.frombuffer(data, dtype=dt).astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {audio_format} is compressed; codec backend required"
+        )
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x.tolist(), int(sr)
+
+
+def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode binary media to waveform.
+
+    Real path: uncompressed RIFF/WAV via :func:`decode_wav_bytes`
+    (pure NumPy, no codec library). Compressed formats raise
+    NotImplementedError — the container ships no codecs
+    (librosa/PIL/ffmpeg absent); that seam is documented, not hidden.
+    With ``fake=True`` a deterministic pseudo-decode (bytes → floats in
+    [-1, 1)) exercises the plumbing for arbitrary payloads.
+    """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if fake:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "samples": pdf["payload"].map(
+                            lambda b: [((x / 255.0) * 2 - 1) for x in bytes(b)[:256]]
+                        ),
+                        "sr": 16_000,
+                    }
+                )
+                continue
+            decoded = pdf["payload"].map(decode_wav_bytes)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "samples": pdf["payload"].map(
-                        lambda b: [((x / 255.0) * 2 - 1) for x in bytes(b)[:256]]
-                    ),
-                    "sr": 16_000,
+                    "samples": decoded.map(lambda t: t[0]),
+                    "sr": decoded.map(lambda t: t[1]),
                 }
             )
 

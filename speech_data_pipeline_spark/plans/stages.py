@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from speech_data_pipeline_spark.ml import stubs
 from speech_data_pipeline_spark.operators.intervals import clamp
+from speech_data_pipeline_spark.operators.multimodal import attach_sliced_samples
 from speech_data_pipeline_spark.operators.sessions import (
     sessionize_capped,
     sessionize_gap,
@@ -171,17 +172,20 @@ def rematch_stage(
     min_duration: float = 0.5,
     min_chunks: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
-    """Single-speaker segments → globally relabeled segments + mapping."""
+    """Single-speaker segments → globally relabeled segments + mapping.
+
+    ``audio`` may be the full-waveform table or the chunked one from
+    :func:`~speech_data_pipeline_spark.operators.multimodal.chunk_waveforms`
+    — long files MUST use the chunked form at scale (SURVEY.md §7
+    known-hard #5); ``attach_sliced_samples`` handles both identically.
+    """
     segs = single.where(F.col("end") - F.col("start") > min_duration)
-    sliced = segs.join(audio, "audio_id").select(
+    sliced = attach_sliced_samples(segs, audio).select(
         "audio_id",
         "start",
         "end",
         F.col("tag").alias("local_speaker"),
-        F.expr(
-            "slice(samples, cast(start * sr as int) + 1, "
-            "cast((end - start) * sr as int))"
-        ).alias("samples"),
+        "samples",
     )
     emb = stubs.embed(sliced).drop("samples")
     enough = (
@@ -235,14 +239,8 @@ def host_match_stage(
         weight_col="dur_us",
         order_cols=("speaker", "start"),
     )
-    sliced = budgeted.join(audio, "audio_id").select(
-        "audio_id",
-        "speaker",
-        F.expr(
-            "slice(samples, cast(start * sr as int) + 1, "
-            "cast((end - start) * sr as int))"
-        ).alias("samples"),
-        "dur",
+    sliced = attach_sliced_samples(budgeted, audio).select(
+        "audio_id", "speaker", "samples", "dur"
     )
     spk_emb = (
         stubs.embed(sliced)

@@ -1,0 +1,153 @@
+"""WAV decode seam + payload chunking (SURVEY.md §2.1 S2-S5 decode).
+
+The real decoder covers uncompressed RIFF/WAV (PCM 8/16/24/32-bit and
+IEEE float) with pure NumPy — the one media format the engine can decode
+without a codec library (reference decode sites:
+modules/separation_filter.py:101, modules/speaker_rematch.py:47). WAV
+bytes are synthesized in-test with struct, run through decode_media on
+Spark, and checked end-to-end through vad_stage.
+"""
+
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.operators.multimodal import (
+    attach_sliced_samples,
+    chunk_payload,
+    chunk_waveforms,
+    decode_media,
+    decode_wav_bytes,
+    reassemble_payload,
+)
+
+
+def make_wav(samples, sr=16000, bits=16, n_ch=1, fmt_code=1):
+    """Minimal RIFF/WAV encoder for test fixtures.
+
+    ``samples``: per-channel-interleaved floats in [-1, 1].
+    """
+    if fmt_code == 1:
+        if bits == 16:
+            data = b"".join(
+                struct.pack("<h", max(-32768, min(32767, round(s * 32768.0))))
+                for s in samples
+            )
+        elif bits == 8:
+            data = bytes(max(0, min(255, round(s * 128.0 + 128))) for s in samples)
+        elif bits == 24:
+            out = bytearray()
+            for s in samples:
+                v = max(-(1 << 23), min((1 << 23) - 1, round(s * (1 << 23))))
+                out += struct.pack("<i", v)[:3]
+            data = bytes(out)
+        elif bits == 32:
+            data = b"".join(
+                struct.pack(
+                    "<i",
+                    max(-2147483648, min(2147483647, round(s * 2147483648.0))),
+                )
+                for s in samples
+            )
+    else:  # IEEE float
+        data = b"".join(struct.pack("<f", s) for s in samples)
+    byte_rate = sr * n_ch * bits // 8
+    block_align = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_code, n_ch, sr, byte_rate, block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def tone(n, freq=440.0, sr=16000, amp=0.5):
+    return [amp * math.sin(2 * math.pi * freq * i / sr) for i in range(n)]
+
+
+def test_decode_wav_pcm16_roundtrip():
+    x = tone(400)
+    samples, sr = decode_wav_bytes(make_wav(x, bits=16))
+    assert sr == 16000 and len(samples) == 400
+    assert max(abs(a - b) for a, b in zip(samples, x)) < 1.0 / 32768 + 1e-9
+
+
+@pytest.mark.parametrize("bits", [8, 24, 32])
+def test_decode_wav_pcm_depths(bits):
+    x = tone(64)
+    samples, sr = decode_wav_bytes(make_wav(x, bits=bits))
+    tol = 1.0 / (1 << (bits - 1)) + 1e-9
+    assert max(abs(a - b) for a, b in zip(samples, x)) < tol
+
+
+def test_decode_wav_float32_stereo_mixdown():
+    left = tone(128, amp=0.4)
+    right = tone(128, amp=0.2)
+    inter = [v for pair in zip(left, right) for v in pair]
+    samples, sr = decode_wav_bytes(
+        make_wav(inter, sr=8000, bits=32, n_ch=2, fmt_code=3)
+    )
+    assert sr == 8000 and len(samples) == 128
+    expect = [(a + b) / 2 for a, b in zip(left, right)]
+    assert max(abs(a - b) for a, b in zip(samples, expect)) < 1e-6
+
+
+def test_decode_wav_rejects_compressed():
+    with pytest.raises(NotImplementedError):
+        decode_wav_bytes(b"\xff\xfb\x90\x00mp3-frame-junk")
+    # format tag 85 (MP3-in-WAV) must also raise, not mis-decode
+    fmt = struct.pack("<HHIIHH", 85, 1, 16000, 4000, 1, 0)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_decode_media_through_vad_stage(spark):
+    """WAV bytes → decode_media → vad_stage: the full ingest seam with a
+    real decoder, no fake flag."""
+    from speech_data_pipeline_spark.plans.stages import vad_stage
+
+    sr = 1000
+    speech = tone(2 * sr, sr=sr, amp=0.5) + [0.0] * sr + tone(sr, sr=sr, amp=0.4)
+    silent = [0.0] * (3 * sr)
+    rows = [(1, bytearray(make_wav(speech, sr=sr))), (2, bytearray(make_wav(silent, sr=sr)))]
+    payloads = spark.createDataFrame(rows, "media_id long, payload binary")
+    decoded = decode_media(payloads)  # real path
+    audio = decoded.select(
+        F.col("media_id").cast("string").alias("audio_id"), "samples", "sr"
+    )
+    vad = vad_stage(audio).collect()
+    ids = {r.audio_id for r in vad}
+    assert "1" in ids and "2" not in ids
+    for r in vad:
+        assert r.end > r.start >= 0
+
+
+def test_chunk_reassemble_payload_roundtrip(spark):
+    rows = [(1, b"a" * 100), (2, b"xyz"), (3, b"")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    back = {
+        r.media_id: bytes(r.payload)
+        for r in reassemble_payload(chunk_payload(df, chunk_bytes=7)).collect()
+    }
+    assert back == {1: b"a" * 100, 2: b"xyz", 3: b""}
+
+
+def test_chunked_waveform_slice_edges(spark):
+    """Slices crossing chunk boundaries, at array edges, and past the
+    end match the full-array slice exactly."""
+    samples = [float(i) for i in range(100)]
+    audio = spark.createDataFrame([("f", samples, 10)], "audio_id string, samples array<double>, sr int")
+    segs = spark.createDataFrame(
+        [("f", 0.0, 1.0), ("f", 0.95, 3.55), ("f", 9.0, 12.0), ("f", 4.0, 4.0)],
+        "audio_id string, start double, end double",
+    )
+    full = attach_sliced_samples(segs, audio)
+    chk = attach_sliced_samples(segs, chunk_waveforms(audio, chunk_samples=13))
+    key = lambda r: (r.audio_id, r.start, r.end)  # noqa: E731
+    f = {key(r): list(r.samples) for r in full.collect()}
+    c = {key(r): list(r.samples) for r in chk.collect()}
+    assert f == c and len(f) == 4
