@@ -229,9 +229,72 @@ def host_match_stage(
     rematched: DataFrame,
     hosts: DataFrame,
     budget_sec: float = 180.0,
+    early_exit: bool = True,
 ) -> DataFrame:
-    """Rematched segments × host voiceprints → accepted matches."""
+    """Rematched segments × host voiceprints → accepted matches.
+
+    With ``early_exit`` (the default, mirroring the reference's
+    verification-cost governor, host_rematch.py:49-96):
+
+    * exactly 2 speakers whose duration ratio is ≥ 3: skip model
+      verification entirely and match the *shorter* speaker to the
+      first host with score 1.0 (reference takes ``host_ids[0]`` in
+      directory order; we take ``min(host_id)`` for determinism);
+    * otherwise (≠ 2 speakers) when the dominant speaker's duration is
+      ≥ 2× the sum of the rest: drop the dominant speaker from
+      verification and verify only the rest (with a single speaker
+      this verifies nobody, as in the reference);
+    * else verify every speaker.
+
+    At scale this is the knob that keeps the expensive slice→embed→
+    verify path off the hosts-dominated bulk of the corpus; the
+    heuristics themselves are one window over the per-speaker duration
+    table (one shuffle on ``audio_id``, no model calls).
+    """
     durs = rematched.withColumn("dur", F.col("end") - F.col("start"))
+    shortcut_matches = None
+    if early_exit:
+        w_all = Window.partitionBy("audio_id")
+        w_rank = Window.partitionBy("audio_id").orderBy(
+            F.col("spk_dur").desc(), F.col("speaker")
+        )
+        stats = (
+            durs.groupBy("audio_id", "speaker")
+            .agg(F.sum("dur").alias("spk_dur"))
+            .withColumn("n_speakers", F.count(F.lit(1)).over(w_all))
+            .withColumn("total_dur", F.sum("spk_dur").over(w_all))
+            .withColumn("top_dur", F.max("spk_dur").over(w_all))
+            .withColumn("rnk", F.row_number().over(w_rank))
+        )
+        rest = F.col("total_dur") - F.col("top_dur")
+        two_shortcut = (F.col("n_speakers") == 2) & (F.col("top_dur") >= 3.0 * rest)
+        dominant_skip = (F.col("n_speakers") != 2) & (F.col("top_dur") >= 2.0 * rest)
+        stats = stats.withColumn(
+            "verify",
+            F.when(two_shortcut, F.lit(False))
+            .when(dominant_skip, F.col("rnk") > 1)
+            .otherwise(F.lit(True)),
+        )
+        first_host = hosts.select(F.min("host_id").alias("host_id")).where(
+            F.col("host_id").isNotNull()
+        )
+        shortcut_matches = (
+            stats.where(two_shortcut & (F.col("rnk") == 2))
+            .crossJoin(F.broadcast(first_host))
+            .select(
+                "audio_id",
+                "host_id",
+                "speaker",
+                F.lit(1.0).alias("score"),
+                F.col("spk_dur").alias("audio_duration"),
+                F.lit(1).alias("rank"),
+            )
+        )
+        durs = durs.join(
+            stats.where(F.col("verify")).select("audio_id", "speaker"),
+            ["audio_id", "speaker"],
+            "left_semi",
+        )
     budgeted = budgeted_topk(
         durs.withColumn("dur_us", _us(F.col("dur"))),
         budget=int(budget_sec * 1e6),
@@ -260,6 +323,11 @@ def host_match_stage(
     w = Window.partitionBy("audio_id", "host_id").orderBy(
         F.col("score").desc(), F.col("speaker")
     )
-    return accepted.withColumn("rank", F.row_number().over(w)).select(
+    verified = accepted.withColumn("rank", F.row_number().over(w)).select(
         "audio_id", "host_id", "speaker", "score", "audio_duration", "rank"
     )
+    if shortcut_matches is not None:
+        # shortcut files verify no speakers, so the union introduces no
+        # duplicate (audio_id, host_id) groups and rank=1 stands alone
+        verified = verified.unionByName(shortcut_matches)
+    return verified

@@ -148,6 +148,76 @@ def test_rematch_stage_chunked_corpus_matches(spark, stages):
     assert as_set(m_full) == as_set(m_chunk)
 
 
+def _burst_audio(spark, rows_sec):
+    rows = [
+        (aid, [0.5, -0.5] * (SR * sec // 2), SR) for aid, sec in rows_sec
+    ]
+    return spark.createDataFrame(rows, ["audio_id", "samples", "sr"])
+
+
+def test_host_match_early_exit_heuristics(spark):
+    """Reference host_rematch.py:49-96 verification governor:
+    2-speaker ratio>=3 shortcut, dominant>=2x-rest skip, else verify all."""
+    audio = _burst_audio(spark, [("h1", 14), ("h2", 16), ("h3", 9)])
+    rem_rows = [
+        # h1: two speakers, 9s vs 3s -> ratio 3 -> shortcut, no verify
+        ("h1", "speaker_0", 0.0, 9.0),
+        ("h1", "speaker_1", 9.0, 12.0),
+        # h2: three speakers, 10s vs 2+2 -> dominant skipped, rest verified
+        ("h2", "speaker_0", 0.0, 10.0),
+        ("h2", "speaker_1", 10.0, 12.0),
+        ("h2", "speaker_2", 12.0, 14.0),
+        # h3: two speakers, 4s vs 3s -> ratio < 3 -> verify both
+        ("h3", "speaker_0", 0.0, 4.0),
+        ("h3", "speaker_1", 4.0, 7.0),
+    ]
+    rematched = spark.createDataFrame(
+        rem_rows, ["audio_id", "speaker", "start", "end"]
+    )
+    hosts = spark.createDataFrame(
+        [("host_b", [0.5, -0.5] * 50, SR), ("host_a", [0.5, -0.5] * 50, SR)],
+        ["host_id", "samples", "sr"],
+    )
+    from speech_data_pipeline_spark.plans.stages import host_match_stage as hm
+
+    fast = hm(audio, rematched, hosts).collect()
+    full = hm(audio, rematched, hosts, early_exit=False).collect()
+
+    h1 = [r for r in fast if r.audio_id == "h1"]
+    assert len(h1) == 1
+    assert h1[0].speaker == "speaker_1"  # the shorter of the two
+    assert h1[0].score == 1.0 and h1[0].rank == 1
+    assert h1[0].host_id == "host_a"  # deterministic min(host_id)
+    assert abs(h1[0].audio_duration - 3.0) < 1e-6
+
+    h2_fast = {r.speaker for r in fast if r.audio_id == "h2"}
+    h2_full = {r.speaker for r in full if r.audio_id == "h2"}
+    assert "speaker_0" not in h2_fast  # dominant speaker skipped
+    assert "speaker_0" in h2_full  # ...but would have matched unguarded
+    assert h2_fast == {"speaker_1", "speaker_2"}
+
+    key = lambda r: (r.audio_id, r.host_id, r.speaker)  # noqa: E731
+    h3_fast = sorted([r for r in fast if r.audio_id == "h3"], key=key)
+    h3_full = sorted([r for r in full if r.audio_id == "h3"], key=key)
+    assert h3_fast and [tuple(r) for r in h3_fast] == [tuple(r) for r in h3_full]
+
+
+def test_host_match_single_speaker_verifies_nobody(spark):
+    """One speaker: dominant >= 2*0 -> verify list empty (reference else
+    branch with len(sorted)==1)."""
+    audio = _burst_audio(spark, [("s1", 6)])
+    rematched = spark.createDataFrame(
+        [("s1", "speaker_0", 0.0, 5.0)], ["audio_id", "speaker", "start", "end"]
+    )
+    hosts = spark.createDataFrame(
+        [("host_a", [0.5, -0.5] * 50, SR)], ["host_id", "samples", "sr"]
+    )
+    from speech_data_pipeline_spark.plans.stages import host_match_stage as hm
+
+    assert hm(audio, rematched, hosts).count() == 0
+    assert hm(audio, rematched, hosts, early_exit=False).count() == 1
+
+
 def test_asr_and_alignment_stubs(spark, stages):
     from speech_data_pipeline_spark.ml.stubs import align, transcribe
 
