@@ -99,32 +99,68 @@ def rp_lsh_bucket(
     return df.withColumn(out_col, F.concat(*bits))
 
 
+def probe_buckets(
+    query_vec: list[float], planes: np.ndarray, n_probes: int
+) -> list[str]:
+    """Multi-probe sequence: buckets in increasing flip-cost order.
+
+    Classic multi-probe LSH (Lv et al., VLDB'07): the query's own
+    bucket first, then buckets reached by flipping the sign bits whose
+    projection margin |⟨q, plane⟩| is smallest — those are the planes
+    the query sits closest to, so their far side holds the likeliest
+    missed neighbors. Candidates up to Hamming distance 2 are ranked by
+    summed flipped margin; deterministic for a fixed seed/planes.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    margins = planes @ q
+    bits = ["1" if m >= 0 else "0" for m in margins]
+    n = len(planes)
+    cands: list[tuple[float, tuple[int, ...]]] = [(0.0, ())]
+    cands += [(abs(float(margins[i])), (i,)) for i in range(n)]
+    cands += [
+        (abs(float(margins[i])) + abs(float(margins[j])), (i, j))
+        for i in range(n)
+        for j in range(i + 1, n)
+    ]
+    cands.sort(key=lambda t: (t[0], t[1]))
+    out = []
+    for _, flips in cands[: max(1, n_probes)]:
+        b = list(bits)
+        for i in flips:
+            b[i] = "0" if b[i] == "1" else "1"
+        out.append("".join(b))
+    return out
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
     n_planes: int = 4,
     seed: int = 42,
+    n_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: restrict to the query's LSH bucket, then exact rerank.
+    """ANN top-k: restrict to the query's probe buckets, exact rerank.
 
     Returns the same schema as :func:`cosine_topk` plus the bucket key.
-    Recall < 1 by construction; at scale add multi-probe or more
-    tables. The bucket equi-filter prunes the scan before any distance
-    math runs.
+    ``n_probes=1`` is the single-bucket search (recall < 1 by
+    construction); larger values add the lowest-flip-cost neighbor
+    buckets from :func:`probe_buckets`, trading scan fraction for
+    recall without touching the stored bucketing. The probe set is an
+    `IN` filter on the bucket key, so the scan prunes before any
+    distance math runs.
     """
-    q = np.asarray(query_vec, dtype=np.float64)
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    q_bucket = "".join("1" if float(np.dot(p, q)) >= 0 else "0" for p in planes)
+    probes = probe_buckets(query_vec, planes, n_probes)
     bucketed = rp_lsh_bucket(df, planes, vec_col)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        bucketed.where(F.col("bucket") == q_bucket)
+        bucketed.where(F.col("bucket").isin(probes))
         .select(
             F.col(id_col),
-            F.lit(q_bucket).alias("bucket"),
+            F.col("bucket"),
             trunc6(cosine(F.col(vec_col), qcol)).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
@@ -139,15 +175,21 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking.
 
     Pairs sharing an LSH bucket are reranked exactly; pairs above
     ``threshold`` survive. One shuffle on the bucket key; quadratic
     work only within buckets (2^n_planes buckets bound the skew).
+
+    Pass ``dim`` explicitly when known (the embedding dimensionality is
+    a property of the upstream model, not the data); the ``first()``
+    fallback costs one driver round-trip.
     """
-    sample = df.select(vec_col).first()
-    dim = len(sample[0])
+    if dim is None:
+        sample = df.select(vec_col).first()
+        dim = len(sample[0])
     planes = hyperplanes(dim, n_planes, seed)
     b = rp_lsh_bucket(df, planes, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"

@@ -410,6 +410,72 @@ def _neardup_oracle(n_planes: int = 8, dim: int = 64, threshold: float = 0.3) ->
     """
 
 
+def _mp_query_vec(dim: int = 64, seed: int = 7) -> list[float]:
+    """Seeded literal query vector — identical on both engines, so the
+    multi-probe set is static and bakes into both plans."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [float(x) for x in rng.standard_normal(dim)]
+
+
+def _multiprobe_oracle(n_planes: int = 6, dim: int = 64, n_probes: int = 5) -> str:
+    from speech_data_pipeline_spark.operators.similarity import (
+        hyperplanes,
+        probe_buckets,
+    )
+
+    planes = hyperplanes(dim, n_planes, seed=42)
+    qv = _mp_query_vec(dim)
+    probes = probe_buckets(qv, planes, n_probes)
+
+    def dot_sql(vec, e: str) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({e}[i] AS DOUBLE) * ({lit})[i]))"
+        )
+
+    bucket = " || ".join(
+        f"(CASE WHEN {dot_sql(p, 'embedding')} >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    qlit = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    cos = f"""
+        {dot_sql(qv, "embedding")}
+        / (sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform({qlit}::DOUBLE[],
+             x -> x * x))))
+    """
+    in_list = ", ".join(f"'{b}'" for b in probes)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    )
+    SELECT vec_id, bucket,
+           floor(({cos}) * 1000000.0) / 1000000.0 AS cos_sim
+    FROM b WHERE bucket IN ({in_list})
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
+@query("sim_lsh_multiprobe", oracle=_multiprobe_oracle())
+def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via multi-probe random-hyperplane LSH: the query's
+    bucket plus the 4 lowest-flip-cost neighbor buckets (Lv et al.
+    multi-probe), exact cosine rerank within the probed scan.
+
+    The probe set is an `IN` filter on the bucket key — at scale the
+    bucketed table is partitioned by bucket, so this prunes to
+    n_probes/2^n_planes of the data before any distance math.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(
+        e, _mp_query_vec(), k=10, n_planes=6, seed=42, n_probes=5
+    )
+
+
 @query("sim_embedding_neardup", oracle=_neardup_oracle())
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH

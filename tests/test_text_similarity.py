@@ -102,3 +102,64 @@ def test_embedding_neardup_pairs(spark):
     pairs = {(a, b) for a, b, _ in out}
     assert (0, 4) in pairs
     assert all(not (a == 2 or b == 2) for a, b in pairs)
+
+
+def test_neardup_explicit_dim_matches_probed(spark):
+    probed = set(rows(embedding_neardup_pairs(vecs(spark), n_planes=2, threshold=0.9)))
+    explicit = set(
+        rows(embedding_neardup_pairs(vecs(spark), n_planes=2, threshold=0.9, dim=4))
+    )
+    assert probed and probed == explicit
+
+
+def clustered_vecs(spark, n_clusters=5, per=60, dim=16, seed=3):
+    """Cluster-structured embeddings — the regime ANN is for (real
+    model embeddings cluster; uniform-random vectors have near-tied
+    orthogonal 'neighbors' no LSH family can rank)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 5
+    data = []
+    vid = 0
+    for c in centers:
+        for _ in range(per):
+            data.append((vid, (c + rng.standard_normal(dim) * 0.3).tolist()))
+            vid += 1
+    query = (centers[0] + rng.standard_normal(dim) * 0.3).tolist()
+    return spark.createDataFrame(data, ["vec_id", "embedding"]), query
+
+
+def test_multiprobe_recall(spark):
+    """Multi-probe LSH: flipping the low-margin sign bits recovers the
+    neighbors single-probe misses — recall@10 >= 0.9 at 5 probes."""
+    df, q = clustered_vecs(spark)
+    exact = {r.vec_id for r in cosine_topk(df, q, k=10).collect()}
+    single = {
+        r.vec_id
+        for r in lsh_topk(df, q, k=10, n_planes=6, seed=42, n_probes=1).collect()
+    }
+    multi = {
+        r.vec_id
+        for r in lsh_topk(df, q, k=10, n_planes=6, seed=42, n_probes=5).collect()
+    }
+    recall_single = len(exact & single) / 10
+    recall_multi = len(exact & multi) / 10
+    assert recall_multi >= 0.9
+    assert recall_multi >= recall_single
+
+
+def test_probe_buckets_order_and_determinism():
+    from speech_data_pipeline_spark.operators.similarity import (
+        hyperplanes,
+        probe_buckets,
+    )
+
+    planes = hyperplanes(8, 4, seed=11)
+    q = [0.3, -1.2, 0.7, 0.05, 0.0, 2.0, -0.4, 1.1]
+    probes = probe_buckets(q, planes, 6)
+    assert probes == probe_buckets(q, planes, 6)  # deterministic
+    assert len(probes) == len(set(probes)) == 6  # distinct buckets
+    base = probes[0]
+    # first neighbor probe is exactly one bit away from the base bucket
+    assert sum(a != b for a, b in zip(base, probes[1])) == 1
