@@ -57,12 +57,23 @@ def mono_mixdown(left: Column, right: Column) -> Column:
 
 
 def repeat_pad_to(wave: Column, n: int) -> Column:
-    """W5 prelude (reference modules/models/dnsmos.py:128-134): pad a
-    waveform to at least ``n`` samples by repeating it, then cut to
-    exactly ``n``. Short clips loop; long clips truncate."""
-    reps = F.ceil(F.lit(n) / F.greatest(F.size(wave), F.lit(1))).cast("int")
-    tiled = F.flatten(F.array_repeat(wave, reps))
-    return F.slice(tiled, 1, n)
+    """W5 prelude (reference modules/models/dnsmos.py:128-134): double
+    the buffer (``audio = np.append(audio, audio)``) until its length
+    reaches ``n``. The result keeps the **full doubled length**
+    ``L * 2^ceil(log2(n/L))`` — not cut to ``n`` — because the
+    reference computes its hop count from the doubled buffer, so a
+    pad-to-exactly-n prelude would under-produce hops on short clips.
+    Clips already ≥ ``n`` pass through unchanged (the reference never
+    truncates here).
+
+    Doubling count via exact integer bit math (no float log2): the
+    smallest ``2^t > floor((n-1)/L)`` is ``2^bit_length(p)``.
+    """
+    size = F.greatest(F.size(wave), F.lit(1))
+    p = F.floor((F.lit(n) - F.lit(1)) / size).cast("long")
+    t = F.when(p <= 0, F.lit(0)).otherwise(F.length(F.bin(p))).cast("int")
+    reps = F.pow(F.lit(2.0), t).cast("int")  # 2^t exact in double for t<=53
+    return F.flatten(F.array_repeat(wave, reps))
 
 
 def polyval(x: Column, coeffs: list[float]) -> Column:

@@ -289,6 +289,66 @@ def transcribe(df: DataFrame) -> DataFrame:
     return df.mapInPandas(kernel, schema=ASR_SCHEMA)
 
 
+LANG_SCHEMA = "audio_id string, language string, probability double, win_start long"
+
+_LANGS = ["en", "de", "fr", "es", "hi"]
+
+
+def detect_language(
+    df: DataFrame,
+    n_samples: int = 480_000,
+    seed: int = 42,
+    samples_col: str = "samples",
+) -> DataFrame:
+    """Language-ID stub (M8) over a **seeded** random window.
+
+    The reference (modules/models/whisper_asr.py:61-88) samples a random
+    N_SAMPLES window via the *global unseeded* ``np.random.randint``
+    before detecting — irreproducible across runs and worker placement.
+    Per SURVEY §7 #4 the engine pins the randomness: the window offset
+    comes from ``SeedSequence((seed, md5(audio_id)))``, so it depends
+    only on the row's key and the configured seed — stable across runs,
+    partitionings, and cluster sizes, while preserving the reference's
+    "don't always read the head of the file" intent.
+
+    Emits ``win_start`` so the sampled offset itself is auditable.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        load_backend("language_id")
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for aid, v in zip(pdf["audio_id"], pdf[samples_col]):
+                x = np.asarray(v, dtype=np.float64)
+                if len(x) > n_samples:
+                    key = int.from_bytes(
+                        hashlib.md5(str(aid).encode()).digest()[:8], "big"
+                    )
+                    rng = np.random.default_rng(np.random.SeedSequence((seed, key)))
+                    start = int(rng.integers(0, len(x) - n_samples))
+                else:
+                    start = 0
+                win = x[start : start + n_samples]
+                if len(win) == 0:
+                    rows.append((aid, "und", 0.0, 0))
+                    continue
+                zc = (
+                    float(np.mean(np.abs(np.diff(np.sign(win))) > 0))
+                    if len(win) > 1
+                    else 0.0
+                )
+                lang = _LANGS[int(zc * 1000) % len(_LANGS)]
+                prob = float(np.clip(0.5 + np.sqrt(np.mean(win * win)), 0.0, 1.0))
+                rows.append((aid, lang, prob, start))
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "language", "probability", "win_start"]
+            )
+
+    return df.mapInPandas(kernel, schema=LANG_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # M10: quality scoring stub
 # --------------------------------------------------------------------------

@@ -30,20 +30,27 @@ def run_pipeline(
     workdir: str,
     hosts: DataFrame | None = None,
     stages: tuple[str, ...] = STAGE_ORDER,
+    stage_conf: dict[str, dict] | None = None,
 ) -> dict[str, DataFrame]:
     """Run the pipeline incrementally; returns {stage: full stage table}.
 
     Re-running with a superset corpus computes only new ``audio_id``s
     per stage; stage tables append idempotently.
+
+    ``stage_conf`` passes per-stage keyword overrides straight to the
+    stage functions (the analog of the reference's per-stage CLI flags,
+    scripts/data_pipeline.sh:10-14), e.g.
+    ``{"rematch": {"min_merged_duration": 0.0}}``.
     """
     out: dict[str, DataFrame] = {}
+    conf = stage_conf or {}
 
     def path(stage: str) -> str:
         return os.path.join(workdir, stage)
 
     if "vad" in stages:
         out["vad"] = run_incremental_stage(
-            spark, audio, lambda a: st.vad_stage(a), path("vad")
+            spark, audio, lambda a: st.vad_stage(a, **conf.get("vad", {})), path("vad")
         )
     if "separation" in stages:
         vad = out.get("vad", _load(spark, path("vad")))
@@ -51,7 +58,7 @@ def run_pipeline(
         def sep(todo_audio: DataFrame) -> DataFrame:
             scored, gaps = st.separation_stage(todo_audio, vad.join(
                 todo_audio.select("audio_id").distinct(), "audio_id"
-            ))
+            ), **conf.get("separation", {}))
             return scored.withColumn("kind", F.lit("window")).unionByName(
                 gaps.select(
                     "audio_id", "start", "end",
@@ -69,7 +76,7 @@ def run_pipeline(
             mine = sep_tbl.join(todo_audio.select("audio_id").distinct(), "audio_id")
             scored = mine.where(F.col("kind") == "window").drop("kind")
             gaps = mine.where(F.col("kind") == "gap").select("audio_id", "start", "end")
-            single, overlap = st.diarization_stage(scored, gaps)
+            single, overlap = st.diarization_stage(scored, gaps, **conf.get("diarization", {}))
             return single.withColumnRenamed("tag", "speaker").withColumn(
                 "overlapping", F.lit(False)
             ).unionByName(
@@ -92,7 +99,9 @@ def run_pipeline(
                 .where(~F.col("overlapping"))
                 .select("audio_id", "start", "end", F.col("speaker").alias("tag"))
             )
-            merged, mapping = st.rematch_stage(todo_audio, single)
+            merged, mapping = st.rematch_stage(
+                todo_audio, single, **conf.get("rematch", {})
+            )
             return merged
         out["rematch"] = run_incremental_stage(spark, audio, rematch, path("rematch"))
     if "host_match" in stages and hosts is not None:
@@ -100,7 +109,10 @@ def run_pipeline(
 
         def match(todo_audio: DataFrame) -> DataFrame:
             mine = rem_tbl.join(todo_audio.select("audio_id").distinct(), "audio_id")
-            return st.host_match_stage(todo_audio, mine.drop("status", "error"), hosts)
+            return st.host_match_stage(
+                todo_audio, mine.drop("status", "error"), hosts,
+                **conf.get("host_match", {})
+            )
 
         out["host_match"] = run_incremental_stage(spark, audio, match, path("host_match"))
     return out

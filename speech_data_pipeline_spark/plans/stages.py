@@ -171,6 +171,7 @@ def rematch_stage(
     single: DataFrame,
     min_duration: float = 0.5,
     min_chunks: int = 2,
+    min_merged_duration: float = 3.0,
 ) -> tuple[DataFrame, DataFrame]:
     """Single-speaker segments → globally relabeled segments + mapping.
 
@@ -178,6 +179,12 @@ def rematch_stage(
     :func:`~speech_data_pipeline_spark.operators.multimodal.chunk_waveforms`
     — long files MUST use the chunked form at scale (SURVEY.md §7
     known-hard #5); ``attach_sliced_samples`` handles both identically.
+
+    ``min_merged_duration`` is the reference's trailing W2 filter
+    (speaker_rematch.py:43: drop merged segments with
+    ``end - start <= min_duration``, default 3.0 s) — applied *after*
+    the capped speaker merge, so brief isolated utterances don't reach
+    host matching.
     """
     segs = single.where(F.col("end") - F.col("start") > min_duration)
     sliced = attach_sliced_samples(segs, audio).select(
@@ -220,7 +227,7 @@ def rematch_stage(
         "speaker",
         (F.col("session_start") / 1e6).alias("start"),
         (F.col("session_end") / 1e6).alias("end"),
-    )
+    ).where(F.col("end") - F.col("start") > min_merged_duration)
     return merged, mapping
 
 

@@ -46,10 +46,27 @@ def test_subtract_and_mixdown(spark):
 
 
 def test_repeat_pad_to(spark):
+    """Mirrors dnsmos.py:131-134: double until >= n, keep the full
+    doubled length (2 -> 4 -> 8 for L=2, n=5); clips >= n untouched."""
     from speech_data_pipeline_spark.functions.arrays import repeat_pad_to
 
-    assert one(spark, repeat_pad_to(F.col("w2"), 5)) == [1.0, 3.0, 1.0, 3.0, 1.0]
-    assert one(spark, repeat_pad_to(F.col("w"), 3)) == [0.0, 1.0, 2.0]
+    assert one(spark, repeat_pad_to(F.col("w2"), 5)) == [1.0, 3.0] * 4
+    # clip already >= n: untouched (reference never truncates here)
+    assert one(spark, repeat_pad_to(F.col("w"), 3)) == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_repeat_pad_to_matches_reference_doubling(spark):
+    import numpy as np
+
+    from speech_data_pipeline_spark.functions.arrays import repeat_pad_to
+
+    for L, n in [(1, 1), (2, 2), (2, 3), (3, 10), (7, 8), (5, 5), (10, 3)]:
+        ref = np.arange(L, dtype=float)
+        while len(ref) < n:
+            ref = np.append(ref, ref)
+        df = spark.createDataFrame([(np.arange(L, dtype=float).tolist(),)], ["v"])
+        got = df.select(repeat_pad_to(F.col("v"), n).alias("o")).first().o
+        assert got == ref.tolist(), (L, n)
 
 
 def test_polyval_horner(spark):

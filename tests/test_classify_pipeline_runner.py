@@ -47,13 +47,15 @@ def test_run_pipeline_end_to_end_and_incremental(spark):
         hosts = spark.createDataFrame(
             [("host_a", [0.5, -0.5] * 50, SR)], ["host_id", "samples", "sr"]
         )
-        out = run_pipeline(spark, audio, tmp, hosts=hosts)
+        conf = {"rematch": {"min_merged_duration": 0.0}}  # toy timescales
+        out = run_pipeline(spark, audio, tmp, hosts=hosts, stage_conf=conf)
         assert set(out) == {"vad", "separation", "diarization", "rematch", "host_match"}
         vad_n = out["vad"].count()
         assert vad_n > 0
+        assert out["rematch"].count() > 0  # stage_conf override reached the stage
         assert out["diarization"].where("overlapping").count() >= 0
         # re-run: idempotent, no growth
-        out2 = run_pipeline(spark, audio, tmp, hosts=hosts)
+        out2 = run_pipeline(spark, audio, tmp, hosts=hosts, stage_conf=conf)
         assert out2["vad"].count() == vad_n
         assert out2["diarization"].count() == out["diarization"].count()
     finally:

@@ -40,7 +40,10 @@ def stages(spark):
     vad = vad_stage(audio)
     scored, gaps = separation_stage(audio, vad)
     single, overlap = diarization_stage(scored, gaps)
-    rematched, mapping = rematch_stage(audio, single)
+    # toy fixture timescales: 1-2 s merged spans, so relax the reference's
+    # 3 s post-merge drop (its default is asserted in
+    # test_rematch_min_merged_duration_filter)
+    rematched, mapping = rematch_stage(audio, single, min_merged_duration=0.0)
     hosts = spark.createDataFrame(
         [("host_a", [0.5, -0.5] * 50, SR)], ["host_id", "samples", "sr"]
     )
@@ -130,22 +133,73 @@ def test_chunked_slicing_matches_full(spark, stages):
     assert f and f == c
 
 
+def test_rematch_min_merged_duration_filter(spark, stages):
+    """W2 trailing filter (speaker_rematch.py:43): merged segments with
+    span <= min_merged_duration are dropped; 0.0 keeps everything."""
+    audio, single = stages["audio"], stages["single"]
+    kept, _ = rematch_stage(audio, single, min_merged_duration=0.0)
+    filtered, _ = rematch_stage(audio, single, min_merged_duration=1.5)
+    kept_rows = kept.collect()
+    f_rows = filtered.collect()
+    assert len(f_rows) < len(kept_rows)  # fixture spans are ~1-2 s
+    assert all(r.end - r.start > 1.5 for r in f_rows)
+    key = lambda r: (r.audio_id, r.speaker, r.start, r.end)  # noqa: E731
+    assert {key(r) for r in f_rows} <= {key(r) for r in kept_rows}
+
+
 def test_rematch_stage_chunked_corpus_matches(spark, stages):
     """rematch_stage over the chunked corpus returns the same tables as
     over full-waveform rows."""
     from speech_data_pipeline_spark.operators.multimodal import chunk_waveforms
 
     audio, single = stages["audio"], stages["single"]
-    r_full, m_full = rematch_stage(audio, single)
+    r_full, m_full = rematch_stage(audio, single, min_merged_duration=0.0)
     r_chunk, m_chunk = rematch_stage(
-        chunk_waveforms(audio, chunk_samples=53), single
+        chunk_waveforms(audio, chunk_samples=53), single, min_merged_duration=0.0
     )
+    assert r_full.count() > 0
     as_set = lambda df: {  # noqa: E731
         tuple(round(v, 9) if isinstance(v, float) else v for v in row)
         for row in df.collect()
     }
     assert as_set(r_full) == as_set(r_chunk)
     assert as_set(m_full) == as_set(m_chunk)
+
+
+def test_detect_language_seeded_window(spark):
+    """M8: the random sample window is pinned per (seed, audio_id) —
+    identical across runs and partitionings (SURVEY §7 #4), unlike the
+    reference's global-unseeded np.random.randint."""
+    import numpy as np
+
+    from speech_data_pipeline_spark.ml.stubs import detect_language
+
+    rng = np.random.default_rng(0)
+    rows = [
+        ("long_a", rng.standard_normal(5000).tolist(), SR),
+        ("long_b", rng.standard_normal(5000).tolist(), SR),
+        ("short", rng.standard_normal(100).tolist(), SR),
+    ]
+    audio = spark.createDataFrame(rows, ["audio_id", "samples", "sr"])
+    run1 = {r.audio_id: tuple(r) for r in detect_language(audio, n_samples=1000).collect()}
+    run2 = {
+        r.audio_id: tuple(r)
+        for r in detect_language(
+            audio.repartition(7), n_samples=1000
+        ).collect()
+    }
+    assert run1 == run2  # deterministic across runs AND partitionings
+    assert run1["short"][3] == 0  # short clip: no sampling, head window
+    for aid in ("long_a", "long_b"):
+        assert 0 <= run1[aid][3] <= 4000  # window stays in bounds
+    assert run1["long_a"][3] != run1["long_b"][3]  # per-key offsets differ
+    assert all(r[1] in {"en", "de", "fr", "es", "hi", "und"} for r in run1.values())
+    # a different seed moves the window
+    reseeded = {
+        r.audio_id: r.win_start
+        for r in detect_language(audio, n_samples=1000, seed=7).collect()
+    }
+    assert any(reseeded[a] != run1[a][3] for a in ("long_a", "long_b"))
 
 
 def _burst_audio(spark, rows_sec):
