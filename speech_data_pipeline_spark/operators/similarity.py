@@ -179,14 +179,32 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking.
 
-    Pairs sharing an LSH bucket are reranked exactly; pairs above
-    ``threshold`` survive. One shuffle on the bucket key; quadratic
-    work only within buckets (2^n_planes buckets bound the skew).
+    Bucketing stays JVM-side (:func:`rp_lsh_bucket`, deterministic
+    seeded literals); the within-bucket quadratic rerank runs as a
+    vectorized per-bucket ``applyInPandas`` kernel. One shuffle on the
+    bucket key, no pair-row materialization — the n² pairs of a bucket
+    exist only inside the kernel's NumPy arrays, and the threshold is
+    applied in-kernel so no filter lands in a join condition. (A naive
+    self-join + ``where(cos >= t)`` plans the full cosine INTO the join
+    condition and evaluates it again in the projection — ~4× redundant
+    fold work; measured 10.4 s → ~1 s at sf0.1.)
+
+    Float parity with SQL oracles: dots and norms accumulate strictly
+    left-to-right over dimensions (one vectorized pass per dim), which
+    is bit-identical to the ``F.aggregate`` fold and DuckDB's
+    ``list_sum`` — BLAS matmul would reassociate the sum and flip
+    values sitting on a trunc6 boundary.
+
+    At scale, per-bucket memory is O(bucket² ) for the pair index —
+    ``n_planes`` must keep bucket sizes bounded (2^n_planes buckets);
+    a hot bucket is the same skew exposure the join-based plan had.
 
     Pass ``dim`` explicitly when known (the embedding dimensionality is
     a property of the upstream model, not the data); the ``first()``
     fallback costs one driver round-trip.
     """
+    import pandas as pd
+
     if dim is None:
         sample = df.select(vec_col).first()
         dim = len(sample[0])
@@ -194,17 +212,36 @@ def embedding_neardup_pairs(
     b = rp_lsh_bucket(df, planes, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
     )
-    a = b.alias("a")
-    c = b.alias("c")
-    return (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.id") < F.col("c.id")),
+    id_type = b.schema["id"].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": pdf["id"][:0], "id_b": pdf["id"][:0],
+                              "cos_sim": np.zeros(0)})
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["v"].to_numpy()[order]]
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("c.id").alias("id_b"),
-            trunc6(cosine(F.col("a.v"), F.col("c.v"))).alias("cos_sim"),
+        d_ = X.shape[1]
+        norm_acc = np.zeros(n)
+        for d in range(d_):  # left-to-right: bit-identical to the SQL fold
+            norm_acc = norm_acc + X[:, d] * X[:, d]
+        norms = np.sqrt(norm_acc)
+        ia, ib = np.triu_indices(n, k=1)
+        dot_acc = np.zeros(len(ia))
+        for d in range(d_):
+            dot_acc = dot_acc + X[ia, d] * X[ib, d]
+        cos = dot_acc / (norms[ia] * norms[ib])
+        cos = np.floor(cos * 1_000_000.0) / 1_000_000.0  # trunc6
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos_sim": cos[keep]}
         )
-        .where(F.col("cos_sim") >= threshold)
-    )
+
+    return b.groupBy("bucket").applyInPandas(kernel, schema=out_schema)

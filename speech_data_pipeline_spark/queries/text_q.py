@@ -487,4 +487,6 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     into both plans) with an O(n²)-within-bucket SQL join.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    return sim.embedding_neardup_pairs(e, n_planes=8, seed=42, threshold=0.3)
+    return sim.embedding_neardup_pairs(
+        e, n_planes=8, seed=42, threshold=0.3, dim=64
+    )
