@@ -1,0 +1,199 @@
+"""Spectral DataFrame operators: X11 resample, X12 mel features, X13
+STFT-domain separation — Arrow-batched wrappers over the pure-NumPy DSP
+core in :mod:`speech_data_pipeline_spark.ml.dsp`.
+
+These are per-row array transforms with no cross-row state, so each is
+one ``mapInPandas`` pass: no shuffle, embarrassingly parallel, and the
+scan's column pruning still applies (each kernel asks only for the
+columns it needs). At 100 TB the operator cost is pure map work —
+partition sizing is governed by waveform bytes per row, which the
+chunked representation (operators/multimodal.py) bounds.
+
+Reference sites re-expressed here:
+- resample: modules/models/dnsmos.py:126, modules/models/silero_vad.py:161
+- mel features: modules/models/dnsmos.py:54-76
+- STFT mask separation: modules/models/separate_fast.py:53-106, 220-235
+  (STFT → per-bin mask → iSTFT; the model mask is replaced by a
+  deterministic magnitude gate — the *transform pipeline* is real, the
+  learned mask is the documented model seam).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from speech_data_pipeline_spark.ml import dsp
+
+
+def resample_waveforms(
+    df: DataFrame,
+    target_sr: int,
+    samples_col: str = "samples",
+    sr_col: str = "sr",
+) -> DataFrame:
+    """X11: band-limited resample of every waveform to ``target_sr``.
+
+    Rows already at ``target_sr`` pass through untouched (the reference
+    guards the same way, modules/models/dnsmos.py:125). Output schema ==
+    input schema with ``samples`` replaced and ``sr`` set to
+    ``target_sr``.
+    """
+    schema = df.schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_samples = []
+            for samples, sr in zip(pdf[samples_col], pdf[sr_col]):
+                y = dsp.resample(np.asarray(samples, dtype=np.float64), int(sr), target_sr)
+                out_samples.append(y.tolist())
+            pdf = pdf.copy()
+            pdf[samples_col] = out_samples
+            pdf[sr_col] = target_sr
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+MEL_SCHEMA = (
+    "audio_id string, frame_idx int, mel_db array<double>, mel_mean_db double"
+)
+
+
+def mel_features(
+    df: DataFrame,
+    n_fft: int = 321,
+    hop: int = 160,
+    n_mels: int = 120,
+    samples_col: str = "samples",
+    sr_col: str = "sr",
+) -> DataFrame:
+    """X12: per-frame mel-spectrogram features (dB-scaled as the
+    DNSMOS preprocessor does: ``(power_to_db(ref=max) + 40) / 40``,
+    modules/models/dnsmos.py:75).
+
+    1→N: each waveform row explodes into its frames. Downstream model
+    scoring consumes ``mel_db``; ``mel_mean_db`` is the per-frame
+    scalar summary used by the quality heuristics.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, samples, sr in zip(pdf["audio_id"], pdf[samples_col], pdf[sr_col]):
+                x = np.asarray(samples, dtype=np.float64)
+                if len(x) == 0:
+                    continue
+                m = dsp.melspectrogram(x, sr=int(sr), n_fft=n_fft, hop=hop, n_mels=n_mels)
+                m_db = (dsp.power_to_db(m) + 40.0) / 40.0
+                for i in range(m_db.shape[0]):
+                    rows.append(
+                        (aid, i, m_db[i].tolist(), float(np.mean(m_db[i])))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "frame_idx", "mel_db", "mel_mean_db"]
+            )
+
+    return df.mapInPandas(kernel, schema=MEL_SCHEMA)
+
+
+def spectral_gate_separate(
+    df: DataFrame,
+    n_fft: int = 512,
+    hop: int = 128,
+    gate_quantile: float = 0.5,
+    samples_col: str = "samples",
+) -> DataFrame:
+    """X13: STFT-domain separation — the real transform pipeline of
+    modules/models/separate_fast.py:220-235 (STFT → mask → iSTFT) with
+    a deterministic mask: bins whose magnitude is above the frame's
+    ``gate_quantile`` go to ``vocal``, the rest to ``nonvocal``.
+
+    The learned MDX mask is the documented model seam; everything
+    Spark-side (windowing, rfft, complementary masks, COLA overlap-add
+    reconstruction, length restore) is the genuine article. The two
+    outputs reconstruct to the input up to COLA error: vocal + nonvocal
+    ≈ original.
+    """
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    schema = StructType(
+        [f for f in df.schema.fields]
+        + [
+            StructField("vocal", ArrayType(DoubleType())),
+            StructField("nonvocal", ArrayType(DoubleType())),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            voc, nvoc = [], []
+            for samples in pdf[samples_col]:
+                x = np.asarray(samples, dtype=np.float64)
+                n = len(x)
+                if n == 0:
+                    voc.append([])
+                    nvoc.append([])
+                    continue
+                S = dsp.stft(x, n_fft=n_fft, hop=hop)
+                mag = np.abs(S)
+                thresh = np.quantile(mag, gate_quantile, axis=1, keepdims=True)
+                mask = mag >= thresh
+                v = dsp.istft(np.where(mask, S, 0.0), n_fft=n_fft, hop=hop, length=n)
+                nv = dsp.istft(np.where(mask, 0.0, S), n_fft=n_fft, hop=hop, length=n)
+                voc.append(v.tolist())
+                nvoc.append(nv.tolist())
+            pdf = pdf.copy()
+            pdf["vocal"] = voc
+            pdf["nonvocal"] = nvoc
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+FRAME_ENERGY_SCHEMA = "vec_id bigint, frame_idx int, frame_energy double"
+
+
+def stft_frame_energy(
+    df: DataFrame,
+    n_fft: int,
+    hop: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-frame spectral energy from the one-sided FFT, for the
+    Parseval cross-check query: ``(|X_0|² + |X_{N/2}|² +
+    2·Σ_{0<k<N/2}|X_k|²) / N`` equals the time-domain windowed frame
+    energy ``Σ (w[n]·x[n])²`` — which a SQL engine *can* compute, so
+    the FFT path gets a genuine value-level oracle.
+
+    Uncentered framing (no reflect pad) keeps the SQL replay a plain
+    windowed slice.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = dsp.hann(n_fft)
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf[id_col], pdf[vec_col]):
+                x = np.asarray(vec, dtype=np.float64)
+                if len(x) < n_fft:
+                    continue
+                frames = dsp.frame_signal(x, n_fft, hop, center=False)
+                S = np.fft.rfft(frames * w, axis=1)
+                p = np.abs(S) ** 2
+                if n_fft % 2 == 0:  # last bin is the (unpaired) Nyquist bin
+                    onesided = p[:, 0] + p[:, -1] + 2.0 * p[:, 1:-1].sum(axis=1)
+                else:
+                    onesided = p[:, 0] + 2.0 * p[:, 1:].sum(axis=1)
+                energy = onesided / n_fft
+                for i, e in enumerate(energy):
+                    rows.append((int(vid), i, float(e)))
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "frame_idx", "frame_energy"]
+            )
+
+    return df.mapInPandas(kernel, schema=FRAME_ENERGY_SCHEMA)

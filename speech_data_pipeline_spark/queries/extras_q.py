@@ -514,3 +514,35 @@ def w1_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "x_spectral_frame_energy",
+    oracle="""
+    SELECT vec_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           floor(list_sum(list_transform(range(0, 16),
+               n -> pow((0.5 - 0.5 * cos(2 * pi() * n / 16.0))
+                        * CAST(embedding[CAST(f * 8 + n + 1 AS INTEGER)] AS DOUBLE), 2)
+           )) * 1000000.0) / 1000000.0 AS frame_energy
+    FROM embeddings, range(0, 7) t(f)
+    """,
+)
+def x_spectral_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 cross-engine value check via Parseval's theorem: per-frame
+    spectral energy computed from the one-sided rfft
+    (operators/spectral.py:stft_frame_energy) must equal the
+    time-domain Hann-windowed frame energy, which the SQL oracle CAN
+    compute with list ops — so the FFT path itself is value-checked,
+    not just row-counted. Uncentered frames (n_fft=16, hop=8) keep the
+    SQL replay a plain windowed slice; both sides trunc6 (FFT
+    round-trip error ~1e-15 relative, far inside the truncation).
+    """
+    from speech_data_pipeline_spark.functions import trunc6
+    from speech_data_pipeline_spark.operators.spectral import stft_frame_energy
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fe = stft_frame_energy(e, n_fft=16, hop=8)
+    return fe.select(
+        "vec_id", "frame_idx", trunc6(F.col("frame_energy")).alias("frame_energy")
+    )

@@ -1,0 +1,171 @@
+"""X11-X13: pure-NumPy DSP core + Spark spectral operators."""
+
+import numpy as np
+import pytest
+
+from speech_data_pipeline_spark.ml import dsp
+
+SR = 16000
+
+
+# ---------------------------------------------------------------- dsp core
+
+
+def test_stft_istft_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4096)
+    S = dsp.stft(x, n_fft=512, hop=128)
+    y = dsp.istft(S, n_fft=512, hop=128, length=len(x))
+    assert np.max(np.abs(x - y)) < 1e-9
+
+
+def test_stft_sine_concentrates_at_bin():
+    n_fft, hop = 256, 64
+    k = 16  # sine exactly at bin k
+    n = 2048
+    x = np.sin(2 * np.pi * k * np.arange(n) / n_fft)
+    S = np.abs(dsp.stft(x, n_fft=n_fft, hop=hop))
+    interior = S[4:-4]  # frames without edge padding effects
+    assert (np.argmax(interior, axis=1) == k).all()
+    # energy is concentrated: peak bin dwarfs the off-bin median
+    assert interior.max() > 50 * np.median(interior)
+
+
+def test_istft_shorter_than_one_frame_and_empty():
+    x = np.array([0.5, -0.25, 0.125])
+    S = dsp.stft(x, n_fft=8, hop=2)
+    y = dsp.istft(S, n_fft=8, hop=2, length=3)
+    assert y.shape == (3,)
+    assert dsp.frame_signal(np.zeros(0), 8, 2).shape[1] == 8
+
+
+def test_mel_filterbank_shape_and_coverage():
+    fb = dsp.mel_filterbank(SR, n_fft=320, n_mels=40)
+    assert fb.shape == (40, 161)
+    assert (fb >= 0).all()
+    # every filter has support, and interior fft bins are covered
+    assert (fb.sum(axis=1) > 0).all()
+    covered = fb.sum(axis=0)
+    lo = np.searchsorted(np.fft.rfftfreq(320, 1 / SR), 100.0)
+    assert (covered[lo:-1] > 0).all()
+
+
+def test_mel_filterbank_slaney_scale_linear_then_log():
+    # Slaney: linear spacing below 1 kHz, logarithmic above
+    m = dsp._hz_to_mel(np.array([200.0, 400.0, 600.0]))
+    d = np.diff(m)
+    assert np.allclose(d[0], d[1])
+    hz = dsp._mel_to_hz(dsp._hz_to_mel(np.array([50.0, 500.0, 3000.0, 7900.0])))
+    assert np.allclose(hz, [50.0, 500.0, 3000.0, 7900.0])
+
+
+def test_melspectrogram_sine_hits_matching_band():
+    f0 = 1000.0
+    n = SR  # 1 s
+    x = np.sin(2 * np.pi * f0 * np.arange(n) / SR)
+    m = dsp.melspectrogram(x, sr=SR, n_fft=320, hop=160, n_mels=40)
+    band = int(np.argmax(m.mean(axis=0)))
+    # the winning mel band's center frequency brackets 1 kHz
+    pts = dsp._mel_to_hz(
+        np.linspace(dsp._hz_to_mel(0.0), dsp._hz_to_mel(SR / 2), 42)
+    )
+    assert pts[band] < f0 < pts[band + 2]
+
+
+def test_power_to_db_ref_and_floor():
+    S = np.array([[1.0, 0.1, 1e-12]])
+    db = dsp.power_to_db(S, top_db=80.0)
+    assert db[0, 0] == 0.0  # ref = max
+    assert np.isclose(db[0, 1], -10.0)
+    assert db[0, 2] >= db.max() - 80.0  # floored
+
+
+def test_resample_preserves_tone_frequency():
+    f0 = 440.0
+    x = np.sin(2 * np.pi * f0 * np.arange(SR) / SR)
+    for target in (8000, 22050, 32000):
+        y = dsp.resample(x, SR, target)
+        assert len(y) == int(round(len(x) * target / SR))
+        spec = np.abs(np.fft.rfft(y))
+        peak_hz = np.argmax(spec) * target / len(y)
+        assert abs(peak_hz - f0) < 2.0, target
+    same = dsp.resample(x, SR, SR)
+    assert np.array_equal(same, x)
+
+
+def test_resample_downsample_removes_high_band():
+    # 7 kHz tone cannot survive resampling to 8 kHz (Nyquist 4 kHz)
+    x = np.sin(2 * np.pi * 7000.0 * np.arange(SR) / SR)
+    y = dsp.resample(x, SR, 8000)
+    assert np.sqrt(np.mean(y**2)) < 1e-6
+
+
+# ---------------------------------------------------------- Spark operators
+
+
+@pytest.fixture(scope="module")
+def audio_df(spark):
+    rng = np.random.default_rng(1)
+    rows = [
+        ("a", np.sin(2 * np.pi * 440.0 * np.arange(3200) / SR).tolist(), SR),
+        ("b", rng.standard_normal(1000).tolist(), 8000),
+        ("c", [], SR),
+    ]
+    return spark.createDataFrame(rows, ["audio_id", "samples", "sr"])
+
+
+def test_resample_waveforms(spark, audio_df):
+    from speech_data_pipeline_spark.operators.spectral import resample_waveforms
+
+    out = {r.audio_id: r for r in resample_waveforms(audio_df, SR).collect()}
+    assert out["a"].sr == SR and len(out["a"].samples) == 3200  # passthrough
+    assert out["b"].sr == SR and len(out["b"].samples) == 2000  # 8k -> 16k
+    assert out["c"].samples == []
+
+
+def test_mel_features(spark, audio_df):
+    from speech_data_pipeline_spark.operators.spectral import mel_features
+
+    out = mel_features(audio_df, n_fft=321, hop=160, n_mels=24).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.audio_id, []).append(r)
+    assert "c" not in by_id  # empty waveform yields no frames
+    a = sorted(by_id["a"], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in a] == list(range(len(a)))
+    assert all(len(r.mel_db) == 24 for r in a)
+    # dnsmos scaling (db+40)/40 with ref=max: peak frame value == 1.0
+    assert max(v for r in a for v in r.mel_db) == pytest.approx(1.0)
+
+
+def test_spectral_gate_separate_reconstructs(spark, audio_df):
+    from speech_data_pipeline_spark.operators.spectral import spectral_gate_separate
+
+    out = {r.audio_id: r for r in spectral_gate_separate(audio_df, n_fft=256, hop=64).collect()}
+    for aid in ("a", "b"):
+        x = np.asarray(out[aid].samples)
+        v = np.asarray(out[aid].vocal)
+        nv = np.asarray(out[aid].nonvocal)
+        assert v.shape == x.shape == nv.shape
+        # complementary masks: vocal + nonvocal == original (COLA-exact)
+        assert np.max(np.abs(v + nv - x)) < 1e-9
+        # the gate actually split energy (masked tracks aren't energy-
+        # orthogonal, so allow small cross-term excess)
+        assert 0 < np.sum(v**2) <= np.sum(x**2) * 1.01
+        assert np.sum(nv**2) > 0
+    assert out["c"].vocal == [] and out["c"].nonvocal == []
+
+
+def test_stft_frame_energy_matches_parseval(spark):
+    from speech_data_pipeline_spark.operators.spectral import stft_frame_energy
+
+    rng = np.random.default_rng(2)
+    vecs = [(i, rng.standard_normal(64).tolist()) for i in range(5)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = stft_frame_energy(df, n_fft=16, hop=8).collect()
+    assert len(out) == 5 * 7  # (64-16)/8 + 1 frames each
+    w = dsp.hann(16)
+    for r in out:
+        x = np.asarray(vecs[r.vec_id][1])[r.frame_idx * 8 : r.frame_idx * 8 + 16]
+        direct = float(np.sum((w * x) ** 2))
+        assert r.frame_energy == pytest.approx(direct, abs=1e-10)
