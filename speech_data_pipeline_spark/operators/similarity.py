@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two tiers:
+Three tiers:
 
 - **Brute-force cosine top-k** (`cosine_topk`): exact, one scan, the
   dot product as a higher-order-function fold (JVM-side, no Python).
@@ -11,8 +11,13 @@ Two tiers:
   (signed random projection) bucketing. Hyperplanes are generated from
   a fixed seed and inlined as literals, so bucketing is deterministic
   and reproducible across engines. Search cost = one equi-join on the
-  bucket key + rerank within bucket; probe multiple buckets by flipping
-  bits for recall (multi-probe left as the documented extension).
+  bucket key + rerank within bucket; `probe_buckets` adds classic
+  multi-probe (lowest-flip-cost neighbor buckets) for recall.
+
+- **IVF ANN** (`ivf_topk`): inverted-file coarse quantizer — centroid
+  cells from an exact-integer-grid mean, argmin assignment, nprobe
+  nearest cells probed, exact rerank inside. The assignment table is
+  the write-once index; a query scans nprobe/n_cells of the data.
 
 The reference's embedding analytics (ECAPA vectors, SURVEY.md M4/M5)
 use the same column contract: ``(id, embedding array<float>)``.
@@ -245,3 +250,100 @@ def embedding_neardup_pairs(
         )
 
     return b.groupBy("bucket").applyInPandas(kernel, schema=out_schema)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    quant_bits: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) coarse quantizer — the
+    second scale path beside LSH.
+
+    The IVF mechanics are the standard ones (cells from a coarse
+    quantizer; search probes the ``nprobe`` cells nearest the query,
+    exact rerank inside): at 100 TB the assignment table is written
+    once, partitioned by ``cell``, and a query scans ``nprobe/n_cells``
+    of the data. Everything here stays in one declarative plan:
+
+    - **centroids**: element-wise mean per initial partition
+      (``id % n_cells``) — one k-means update step from a
+      deterministic init. Elements are quantized to an exact
+      ``2^-quant_bits`` integer grid first, so the partial sums are
+      exact BIGINTs and the centroid doubles are bit-identical on any
+      engine and any shuffle order (a raw float mean would drift by
+      summation order).
+    - **assignment**: argmin of the full-precision squared distance
+      over all centroids (broadcast join — n_cells rows), ties broken
+      by cell id.
+    - **probe**: centroid distance to the baked-in query literal ranks
+      the cells in-plan; no driver round-trip holds the quantizer.
+
+    Returns ``(id, cell, cos_sim)`` for the exact cosine top-k of the
+    probed cells.
+    """
+    from pyspark.sql import Window
+
+    dim = len(query_vec)
+    scale = float(1 << quant_bits)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.col(id_col), F.lit(n_cells)).alias("init_cid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+        ).alias("gq"),
+    )
+    sums = g.groupBy("init_cid").agg(
+        *[F.sum(F.col("gq")[i]).alias(f"s{i}") for i in range(dim)],
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = sums.select(
+        F.col("init_cid").alias("cell"),
+        F.array(
+            *[F.col(f"s{i}") / (F.col("n") * F.lit(scale)) for i in range(dim)]
+        ).alias("c"),
+    )
+
+    def sqdist(vec: Column, cvec: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec, cvec, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    probed = (
+        cent.select("cell", sqdist(qlit, F.col("c")).alias("qd"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("qd", "cell")))
+        .where(F.col("rn") <= nprobe)
+        .select("cell")
+    )
+    assign = (
+        g.crossJoin(F.broadcast(cent))
+        .select("id", "v", "cell", sqdist(F.col("v"), F.col("c")).alias("d"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("id").orderBy("d", "cell")),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return (
+        assign.join(F.broadcast(probed), "cell")
+        .select(
+            F.col("id"),
+            F.col("cell"),
+            trunc6(cosine(F.col("v"), qlit)).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )

@@ -490,3 +490,67 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_neardup_pairs(
         e, n_planes=8, seed=42, threshold=0.3, dim=64
     )
+
+
+def _ivf_oracle(
+    dim: int = 64, n_cells: int = 8, nprobe: int = 2, k: int = 10,
+    quant: int = 1 << 20,
+) -> str:
+    """DuckDB replay of the IVF plan: quantized-integer centroid means
+    (bit-exact across engines), full argmin assignment, nprobe nearest
+    cells to the query literal, exact cosine rerank."""
+    qv = _mp_query_vec(dim)
+    qlit = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    return f"""
+    WITH q AS (SELECT {qlit}::DOUBLE[] AS qv),
+    cent AS (
+      SELECT vec_id % {n_cells} AS cell, i,
+             CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * {quant}.0)
+                           AS BIGINT)) AS DOUBLE)
+               / (count(*) * {quant}.0) AS v
+      FROM embeddings, range(1, {dim} + 1) t(i)
+      GROUP BY cell, i
+    ),
+    cvec AS (SELECT cell, list(v ORDER BY i) AS c FROM cent GROUP BY cell),
+    probed AS (
+      SELECT cell FROM cvec, q
+      ORDER BY list_sum(list_transform(range(1, {dim} + 1),
+                 i -> (qv[i] - c[i]) * (qv[i] - c[i]))), cell
+      LIMIT {nprobe}
+    ),
+    ranked AS (
+      SELECT e.vec_id, cv.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(range(1, {dim} + 1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - cv.c[i])
+                      * (CAST(e.embedding[i] AS DOUBLE) - cv.c[i]))),
+               cv.cell) AS rn
+      FROM embeddings e CROSS JOIN cvec cv
+    ),
+    assigned AS (SELECT vec_id, cell FROM ranked WHERE rn = 1)
+    SELECT e.vec_id AS id, a.cell,
+           floor((list_sum(list_transform(range(1, {dim} + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * qv[i]))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(qv, x -> x * x)))))
+             * 1000000.0) / 1000000.0 AS cos_sim
+    FROM embeddings e
+    JOIN assigned a USING (vec_id)
+    JOIN probed p ON a.cell = p.cell
+    CROSS JOIN q
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT {k}
+    """
+
+
+@query("sim_ivf_topk", oracle=_ivf_oracle())
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via an IVF coarse quantizer (the second scale path
+    beside LSH): one-step k-means centroids from an id-partition init,
+    elements quantized to an exact 2^-20 integer grid so the centroid
+    means are bit-identical on any engine or shuffle order; probe the
+    2 cells nearest the query, exact cosine rerank inside.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(e, _mp_query_vec(), k=10, n_cells=8, nprobe=2)
