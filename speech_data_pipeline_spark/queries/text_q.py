@@ -168,7 +168,15 @@ def _hex7_to_int_sql(md5_expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _minhash_oracle(k: int = 16, shingle_len: int = 5, bands: int = 4) -> str:
+def _minhash_pairs_cte(
+    k: int = 16,
+    shingle_len: int = 5,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """Shared CTE body ``sh, sigs, pairs`` replaying the MinHash+LSH
+    pair generation in DuckDB (O(n²) pairwise form — the oracle checks
+    semantics, the engine keeps the banded-join plan)."""
     from speech_data_pipeline_spark.operators.dedup import (
         MINHASH_P,
         minhash_coeffs,
@@ -195,7 +203,7 @@ def _minhash_oracle(k: int = 16, shingle_len: int = 5, bands: int = 4) -> str:
     )
     h = _hex7_to_int_sql("md5(s)")
     return f"""
-    WITH sh AS (
+    sh AS (
       SELECT doc_id AS id,
              list_transform(
                list_distinct(list_transform(
@@ -205,12 +213,21 @@ def _minhash_oracle(k: int = 16, shingle_len: int = 5, bands: int = 4) -> str:
       FROM documents
     ), sigs AS (
       SELECT id, [{sig_entries}] AS sig FROM sh
-    )
-    SELECT a.id AS id_a, b.id AS id_b,
-           floor((({eq_count}) / {float(k)}) * 1000000.0) / 1000000.0 AS est_jaccard
-    FROM sigs a JOIN sigs b ON a.id < b.id
-    WHERE ({share_band})
-      AND floor((({eq_count}) / {float(k)}) * 1000000.0) / 1000000.0 >= 0.5
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             floor((({eq_count}) / {float(k)}) * 1000000.0) / 1000000.0
+               AS est_jaccard
+      FROM sigs a JOIN sigs b ON a.id < b.id
+      WHERE ({share_band})
+        AND floor((({eq_count}) / {float(k)}) * 1000000.0) / 1000000.0
+              >= {threshold}
+    )"""
+
+
+def _minhash_oracle(k: int = 16, shingle_len: int = 5, bands: int = 4) -> str:
+    return f"""
+    WITH {_minhash_pairs_cte(k, shingle_len, bands)}
+    SELECT id_a, id_b, est_jaccard FROM pairs
     """
 
 
@@ -554,3 +571,218 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     return sim.ivf_topk(e, _mp_query_vec(), k=10, n_cells=8, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# Dedup resolution: pairs -> connected components -> canonical survivors
+# --------------------------------------------------------------------------
+
+
+def _cc_resolve_cte() -> str:
+    """Recursive-CTE replay of connected components over the MinHash
+    pair list: min-id reachability closure. O(V·E) in the oracle; the
+    engine side is the O(log² n)-round star-contraction."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_cte()},
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+    ),
+    comp AS (
+      SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u
+    ),
+    resolved AS (
+      SELECT d.doc_id, d.source,
+             coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    )"""
+
+
+@query(
+    "dedup_resolve",
+    oracle=_cc_resolve_cte()
+    + """
+    SELECT doc_id, component,
+           CAST(CASE WHEN doc_id = component THEN 1 ELSE 0 END AS BIGINT)
+             AS is_canonical,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+    FROM resolved
+    """,
+)
+def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup RESOLUTION: near-dup pairs closed into duplicate clusters
+    (alternating large-star/small-star connected components,
+    operators/graph.py), one canonical survivor per cluster.
+
+    Pair lists under-delete on chains (A~B, B~C, A≁C); the transitive
+    closure is what an actual 100 TB dedup deletes against. Oracle =
+    recursive-CTE reachability closure in DuckDB.
+    """
+    from speech_data_pipeline_spark.operators import graph as gr
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(d, k=16, shingle_len=5, bands=4, threshold=0.5)
+    return gr.resolve_duplicates(d, pairs).select(
+        "doc_id",
+        "component",
+        F.col("is_canonical").cast("long").alias("is_canonical"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+_QUALITY_CTE = r"""
+    feat AS (
+      SELECT doc_id, source,
+             length(text) AS n_chars,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+      FROM documents
+    ),
+    qual AS (
+      SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+             floor(((least(len(toks) / 50.0, 1.0)
+                + (1.0 - least(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0))
+                + (1.0 - least(n_upper / CAST(greatest(n_alpha, 1) AS DOUBLE) * 2.0, 1.0))
+                + CASE WHEN len(toks) > 0
+                       THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END) / 4.0) * 1000000.0) / 1000000.0 AS quality
+      FROM feat
+    )"""
+
+
+@query(
+    "pipeline_curation_report",
+    oracle=_cc_resolve_cte()
+    + ","
+    + _QUALITY_CTE
+    + """
+    SELECT q.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN q.quality < 0.80 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_quality,
+           CAST(sum(CASE WHEN r.doc_id <> r.component THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dupes_removed,
+           CAST(sum(CASE WHEN q.quality >= 0.80 AND r.doc_id = r.component
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN q.quality >= 0.80 AND r.doc_id = r.component
+                    THEN q.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM qual q JOIN resolved r ON q.doc_id = r.doc_id
+    GROUP BY q.source
+    """,
+)
+def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data curation composite: quality scoring +
+    near-dup clustering -> per-source keep/drop report (the shape of a
+    C4/Gopher-style corpus curation run).
+
+    A document is kept iff quality >= 0.80 AND it is the canonical
+    survivor of its near-dup cluster. Counters are independent:
+    ``n_low_quality`` counts all below-threshold docs,
+    ``n_dupes_removed`` all non-canonical docs (a doc can be both).
+    """
+    from speech_data_pipeline_spark.operators import graph as gr
+
+    d = load_table(spark, sf_dir, "documents")
+    q = tx.quality_score(d)
+    pairs = dd.minhash_dedup_pairs(d, k=16, shingle_len=5, bands=4, threshold=0.5)
+    r = gr.resolve_duplicates(q, pairs)
+    kept = (F.col("quality") >= 0.80) & (F.col("doc_id") == F.col("component"))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("quality") < 0.80, 1).otherwise(0)).alias(
+                "n_low_quality"
+            ),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("component"), 1).otherwise(0)
+            ).alias("n_dupes_removed"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+        )
+    )
+
+
+@query(
+    "text_bigram_xent",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[CAST(i AS INTEGER)] AS w1,
+             t[CAST(i AS INTEGER) + 1] AS w2
+      FROM (
+        SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+        FROM toks
+      )
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c FROM c12 GROUP BY w1),
+    v AS (
+      SELECT count(DISTINCT tok) AS nv
+      FROM (SELECT unnest(t) AS tok FROM toks)
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(-avg(ln((c12.c + 0.5) / (c1.c + 0.5 * v.nv))) * 1000000.0)
+             / 1000000.0 AS xent
+    FROM bg
+    JOIN c12 USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM perplexity quality signal (CCNet-style): add-0.5
+    smoothed bigram cross-entropy of each document against the corpus'
+    own bigram counts. High xent = out-of-distribution / noisy text.
+
+    Plan shape: bigrams stay in-row (``arrays_zip`` of two slices, no
+    explode-join); corpus counts are two groupBy's; the conditional
+    count ``c1`` is derived from the bigram counts (no second pass);
+    vocabulary size is a broadcast scalar. At 100 TB the count tables
+    are vocabulary-sized, orders below the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = tx.tokens(F.col("text"))
+    docs = d.select("doc_id", t.alias("t"))
+    n = F.greatest(F.size("t") - 1, F.lit(0))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n).alias("w1"), F.slice("t", 2, n).alias("w2")
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = docs.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("nv")
+    )
+    p = (F.col("c12") + F.lit(0.5)) / (F.col("c1") + F.lit(0.5) * F.col("nv"))
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            trunc6(-F.avg(F.log(p))).alias("xent"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""Connected components (large-star/small-star) vs a union-find oracle."""
+
+import numpy as np
+import pytest
+
+from speech_data_pipeline_spark.operators.graph import (
+    connected_components,
+    resolve_duplicates,
+)
+
+
+def _uf_components(n_ids, edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        (r.id, r.component)
+        for r in connected_components(df).collect()
+    }
+    want = set(_uf_components(None, edges).items())
+    assert got == want
+
+
+def test_cc_two_triangles_and_bridge(spark):
+    _check(spark, [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (3, 10), (20, 21)])
+
+
+def test_cc_chain_worst_case(spark):
+    # path graph = worst case for label propagation; star-contraction
+    # must still converge (in O(log^2 n) rounds) to a single component
+    edges = [(i, i + 1) for i in range(60)]
+    _check(spark, edges)
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = 120
+        m = int(rng.integers(30, 140))
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(m, 2))
+            if a != b
+        ]
+        if not edges:
+            continue
+        _check(spark, edges)
+
+
+def test_cc_duplicate_and_reversed_pairs(spark):
+    _check(spark, [(2, 1), (1, 2), (2, 1), (3, 2), (5, 9)])
+
+
+def test_cc_empty(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_cc_partition_invariance(spark):
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(0, 39), (7, 21)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    a = sorted(map(tuple, connected_components(df).collect()))
+    b = sorted(map(tuple, connected_components(df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_resolve_duplicates_tags_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], ["id_a", "id_b"]
+    )
+    out = {r.doc_id: r for r in resolve_duplicates(docs, pairs).collect()}
+    assert out[0].component == 0 and out[0].is_canonical
+    assert out[1].component == 0 and not out[1].is_canonical
+    assert out[2].component == 0 and out[2].n_members == 3
+    assert out[5].component == 5 and out[5].is_canonical and out[5].n_members == 2
+    # untouched singleton: own component, canonical, size 1
+    assert out[3].component == 3 and out[3].is_canonical and out[3].n_members == 1
+    # exactly one canonical per component
+    canon = [r for r in out.values() if r.is_canonical]
+    assert len(canon) == len({r.component for r in out.values()})
