@@ -289,3 +289,42 @@ def test_asr_and_alignment_stubs(spark, stages):
         by_seg.setdefault((r.audio_id, round(r.start, 6)), []).append(r)
     for r in rows:
         assert r.end > r.start and 0.5 <= r.score <= 1.0
+
+
+def test_transcribe_segments_full_orchestration(spark):
+    """W7/M7: per-file language resolution, JVM-side segment slicing,
+    audio-dependent stub text, 3-decimal rounding, speaker passthrough."""
+    from speech_data_pipeline_spark.ml.stubs import transcribe_segments
+
+    audio = synth_audio(spark)
+    seg = spark.createDataFrame(
+        [
+            ("f1", 0.0005, 2.0004, "speaker_0"),
+            ("f1", 6.0, 7.0, "speaker_1"),
+            ("f2", 0.0, 1.0, "speaker_0"),
+        ],
+        ["audio_id", "start", "end", "speaker"],
+    )
+    out = {(r.audio_id, r.start): r for r in transcribe_segments(audio, seg).collect()}
+    r1 = out[("f1", 0.001)]  # rounded to 3 decimals (reference :173-175)
+    assert r1.end == 2.0 and r1.speaker == "speaker_0"
+    # one pseudo-word per second of the SLICED window
+    assert len(r1.text.split()) == 2
+    assert len(out[("f1", 6.0)].text.split()) == 1
+    # text derives from audio content: the f1 burst (0.5) and the f2
+    # burst (0.4) give different rms words for the same span shape
+    assert r1.text.split()[0] != out[("f2", 0.0)].text.split()[0]
+    # language resolved once per file (detect_language), constant per file
+    assert r1.language == out[("f1", 6.0)].language
+    # preset language bypasses detection (tokenizer-preset branch)
+    pre = transcribe_segments(audio, seg, language="de").collect()
+    assert {r.language for r in pre} == {"de"}
+    # segments without a speaker column get null passthrough
+    no_spk = transcribe_segments(audio, seg.drop("speaker"))
+    assert {r.speaker for r in no_spk.collect()} == {None}
+    # deterministic across partitionings
+    again = {
+        (r.audio_id, r.start): tuple(r)
+        for r in transcribe_segments(audio.repartition(5), seg.repartition(3)).collect()
+    }
+    assert again == {k: tuple(v) for k, v in out.items()}
