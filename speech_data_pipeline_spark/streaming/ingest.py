@@ -21,6 +21,7 @@ static parquet test data and compare to the equivalent batch query.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -131,4 +132,97 @@ def stream_capped_sessions(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+SESSION_STATE_SCHEMA = (
+    "start_us long, end_us long, n_events long, total_value double"
+)
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, "
+    "n_events long, total_value double, closed_by string"
+)
+
+
+def streaming_stateful_sessions(
+    events: DataFrame,
+    gap_us: int = 600_000_000,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` —
+    the streaming-native form that is exact ACROSS micro-batches
+    (unlike the per-batch ``foreachBatch`` variant above).
+
+    Per-user state holds the one open session (start, end, count, sum).
+    Each batch folds its rows in event-time order: within ``gap_us`` of
+    the open end → extend; beyond → emit the closed session, open a new
+    one. An event-time timeout at ``session_end + gap`` flushes the
+    trailing session once the watermark passes it, so every session is
+    eventually emitted exactly once (``closed_by`` records whether a
+    successor event or the timeout closed it).
+
+    Scale shape: state is O(1) per active user key, partitioned by the
+    groupBy hash — the canonical Structured Streaming stateful-operator
+    layout; nothing here is per-event state.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_us // 1000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            s, e, n, tv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, s, e, n, tv, "timeout")],
+                columns=[
+                    "user_id", "session_start_us", "session_end_us",
+                    "n_events", "total_value", "closed_by",
+                ],
+            )
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows["ts_us"] = rows["ts_ts"].astype("int64") // 1000
+        rows = rows.sort_values("ts_us")
+        cur = state.get if state.exists else None
+        closed = []
+        for ts_us, value in zip(rows["ts_us"], rows["value"]):
+            if cur is None:
+                cur = (int(ts_us), int(ts_us), 1, float(value))
+            elif ts_us - cur[1] <= gap_us:
+                cur = (
+                    min(cur[0], int(ts_us)),
+                    max(cur[1], int(ts_us)),
+                    cur[2] + 1,
+                    cur[3] + float(value),
+                )
+            else:
+                closed.append(cur)
+                cur = (int(ts_us), int(ts_us), 1, float(value))
+        state.update(cur)
+        # flush the open session once the watermark passes end + gap
+        state.setTimeoutTimestamp(
+            max(cur[1] // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(
+                [(user_id, s, e, n, tv, "event") for s, e, n, tv in closed],
+                columns=[
+                    "user_id", "session_start_us", "session_end_us",
+                    "n_events", "total_value", "closed_by",
+                ],
+            )
+
+    return (
+        events.withWatermark("ts_ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )

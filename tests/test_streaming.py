@@ -99,3 +99,87 @@ def test_stream_capped_sessions_foreachbatch(spark, landing):
     assert sorted(map(tuple, got.drop("batch_id").collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_streaming_stateful_sessions_cross_batch(spark):
+    """applyInPandasWithState: per-user open-session state across
+    micro-batches; every emitted session matches the batch fold, and
+    trailing sessions flush via event-time timeout."""
+    import os
+    import time
+
+    from speech_data_pipeline_spark.streaming.ingest import (
+        read_event_stream,
+        streaming_stateful_sessions,
+    )
+
+    gap_us = 600_000_000
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("ts")
+        .toPandas()
+    )
+    tmp = tempfile.mkdtemp()
+    # three time-ordered files -> three micro-batches, watermark advances
+    # between them so earlier users' trailing sessions time out
+    thirds = [ev.iloc[: len(ev) // 3], ev.iloc[len(ev) // 3 : 2 * len(ev) // 3],
+              ev.iloc[2 * len(ev) // 3 :]]
+    for i, part in enumerate(thirds):
+        spark.createDataFrame(part).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/stage{i}"
+        )
+        src = [f for f in os.listdir(f"{tmp}/stage{i}") if f.endswith(".parquet")][0]
+        os.rename(f"{tmp}/stage{i}/{src}", f"{tmp}/events_{i}.parquet")
+        time.sleep(1.1)  # distinct mtimes keep file-source ordering
+
+    stream = streaming_stateful_sessions(
+        read_event_stream(spark, tmp), gap_us=gap_us, watermark="0 seconds"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stateful_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("maxFilesPerTrigger", "1")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("stateful_sessions").collect()
+    assert len(got) > 0
+    assert {r.closed_by for r in got} == {"event", "timeout"}
+
+    # pure-python batch fold = expected full session list
+    want = set()
+    for uid, grp in ev.groupby("user_id"):
+        sessions = []
+        cur = None
+        rows = sorted(
+            (int(t) // 1000, float(v)) for t, v in zip(grp["ts"], grp["value"])
+        )
+        for ts_us, v in rows:
+            if cur is None:
+                cur = [ts_us, ts_us, 1, v]
+            elif ts_us - cur[1] <= gap_us:
+                cur[1] = max(cur[1], ts_us)
+                cur[2] += 1
+                cur[3] += v
+            else:
+                sessions.append(tuple(cur))
+                cur = [ts_us, ts_us, 1, v]
+        sessions.append(tuple(cur))
+        for s, e, n, tv in sessions:
+            want.add((int(uid), s, e, n, round(tv, 6)))
+
+    got_keys = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events,
+         round(r.total_value, 6))
+        for r in got
+    }
+    # every emitted session is exactly a batch session (no partial or
+    # duplicated emission across batch boundaries)
+    assert got_keys <= want
+    assert len(got_keys) == len(got)  # no dupes
+    # the stream saw everything except sessions still open at shutdown
+    assert len(want) - len(got_keys) <= ev["user_id"].nunique()
