@@ -114,6 +114,7 @@ def test_streaming_stateful_sessions_cross_batch(spark):
     )
 
     gap_us = 600_000_000
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = (
         spark.read.parquet(f"{SF_DIR}/events.parquet")
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
