@@ -110,13 +110,20 @@ def connected_components(
     don't appear; union the vertex table with ``coalesce`` downstream
     if singletons need rows.
     """
+    # eager=False: the fingerprint aggregation right below materializes
+    # the checkpoint, so each round costs ONE job instead of two
     edges = _canon(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     fp = _fingerprint(edges)
     for _ in range(max_iter):
-        stepped = _canon(_small_star(_large_star(edges))).localCheckpoint(
-            eager=True
+        # two alternations per materialization: halves the number of
+        # checkpoint + convergence-check jobs (the dominant cost locally
+        # — per-round stage overhead, not data volume) at the price of a
+        # 2-round lineage, which stays trivially short
+        once = _canon(_small_star(_large_star(edges)))
+        stepped = _canon(_small_star(_large_star(once))).localCheckpoint(
+            eager=False
         )
         new_fp = _fingerprint(stepped)
         edges, prev = stepped, edges
