@@ -34,19 +34,41 @@ TABLES = (
 #: Small dimension tables that should always broadcast in joins.
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
+#: Timezone-independent epoch-nanos from a TIMESTAMP_NTZ ``ts`` column.
+#: ``timestampdiff`` over two NTZ operands is local-datetime arithmetic —
+#: no session-timezone dependency — and matches DuckDB's ``epoch_us``
+#: (micros, truncated toward zero) exactly.
+EPOCH_NANOS_EXPR = F.expr(
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table from ``sf_dir``.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    unless nanos are surfaced as raw int64 — so in Spark ``ts`` is a
-    **long of epoch nanoseconds** (set per-read; works on any session,
-    including the driver's). DuckDB truncates the same column to
-    microsecond TIMESTAMP at scan; ``ts div 1000`` on our side matches
-    its ``epoch_us`` exactly (both truncate toward zero).
+    ``events.ts`` is parquet TIMESTAMP(NANOS). The engine contract is
+    that ``ts`` surfaces as a **long of epoch nanoseconds** in every
+    downstream plan (`ts div 1000` = epoch micros, matching DuckDB's
+    ``epoch_us`` — both truncate toward zero). How Spark reads the
+    column depends on version: older builds honor
+    ``spark.sql.legacy.parquet.nanosAsLong`` and hand back the raw
+    int64; Spark >= 4.1 ignores that conf and reads TIMESTAMP(NANOS)
+    natively as TIMESTAMP_NTZ (micros precision, nanos truncated). We
+    set the conf for the former and normalize the latter back to
+    epoch-nanos long via ``timestampdiff`` against the NTZ epoch —
+    pure local-datetime arithmetic, independent of the session
+    timezone (the driver's session is NOT timezone-pinned, so an
+    NTZ->LTZ cast would shift the epoch under any non-UTC default).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed entirely in some builds; the cast below covers it
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type is not None and ts_type.startswith("timestamp"):
+        df = df.withColumn("ts", EPOCH_NANOS_EXPR.cast("long"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

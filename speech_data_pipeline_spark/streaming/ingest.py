@@ -29,7 +29,10 @@ from pyspark.sql import types as T
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch nanos (see sources/catalog.py)
+        # parquet TIMESTAMP(NANOS); Spark >= 4.1 reads it as TIMESTAMP_NTZ
+        # (micros precision). read_event_stream normalizes it back to the
+        # engine contract of epoch-nanos long (see sources/catalog.py).
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -41,16 +44,21 @@ EVENT_SCHEMA = T.StructType(
 def read_event_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     """File-source stream over a parquet landing directory.
 
-    Adds an event-time ``ts_ts`` timestamp column derived from the
-    nanosecond-long ``ts`` for watermarking/windowing.
+    ``ts`` is normalized to epoch-nanos long (timezone-independent NTZ
+    arithmetic; see sources/catalog.py EPOCH_NANOS_EXPR), and an
+    event-time ``ts_ts`` timestamp column is added for
+    watermarking/windowing.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from speech_data_pipeline_spark.sources.catalog import EPOCH_NANOS_EXPR
+
     raw = (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("pathGlobFilter", "events*.parquet")
         .parquet(landing_dir)
     )
-    return raw.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", EPOCH_NANOS_EXPR.cast("long")).withColumn(
+        "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
 
 
 def streaming_sessionize(

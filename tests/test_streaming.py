@@ -8,6 +8,7 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+from speech_data_pipeline_spark.sources.catalog import load_table
 from speech_data_pipeline_spark.streaming.ingest import (
     read_event_stream,
     streaming_sessionize,
@@ -42,7 +43,7 @@ def test_streaming_type_counts_match_batch(spark, landing):
     stream = streaming_type_counts(read_event_stream(spark, landing))
     got = run_stream(spark, stream, "type_counts")
     batch = (
-        spark.read.parquet(f"{landing}/events.parquet")
+        load_table(spark, landing, "events")
         .withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
         .groupBy(F.window("ts_ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -55,7 +56,7 @@ def test_streaming_sessionize_matches_batch_session_window(spark, landing):
     stream = streaming_sessionize(read_event_stream(spark, landing), gap="10 minutes")
     got = run_stream(spark, stream, "sessions")
     batch = (
-        spark.read.parquet(f"{landing}/events.parquet")
+        load_table(spark, landing, "events")
         .withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
         .groupBy(F.session_window("ts_ts", "10 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
@@ -88,7 +89,7 @@ def test_stream_capped_sessions_foreachbatch(spark, landing):
     from speech_data_pipeline_spark.operators.sessions import sessionize_capped
 
     iv = (
-        spark.read.parquet(f"{landing}/events.parquet")
+        load_table(spark, landing, "events")
         .selectExpr(
             "user_id",
             "ts div 1000 as start_us",
@@ -113,26 +114,37 @@ def test_streaming_stateful_sessions_cross_batch(spark):
         streaming_stateful_sessions,
     )
 
+    import pandas as pd
+
     gap_us = 600_000_000
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        load_table(spark, SF_DIR, "events")  # ts = epoch-nanos long
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .orderBy("ts")
         .toPandas()
     )
     tmp = tempfile.mkdtemp()
     # three time-ordered files -> three micro-batches, watermark advances
-    # between them so earlier users' trailing sessions time out
-    thirds = [ev.iloc[: len(ev) // 3], ev.iloc[len(ev) // 3 : 2 * len(ev) // 3],
-              ev.iloc[2 * len(ev) // 3 :]]
-    for i, part in enumerate(thirds):
-        spark.createDataFrame(part).coalesce(1).write.mode("overwrite").parquet(
-            f"{tmp}/stage{i}"
-        )
-        src = [f for f in os.listdir(f"{tmp}/stage{i}") if f.endswith(".parquet")][0]
-        os.rename(f"{tmp}/stage{i}/{src}", f"{tmp}/events_{i}.parquet")
-        time.sleep(1.1)  # distinct mtimes keep file-source ordering
+    # between them so earlier users' trailing sessions time out.
+    # Files are written with NTZ timestamps so read_event_stream's declared
+    # schema matches the original landing format.
+    old_ts_type = spark.conf.get("spark.sql.timestampType")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    try:
+        thirds = [ev.iloc[: len(ev) // 3], ev.iloc[len(ev) // 3 : 2 * len(ev) // 3],
+                  ev.iloc[2 * len(ev) // 3 :]]
+        for i, part in enumerate(thirds):
+            part = part.assign(ts=pd.to_datetime(part["ts"]))
+            spark.createDataFrame(part).coalesce(1).write.mode("overwrite").parquet(
+                f"{tmp}/stage{i}"
+            )
+            src = [
+                f for f in os.listdir(f"{tmp}/stage{i}") if f.endswith(".parquet")
+            ][0]
+            os.rename(f"{tmp}/stage{i}/{src}", f"{tmp}/events_{i}.parquet")
+            time.sleep(1.1)  # distinct mtimes keep file-source ordering
+    finally:
+        spark.conf.set("spark.sql.timestampType", old_ts_type)
 
     stream = streaming_stateful_sessions(
         read_event_stream(spark, tmp), gap_us=gap_us, watermark="0 seconds"
