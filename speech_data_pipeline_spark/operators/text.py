@@ -110,6 +110,135 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pred_lang", pred)
 
 
+def repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition metrics.
+
+    Emits per document:
+
+    - ``dup_line_frac`` — fraction of non-blank lines that are repeats
+      of an earlier-seen line (1 - distinct/total);
+    - ``dup_line_char_frac`` — fraction of line characters belonging to
+      lines that occur more than once;
+    - ``dup_word_frac`` — fraction of word occurrences that repeat an
+      earlier-seen word (1 - distinct/total tokens);
+    - ``top_bigram_frac`` — fraction of characters covered by
+      occurrences of the most frequent word bigram (count × bigram
+      length / total chars), the "top 2-gram" filter of web-corpus
+      quality stacks.
+
+    Line metrics are in-row array algebra (no shuffle). The bigram mode
+    is explode → two groupBys → broadcast-joinable per-doc argmax —
+    linear in corpus size, the scalable shape (an in-row O(lines²)
+    variant would be quadratic in pathological single-doc line counts).
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    dup_chars = F.aggregate(
+        F.filter(lines, lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1),
+        F.lit(0).cast("long"),
+        lambda acc, l: acc + F.length(l),
+    )
+    toks0 = tokens(t)
+    n_toks = F.size(toks0)
+    base = df.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        F.when(n_lines > 0, (n_lines - n_distinct) / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("_dlf"),
+        F.when(line_chars > 0, dup_chars / line_chars)
+        .otherwise(F.lit(0.0))
+        .alias("_dlcf"),
+        F.when(n_toks > 0, (n_toks - F.size(F.array_distinct(toks0))) / n_toks)
+        .otherwise(F.lit(0.0))
+        .alias("_dwf"),
+    )
+
+    toks = tokens(t)
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    bg = df.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n).alias("w1"), F.slice(toks, 2, n).alias("w2")
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", F.concat_ws(" ", F.col("b.w1"), F.col("b.w2")).alias("bigram")
+    )
+    counts = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.groupBy("doc_id").agg(
+        F.max_by(
+            F.struct(F.col("c"), F.length("bigram").alias("blen")),
+            # deterministic argmax: highest count, then longest, then last
+            # lexicographic — encoded in one orderable struct
+            F.struct(F.col("c"), F.length("bigram").alias("blen"), F.col("bigram")),
+        ).alias("t")
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            trunc6(F.col("_dlf")).alias("dup_line_frac"),
+            trunc6(F.col("_dlcf")).alias("dup_line_char_frac"),
+            trunc6(F.col("_dwf")).alias("dup_word_frac"),
+            trunc6(
+                F.when(
+                    F.col("t").isNotNull() & (F.col("n_chars") > 0),
+                    F.col("t.c") * F.col("t.blen") / F.col("n_chars"),
+                ).otherwise(F.lit(0.0))
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    Terms are lowercase alphabetic runs; ``idf = ln((N+1)/(df+1))``
+    (smoothed). Rank per document by score descending, term ascending —
+    exact double ties (same tf and df) break on the term, so the cut is
+    deterministic cross-engine.
+
+    Plan: one explode → (doc, term) counts; document frequency derived
+    from the counts (no second corpus pass); N is a broadcast scalar;
+    top-k via row_number per doc. All shuffles key on term or doc_id.
+    """
+    terms = df.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1)
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    score = F.col("tf") * F.log(
+        (F.col("n_docs") + F.lit(1.0)) / (F.col("dfreq") + F.lit(1.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            trunc6(score).alias("score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 def char_shingles(text: Column, k: int) -> Column:
     """All ``k``-char shingles of ``text`` as array<string> (with repeats).
 

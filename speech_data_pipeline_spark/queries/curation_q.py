@@ -1,0 +1,198 @@
+"""Corpus-curation queries: repetition filtering, deterministic
+train/val/test splitting, sequence packing, TF-IDF term extraction.
+
+The training-data-pipeline surface beyond the reference's own operators
+(the reference ends at per-file segment tables; these are the steps a
+100 TB text corpus goes through on the way to a training run). Every
+query has a DuckDB oracle; the packing kernel's non-associative
+recurrence is replayed as a recursive CTE, the same trick as
+w1_sessionize_capped (queries/intervals_q.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.functions import trunc6
+from speech_data_pipeline_spark.operators import text as tx
+from speech_data_pipeline_spark.operators.packing import pack_sequences
+from speech_data_pipeline_spark.queries.registry import query
+from speech_data_pipeline_spark.queries.text_q import _hex7_to_int_sql
+from speech_data_pipeline_spark.sources.catalog import load_table
+
+#: Token budget for one packed training sequence.
+PACK_BUDGET = 2048
+
+
+@query(
+    "text_repetition",
+    oracle=r"""
+    WITH lines AS (
+      SELECT doc_id, length(text) AS n_chars,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, n_chars,
+        CASE WHEN len(ls) > 0
+             THEN (len(ls) - len(list_distinct(ls))) * 1.0 / len(ls)
+             ELSE 0.0 END AS dlf,
+        CASE WHEN coalesce(list_sum(list_transform(ls, l -> length(l))), 0) > 0
+             THEN coalesce(list_sum(list_transform(
+                    list_filter(ls, l -> len(list_filter(ls, x -> x = l)) > 1),
+                    l -> length(l))), 0) * 1.0
+                  / list_sum(list_transform(ls, l -> length(l)))
+             ELSE 0.0 END AS dlcf,
+        CASE WHEN len(t) > 0
+             THEN (len(t) - len(list_distinct(t))) * 1.0 / len(t)
+             ELSE 0.0 END AS dwf
+      FROM lines
+    ), bg AS (
+      SELECT doc_id, t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1]
+               AS bigram
+      FROM (
+        SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+        FROM lines
+      )
+    ), counts AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+    ), top AS (
+      SELECT doc_id, c, length(bigram) AS blen FROM (
+        SELECT doc_id, bigram, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, length(bigram) DESC,
+                                           bigram DESC) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    )
+    SELECT b.doc_id,
+           floor(b.dlf * 1000000.0) / 1000000.0 AS dup_line_frac,
+           floor(b.dlcf * 1000000.0) / 1000000.0 AS dup_line_char_frac,
+           floor(b.dwf * 1000000.0) / 1000000.0 AS dup_word_frac,
+           floor(CASE WHEN t.doc_id IS NOT NULL AND b.n_chars > 0
+                      THEN t.c * t.blen * 1.0 / b.n_chars
+                      ELSE 0.0 END * 1000000.0) / 1000000.0 AS top_bigram_frac
+    FROM base b LEFT JOIN top t USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (duplicate lines/words, top bigram
+    coverage) — the standard web-corpus repetition filter family."""
+    return tx.repetition(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "split_hash_buckets",
+    oracle=f"""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             {_hex7_to_int_sql("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+      FROM documents
+    )
+    """,
+)
+def split_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/validation/test split (80/10/10).
+
+    md5 of the stable document id → 28-bit int → percent bucket. Pure
+    column expressions, reproducible across engines, runs, and cluster
+    sizes — the property random() splits lack. At 100 TB this is a
+    map-only projection with zero shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "pack_sequences_budget",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             CAST(floor(n_chars / 4.0) AS BIGINT) + 1 AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), walk AS (
+      SELECT source, rn, doc_id, n_tokens,
+             CAST(1 AS BIGINT) AS seq_id, n_tokens AS total
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT n.source, n.rn, n.doc_id, n.n_tokens,
+             CASE WHEN w.total + n.n_tokens > {PACK_BUDGET}
+                  THEN w.seq_id + 1 ELSE w.seq_id END,
+             CASE WHEN w.total + n.n_tokens > {PACK_BUDGET}
+                  THEN n.n_tokens ELSE w.total + n.n_tokens END
+      FROM walk w JOIN d n ON n.source = w.source AND n.rn = w.rn + 1
+    )
+    SELECT source, seq_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM walk GROUP BY source, seq_id
+    """,
+)
+def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing under a {PACK_BUDGET}-token
+    budget, per source (operators/packing.py kernel; oracle replays the
+    recurrence as a recursive CTE)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        (F.floor(F.col("n_chars") / F.lit(4.0)).cast("long") + 1).alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        d, budget=PACK_BUDGET, key="source", order_col="doc_id",
+        weight_col="n_tokens",
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term
+        FROM documents
+      ) GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS dfreq FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf,
+           floor(score * 1000000.0) / 1000000.0 AS score, rnk
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * ln((n.n_docs + 1.0) / (d.dfreq + 1.0)) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln((n.n_docs + 1.0) / (d.dfreq + 1.0)) DESC,
+                        tf.term) AS rnk
+      FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+    ) WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed ln idf; deterministic
+    per-doc cut by score desc, term asc)."""
+    return tx.tfidf_topk(load_table(spark, sf_dir, "documents"), k=3)

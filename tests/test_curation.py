@@ -1,0 +1,114 @@
+"""Curation-operator tests: repetition metrics, hash split, sequence
+packing, TF-IDF — synthetic fixtures covering the branches the parquet
+corpus doesn't exercise (documents there have no newlines or repeated
+lines; packing needs an oversized document)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.operators.packing import pack_sequences
+from speech_data_pipeline_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 4 lines, "dup dup" line repeated -> 2/4 dup lines
+        (1, "a b c\ndup dup\ndup dup\nx y z"),
+        (2, "all unique words here"),
+        (3, "go go go go"),  # heavy word + bigram repetition
+        (4, ""),  # empty-document guards
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_metrics_golden(docs):
+    out = {r.doc_id: r for r in tx.repetition(docs).collect()}
+    r1 = out[1]
+    assert r1.dup_line_frac == pytest.approx(0.25, abs=1e-6)  # 4 lines, 3 distinct
+    # duplicated-line chars: 2 * len("dup dup") = 14 of 5+7+7+5 = 24
+    assert r1.dup_line_char_frac == pytest.approx(14 / 24, abs=1e-6)
+    assert out[2].dup_line_frac == 0.0
+    assert out[2].dup_word_frac == 0.0
+    r3 = out[3]
+    assert r3.dup_word_frac == pytest.approx(0.75, abs=1e-6)  # 4 tokens 1 distinct
+    # top bigram "go go" occurs 3 times, len 5, text len 11
+    assert r3.top_bigram_frac == pytest.approx(math.floor(15 / 11 * 1e6) / 1e6)
+    r4 = out[4]
+    assert (r4.dup_line_frac, r4.dup_word_frac, r4.top_bigram_frac) == (0, 0, 0)
+
+
+def test_pack_sequences_next_fit_and_oversize(spark):
+    rows = [
+        ("s", 1, 600), ("s", 2, 600), ("s", 3, 600),  # 600+600 | 600...
+        ("s", 4, 5000),  # oversized -> own bin
+        ("s", 5, 100),
+        ("t", 6, 100), ("t", 7, 100),  # second key restarts seq ids
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = {
+        r.doc_id: r.seq_id
+        for r in pack_sequences(df, budget=1300, key="source").collect()
+    }
+    assert out[1] == 1 and out[2] == 1  # 1200 <= 1300
+    assert out[3] == 2  # 1800 > 1300 -> new bin
+    assert out[4] == 3  # oversized doc closes bin 2, sits alone
+    assert out[5] == 4  # 5000+100 > budget -> next bin
+    assert out[6] == 1 and out[7] == 1  # per-key restart
+
+
+def test_pack_sequences_invariants(spark):
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "source",
+        "doc_id",
+        (F.floor(F.col("n_chars") / F.lit(4.0)).cast("long") + 1).alias("n_tokens"),
+    )
+    packed = pack_sequences(d, budget=2048, key="source")
+    assert packed.count() == d.count()  # partition of the input
+    sums = packed.groupBy("source", "seq_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    # every multi-doc sequence respects the budget (single docs may exceed)
+    assert sums.where((F.col("n") > 1) & (F.col("tot") > 2048)).count() == 0
+
+
+def test_tfidf_topk_golden(spark):
+    rows = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry dates dates dates"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rnk, r.term, r.tf))
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert sorted(by_doc[1]) == [(1, "apple", 2), (2, "banana", 1)]
+    # doc 3: dates tf=3 df=1 then cherry tf=1 df=2
+    assert sorted(by_doc[3]) == [(1, "dates", 3), (2, "cherry", 1)]
+    # scores consistent with smoothed ln idf
+    s = {(r.doc_id, r.term): r.score for r in out}
+    want = 2 * math.log(4 / 2)
+    assert s[(1, "apple")] == pytest.approx(math.floor(want * 1e6) / 1e6, abs=1e-9)
+
+
+def test_split_hash_buckets_deterministic_and_balanced(spark):
+    from speech_data_pipeline_spark.queries.curation_q import split_hash_buckets
+
+    out1 = split_hash_buckets(spark, "/root/testdata/sf0.001").collect()
+    out2 = split_hash_buckets(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    frac = {
+        r.split: r.n
+        for r in split_hash_buckets(spark, "/root/testdata/sf0.001")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = sum(frac.values())
+    assert frac["train"] / n == pytest.approx(0.8, abs=0.1)
