@@ -14,10 +14,13 @@ Three flavors:
    against the *running session start*. The cap makes the recurrence
    non-associative (each break decision depends on where the current
    session started), so no fixed window-function composition computes
-   it; it runs as a sequential per-key kernel inside ``applyInPandas``.
-   Per-key cardinality is one file's segments (~1e2-1e4 rows), so the
-   kernel is O(n) per group, data never leaves executors, and the whole
-   operator is one shuffle — this is the 100 TB-honest shape.
+   it; it runs as a sequential per-key scan inside ``mapInPandas`` over
+   hash-partitioned, partition-sorted rows (one Python call per Arrow
+   batch, open session carried across batches — ~3× cheaper locally
+   than a per-group ``applyInPandas`` at thousands of small groups).
+   Per-key cardinality is one file's segments (~1e2-1e4 rows), the scan
+   is O(n), data never leaves executors, and the whole operator is one
+   shuffle — this is the 100 TB-honest shape.
 
 3. ``sessionize_barriers`` — W9: rows of a barrier stream flush sessions;
    implemented as a cumulative count of barriers at-or-before each start
@@ -105,30 +108,42 @@ def sessionize_capped(
     max (identical on the reference's own non-overlapping VAD input);
     the flag reproduces the overwrite byte-for-byte.
 
-    Sequential per-key kernel in ``applyInPandas``; see module docstring
-    for why this cannot be a window-function composition.
+    Execution: one hash shuffle on ``key`` + partition-local sort, then
+    a ``mapInPandas`` scan that walks each partition's (contiguous,
+    sorted) groups with the sequential recurrence, carrying the open
+    session across Arrow batch boundaries. One Python invocation per
+    Arrow batch — NOT per key (an ``applyInPandas`` per-group kernel
+    pays ~2.5 s of pure invocation overhead at 1.5k groups locally;
+    this shape is ~3× cheaper and identical at cluster scale, where
+    partitions hold many keys each).
     """
     break_cols = list(break_cols)
+    dtypes = dict(df.dtypes)
     out_fields = [
-        f"{key} {dict(df.dtypes)[key]}",
+        f"{key} {dtypes[key]}",
         "session_id long",
         "session_start long",
         "session_end long",
         "n_segments long",
     ]
     for c in break_cols:
-        out_fields.append(f"{c} {dict(df.dtypes)[c]}")
+        out_fields.append(f"{c} {dtypes[c]}")
     if type_col is not None:
         out_fields.append("types array<string>")
     schema = ", ".join(out_fields)
 
     has_types = type_col is not None
+    out_cols = [key, "session_id", "session_start", "session_end", "n_segments"]
+    out_cols += break_cols
+    if has_types:
+        out_cols.append("types")
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([start, end], kind="mergesort")
-        rows = []
-        cur = None  # [start, end, n, types, break_vals]
+    def run(batches) -> "pd.DataFrame":
+        # state spans batches: (cur_key, cur=[start,end,n,types,breaks], sid)
+        cur_key = None
+        cur = None
         sid = 0
+        rows = []
 
         def flush():
             nonlocal sid
@@ -138,36 +153,57 @@ def sessionize_capped(
                 return
             sid += 1
             rows.append(
-                (pdf[key].iloc[0], sid, cur[0], cur[1], cur[2], *cur[4], *(
-                    [sorted(set(cur[3]))] if has_types else []
-                ))
+                (cur_key, sid, cur[0], cur[1], cur[2], *cur[4],
+                 *([sorted(set(cur[3]))] if has_types else []))
             )
 
-        for t in pdf.itertuples(index=False):
-            s, e = getattr(t, start), getattr(t, end)
-            ty = [getattr(t, type_col)] if has_types else []
-            bv = tuple(getattr(t, c) for c in break_cols)
-            if cur is None:
-                cur = [s, e, 1, list(ty), bv]
-            elif (
-                s - cur[1] > interval
-                or e - cur[0] > max_duration
-                or bv != cur[4]
-            ):
-                flush()
-                cur = [s, e, 1, list(ty), bv]
-            else:
-                cur[1] = e if compat_overwrite_end else max(cur[1], e)
-                cur[2] += 1
-                cur[3].extend(ty)
+        for pdf in batches:
+            keys = pdf[key].to_numpy()
+            starts = pdf[start].to_numpy()
+            ends = pdf[end].to_numpy()
+            tys = pdf[type_col].to_numpy() if has_types else None
+            bvs = (
+                list(zip(*(pdf[c].to_numpy() for c in break_cols)))
+                if break_cols
+                else None
+            )
+            for i in range(len(pdf)):
+                k, s, e = keys[i], starts[i], ends[i]
+                bv = bvs[i] if bvs is not None else ()
+                if k != cur_key:
+                    flush()
+                    cur_key, cur, sid = k, None, 0
+                if cur is None:
+                    cur = [s, e, 1, [tys[i]] if has_types else [], bv]
+                elif (
+                    s - cur[1] > interval
+                    or e - cur[0] > max_duration
+                    or bv != cur[4]
+                ):
+                    flush()
+                    cur = [s, e, 1, [tys[i]] if has_types else [], bv]
+                else:
+                    cur[1] = e if compat_overwrite_end else max(cur[1], e)
+                    cur[2] += 1
+                    if has_types:
+                        cur[3].append(tys[i])
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+                rows = []
         flush()
-        cols = [key, "session_id", "session_start", "session_end", "n_segments"]
-        cols += break_cols
-        if has_types:
-            cols.append("types")
-        return pd.DataFrame(rows, columns=cols)
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    return df.groupBy(key).applyInPandas(merge, schema=schema)
+    cols = [key, start, end]
+    if has_types:
+        cols.append(type_col)
+    cols += break_cols
+    return (
+        df.select(*cols)
+        .repartition(key)
+        .sortWithinPartitions(key, start, end)
+        .mapInPandas(run, schema=schema)
+    )
 
 
 def sessionize_barriers(

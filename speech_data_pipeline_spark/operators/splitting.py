@@ -4,10 +4,11 @@ modules/models/silero_vad.py:81-112 ``segment_speech``).
 Spans longer than ``max_span`` are recursively split at their largest
 internal gap between member segments until every piece fits (or no
 internal gap remains). Inherently recursive with data-dependent split
-points — no Catalyst primitive — so it runs as a per-key
-``applyInPandas`` kernel over (key, span) groups, the same shape as the
-other session kernels: one shuffle, executor-side recursion bounded by
-one file's segments.
+points — no Catalyst primitive — so it runs as a per-key kernel inside
+``mapInPandas`` over hash-partitioned, partition-sorted rows, the same
+shape as the other session kernels: one shuffle, executor-side
+recursion bounded by one file's segments, one Python call per Arrow
+batch rather than per key.
 """
 
 from __future__ import annotations
@@ -32,18 +33,19 @@ def recursive_gap_split(
     the largest internal gap (ties: the earliest), exactly the
     reference's recursion.
     """
+    import numpy as np
+
     key_type = dict(df.dtypes)[key]
     schema = (
         f"{key} {key_type}, {start} long, {end} long, "
         "piece_id long, piece_start long, piece_end long"
     )
+    cols = [key, start, end, "piece_id", "piece_start", "piece_end"]
 
-    def split(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        pdf = pdf.sort_values([start, end], kind="mergesort").reset_index(drop=True)
-        s = pdf[start].to_numpy()
-        e = pdf[end].to_numpy()
+    def split_one(k, s, e) -> list:
+        # rows arrive sorted by (start, end) from the partition-local sort
+        s = np.asarray(s)
+        e = np.asarray(e)
         # Global prefix cummax is valid at every recursion level: a split
         # only happens at a strictly positive gap, so the first element
         # of each right-piece ends later than everything before the cut,
@@ -67,17 +69,49 @@ def recursive_gap_split(
             rec(lo, cut)
             rec(cut, hi)
 
-        rec(0, len(pdf))
+        rec(0, len(s))
         pieces.sort()
         rows = []
-        k = pdf[key].iloc[0]
         for pid, (lo, hi) in enumerate(pieces):
             ps, pe = int(s[lo]), int(e[lo:hi].max())
             for i in range(lo, hi):
                 rows.append((k, int(s[i]), int(e[i]), pid, ps, pe))
-        return pd.DataFrame(
-            rows,
-            columns=[key, start, end, "piece_id", "piece_start", "piece_end"],
-        )
+        return rows
 
-    return df.select(key, start, end).groupBy(key).applyInPandas(split, schema=schema)
+    def run(batches):
+        # one Python call per Arrow batch; buffer the (contiguous) current
+        # key across batch boundaries — same shape as the session kernels
+        cur_key = None
+        b_s: list = []
+        b_e: list = []
+        out: list = []
+        for pdf in batches:
+            keys = pdf[key].to_numpy()
+            starts = pdf[start].to_numpy()
+            ends = pdf[end].to_numpy()
+            i, n = 0, len(pdf)
+            while i < n:
+                j = i
+                while j < n and keys[j] == keys[i]:
+                    j += 1
+                if cur_key is not None and keys[i] != cur_key:
+                    out.extend(split_one(cur_key, b_s, b_e))
+                    b_s, b_e = [], []
+                cur_key = keys[i]
+                b_s.extend(starts[i:j])
+                b_e.extend(ends[i:j])
+                i = j
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+                out = []
+        if cur_key is not None and b_s:
+            rows = split_one(cur_key, b_s, b_e)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        df.select(key, start, end)
+        .repartition(key)
+        .sortWithinPartitions(key, start, end)
+        .mapInPandas(run, schema=schema)
+    )

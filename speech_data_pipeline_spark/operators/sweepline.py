@@ -16,8 +16,10 @@ Two implementations with identical semantics:
 - ``flatten_active_sets`` — the full active-*set* semantics. A running
   set (add on start event, remove on end event) is not expressible as a
   built-in window aggregate, so it runs as an O(n log n) per-key kernel
-  in ``applyInPandas`` — same algorithm as the reference, but per
-  partition-key group on executors instead of per file on one machine.
+  inside ``mapInPandas`` over hash-partitioned, partition-sorted rows
+  (one Python call per Arrow batch, the current key buffered across
+  batch boundaries) — same algorithm as the reference, but per
+  partition-key on executors instead of per file on one machine.
 
 Reference edge semantics preserved: at equal boundary time, end events
 are processed before start events (diarization.py:39 sorts by
@@ -94,17 +96,15 @@ def flatten_active_sets(
         f"{key} {key_type}, piece_start long, piece_end long, "
         "tags array<string>, n_active long"
     )
+    cols = [key, "piece_start", "piece_end", "tags", "n_active"]
 
-    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
-        events = []  # (time, is_start, tag); ends sort before starts at ties
-        for t in pdf.itertuples(index=False):
-            events.append((getattr(t, start), 1, str(getattr(t, tag))))
-            events.append((getattr(t, end), 0, str(getattr(t, tag))))
-        events.sort(key=lambda e: (e[0], e[1]))
+    def sweep_one(k, starts, ends, tags) -> list:
+        events = [(s, 1, t) for s, t in zip(starts, tags)]
+        events += [(e, 0, t) for e, t in zip(ends, tags)]
+        events.sort(key=lambda ev: (ev[0], ev[1]))  # ends before starts at ties
         active: dict[str, int] = {}
         rows = []
         prev_t = None
-        k = pdf[key].iloc[0]
         for t, is_start, tg in events:
             if prev_t is not None and t > prev_t and active:
                 rows.append((k, prev_t, t, sorted(active), len(active)))
@@ -115,11 +115,50 @@ def flatten_active_sets(
                 if active[tg] == 0:
                     del active[tg]
             prev_t = t
-        return pd.DataFrame(
-            rows, columns=[key, "piece_start", "piece_end", "tags", "n_active"]
-        )
+        return rows
 
-    return df.groupBy(key).applyInPandas(sweep, schema=schema)
+    def run(batches):
+        # One Python call per Arrow batch (not per key); a key's rows are
+        # contiguous after the partition-local sort, so buffer the current
+        # key across batch boundaries and sweep it when the key changes.
+        cur_key = None
+        b_start: list = []
+        b_end: list = []
+        b_tag: list = []
+        out: list = []
+        for pdf in batches:
+            keys = pdf[key].to_numpy()
+            starts = pdf[start].to_numpy()
+            ends = pdf[end].to_numpy()
+            tags = pdf[tag].astype(str).to_numpy()
+            i = 0
+            n = len(pdf)
+            while i < n:
+                j = i
+                while j < n and keys[j] == keys[i]:
+                    j += 1
+                if cur_key is not None and keys[i] != cur_key:
+                    out.extend(sweep_one(cur_key, b_start, b_end, b_tag))
+                    b_start, b_end, b_tag = [], [], []
+                cur_key = keys[i]
+                b_start.extend(starts[i:j])
+                b_end.extend(ends[i:j])
+                b_tag.extend(tags[i:j])
+                i = j
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+                out = []
+        if cur_key is not None and b_start:
+            rows = sweep_one(cur_key, b_start, b_end, b_tag)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        df.select(key, start, end, tag)
+        .repartition(key)
+        .sortWithinPartitions(key, start, end)
+        .mapInPandas(run, schema=schema)
+    )
 
 
 def split_single_overlap(flat: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -37,10 +37,16 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 #: Timezone-independent epoch-nanos from a TIMESTAMP_NTZ ``ts`` column.
 #: ``timestampdiff`` over two NTZ operands is local-datetime arithmetic —
 #: no session-timezone dependency — and matches DuckDB's ``epoch_us``
-#: (micros, truncated toward zero) exactly.
-EPOCH_NANOS_EXPR = F.expr(
+#: (micros, truncated toward zero) exactly. Kept as a SQL string (not a
+#: Column) so importing this module never requires a live SparkContext.
+EPOCH_NANOS_SQL = (
     "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
 )
+
+
+def epoch_nanos_expr() -> F.Column:
+    """Column form of :data:`EPOCH_NANOS_SQL` (lazy — needs a session)."""
+    return F.expr(EPOCH_NANOS_SQL)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -67,7 +73,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     ts_type = dict(df.dtypes).get("ts")
     if ts_type is not None and ts_type.startswith("timestamp"):
-        df = df.withColumn("ts", EPOCH_NANOS_EXPR.cast("long"))
+        df = df.withColumn("ts", epoch_nanos_expr().cast("long"))
     return df
 
 

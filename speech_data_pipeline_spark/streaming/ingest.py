@@ -45,18 +45,18 @@ def read_event_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     """File-source stream over a parquet landing directory.
 
     ``ts`` is normalized to epoch-nanos long (timezone-independent NTZ
-    arithmetic; see sources/catalog.py EPOCH_NANOS_EXPR), and an
+    arithmetic; see sources/catalog.py EPOCH_NANOS_SQL), and an
     event-time ``ts_ts`` timestamp column is added for
     watermarking/windowing.
     """
-    from speech_data_pipeline_spark.sources.catalog import EPOCH_NANOS_EXPR
+    from speech_data_pipeline_spark.sources.catalog import epoch_nanos_expr
 
     raw = (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("pathGlobFilter", "events*.parquet")
         .parquet(landing_dir)
     )
-    return raw.withColumn("ts", EPOCH_NANOS_EXPR.cast("long")).withColumn(
+    return raw.withColumn("ts", epoch_nanos_expr().cast("long")).withColumn(
         "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
