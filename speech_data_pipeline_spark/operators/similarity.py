@@ -173,6 +173,62 @@ def lsh_topk(
     )
 
 
+def ann_batch_topk(
+    df: DataFrame,
+    query_vecs: list[list[float]],
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+    n_probes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched ANN: top-k per query for a whole batch of query vectors.
+
+    The realistic search shape — per-query ``limit(k)`` loops don't
+    scale past a handful of queries. Each query's multi-probe bucket
+    set becomes rows of a tiny ``(query_id, bucket, qv)`` table that is
+    **broadcast-joined** against the bucketed corpus on the bucket key:
+    one join replaces Q scans, the corpus is read once, and each
+    partition only reranks rows whose bucket some query probes.
+    Per-query top-k is a ``row_number`` window over ``query_id`` — Q
+    bounded partitions, no global sort.
+
+    At 100 TB the bucketed corpus is the write-once index partitioned
+    by ``bucket``; this join prunes to the probed buckets via dynamic
+    partition pruning, and a query batch of millions would swap the
+    broadcast for a shuffled hash join on the same plan.
+    """
+    from pyspark.sql import Window
+
+    if not query_vecs:
+        raise ValueError("ann_batch_topk: empty query batch")
+    planes = hyperplanes(len(query_vecs[0]), n_planes, seed)
+    bucketed = rp_lsh_bucket(df, planes, vec_col)
+    spark = df.sparkSession
+    probe_rows = [
+        (qid, bucket, [float(x) for x in qv])
+        for qid, qv in enumerate(query_vecs)
+        for bucket in probe_buckets(qv, planes, n_probes)
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, bucket string, qv array<double>"
+    )
+    scored = bucketed.join(F.broadcast(probes), "bucket").select(
+        "query_id",
+        F.col(id_col),
+        trunc6(cosine(F.col(vec_col), F.col("qv"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", id_col, "cos_sim", "rnk")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     n_planes: int = 8,

@@ -493,6 +493,80 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _batch_query_vecs(n: int = 4, dim: int = 64) -> list[list[float]]:
+    """Seeded batch of query vectors (seeds 7..7+n-1, matching the
+    single-query convention) — identical literals on both engines."""
+    return [_mp_query_vec(dim, seed=7 + i) for i in range(n)]
+
+
+def _ann_batch_oracle(
+    n_planes: int = 6, dim: int = 64, n_probes: int = 3, k: int = 5
+) -> str:
+    from speech_data_pipeline_spark.operators.similarity import (
+        hyperplanes,
+        probe_buckets,
+    )
+
+    planes = hyperplanes(dim, n_planes, seed=42)
+    qvs = _batch_query_vecs(dim=dim)
+
+    def dot_sql(vec, e: str) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({e}[i] AS DOUBLE) * ({lit})[i]))"
+        )
+
+    bucket = " || ".join(
+        f"(CASE WHEN {dot_sql(p, 'embedding')} >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    probe_vals = ", ".join(
+        f"({qid}, '{b}')"
+        for qid, qv in enumerate(qvs)
+        for b in probe_buckets(qv, planes, n_probes)
+    )
+    qv_vals = ", ".join(
+        f"({qid}, [" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[])"
+        for qid, qv in enumerate(qvs)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ), probes(query_id, bucket) AS (VALUES {probe_vals}),
+    qv(query_id, v) AS (VALUES {qv_vals}),
+    scored AS (
+      SELECT p.query_id, b.vec_id,
+             floor((
+               list_sum(list_transform(range(1, {dim} + 1),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * q.v[i]))
+               / (sqrt(list_sum(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.v, x -> x * x))))
+             ) * 1000000.0) / 1000000.0 AS cos_sim
+      FROM b JOIN probes p USING (bucket) JOIN qv q ON q.query_id = p.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+@query("sim_ann_batch", oracle=_ann_batch_oracle())
+def sim_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-probe ANN: 4 query vectors' probe sets broadcast-
+    joined against the bucketed corpus in ONE join, per-query top-5 via
+    a bounded window — the scalable many-queries search shape (a
+    per-query loop of limit(k) scans is the anti-pattern)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_batch_topk(
+        e, _batch_query_vecs(), k=5, n_planes=6, seed=42, n_probes=3
+    )
+
+
 @query("sim_embedding_neardup", oracle=_neardup_oracle())
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH

@@ -196,3 +196,26 @@ def test_ivf_topk_structure_and_recall(spark):
     # deterministic across partitionings
     again = ivf_topk(df.repartition(7), qv, k=10, n_cells=4, nprobe=2).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in part]
+
+
+def test_ann_batch_topk_matches_per_query(spark):
+    """Batched ANN == the per-query multi-probe search, and each
+    query's ranked list is internally consistent."""
+    from speech_data_pipeline_spark.operators.similarity import ann_batch_topk
+
+    df, q0 = clustered_vecs(spark)
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    queries = [q0, list(rng.standard_normal(len(q0)))]
+    batch = ann_batch_topk(df, queries, k=5, n_planes=6, seed=42, n_probes=3)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.rnk, r.vec_id, r.cos_sim))
+    assert set(got) == {0, 1}
+    for qid, qv in enumerate(queries):
+        solo = lsh_topk(df, qv, k=5, n_planes=6, seed=42, n_probes=3).collect()
+        want = [(i + 1, r.vec_id, r.cos_sim) for i, r in enumerate(solo)]
+        assert sorted(got[qid]) == want
+        rnks = [t[0] for t in sorted(got[qid])]
+        assert rnks == list(range(1, len(rnks) + 1))
