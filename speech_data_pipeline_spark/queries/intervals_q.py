@@ -204,6 +204,73 @@ def w1_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w2_speaker_aware_merge",
+    oracle=f"""
+    WITH RECURSIVE iv AS ({DERIVED_INTERVALS_SQL}
+    ), numbered AS (
+      SELECT user_id, event_type, start_us, end_us,
+             row_number() OVER (PARTITION BY user_id ORDER BY start_us, end_us)
+               AS rn
+      FROM iv
+    ), walk AS (
+      SELECT user_id, rn, event_type, start_us, end_us,
+             start_us AS sess_start, end_us AS sess_end,
+             CAST(1 AS BIGINT) AS session_id
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.rn, n.event_type, n.start_us, n.end_us,
+             CASE WHEN (n.start_us - w.sess_end > {GAP_US})
+                    OR (n.end_us - w.sess_start > {CAP_US})
+                    OR (n.event_type <> w.event_type)
+                  THEN n.start_us ELSE w.sess_start END,
+             CASE WHEN (n.start_us - w.sess_end > {GAP_US})
+                    OR (n.end_us - w.sess_start > {CAP_US})
+                    OR (n.event_type <> w.event_type)
+                  THEN n.end_us ELSE greatest(w.sess_end, n.end_us) END,
+             w.session_id + CASE WHEN (n.start_us - w.sess_end > {GAP_US})
+                                   OR (n.end_us - w.sess_start > {CAP_US})
+                                   OR (n.event_type <> w.event_type)
+                                 THEN 1 ELSE 0 END
+      FROM walk w JOIN numbered n ON n.user_id = w.user_id AND n.rn = w.rn + 1
+    ), sessions AS (
+      SELECT user_id, session_id, event_type,
+             min(start_us) AS session_start, max(end_us) AS session_end,
+             count(*) AS n_segments
+      FROM walk GROUP BY user_id, session_id, event_type
+    )
+    SELECT user_id, session_id, session_start, session_end, n_segments,
+           event_type
+    FROM sessions
+    WHERE session_end - session_start > {GAP_US} / 100
+    """,
+)
+def w2_speaker_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speaker-aware session merge (W2): the W1 gap+cap kernel with a
+    break column (event_type standing in for the speaker label,
+    reference combine_same_speaker, modules/speaker_rematch.py:25-43),
+    then the reference's trailing min-duration filter
+    (speaker_rematch.py:43 drops merged segments <= min_duration).
+
+    One kernel serves W1 and W2 (``break_cols``); the oracle replays
+    the recurrence with the extra break condition. The walked
+    ``event_type`` is constant within a session by construction, so
+    grouping carries it through.
+    """
+    out = sess_ops.sessionize_capped(
+        derived_intervals(spark, sf_dir),
+        interval=GAP_US,
+        max_duration=CAP_US,
+        break_cols=("event_type",),
+    )
+    return out.where(
+        F.col("session_end") - F.col("session_start") > GAP_US / 100
+    ).select(
+        "user_id", "session_id", "session_start", "session_end",
+        "n_segments", "event_type",
+    )
+
+
+@query(
     "w3_sweepline_counts",
     oracle=f"""
     {_IV}, ev AS (
