@@ -85,7 +85,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _contract_partitions(
-    edges: DataFrame, target_edges_per_part: int = 5_000_000
+    edges: DataFrame,
+    target_edges_per_part: int = 5_000_000,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """One-pass per-partition union-find contraction.
 
@@ -104,7 +106,7 @@ def _contract_partitions(
     """
     import math
 
-    n = edges.count()
+    n = edges.count() if n_edges is None else n_edges
     parts = max(1, math.ceil(n / target_edges_per_part))
     if parts < edges.rdd.getNumPartitions():
         edges = edges.repartition(parts)
@@ -161,6 +163,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    target_edges_per_part: int = 5_000_000,
 ) -> DataFrame:
     """Resolve an undirected pair list into components.
 
@@ -170,15 +173,39 @@ def connected_components(
     don't appear; union the vertex table with ``coalesce`` downstream
     if singletons need rows.
     """
-    # eager=False: the fingerprint aggregation right below materializes
-    # the checkpoint, so each round costs ONE job instead of two
+    # eager=False: the count/fingerprint aggregation right below
+    # materializes the checkpoint, so each round costs ONE job
     raw = _canon(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint(eager=False)
+    n_edges = raw.count()
+    target = target_edges_per_part
+    if n_edges <= target:
+        # The whole edge set fits ONE contraction task: the local
+        # union-find IS the exact transitive closure (its output is
+        # already stars to the component-min root), so the alternating-
+        # star loop and its per-round fingerprint jobs are pure
+        # overhead — skip straight to the star->component projection.
+        # At cluster scale (n_edges > target) this branch never fires.
+        edges = _canon(
+            _contract_partitions(raw, target, n_edges=n_edges)
+        ).localCheckpoint(eager=False)
+        raw.unpersist()
+        return (
+            edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+            .unionByName(
+                edges.select(
+                    F.col("v").alias("id"), F.col("v").alias("component")
+                )
+            )
+            .distinct()
+        )
     # Local union-find contraction first: the star loop then only
-    # merges cross-partition structure (1 confirm round when the edge
-    # set fits one partition; a handful of rounds at cluster scale).
-    edges = _canon(_contract_partitions(raw)).localCheckpoint(eager=False)
+    # merges cross-partition structure (a handful of rounds at cluster
+    # scale, since all locally-visible structure is pre-collapsed).
+    edges = _canon(
+        _contract_partitions(raw, target, n_edges=n_edges)
+    ).localCheckpoint(eager=False)
     fp = _fingerprint(edges)
     raw.unpersist()
     for _ in range(max_iter):

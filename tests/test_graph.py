@@ -96,3 +96,27 @@ def test_resolve_duplicates_tags_and_singletons(spark):
     # exactly one canonical per component
     canon = [r for r in out.values() if r.is_canonical]
     assert len(canon) == len({r.component for r in out.values()})
+
+
+def test_cc_star_loop_path_matches_fast_path(spark):
+    """Force the multi-partition alternating-star loop (tiny
+    target_edges_per_part) and check it agrees with the single-task
+    union-find fast path on chains, cliques, and random graphs."""
+    import random
+
+    random.seed(5)
+    edges = [(i, i + 1) for i in range(0, 40)]  # chain (star-loop worst case)
+    edges += [(100 + a, 100 + b) for a in range(6) for b in range(a + 1, 6)]
+    edges += [
+        (random.randrange(200, 260), random.randrange(200, 260))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = sorted(map(tuple, connected_components(df).collect()))
+    loop = sorted(
+        map(
+            tuple,
+            connected_components(df, target_edges_per_part=8).collect(),
+        )
+    )
+    assert fast == loop
