@@ -35,16 +35,33 @@ from pyspark.sql import functions as F
 _MODEL_CACHE: dict[str, object] = {}
 
 
+def _load_dbscan_backend():
+    from speech_data_pipeline_spark.ml import clustering
+
+    return clustering
+
+
+#: Real backends that need nothing beyond NumPy — resolved like any
+#: model backend (cached per executor). Backends requiring absent
+#: model/codec libraries still raise at this same seam.
+_REAL_BACKEND_FACTORIES = {
+    "cluster:dbscan": _load_dbscan_backend,
+}
+
+
 def load_backend(name: str, backend: str = "stub"):
     """Resolve a model backend, caching per executor process."""
     key = f"{name}:{backend}"
     if key not in _MODEL_CACHE:
-        if backend != "stub":
+        if backend == "stub":
+            _MODEL_CACHE[key] = object()  # stubs are stateless; marker only
+        elif key in _REAL_BACKEND_FACTORIES:
+            _MODEL_CACHE[key] = _REAL_BACKEND_FACTORIES[key]()
+        else:
             raise NotImplementedError(
                 f"real backend '{backend}' for {name} requires model "
                 "libraries not present in this environment"
             )
-        _MODEL_CACHE[key] = object()  # stubs are stateless; cache the marker
     return _MODEL_CACHE[key]
 
 
@@ -199,12 +216,22 @@ def cluster_per_group(
     key: str = "audio_id",
     emb_col: str = "embedding",
     distance_threshold: float = 0.5,
+    backend: str = "stub",
 ) -> DataFrame:
-    """Clustering stub (M5 analog): greedy leader clustering on
-    Euclidean distance, fit per key inside applyInPandas — same
-    per-group-global-fit shape as UMAP+HDBSCAN in the reference
+    """Per-file clustering (M5): fit per key inside applyInPandas —
+    the per-group-global-fit shape of UMAP+HDBSCAN in the reference
     (modules/speaker_rematch.py:90-137), deterministic (input-order by
-    chunk index, fixed threshold)."""
+    chunk index, fixed threshold).
+
+    Backends:
+
+    - ``stub`` — greedy leader clustering (CI-cheap, order-stable);
+    - ``dbscan`` — REAL pure-NumPy density clustering
+      (ml/clustering.py): DBSCAN at ``eps=distance_threshold`` with the
+      reference's ``max(2, 4% n)`` cluster-size floor and its
+      noise-rescue pass; noise stays ``-1`` exactly as the reference's
+      unmatched label.
+    """
     other_cols = [c for c in df.columns if c not in (key, emb_col)]
     in_types = dict(df.dtypes)
     schema_parts = [f"{key} {in_types[key]}"]
@@ -213,23 +240,27 @@ def cluster_per_group(
     schema = ", ".join(schema_parts)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        load_backend("cluster")
+        be = load_backend("cluster", backend)
         sort_cols = [c for c in ("chunk_idx", "start") if c in pdf.columns]
         if sort_cols:
             pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        leaders: list[np.ndarray] = []
-        labels = []
-        for v in pdf[emb_col]:
-            x = np.asarray(v, dtype=np.float64)
-            for li, l in enumerate(leaders):
-                if np.linalg.norm(x - l) <= distance_threshold:
-                    labels.append(li)
-                    break
-            else:
-                leaders.append(x)
-                labels.append(len(leaders) - 1)
+        if backend == "dbscan":
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
+            labels = be.cluster_embeddings(X, eps=distance_threshold)
+        else:
+            leaders: list[np.ndarray] = []
+            labels = []
+            for v in pdf[emb_col]:
+                x = np.asarray(v, dtype=np.float64)
+                for li, l in enumerate(leaders):
+                    if np.linalg.norm(x - l) <= distance_threshold:
+                        labels.append(li)
+                        break
+                else:
+                    leaders.append(x)
+                    labels.append(len(leaders) - 1)
         out = pdf[[key, *other_cols]].copy()
-        out["label"] = labels
+        out["label"] = [int(x) for x in labels]
         return out
 
     return df.groupBy(key).applyInPandas(kernel, schema=schema)

@@ -172,6 +172,7 @@ def rematch_stage(
     min_duration: float = 0.5,
     min_chunks: int = 2,
     min_merged_duration: float = 3.0,
+    cluster_backend: str = "stub",
 ) -> tuple[DataFrame, DataFrame]:
     """Single-speaker segments → globally relabeled segments + mapping.
 
@@ -202,9 +203,14 @@ def rematch_stage(
         .select("audio_id")
     )
     emb = emb.join(F.broadcast(enough), "audio_id")
-    labeled = stubs.cluster_per_group(emb, key="audio_id")
+    labeled = stubs.cluster_per_group(emb, key="audio_id", backend=cluster_backend)
+    # noise chunks (-1, from the dbscan backend) map to the reference's
+    # "unknown" label (speaker_rematch.py:144), not a speaker id
     relabeled = labeled.withColumn(
-        "speaker", F.concat(F.lit("speaker_"), F.col("label").cast("string"))
+        "speaker",
+        F.when(F.col("label") < 0, F.lit("unknown")).otherwise(
+            F.concat(F.lit("speaker_"), F.col("label").cast("string"))
+        ),
     )
     mapping = (
         relabeled.groupBy("audio_id", "local_speaker")
