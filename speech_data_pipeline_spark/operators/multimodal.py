@@ -246,9 +246,15 @@ def attach_sliced_samples(
     return sliced.unionByName(unmatched).select(*seg_cols, "sr", "samples")
 
 
-def decode_wav_bytes(payload: bytes) -> tuple[list[float], int]:
+def decode_wav_bytes(
+    payload: bytes, mono: bool = True
+) -> tuple[list, int]:
     """Pure-NumPy RIFF/WAV decode: uncompressed PCM (8/16/24/32-bit) and
-    IEEE-float WAV, multi-channel mixed down to mono by mean.
+    IEEE-float WAV. ``mono=True`` mixes channels down by mean (the
+    reference's pydub ``set_channels(1)``, modules/host_rematch.py:98);
+    ``mono=False`` keeps channels separate as a list per channel (the
+    reference's ``librosa.load(mono=False)`` for 2×N separation input,
+    modules/separation_filter.py:47).
 
     This is the one *real* decoder behind the codec seam — no external
     library needed for uncompressed WAV (reference decode sites:
@@ -311,7 +317,12 @@ def decode_wav_bytes(payload: bytes) -> tuple[list[float], int]:
             f"WAV format tag {audio_format} is compressed; codec backend required"
         )
     if n_ch > 1:
-        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+        frames = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch)
+        if mono:
+            return frames.mean(axis=1).tolist(), int(sr)
+        return [frames[:, c].tolist() for c in range(n_ch)], int(sr)
+    if not mono:
+        return [x.tolist()], int(sr)
     return x.tolist(), int(sr)
 
 
@@ -349,3 +360,60 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, schema="media_id long, samples array<double>, sr int")
+
+
+def decode_media_at_sr(
+    df: DataFrame, target_sr: int, mono: bool = True
+) -> DataFrame:
+    """S3/S4 parity: decode WAV and resample to a fixed rate in one
+    Arrow-batched kernel (the reference's ``librosa.load(mono=False,
+    sr=44100)`` separation input, modules/separation_filter.py:47, and
+    the 16 kHz embedding input, modules/speaker_rematch.py:17-23).
+
+    ``mono=True`` → ``(media_id, samples array<double>, sr)``;
+    ``mono=False`` → ``(media_id, channels array<array<double>>, sr)``
+    with every channel resampled independently. Resampling is the real
+    pure-NumPy Fourier method (ml/dsp.py), not a stub.
+    """
+    from speech_data_pipeline_spark.ml.dsp import resample
+
+    out_schema = (
+        "media_id long, samples array<double>, sr int"
+        if mono
+        else "media_id long, channels array<array<double>>, sr int"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            decoded = pdf["payload"].map(
+                lambda b: decode_wav_bytes(b, mono=mono)
+            )
+            if mono:
+                samples = decoded.map(
+                    lambda t: resample(np.asarray(t[0]), t[1], target_sr).tolist()
+                )
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "samples": samples,
+                        "sr": target_sr,
+                    }
+                )
+            else:
+                chans = decoded.map(
+                    lambda t: [
+                        resample(np.asarray(c), t[1], target_sr).tolist()
+                        for c in t[0]
+                    ]
+                )
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "channels": chans,
+                        "sr": target_sr,
+                    }
+                )
+
+    return df.mapInPandas(kernel, schema=out_schema)

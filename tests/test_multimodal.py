@@ -151,3 +151,40 @@ def test_chunked_waveform_slice_edges(spark):
     f = {key(r): list(r.samples) for r in full.collect()}
     c = {key(r): list(r.samples) for r in chk.collect()}
     assert f == c and len(f) == 4
+
+
+def test_decode_wav_stereo_channels_preserved():
+    """mono=False keeps channels separate (S3 librosa.load(mono=False)
+    parity); mono=True equals their mean."""
+    left = tone(400, freq=300.0)
+    right = tone(400, freq=700.0)
+    interleaved = [v for pair in zip(left, right) for v in pair]
+    payload = make_wav(interleaved, n_ch=2)
+    chans, sr = decode_wav_bytes(payload, mono=False)
+    assert sr == 16000 and len(chans) == 2
+    assert max(abs(a - b) for a, b in zip(chans[0], left)) < 1e-3
+    assert max(abs(a - b) for a, b in zip(chans[1], right)) < 1e-3
+    mixed, _ = decode_wav_bytes(payload)
+    want = [(a + b) / 2 for a, b in zip(left, right)]
+    assert max(abs(a - b) for a, b in zip(mixed, want)) < 1e-3
+
+
+def test_decode_media_at_sr_resamples(spark):
+    """S3 composition: decode + Fourier resample to a fixed rate in one
+    kernel, mono and stereo forms."""
+    from speech_data_pipeline_spark.operators.multimodal import decode_media_at_sr
+
+    x = tone(1600, freq=100.0, sr=16000)
+    interleaved = [v for pair in zip(x, x) for v in pair]
+    df = spark.createDataFrame(
+        [(1, bytearray(make_wav(x))), (2, bytearray(make_wav(interleaved, n_ch=2)))],
+        "media_id long, payload binary",
+    )
+    mono = {r.media_id: r for r in decode_media_at_sr(df, 8000).collect()}
+    assert mono[1].sr == 8000
+    assert len(mono[1].samples) == 800  # 1600 * 8000/16000
+    stereo = {r.media_id: r for r in decode_media_at_sr(df, 8000, mono=False).collect()}
+    assert len(stereo[2].channels) == 2
+    assert len(stereo[2].channels[0]) == 800
+    # both channels identical input -> identical resampled output
+    assert stereo[2].channels[0] == stereo[2].channels[1]
