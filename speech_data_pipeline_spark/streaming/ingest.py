@@ -103,6 +103,26 @@ def streaming_type_counts(
     )
 
 
+def streaming_exact_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Exact dedup on ingest — the streaming form of the batch
+    ``dedup_exact`` operator, for at-least-once upstream feeds.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes it, so state is bounded by (event rate ×
+    watermark), not by stream lifetime — the only dedup form that
+    survives an unbounded 100 TB/day feed. Duplicates arriving later
+    than the watermark are the documented tradeoff (batch dedup of the
+    landed table catches them).
+    """
+    return events.withWatermark("ts_ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def stream_capped_sessions(
     events: DataFrame,
     out_path: str,

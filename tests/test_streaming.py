@@ -196,3 +196,22 @@ def test_streaming_stateful_sessions_cross_batch(spark):
     assert len(got_keys) == len(got)  # no dupes
     # the stream saw everything except sessions still open at shutdown
     assert len(want) - len(got_keys) <= ev["user_id"].nunique()
+
+
+def test_streaming_exact_dedup_matches_batch_distinct(spark, landing):
+    """Duplicate rows in the landing feed collapse to the batch
+    distinct-by-key result."""
+    import os
+    import shutil
+
+    from speech_data_pipeline_spark.streaming.ingest import streaming_exact_dedup
+
+    dup_dir = tempfile.mkdtemp()
+    shutil.copy(f"{landing}/events.parquet", f"{dup_dir}/events_a.parquet")
+    shutil.copy(f"{landing}/events.parquet", f"{dup_dir}/events_b.parquet")
+    stream = streaming_exact_dedup(read_event_stream(spark, dup_dir))
+    got = run_stream(spark, stream.select("event_id"), "raw")
+    n_unique = load_table(spark, landing, "events").select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.distinct().count() == n_unique
+    shutil.rmtree(dup_dir, ignore_errors=True)
