@@ -60,6 +60,12 @@ _SQL_FUNCTIONS = [
     RETURNS STRING
     RETURN lpad(cast(k AS STRING), 5, '0')
     """,
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION split_bucket(k BIGINT)
+    RETURNS BIGINT
+    RETURN pmod(cast(conv(substring(md5(cast(k AS STRING)), 1, 7), 16, 10)
+                     AS BIGINT), 100)
+    """,
 ]
 
 
@@ -114,6 +120,41 @@ class SessionizeCappedUDTF:
         yield from self._out
 
 
+@udtf(
+    returnType=(
+        "source string, doc_id bigint, n_tokens bigint, seq_id bigint"
+    )
+)
+class PackSequencesUDTF:
+    """Greedy next-fit sequence packing as a SQL TVF
+    (operators/packing.py semantics)::
+
+        SELECT * FROM pack_sequences(
+            TABLE(docs) PARTITION BY source ORDER BY (doc_id), 2048)
+
+    One instance per partition, rows in ORDER BY order; a row that
+    would push the running token total past the budget closes the
+    sequence (oversized rows get their own).
+    """
+
+    def __init__(self) -> None:
+        self._seq = 1
+        self._total = 0
+        self._out: list[tuple] = []
+
+    def eval(self, row, budget: int):
+        w = int(row["n_tokens"])
+        if self._total > 0 and self._total + w > budget:
+            self._seq += 1
+            self._total = 0
+        self._total += w
+        self._out.append((row["source"], row["doc_id"], w, self._seq))
+        return iter(())
+
+    def terminate(self):
+        yield from self._out
+
+
 def register_sql_surface(spark: SparkSession, sf_dir: str) -> None:
     """Register views, SQL scalar functions, and TVFs on the session."""
     register_views(spark, sf_dir)
@@ -124,3 +165,4 @@ def register_sql_surface(spark: SparkSession, sf_dir: str) -> None:
     for ddl in _SQL_FUNCTIONS:
         spark.sql(ddl)
     spark.udtf.register("sessionize_capped", SessionizeCappedUDTF)
+    spark.udtf.register("pack_sequences", PackSequencesUDTF)

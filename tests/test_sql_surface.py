@@ -71,3 +71,42 @@ def test_sql_query_composes_functions_over_views(sql_session):
     )
     rows = out.collect()
     assert rows and all(r.mean_dur_sec > 0 for r in rows)
+
+
+def test_pack_sequences_tvf_matches_kernel(sql_session):
+    from pyspark.sql import functions as F
+
+    from speech_data_pipeline_spark.operators.packing import pack_sequences
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    sql_session.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW doc_tokens AS
+        SELECT source, doc_id,
+               CAST(floor(n_chars / 4.0) AS BIGINT) + 1 AS n_tokens
+        FROM documents
+        """
+    )
+    got = sql_session.sql(
+        """
+        SELECT * FROM pack_sequences(
+            TABLE(doc_tokens) PARTITION BY source ORDER BY (doc_id), 2048)
+        """
+    )
+    d = load_table(sql_session, SF, "documents").select(
+        "source",
+        "doc_id",
+        (F.floor(F.col("n_chars") / F.lit(4.0)).cast("long") + 1).alias("n_tokens"),
+    )
+    want = pack_sequences(d, budget=2048, key="source")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_split_bucket_function_matches_query(sql_session):
+    got = sql_session.sql(
+        "SELECT doc_id, split_bucket(doc_id) AS bucket FROM documents"
+    )
+    from speech_data_pipeline_spark.queries.curation_q import split_hash_buckets
+
+    want = split_hash_buckets(sql_session, SF).select("doc_id", "bucket")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
