@@ -89,3 +89,36 @@ def test_sweepline_matches_bruteforce_and_partitions(spark, segs):
     # pieces are disjoint and ordered
     for (s1, e1, _), (s2, e2, _) in zip(got, got[1:]):
         assert e1 <= s2
+
+
+weights = st.lists(st.integers(1, 500), min_size=1, max_size=15)
+
+
+@given(ws=weights)
+@settings(max_examples=12, deadline=None)
+def test_pack_sequences_properties(spark, ws):
+    """Next-fit packing invariants on arbitrary weight lists: output is
+    a permutation of the input, seq ids are contiguous from 1, every
+    multi-item bin respects the budget, and the packing is greedy
+    (the first item of bin i+1 would have overflowed bin i)."""
+    from speech_data_pipeline_spark.operators.packing import pack_sequences
+
+    budget = 600
+    df = spark.createDataFrame(
+        [("k", i, w) for i, w in enumerate(ws)],
+        "source string, doc_id long, n_tokens long",
+    )
+    out = sorted(
+        (r.doc_id, r.n_tokens, r.seq_id)
+        for r in pack_sequences(df, budget=budget, key="source").collect()
+    )
+    assert [(d, w) for d, w, _ in out] == list(enumerate(ws))  # permutation
+    bins: dict[int, list[int]] = {}
+    for _, w, sid in out:
+        bins.setdefault(sid, []).append(w)
+    assert sorted(bins) == list(range(1, len(bins) + 1))  # contiguous ids
+    for sid, items in bins.items():
+        if len(items) > 1:
+            assert sum(items) <= budget
+        if sid + 1 in bins:  # greedy: next bin's head overflowed this bin
+            assert sum(items) + bins[sid + 1][0] > budget
