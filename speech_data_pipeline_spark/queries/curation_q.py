@@ -168,6 +168,80 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_training_mix",
+    oracle=f"""
+    WITH canon AS (
+      SELECT doc_id, source, n_chars,
+             md5(text) AS digest,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 t -> t <> '')) AS n_tokens
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, source, n_chars, n_tokens,
+             {_hex7_to_int_sql("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+      FROM canon
+      WHERE doc_id = canonical_id AND n_tokens >= 20
+    )
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(CAST(floor(n_chars / 4.0) AS BIGINT) + 1) AS BIGINT)
+             AS total_tokens,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM kept GROUP BY source, split
+    """,
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone curation composite: exact-dedup canonical filter →
+    minimum-length quality gate → deterministic hash split → per
+    (source, split) training-mix report (docs + token budget). ONE
+    declarative plan: the dedup canonical is a window over the content
+    digest, the split is a map-only projection, and the report is a
+    single grouped aggregate — three shuffles end to end at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    canon = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.col("text"))))
+        .alias("canonical_id"),
+        F.size(tx.tokens(F.col("text"))).alias("n_tokens"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % 100
+    )
+    kept = canon.where(
+        (F.col("doc_id") == F.col("canonical_id")) & (F.col("n_tokens") >= 20)
+    ).withColumn("bucket", bucket)
+    return (
+        kept.withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "validation")
+            .otherwise("test"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.floor(F.col("n_chars") / F.lit(4.0)).cast("long") + 1).alias(
+                "total_tokens"
+            ),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@query(
     "text_tfidf_topk",
     oracle="""
     WITH tf AS (
