@@ -1,0 +1,71 @@
+"""Approximate-aggregate surface (sketches): the reference computes
+nothing approximate (SURVEY §2.5 note), but at 100 TB exact
+distinct-counts and percentiles over high-cardinality columns are
+shuffle-heavy; Spark's HLL++ and t-digest-style sketches are the
+standard substitutes. These tests pin their error bounds against exact
+answers on the test corpus, so the engine can advertise them with a
+measured contract (sketches are engine-dependent, so no DuckDB
+value-hash oracle — bounded-error assertions are the right check).
+"""
+
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_error_bound(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    exact = ev.select(F.countDistinct("event_id")).first()[0]
+    approx = ev.select(F.approx_count_distinct("event_id", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.05  # 2% rsd, generous bound
+
+
+def test_approx_count_distinct_grouped(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / max(exact[k], 1) < 0.05
+
+
+def test_percentile_approx_vs_exact(spark):
+    cust = load_table(spark, SF_DIR, "customer")
+    got = cust.select(
+        F.percentile_approx("c_acctbal", [0.25, 0.5, 0.75], 10_000).alias("q")
+    ).first()[0]
+    exact = cust.select(
+        F.expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))").alias("q")
+    ).first()[0]
+    span = (
+        cust.agg(F.max("c_acctbal") - F.min("c_acctbal")).first()[0]
+    )
+    for a, e in zip(got, exact):
+        assert abs(a - e) / span < 0.01  # within 1% of the value range
+
+
+def test_hll_sketch_merge_across_partitions(spark):
+    """hll_sketch_agg / hll_union_agg: sketches built per source merge
+    to the corpus-level distinct estimate — the two-level rollup shape
+    that avoids re-scanning raw data at 100 TB."""
+    docs = load_table(spark, SF_DIR, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.expr("hll_sketch_agg(doc_id)").alias("sk")
+    )
+    merged = per_source.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n")
+    ).first()[0]
+    exact = docs.select(F.countDistinct("doc_id")).first()[0]
+    assert abs(merged - exact) / exact < 0.05
