@@ -167,6 +167,117 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Content-defined chunking constants: window, base powers, anchor mod.
+_CDC_W = 8
+_CDC_B = 31
+_CDC_M = 64
+_CDC_POWS = [_CDC_B ** (_CDC_W - 1 - j) for j in range(_CDC_W)]
+
+
+def _cdc_pred(dialect: str) -> str:
+    """Anchor predicate: polynomial hash of the trailing 8-char window
+    ≡ 0 (mod 64). Same integer arithmetic in both dialects (exact in
+    64-bit: 255·31^7·8 < 2^63)."""
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, i - {_CDC_W - 1 - j}, 1)) AS BIGINT) * "
+        f"CAST({p} AS BIGINT)"
+        for j, p in enumerate(reversed(_CDC_POWS))
+    )
+    return f"(({terms}) % {_CDC_M}) = 0"
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT doc_id, length(text) AS n, text,
+             list_sort(list_distinct(
+               [0] || list_filter(range({_CDC_W}, length(text) + 1),
+                                  i -> {_cdc_pred("duck")})
+                   || [length(text)]
+             )) AS bs
+      FROM documents WHERE length(text) >= {_CDC_W}
+    ), chunks AS (
+      SELECT doc_id,
+             md5(substr(text, CAST(prev AS INTEGER) + 1,
+                        CAST(b - prev AS INTEGER))) AS chunk_hash
+      FROM (
+        SELECT doc_id, text, b,
+               lag(b) OVER (PARTITION BY doc_id ORDER BY b) AS prev
+        FROM (SELECT doc_id, text, unnest(bs) AS b FROM bounds)
+      ) WHERE prev IS NOT NULL AND b > prev
+    ), shared AS (
+      SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chunk_hash
+    )
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           floor(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 1000000.0) / 1000000.0 AS shared_frac
+    FROM chunks c JOIN shared s USING (chunk_hash)
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: rolling-hash anchor boundaries
+    split each document into content-aligned chunks; chunks hashing
+    equal ACROSS documents expose shared passages (sub-document
+    duplication that whole-doc digests miss, robust to insertions
+    because boundaries realign after an edit — the CDC property).
+
+    Stateless anchor form (boundary wherever the trailing-window
+    polynomial hash ≡ 0 mod {_CDC_M}; expected chunk ≈ {_CDC_M} chars):
+    every position is decided independently, so the whole operator is
+    column algebra + one explode + two grouped aggregates — no kernel,
+    no Python. Production CDC adds min/max chunk bounds (a sequential
+    pass — would use the mapInPandas kernel shape); the anchor variant
+    keeps the oracle exact.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    bounds = d.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"""array_sort(array_distinct(concat(
+                 array(0),
+                 filter(sequence({_CDC_W}, length(text)),
+                        i -> {_cdc_pred("spark")}),
+                 array(length(text)))))"""
+        ).alias("bs"),
+    ).where(F.length("text") >= _CDC_W)
+    w = Window.partitionBy("doc_id").orderBy("b")
+    chunks = (
+        bounds.select("doc_id", "text", F.explode("bs").alias("b"))
+        .withColumn("prev", F.lag("b").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("b") > F.col("prev")))
+        .select(
+            "doc_id",
+            F.md5(
+                F.expr("substr(text, cast(prev as int) + 1, cast(b - prev as int))")
+            ).alias("chunk_hash"),
+        )
+    )
+    shared = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(shared, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_shared"),
+            trunc6(
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("shared_frac"),
+        )
+    )
+
+
 @query(
     "pipeline_training_mix",
     oracle=f"""

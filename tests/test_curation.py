@@ -112,3 +112,38 @@ def test_split_hash_buckets_deterministic_and_balanced(spark):
     }
     n = sum(frac.values())
     assert frac["train"] / n == pytest.approx(0.8, abs=0.1)
+
+
+def test_cdc_chunks_detect_shared_passage_after_insertion(spark):
+    """The CDC property: an insertion near the head shifts every byte
+    offset, yet anchor boundaries realign afterwards, so the shared
+    tail still hashes to common chunks (fixed-offset chunking would
+    lose all of them)."""
+    import random
+
+    random.seed(42)
+    passage = " ".join(
+        "".join(random.choice("abcdefghij") for _ in range(6)) for _ in range(120)
+    )
+    rows = [
+        (1, "PREFIX ONE " + passage),
+        (2, "A COMPLETELY DIFFERENT AND LONGER PREFIX " + passage),
+        (3, "unrelated " + " ".join(
+            "".join(random.choice("qrstuvwxyz") for _ in range(6))
+            for _ in range(120)
+        )),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("cdc_docs")
+
+    from speech_data_pipeline_spark.queries.curation_q import dedup_cdc_chunks
+    from unittest import mock
+
+    with mock.patch(
+        "speech_data_pipeline_spark.queries.curation_q.load_table",
+        lambda spark_, sf, name: df,
+    ):
+        out = {r.doc_id: r for r in dedup_cdc_chunks(spark, "unused").collect()}
+    assert out[1].n_shared > 0 and out[2].n_shared > 0  # realigned tail found
+    assert out[3].n_shared == 0  # unrelated doc shares nothing
+    assert out[1].n_chunks > 2  # anchors actually split the passage
