@@ -176,11 +176,18 @@ _CDC_POWS = [_CDC_B ** (_CDC_W - 1 - j) for j in range(_CDC_W)]
 
 def _cdc_pred(dialect: str) -> str:
     """Anchor predicate: polynomial hash of the trailing 8-char window
-    ≡ 0 (mod 64). Same integer arithmetic in both dialects (exact in
-    64-bit: 255·31^7·8 < 2^63)."""
+    ≡ 0 (mod 64), over a precomputed per-row codepoint array ``codes``
+    (O(1) element lookups — ``substr(text, i, 1)`` inside the position
+    lambda would be an O(i) UTF-8 scan, turning the whole predicate
+    O(n²·w) per document). Same integer arithmetic in both dialects
+    (exact in 64-bit: 255·31^7·8 < 2^63)."""
+    idx = (
+        (lambda off: f"element_at(codes, i - {off})")
+        if dialect == "spark"
+        else (lambda off: f"codes[i - {off}]")
+    )
     terms = " + ".join(
-        f"CAST(ascii(substr(text, i - {_CDC_W - 1 - j}, 1)) AS BIGINT) * "
-        f"CAST({p} AS BIGINT)"
+        f"CAST({idx(_CDC_W - 1 - j)} AS BIGINT) * CAST({p} AS BIGINT)"
         for j, p in enumerate(reversed(_CDC_POWS))
     )
     return f"(({terms}) % {_CDC_M}) = 0"
@@ -189,14 +196,18 @@ def _cdc_pred(dialect: str) -> str:
 @query(
     "dedup_cdc_chunks",
     oracle=f"""
-    WITH bounds AS (
-      SELECT doc_id, length(text) AS n, text,
-             list_sort(list_distinct(
-               [0] || list_filter(range({_CDC_W}, length(text) + 1),
-                                  i -> {_cdc_pred("duck")})
-                   || [length(text)]
-             )) AS bs
+    WITH coded AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_transform(string_split(text, ''), c -> ascii(c)) AS codes
       FROM documents WHERE length(text) >= {_CDC_W}
+    ), bounds AS (
+      SELECT doc_id, n, text,
+             list_sort(list_distinct(
+               [0] || list_filter(range({_CDC_W}, n + 1),
+                                  i -> {_cdc_pred("duck")})
+                   || [n]
+             )) AS bs
+      FROM coded
     ), chunks AS (
       SELECT doc_id,
              md5(substr(text, CAST(prev AS INTEGER) + 1,
@@ -238,17 +249,24 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    bounds = d.select(
+    # `codes` is bound as a LAMBDA VARIABLE (transform over a 1-element
+    # array), not a projected column: Catalyst's CollapseProject would
+    # inline a column reference into every one of the predicate's 8
+    # element_at calls, re-running the O(n) split+ascii transform per
+    # lookup; a lambda variable is evaluated once per row by contract.
+    bounds = d.where(F.length("text") >= _CDC_W).select(
         "doc_id",
         "text",
         F.expr(
-            f"""array_sort(array_distinct(concat(
-                 array(0),
-                 filter(sequence({_CDC_W}, length(text)),
-                        i -> {_cdc_pred("spark")}),
-                 array(length(text)))))"""
+            f"""transform(
+                 array(transform(split(text, ''), c -> ascii(c))),
+                 codes -> array_sort(array_distinct(concat(
+                   array(0),
+                   filter(sequence({_CDC_W}, length(text)),
+                          i -> {_cdc_pred("spark")}),
+                   array(length(text))))))[0]"""
         ).alias("bs"),
-    ).where(F.length("text") >= _CDC_W)
+    )
     w = Window.partitionBy("doc_id").orderBy("b")
     chunks = (
         bounds.select("doc_id", "text", F.explode("bs").alias("b"))
