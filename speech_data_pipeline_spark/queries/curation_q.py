@@ -371,6 +371,39 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: the first 5 documents per
+    source in content-hash order — a reproducible, engine-independent
+    'random' sample per stratum (the eval-set construction primitive;
+    Bernoulli sampling is partitioning-dependent and unreproducible
+    across engines). One window over the stratum key, no shuffle
+    beyond it; at 100 TB the hash order is computed scan-side and the
+    per-stratum top-k never materializes a stratum."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+@query(
     "text_tfidf_topk",
     oracle="""
     WITH tf AS (
