@@ -237,7 +237,7 @@ def pivot_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a10_windowed_means",
     oracle="""
     SELECT user_id,
-           date_trunc('day', ts) AS day,
+           epoch_us(date_trunc('day', ts)) AS day_us,
            floor((CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
                   / (100.0 * count(*))) * 1000000.0) / 1000000.0 AS mean_value,
            count(*) AS n
@@ -254,16 +254,19 @@ def a10_windowed_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules differ between engines, so the division must happen in
     doubles). Day bucketing truncates the nanos-long ts to
     86400-second boundaries — identical to the oracle's date_trunc
-    because the data's epoch values are all positive.
+    because the data's epoch values are all positive — and the bucket
+    is EMITTED as epoch micros (``day_us``), not a timestamp: an LTZ
+    timestamp output renders in the collecting session's timezone,
+    which the driver does not pin (tests/test_driver_compat.py runs
+    this query under America/New_York to hold the line).
     """
     ev = load_table(spark, sf_dir, "events")
-    day = F.timestamp_micros(
-        (F.expr("ts div 1000") / F.lit(86_400_000_000)).cast("long")
-        * F.lit(86_400_000_000)
+    day_us = (F.expr("ts div 1000") / F.lit(86_400_000_000)).cast("long") * F.lit(
+        86_400_000_000
     )
     cents = (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("long")
     return (
-        ev.groupBy("user_id", day.alias("day"))
+        ev.groupBy("user_id", day_us.alias("day_us"))
         .agg(
             (
                 F.floor(cents / (F.lit(100.0) * F.count(F.lit(1))) * F.lit(1e6)) / 1e6
