@@ -362,6 +362,100 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(kernel, schema="media_id long, samples array<double>, sr int")
 
 
+def sample_frames(
+    df: DataFrame,
+    target_fps: float = 1.0,
+    fps_col: str = "fps",
+    duration_col: str = "duration",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame sampling: emit one row per sampled frame with its
+    source frame index and timestamp — pure column arithmetic
+    (sequence + explode, JVM-side), no decode required to *plan* the
+    sample. The frame-pixel decode itself is the codec seam
+    (``decode_media``): at 100 TB the sampled (media_id, frame_idx)
+    table is what a GPU decode stage consumes, so planning frames
+    relationally and decoding only the sampled ones is the point.
+
+    Samples frame ``floor(k * src_fps / target_fps)`` for
+    ``k = 0 .. floor(duration * target_fps)`` — the deterministic
+    nearest-earlier-frame policy.
+    """
+    n_samples = F.floor(F.col(duration_col) * F.lit(target_fps)).cast("long")
+    return (
+        df.select(
+            id_col,
+            fps_col,
+            F.explode(F.sequence(F.lit(0), n_samples)).alias("sample_idx"),
+        )
+        .select(
+            id_col,
+            "sample_idx",
+            F.floor(
+                F.col("sample_idx") * F.col(fps_col) / F.lit(target_fps)
+            )
+            .cast("long")
+            .alias("frame_idx"),
+            (F.col("sample_idx") / F.lit(target_fps)).alias("frame_ts"),
+        )
+    )
+
+
+def resize_frames(
+    df: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Image/frame resize: REAL nearest-neighbor resampling (vectorized
+    NumPy index math) over a stubbed image decode (the container ships
+    no image codecs — with ``fake_decode`` the payload bytes tile into
+    a deterministic 16×16 grayscale image; a real decoder plugs in at
+    the same seam as ``decode_media``). Arrow-batched ``mapInPandas``,
+    one Python call per batch; schema and batch shape are the real
+    contract a PIL/turbojpeg backend would drop into.
+
+    Emits ``(id, height, width, pixels array<double>)`` row-major.
+    """
+    import numpy as np
+
+    src_h = src_w = 16
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows_i = (np.arange(out_h) * src_h // out_h).astype(np.int64)
+        cols_i = (np.arange(out_w) * src_w // out_w).astype(np.int64)
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "real image decode requires codec libraries not in "
+                    "this environment (PIL/libjpeg); fake_decode=True "
+                    "exercises the identical resize path"
+                )
+            pixels = []
+            for b in pdf[payload_col]:
+                raw = np.frombuffer(bytes(b), dtype=np.uint8)
+                need = src_h * src_w
+                tiled = np.resize(raw if len(raw) else np.zeros(1, np.uint8), need)
+                img = tiled.reshape(src_h, src_w).astype(np.float64) / 255.0
+                small = img[np.ix_(rows_i, cols_i)]
+                pixels.append(small.ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "height": out_h,
+                    "width": out_w,
+                    "pixels": pixels,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel,
+        schema=f"{id_col} long, height int, width int, pixels array<double>",
+    )
+
+
 def decode_media_at_sr(
     df: DataFrame, target_sr: int, mono: bool = True
 ) -> DataFrame:

@@ -188,3 +188,34 @@ def test_decode_media_at_sr_resamples(spark):
     assert len(stereo[2].channels[0]) == 800
     # both channels identical input -> identical resampled output
     assert stereo[2].channels[0] == stereo[2].channels[1]
+
+
+def test_sample_frames_arithmetic(spark):
+    """1 fps sampling of a 30 fps, 2.5 s clip: frames 0, 30, 60."""
+    from speech_data_pipeline_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, 30.0, 2.5), (2, 24.0, 0.4)], "media_id long, fps double, duration double"
+    )
+    out = {}
+    for r in sample_frames(df, target_fps=1.0).collect():
+        out.setdefault(r.media_id, []).append((r.sample_idx, r.frame_idx, r.frame_ts))
+    assert sorted(out[1]) == [(0, 0, 0.0), (1, 30, 1.0), (2, 60, 2.0)]
+    assert sorted(out[2]) == [(0, 0, 0.0)]  # clip shorter than one hop
+
+
+def test_resize_frames_shape_and_determinism(spark):
+    from speech_data_pipeline_spark.operators.multimodal import resize_frames
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(256))), (2, b"\x00")], "media_id long, payload binary"
+    )
+    out = {r.media_id: r for r in resize_frames(df, out_h=4, out_w=4).collect()}
+    assert out[1].height == 4 and out[1].width == 4
+    assert len(out[1].pixels) == 16
+    # nearest-neighbor of the 16x16 ramp: pixel (r,c) = (4r*16 + 4c)/255
+    assert out[1].pixels[0] == 0.0
+    assert out[1].pixels[5] == (4 * 16 + 4) / 255.0
+    assert all(p == 0.0 for p in out[2].pixels)  # zero payload -> zeros
+    again = {r.media_id: r for r in resize_frames(df, out_h=4, out_w=4).collect()}
+    assert again[1].pixels == out[1].pixels
