@@ -308,6 +308,78 @@ def embedding_neardup_pairs(
     return b.groupBy("bucket").applyInPandas(kernel, schema=out_schema)
 
 
+def kmeans_assign(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    iters: int = 2,
+    quant_bits: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Iterative Lloyd k-means over embeddings, fully deterministic.
+
+    The iterative-algorithm pattern (like connected components in
+    operators/graph.py) in its centroid form: each iteration is one
+    grouped aggregate (centroid means) + one broadcast argmin
+    assignment — two shuffles of the corpus per iteration, centroids
+    always broadcast-sized. Determinism on any engine/shuffle order:
+    centroid means sum the ORIGINAL vectors quantized to an exact
+    ``2^-quant_bits`` integer grid (BIGINT partial sums are
+    order-proof; a raw float mean drifts), assignments break distance
+    ties by cell id, and the init is ``id mod n_cells`` — so the whole
+    trajectory replays exactly as chained SQL (the DuckDB oracle of
+    ``ml_kmeans_assign``).
+
+    Returns ``(id, cell)`` after ``iters`` update+assign rounds.
+    """
+    from pyspark.sql import Window
+
+    scale = float(1 << quant_bits)
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+        ).alias("gq"),
+        F.pmod(F.col(id_col), F.lit(n_cells)).alias("cell"),
+    )
+
+    def sqd(vec: Column, cvec: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec, cvec, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(iters):
+        sums = g.groupBy("cell").agg(
+            *[F.sum(F.col("gq")[i]).alias(f"s{i}") for i in range(dim)],
+            F.count(F.lit(1)).alias("n"),
+        )
+        cent = sums.select(
+            "cell",
+            F.array(
+                *[F.col(f"s{i}") / (F.col("n") * F.lit(scale)) for i in range(dim)]
+            ).alias("c"),
+        )
+        g = (
+            g.drop("cell")
+            .crossJoin(F.broadcast(cent))
+            .withColumn("d", sqd(F.col("v"), F.col("c")))
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("id").orderBy("d", "cell")),
+            )
+            .where(F.col("rn") == 1)
+            .select("id", "v", "gq", "cell")
+        )
+    return g.select("id", "cell")
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -635,6 +635,52 @@ def _ivf_oracle(
     """
 
 
+def _kmeans_oracle(dim: int = 64, n_cells: int = 8, iters: int = 2,
+                   quant: int = 1 << 20) -> str:
+    """Chained-CTE replay of the deterministic Lloyd trajectory: each
+    iteration is a quantized-mean centroid CTE + an argmin assignment
+    CTE over the previous assignment."""
+    parts = [f"a0 AS (SELECT vec_id, embedding, vec_id % {n_cells} AS cell "
+             f"FROM embeddings)"]
+    for t in range(iters):
+        parts.append(f"""
+    c{t + 1} AS (
+      SELECT cell, i,
+             CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * {quant}.0)
+                           AS BIGINT)) AS DOUBLE)
+               / (count(*) * {quant}.0) AS v
+      FROM a{t}, range(1, {dim} + 1) t(i)
+      GROUP BY cell, i
+    ),
+    cv{t + 1} AS (SELECT cell, list(v ORDER BY i) AS c FROM c{t + 1}
+                  GROUP BY cell),
+    a{t + 1} AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, cv.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, {dim} + 1),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - cv.c[i])
+                        * (CAST(e.embedding[i] AS DOUBLE) - cv.c[i]))),
+                 cv.cell) AS rn
+        FROM a{t} e CROSS JOIN cv{t + 1} cv
+      ) WHERE rn = 1
+    )""")
+    return (
+        "WITH " + ",".join(parts)
+        + f" SELECT vec_id AS id, cell FROM a{iters}"
+    )
+
+
+@query("ml_kmeans_assign", oracle=_kmeans_oracle())
+def ml_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of deterministic k-means (quantized-grid
+    centroid means, tie-broken argmin): the iterative-refinement
+    pattern as two grouped aggregates + two broadcast argmin joins,
+    value-replayed by a chained-CTE oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.kmeans_assign(e, dim=64, n_cells=8, iters=2)
+
+
 @query("sim_ivf_topk", oracle=_ivf_oracle())
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via an IVF coarse quantizer (the second scale path

@@ -219,3 +219,21 @@ def test_ann_batch_topk_matches_per_query(spark):
         assert sorted(got[qid]) == want
         rnks = [t[0] for t in sorted(got[qid])]
         assert rnks == list(range(1, len(rnks) + 1))
+
+
+def test_kmeans_assign_recovers_blobs_deterministically(spark):
+    """Two Lloyd iterations separate well-spaced blobs regardless of the
+    id-based init, and the trajectory is partitioning-invariant."""
+    from speech_data_pipeline_spark.operators.similarity import kmeans_assign
+
+    df, _ = clustered_vecs(spark)  # 5 blobs of 60, ids blob-contiguous
+    a = kmeans_assign(df, dim=16, n_cells=5, iters=4)
+    got = {r.id: r.cell for r in a.collect()}
+    blobs = [set(range(b * 60, (b + 1) * 60)) for b in range(5)]
+    pure = sum(1 for blob in blobs if len({got[i] for i in blob}) == 1)
+    assert pure >= 4  # k-means from a blind init: most blobs resolve clean
+    again = {
+        r.id: r.cell
+        for r in kmeans_assign(df.repartition(7), dim=16, n_cells=5, iters=4).collect()
+    }
+    assert again == got  # trajectory is partitioning-invariant
