@@ -195,3 +195,65 @@ def max_overlap_join(
             F.max("_ov").alias("best_overlap"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts_us",
+    right_ts: str = "ts_us",
+    payload_cols: tuple = ("value",),
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: each left row gets the LATEST right row at-or-before
+    its timestamp (``strict=True``: strictly before) — the time-series
+    point-in-time lookup Spark has no primitive for.
+
+    NOT a range join: both streams are unioned, tagged, and scanned
+    with one ``last_value(..., ignoreNulls)`` window over
+    ``(key, ts, side)`` — the carry-forward trick. ONE shuffle on the
+    key, O(n log n) for the partition sort, versus the unbounded-
+    preceding range join (quadratic per key) a naive encoding produces.
+    Left rows with no prior right row keep NULL payloads (left-outer
+    as-of semantics).
+    """
+    from pyspark.sql import Window
+
+    lp = [F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_p_{c}")
+          for c in payload_cols]
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_row"),
+        *lp,
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l.schema["_row"].dataType).alias("_row"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    # at equal timestamps: strict=False orders the right row first so the
+    # left row sees it; strict=True orders it after so it doesn't
+    side_order = F.col("_is_left").asc() if not strict else F.col("_is_left").desc()
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l.unionByName(r).select(
+        "_k",
+        "_is_left",
+        "_row",
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    out_cols = [F.col(f"_row.{c}").alias(c) for c in left.columns]
+    return carried.where(F.col("_is_left") == 1).select(
+        *out_cols, *[f"asof_{c}" for c in payload_cols]
+    )

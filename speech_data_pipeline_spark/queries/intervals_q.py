@@ -271,6 +271,52 @@ def w2_speaker_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j_asof_last_view",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'click'
+    ), views AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS view_value
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, epoch_us(ts)
+    )
+    SELECT c.event_id, c.user_id, c.ts_us,
+           v.view_value AS asof_view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
+    """,
+)
+def j_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click gets the value of the user's most recent
+    view at-or-before it (point-in-time lookup).
+
+    Engine side is the union + carry-forward window
+    (operators/intervals.asof_join) — ONE shuffle on the key, no range
+    join; the oracle is DuckDB's native ASOF JOIN. The right stream is
+    pre-aggregated per (user, ts) so equal-timestamp ties cannot make
+    either engine's pick ambiguous.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.expr("ts div 1000").alias("ts_us"))
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = iv_ops.asof_join(
+        clicks, views, key="user_id", left_ts="ts_us", right_ts="ts_us",
+        payload_cols=("view_value",),
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("asof_view_value").alias("asof_view_value"),
+    )
+
+
+@query(
     "w3_sweepline_counts",
     oracle=f"""
     {_IV}, ev AS (

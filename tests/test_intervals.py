@@ -63,3 +63,29 @@ def test_clamp(spark):
     )
     out = rows(clamp(df, pad=3.0), "start", "end")
     assert out == [(0.0, 10.0)]
+
+
+def test_asof_join_golden_and_strict(spark):
+    """Carry-forward as-of join: latest right row at-or-before each left
+    ts; equal timestamps visible unless strict; no prior row -> NULL."""
+    from speech_data_pipeline_spark.operators.intervals import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, 100), (1, 10, 101), (1, 20, 102), (2, 7, 200)],
+        "user_id long, ts_us long, event_id long",
+    ).select("event_id", "user_id", "ts_us")
+    right = spark.createDataFrame(
+        [(1, 4, 1.0), (1, 10, 2.0), (1, 15, 3.0), (2, 9, 9.0)],
+        "user_id long, ts_us long, value double",
+    )
+    got = {
+        r.event_id: r.asof_value
+        for r in asof_join(left, right, payload_cols=("value",)).collect()
+    }
+    assert got == {100: 1.0, 101: 2.0, 102: 3.0, 200: None}
+    strict = {
+        r.event_id: r.asof_value
+        for r in asof_join(left, right, payload_cols=("value",), strict=True).collect()
+    }
+    assert strict[101] == 1.0  # equal-ts right row excluded under strict
+    assert strict[100] == 1.0 and strict[200] is None
