@@ -271,6 +271,73 @@ def w2_speaker_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_time_hypertable",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 * 3600000000 AS hour_us,
+             epoch_us(ts) // 86400000000 * 86400000000 AS day_us,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    )
+    SELECT 'hour' AS grain, hour_us AS bucket_us, event_type,
+           count(*) AS n,
+           CAST(round(sum(v), 2) AS DOUBLE) AS total_value
+    FROM b GROUP BY hour_us, event_type
+    UNION ALL
+    SELECT 'day' AS grain, day_us AS bucket_us, event_type,
+           count(*) AS n,
+           CAST(round(sum(v), 2) AS DOUBLE) AS total_value
+    FROM b GROUP BY day_us, event_type
+    """,
+)
+def rollup_time_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: hour and day
+    continuous aggregates of the event stream in one pass — the
+    materialized-rollup table a time-series store maintains per chunk.
+    Bucket arithmetic is integer epoch math (timezone-free); sums
+    accumulate as DECIMAL (shuffle-order-proof) and round while exact.
+    At scale the day grain aggregates the hour grain's output
+    (re-aggregation, not a second raw scan) — expressed here as one
+    plan so Catalyst reuses the scan via the shared bucket projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        (F.expr("ts div 1000") - F.expr("ts div 1000") % F.lit(3_600_000_000)).alias(
+            "hour_us"
+        ),
+        (
+            F.expr("ts div 1000") - F.expr("ts div 1000") % F.lit(86_400_000_000)
+        ).alias("day_us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    hourly = b.groupBy("hour_us", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 2).cast("double").alias("total_value"),
+    )
+    daily = b.groupBy("day_us", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 2).cast("double").alias("total_value"),
+    )
+    return hourly.select(
+        F.lit("hour").alias("grain"),
+        F.col("hour_us").alias("bucket_us"),
+        "event_type",
+        "n",
+        "total_value",
+    ).unionByName(
+        daily.select(
+            F.lit("day").alias("grain"),
+            F.col("day_us").alias("bucket_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
     "j_asof_last_view",
     oracle="""
     WITH clicks AS (
