@@ -50,6 +50,7 @@ def test_no_cartesian_products(plans):
 #: quadratic. Anything else showing up here is a regression.
 SCALAR_CROSS_WHITELIST = {
     "sim_ivf_topk",  # centroid table: n_cells=8 rows
+    "ml_kmeans_assign",  # centroid table per iteration: n_cells=8 rows
     "text_bigram_xent",  # vocabulary-size scalar: 1 row
     "text_tfidf_topk",  # corpus-count scalar: 1 row
 }
