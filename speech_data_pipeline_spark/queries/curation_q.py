@@ -167,6 +167,113 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count-Min Sketch shape: d hash rows × w counters.
+_CMS_D = 4
+_CMS_W = 256
+
+
+def _cms_bucket_spark(j: int) -> "F.Column":
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(str(j) + ":"), F.col("tok"))), 1, 7),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+def _cms_bucket_sql(j: int) -> str:
+    return (
+        _hex7_to_int_sql(f"md5('{j}:' || tok)") + f" % {_CMS_W}"
+    )
+
+
+@query(
+    "sketch_count_min",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS tok
+      FROM documents
+    ), cms AS (
+      {" UNION ALL ".join(
+          f'''SELECT {j} AS j, {_cms_bucket_sql(j)} AS bucket,
+                     count(*) AS c FROM toks GROUP BY bucket'''
+          for j in range(_CMS_D)
+      )}
+    ), exact AS (
+      SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok
+    ), probes AS (
+      SELECT tok, exact_n FROM (
+        SELECT tok, exact_n,
+               row_number() OVER (ORDER BY exact_n DESC, tok) AS rn
+        FROM exact
+      ) WHERE rn <= 20
+    ), lookups AS (
+      {" UNION ALL ".join(
+          f'''SELECT tok, exact_n, {j} AS j, {_cms_bucket_sql(j)} AS bucket
+              FROM probes'''
+          for j in range(_CMS_D)
+      )}
+    )
+    SELECT l.tok, CAST(max(l.exact_n) AS BIGINT) AS exact_n,
+           CAST(min(coalesce(c.c, 0)) AS BIGINT) AS cms_est
+    FROM lookups l LEFT JOIN cms c ON c.j = l.j AND c.bucket = l.bucket
+    GROUP BY l.tok
+    """,
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch over the corpus token stream — a *deterministic*
+    sketch (seeded md5 row hashes, integer counters), so unlike HLL it
+    is exactly replayable cross-engine and value-hash checkable.
+
+    Construction: one explode + {_CMS_D} grouped counts into a
+    {_CMS_D}×{_CMS_W} counter table — sketch size is O(d·w) regardless
+    of corpus size, the entire point at 100 TB (the sketch is
+    broadcastable state; merging shards is counter addition). Query:
+    the top-20 exact-frequency tokens estimated from the sketch
+    (min over rows); CMS guarantees est >= exact, tested in
+    tests/test_curation.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+        ).alias("tok")
+    )
+    cms = None
+    for j in range(_CMS_D):
+        rows_j = toks.select(
+            F.lit(j).alias("j"), _cms_bucket_spark(j).alias("bucket")
+        ).groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+        cms = rows_j if cms is None else cms.unionByName(rows_j)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("exact_n").desc(), "tok")),
+        )
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    lookups = None
+    for j in range(_CMS_D):
+        lk = probes.select(
+            "tok", "exact_n", F.lit(j).alias("j"), _cms_bucket_spark(j).alias("bucket")
+        )
+        lookups = lk if lookups is None else lookups.unionByName(lk)
+    return (
+        lookups.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy("tok")
+        .agg(
+            F.max("exact_n").alias("exact_n"),
+            F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"),
+        )
+    )
+
+
 #: Content-defined chunking constants: window, base powers, anchor mod.
 _CDC_W = 8
 _CDC_B = 31

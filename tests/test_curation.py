@@ -189,3 +189,14 @@ def test_cdc_bounded_empty_and_tiny(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_len == 4
     assert all(r.chunk_len <= 64 for r in by_doc[3])
     assert sum(r.chunk_len for r in by_doc[3]) == 200
+
+
+def test_count_min_never_underestimates(spark):
+    """CMS invariant: every estimate >= exact count, and heavy hitters
+    on this corpus estimate exactly (collisions only inflate)."""
+    from speech_data_pipeline_spark.queries.curation_q import sketch_count_min
+
+    rows = sketch_count_min(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    assert all(r.cms_est >= r.exact_n for r in rows)
+    assert max(r.exact_n for r in rows) > 1  # probes are real heavy hitters
