@@ -271,6 +271,69 @@ def w2_speaker_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_view_to_purchase",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'view'
+      GROUP BY user_id, epoch_us(ts)
+    ), attributed AS (
+      SELECT p.user_id, p.event_id,
+             CASE WHEN v.ts_us IS NOT NULL
+                       AND p.ts_us - v.ts_us <= 86400000000
+                  THEN 1 ELSE 0 END AS converted
+      FROM purchases p ASOF LEFT JOIN views v
+        ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           CAST(sum(converted) AS BIGINT) AS n_attributed,
+           floor(sum(converted) * 1.0 / count(*) * 1000000.0) / 1000000.0
+             AS attribution_rate
+    FROM attributed GROUP BY user_id
+    """,
+)
+def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conversion funnel: each purchase attributed to the most
+    recent prior view within 24 h (last-touch attribution), rolled up
+    to per-user attribution rates — the canonical event-analytics
+    composite, built on the one-shuffle as-of join rather than a range
+    join (the attribution window is a FILTER on the as-of result, not a
+    join predicate, so the plan stays linear in events)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.expr("ts div 1000").alias("ts_us"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("user_id", "ts_us", F.col("ts_us").alias("view_ts"))
+    )
+    att = iv_ops.asof_join(
+        purchases, views, key="user_id", left_ts="ts_us", right_ts="ts_us",
+        payload_cols=("view_ts",),
+    ).withColumn(
+        "converted",
+        F.when(
+            F.col("asof_view_ts").isNotNull()
+            & (F.col("ts_us") - F.col("asof_view_ts") <= 86_400_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return att.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("converted").alias("n_attributed"),
+        (
+            F.floor(F.sum("converted") / F.count(F.lit(1)) * F.lit(1e6)) / F.lit(1e6)
+        ).alias("attribution_rate"),
+    )
+
+
+@query(
     "rollup_time_hypertable",
     oracle="""
     WITH b AS (
