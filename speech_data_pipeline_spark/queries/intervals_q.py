@@ -204,6 +204,76 @@ def w1_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w1_sessionize_types",
+    oracle=f"""
+    WITH RECURSIVE iv AS ({DERIVED_INTERVALS_SQL}
+    ), numbered AS (
+      SELECT user_id, event_type, start_us, end_us,
+             row_number() OVER (PARTITION BY user_id ORDER BY start_us, end_us)
+               AS rn
+      FROM iv
+    ), walk AS (
+      SELECT user_id, rn, event_type, start_us, end_us,
+             start_us AS sess_start, end_us AS sess_end,
+             CAST(1 AS BIGINT) AS session_id
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.rn, n.event_type, n.start_us, n.end_us,
+             CASE WHEN (n.start_us - w.sess_end > {GAP_US})
+                    OR (n.end_us - w.sess_start > {CAP_US})
+                  THEN n.start_us ELSE w.sess_start END,
+             CASE WHEN (n.start_us - w.sess_end > {GAP_US})
+                    OR (n.end_us - w.sess_start > {CAP_US})
+                  THEN n.end_us ELSE greatest(w.sess_end, n.end_us) END,
+             w.session_id + CASE WHEN (n.start_us - w.sess_end > {GAP_US})
+                                   OR (n.end_us - w.sess_start > {CAP_US})
+                                 THEN 1 ELSE 0 END
+      FROM walk w JOIN numbered n ON n.user_id = w.user_id AND n.rn = w.rn + 1
+    ), sessions AS (
+      SELECT user_id, session_id,
+             min(start_us) AS session_start, max(end_us) AS session_end,
+             count(*) AS n_segments,
+             array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types
+      FROM walk GROUP BY user_id, session_id
+      HAVING bool_or(event_type = 'purchase')
+    ), renum AS (
+      SELECT user_id, session_start, session_end, n_segments, types,
+             row_number() OVER (PARTITION BY user_id ORDER BY session_id)
+               AS session_id
+      FROM sessions
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           session_start, session_end, n_segments, types
+    FROM renum
+    """,
+)
+def w1_sessionize_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 with type accumulation + ``must_include`` (U3 /
+    must_include_voice, reference modules/models/utils.py:85-94):
+    sessions accumulate their members' type set and sessions lacking a
+    'purchase'-typed member are dropped, with surviving sessions
+    renumbered — the kernel increments its session counter only for
+    kept sessions, which the oracle mirrors by renumbering after the
+    HAVING filter. ``types`` is emitted as a sorted pipe-joined string
+    (driver canonicalizer needs scalars)."""
+    out = sess_ops.sessionize_capped(
+        derived_intervals(spark, sf_dir),
+        interval=GAP_US,
+        max_duration=CAP_US,
+        type_col="event_type",
+        must_include="purchase",
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "n_segments",
+        F.concat_ws("|", F.col("types")).alias("types"),
+    )
+
+
+@query(
     "w2_speaker_aware_merge",
     oracle=f"""
     WITH RECURSIVE iv AS ({DERIVED_INTERVALS_SQL}
