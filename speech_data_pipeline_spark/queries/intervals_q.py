@@ -817,6 +817,71 @@ def f2_gap_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f2_compat_double_append",
+    oracle=f"""
+    {_IV}, g AS (
+      SELECT user_id,
+             end_us AS gap_start,
+             lead(start_us) OVER w AS gap_end,
+             value / 200.0 AS r_prev,
+             lead(value) OVER w / 200.0 AS r_next
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_us, end_us)
+    ), rows_ AS (
+      SELECT user_id, gap_start, gap_end,
+             (gap_end - gap_start < 30000000) AS is_short,
+             (r_prev < 0.1 AND r_next < 0.1) AS is_quiet
+      FROM g WHERE gap_end IS NOT NULL AND gap_end >= gap_start
+    )
+    SELECT user_id, gap_start, gap_end, is_short, is_quiet,
+           (is_short OR is_quiet) AS silence
+    FROM rows_
+    UNION ALL
+    SELECT user_id, gap_start, gap_end, is_short, is_quiet, TRUE AS silence
+    FROM rows_ WHERE is_short AND is_quiet
+    """,
+)
+def f2_compat_double_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 with the reference's double-append quirk ON (SURVEY §7
+    known-hard #2; modules/models/utils.py:127-143 appends a gap to the
+    silence list twice when it is both short AND quiet — two
+    independent ``if``s, not ``elif``). The engine reproduces the
+    duplicate rows exactly behind ``compat_double_append=True``; the
+    oracle is the fixed classifier UNION ALL the double-append rows.
+    Row count — not just values — is the check here."""
+    from pyspark.sql import Window
+
+    from speech_data_pipeline_spark.operators.classify import classify_silence
+
+    ivd = derived_intervals(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("start_us", "end_us")
+    gaps = (
+        ivd.withColumn("gap_end", F.lead("start_us").over(w))
+        .withColumn("r_next", F.lead("value").over(w) / 200.0)
+        .where(F.col("gap_end").isNotNull() & (F.col("gap_end") >= F.col("end_us")))
+        .select(
+            "user_id",
+            F.col("end_us").alias("gap_start"),
+            "gap_end",
+            (F.col("value") / 200.0).alias("energy_ratio_prev"),
+            F.col("r_next").alias("energy_ratio_next"),
+            (F.col("value") / 200.0).alias("peak_ratio_prev"),
+            F.col("r_next").alias("peak_ratio_next"),
+        )
+    )
+    out = classify_silence(
+        gaps,
+        default_silence_duration=30_000_000,
+        start="gap_start",
+        end="gap_end",
+        compat_double_append=True,
+    )
+    return out.select(
+        "user_id", "gap_start", "gap_end", "is_short", "is_quiet", "silence"
+    )
+
+
+@query(
     "pipeline_composite_user_report",
     oracle=f"""
     {_IV}, kept AS (
