@@ -308,6 +308,27 @@ def embedding_neardup_pairs(
     return b.groupBy("bucket").applyInPandas(kernel, schema=out_schema)
 
 
+def argmin_cell(vec: Column, cents: Column, sqdist_fn) -> Column:
+    """In-row nearest-centroid argmin over a broadcast centroid array.
+
+    ``cents`` is an ``array<struct<cell, c array<double>>>`` column (one
+    row, broadcast); the winner is
+    ``array_min(transform(cents, s -> struct(d, cell)))`` — Spark's
+    struct ordering is lexicographic by field, so this is exactly the
+    (distance asc, cell-id asc) tie-break the old
+    ``row_number().over(partitionBy(id).orderBy(d, cell))`` plan
+    computed, minus its corpus-wide shuffle and ×n_cells row blowup.
+    """
+    return F.array_min(
+        F.transform(
+            cents,
+            lambda s: F.struct(
+                sqdist_fn(vec, s["c"]).alias("d"), s["cell"].alias("cell")
+            ),
+        )
+    )["cell"]
+
+
 def kmeans_assign(
     df: DataFrame,
     dim: int,
@@ -321,9 +342,15 @@ def kmeans_assign(
 
     The iterative-algorithm pattern (like connected components in
     operators/graph.py) in its centroid form: each iteration is one
-    grouped aggregate (centroid means) + one broadcast argmin
-    assignment — two shuffles of the corpus per iteration, centroids
-    always broadcast-sized. Determinism on any engine/shuffle order:
+    grouped aggregate (centroid means) — the ONLY corpus shuffle — plus
+    an **in-row** argmin assignment: the n_cells centroids are collapsed
+    to a single-row array (`array_sort(collect_list(struct(cell, c)))`),
+    broadcast, and each corpus row picks its cell with
+    ``array_min(transform(cents, s -> struct(dist, cell)))`` — struct
+    ordering gives the (distance, cell-id) tie-break with zero shuffle
+    and zero row blowup. (The previous crossJoin×n_cells +
+    ``row_number over partitionBy(id)`` shape re-shuffled an 8×-inflated
+    corpus every iteration.) Determinism on any engine/shuffle order:
     centroid means sum the ORIGINAL vectors quantized to an exact
     ``2^-quant_bits`` integer grid (BIGINT partial sums are
     order-proof; a raw float mean drifts), assignments break distance
@@ -333,8 +360,6 @@ def kmeans_assign(
 
     Returns ``(id, cell)`` after ``iters`` update+assign rounds.
     """
-    from pyspark.sql import Window
-
     scale = float(1 << quant_bits)
     g = df.select(
         F.col(id_col).alias("id"),
@@ -366,15 +391,15 @@ def kmeans_assign(
                 *[F.col(f"s{i}") / (F.col("n") * F.lit(scale)) for i in range(dim)]
             ).alias("c"),
         )
+        cents1 = cent.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cell"), F.col("c")))
+            ).alias("cents")
+        )
         g = (
             g.drop("cell")
-            .crossJoin(F.broadcast(cent))
-            .withColumn("d", sqd(F.col("v"), F.col("c")))
-            .withColumn(
-                "rn",
-                F.row_number().over(Window.partitionBy("id").orderBy("d", "cell")),
-            )
-            .where(F.col("rn") == 1)
+            .crossJoin(F.broadcast(cents1))
+            .withColumn("cell", argmin_cell(F.col("v"), F.col("cents"), sqd))
             .select("id", "v", "gq", "cell")
         )
     return g.select("id", "cell")
@@ -406,17 +431,18 @@ def ivf_topk(
       exact BIGINTs and the centroid doubles are bit-identical on any
       engine and any shuffle order (a raw float mean would drift by
       summation order).
-    - **assignment**: argmin of the full-precision squared distance
-      over all centroids (broadcast join — n_cells rows), ties broken
-      by cell id.
-    - **probe**: centroid distance to the baked-in query literal ranks
-      the cells in-plan; no driver round-trip holds the quantizer.
+    - **assignment**: **in-row** argmin of the full-precision squared
+      distance over the broadcast single-row centroid array
+      (:func:`argmin_cell`) — no corpus shuffle, no row blowup, ties
+      broken by cell id.
+    - **probe**: the ``nprobe`` cells nearest the baked-in query
+      literal, ranked in-row on the same centroid array
+      (``slice(array_sort(transform(...)), 1, nprobe)``) — no window,
+      no driver round-trip holds the quantizer.
 
     Returns ``(id, cell, cos_sim)`` for the exact cosine top-k of the
     probed cells.
     """
-    from pyspark.sql import Window
-
     dim = len(query_vec)
     scale = float(1 << quant_bits)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -450,23 +476,32 @@ def ivf_topk(
             lambda acc, x: acc + x,
         )
 
-    probed = (
-        cent.select("cell", sqdist(qlit, F.col("c")).alias("qd"))
-        .withColumn("rn", F.row_number().over(Window.orderBy("qd", "cell")))
-        .where(F.col("rn") <= nprobe)
-        .select("cell")
-    )
-    assign = (
-        g.crossJoin(F.broadcast(cent))
-        .select("id", "v", "cell", sqdist(F.col("v"), F.col("c")).alias("d"))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("id").orderBy("d", "cell")),
+    cents1 = cent.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cell"), F.col("c")))).alias(
+            "cents"
         )
-        .where(F.col("rn") == 1)
+    )
+    # nprobe nearest cells to the query, as an in-row array literal-alike
+    # (evaluated per row over the 1-row broadcast — n_cells elements).
+    probeset = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("cents"),
+                    lambda s: F.struct(
+                        sqdist(qlit, s["c"]).alias("qd"), s["cell"].alias("cell")
+                    ),
+                )
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: s["cell"],
     )
     return (
-        assign.join(F.broadcast(probed), "cell")
+        g.crossJoin(F.broadcast(cents1))
+        .withColumn("cell", argmin_cell(F.col("v"), F.col("cents"), sqdist))
+        .where(F.array_contains(probeset, F.col("cell")))
         .select(
             F.col("id"),
             F.col("cell"),

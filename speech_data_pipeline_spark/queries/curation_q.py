@@ -172,17 +172,6 @@ _CMS_D = 4
 _CMS_W = 256
 
 
-def _cms_bucket_spark(j: int) -> "F.Column":
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(str(j) + ":"), F.col("tok"))), 1, 7),
-            16,
-            10,
-        ).cast("long")
-        % _CMS_W
-    )
-
-
 def _cms_bucket_sql(j: int) -> str:
     return (
         _hex7_to_int_sql(f"md5('{j}:' || tok)") + f" % {_CMS_W}"
@@ -227,43 +216,53 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch (seeded md5 row hashes, integer counters), so unlike HLL it
     is exactly replayable cross-engine and value-hash checkable.
 
-    Construction: one explode + {_CMS_D} grouped counts into a
-    {_CMS_D}×{_CMS_W} counter table — sketch size is O(d·w) regardless
-    of corpus size, the entire point at 100 TB (the sketch is
-    broadcastable state; merging shards is counter addition). Query:
-    the top-20 exact-frequency tokens estimated from the sketch
-    (min over rows); CMS guarantees est >= exact, tested in
-    tests/test_curation.py.
+    Construction: **one corpus scan total.** Tokens are counted once
+    (``groupBy(tok)`` with map-side partial aggregation), and every
+    downstream piece derives from that vocab-sized table: the
+    {_CMS_D}×{_CMS_W} counter table is ``sum(exact_n)`` grouped by
+    ``(j, bucket)`` after exploding ``sequence(0, d-1)`` against the
+    vocab (bit-identical counters to counting raw occurrences, at
+    vocab cost instead of corpus cost), and the top-20 probe set is
+    ``orderBy(...).limit(20)`` — TakeOrderedAndProject, a per-partition
+    heap, never a single-task global ``row_number`` over the vocabulary.
+    Sketch size stays O(d·w) regardless of corpus size, the entire
+    point at 100 TB (the sketch is broadcastable state; merging shards
+    is counter addition). Query: the top-20 exact-frequency tokens
+    estimated from the sketch (min over rows); CMS guarantees
+    est >= exact, tested in tests/test_curation.py.
     """
     d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
     toks = d.select(
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
         ).alias("tok")
     )
-    cms = None
-    for j in range(_CMS_D):
-        rows_j = toks.select(
-            F.lit(j).alias("j"), _cms_bucket_spark(j).alias("bucket")
-        ).groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
-        cms = rows_j if cms is None else cms.unionByName(rows_j)
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
-    probes = (
-        exact.withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy(F.col("exact_n").desc(), "tok")),
-        )
-        .where(F.col("rn") <= 20)
-        .drop("rn")
+    # (j, bucket) per vocab entry; bucket = first 7 hex of md5("j:tok").
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("tok"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
     )
-    lookups = None
-    for j in range(_CMS_D):
-        lk = probes.select(
-            "tok", "exact_n", F.lit(j).alias("j"), _cms_bucket_spark(j).alias("bucket")
-        )
-        lookups = lk if lookups is None else lookups.unionByName(lk)
+    hashed = exact.select(
+        "tok",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"),
+    ).withColumn("bucket", bucket)
+    cms = hashed.groupBy("j", "bucket").agg(F.sum("exact_n").alias("c"))
+    probes = exact.orderBy(F.col("exact_n").desc(), "tok").limit(20)
+    lookups = probes.select(
+        "tok",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"),
+    ).withColumn("bucket", bucket)
     return (
         lookups.join(F.broadcast(cms), ["j", "bucket"], "left")
         .groupBy("tok")

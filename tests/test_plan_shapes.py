@@ -77,6 +77,63 @@ def test_no_row_at_a_time_python_udfs(plans):
     assert bad == [], f"row-at-a-time Python UDFs in: {bad}"
 
 
+#: Queries allowed a partition-less Window because its input is BOUNDED
+#: (a driver-known constant number of rows reaches the window), so the
+#: single task the global sort implies is O(1), not O(corpus).
+GLOBAL_WINDOW_WHITELIST: set[str] = set()
+
+
+def _partitionless_windows(df) -> int:
+    """Count WindowExec / WindowGroupLimitExec nodes with an empty
+    partitionSpec in the (pre-execution) physical plan, via py4j tree
+    walk — string-parsing the plan for this is ambiguous."""
+    n = 0
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in ("Window", "WindowGroupLimit") and (
+            node.partitionSpec().isEmpty()
+        ):
+            n += 1
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+        if node.nodeName() == "AdaptiveSparkPlan":
+            stack.append(node.initialPlan())
+    return n
+
+
+def test_no_global_windows_over_unbounded_input(spark):
+    # A row_number() with no PARTITION BY sorts its entire input in ONE
+    # task — at 100 TB that task never finishes. Every registry query
+    # must either partition its windows or be whitelisted with a
+    # written boundedness argument.
+    bad = []
+    for name, fn in QUERIES.items():
+        if name in GLOBAL_WINDOW_WHITELIST:
+            continue
+        if _partitionless_windows(fn(spark, SF_DIR)) > 0:
+            bad.append(name)
+    assert bad == [], f"partition-less windows in: {bad}"
+
+
+def test_kmeans_ivf_assignment_is_shuffle_free(plans):
+    # The nearest-centroid argmin must be in-row (broadcast centroid
+    # array + array_min over struct(d, cell)) — no Window node, hence
+    # no per-id shuffle of an n_cells-inflated corpus (VERDICT r2 #1).
+    for name in ("ml_kmeans_assign", "sim_ivf_topk"):
+        assert "Window" not in plans[name], f"{name}: Window re-introduced"
+    assert "TakeOrderedAndProject" in plans["sim_ivf_topk"]
+
+
+def test_sketch_count_min_plan(plans):
+    # Top-20 probe set must be a per-partition heap, not a global
+    # row_number sort of the vocabulary (VERDICT r2 #2).
+    p = plans["sketch_count_min"]
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
 def test_parquet_filter_and_column_pushdown(spark):
     from speech_data_pipeline_spark.sources.catalog import load_table
     from pyspark.sql import functions as F
