@@ -217,24 +217,32 @@ def asof_join(
     preceding range join (quadratic per key) a naive encoding produces.
     Left rows with no prior right row keep NULL payloads (left-outer
     as-of semantics).
+
+    All payload columns ride in ONE struct whose presence marks "this
+    is a right row" — the struct is non-null even when every payload
+    field inside it is NULL, so ``last(ignorenulls)`` always carries
+    the single MATCHED right row: a NULL payload on the matched row
+    surfaces as NULL (true as-of / DuckDB ASOF semantics) instead of
+    falling through to an older row, and multiple payload columns can
+    never mix values from different right rows.
     """
     from pyspark.sql import Window
 
-    lp = [F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_p_{c}")
-          for c in payload_cols]
+    rdt = dict(right.dtypes)
+    struct_t = "struct<" + ",".join(f"{c}:{rdt[c]}" for c in payload_cols) + ">"
     l = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*left.columns).alias("_row"),
-        *lp,
+        F.lit(None).cast(struct_t).alias("_p"),
     )
     r = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(l.schema["_row"].dataType).alias("_row"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("_p"),
     )
     # at equal timestamps: strict=False orders the right row first so the
     # left row sees it; strict=True orders it after so it doesn't
@@ -248,12 +256,10 @@ def asof_join(
         "_k",
         "_is_left",
         "_row",
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in payload_cols
-        ],
+        F.last("_p", ignorenulls=True).over(w).alias("_asof"),
     )
     out_cols = [F.col(f"_row.{c}").alias(c) for c in left.columns]
     return carried.where(F.col("_is_left") == 1).select(
-        *out_cols, *[f"asof_{c}" for c in payload_cols]
+        *out_cols,
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payload_cols],
     )

@@ -179,6 +179,18 @@ def attach_sliced_samples(
     chunk, and reassembles ordered via ``array_sort(collect_list)``.
     A segment's in-flight data is bounded by its own length, not the
     file's.
+
+    The per-segment regroup key is CONTENT-derived, never
+    ``monotonically_increasing_id`` (whose values depend on partition
+    layout, so a task retry or AQE re-plan could renumber the
+    ``sliced``/``unmatched`` branches inconsistently): ``_h =
+    xxhash64(all segment columns)`` plus ``_rn = row_number`` within
+    the hash (ordered by the same columns). Duplicate segment rows get
+    distinct ``(_h, _rn)`` keys — multiplicity preserved — and the
+    duplicates are interchangeable by construction, so the output
+    multiset is deterministic under any physical layout; a hash
+    collision between *different* segments still yields distinct keys
+    because ``_rn`` is per-row.
     """
     seg_cols = segs.columns
     slice_expr = (
@@ -194,8 +206,17 @@ def attach_sliced_samples(
     sr_tbl = audio.groupBy("audio_id").agg(
         F.first("sr").alias("sr"), F.first("chunk_len").alias("_L")
     )
+    from pyspark.sql import Window
+
+    key = ["_h", "_rn"]
     s = (
-        segs.withColumn("_seg_id", F.monotonically_increasing_id())
+        segs.withColumn("_h", F.xxhash64(*[F.col(c) for c in seg_cols]))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_h").orderBy(*[F.col(c) for c in seg_cols])
+            ),
+        )
         .join(sr_tbl, "audio_id")
         .withColumn("_s0", F.expr(f"cast({start} * sr as int)").cast("long"))
         .withColumn(
@@ -222,7 +243,7 @@ def attach_sliced_samples(
             "     - greatest(_s0, chunk_idx * _L) as int))"
         ),
     )
-    sliced = parts.groupBy("_seg_id").agg(
+    sliced = parts.groupBy(*key).agg(
         *[F.first(c).alias(c) for c in seg_cols],
         F.first("sr").alias("sr"),
         F.flatten(
@@ -236,9 +257,9 @@ def attach_sliced_samples(
     # waveform still get a row (with an empty slice), matching the
     # full-array path's semantics.
     unmatched = s.join(
-        sliced.select("_seg_id"), "_seg_id", "left_anti"
+        sliced.select(*key), key, "left_anti"
     ).select(
-        "_seg_id",
+        *key,
         *seg_cols,
         "sr",
         F.expr(f"cast(array() as {elem})").alias("samples"),
@@ -378,12 +399,19 @@ def sample_frames(
     relationally and decoding only the sampled ones is the point.
 
     Samples frame ``floor(k * src_fps / target_fps)`` for
-    ``k = 0 .. floor(duration * target_fps)`` — the deterministic
-    nearest-earlier-frame policy.
+    ``k = 0 .. ceil(duration * target_fps) - 1`` — the deterministic
+    nearest-earlier-frame policy. Every sample time ``k / target_fps``
+    is STRICTLY before ``duration`` (a duration that is an exact
+    multiple of the sample period must not emit a sample at
+    ``t == duration``, which would index one past the last real
+    frame); non-positive durations emit no rows.
     """
-    n_samples = F.floor(F.col(duration_col) * F.lit(target_fps)).cast("long")
+    n_samples = (
+        F.ceil(F.col(duration_col) * F.lit(target_fps)).cast("long") - 1
+    )
     return (
-        df.select(
+        df.where(F.col(duration_col) > 0)
+        .select(
             id_col,
             fps_col,
             F.explode(F.sequence(F.lit(0), n_samples)).alias("sample_idx"),

@@ -138,10 +138,23 @@ def repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     line_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
     )
+    # Chars in lines occurring >1 times, via sorted-neighbor equality —
+    # O(L log L) per document (a nested filter-within-filter would scan
+    # all lines per line: O(L²), a single pathological document with
+    # 1e5+ lines stalls its task).
+    sl = F.array_sort(lines)
+    m = F.size(sl)
     dup_chars = F.aggregate(
-        F.filter(lines, lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1),
+        F.transform(
+            sl,
+            lambda l, i: F.when(
+                ((i > 0) & (F.element_at(sl, i) == l))
+                | ((i < m - 1) & (F.element_at(sl, i + 2) == l)),
+                F.length(l).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
         F.lit(0).cast("long"),
-        lambda acc, l: acc + F.length(l),
+        lambda acc, x: acc + x,
     )
     toks0 = tokens(t)
     n_toks = F.size(toks0)
@@ -208,6 +221,9 @@ def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     Plan: one explode → (doc, term) counts; document frequency derived
     from the counts (no second corpus pass); N is a broadcast scalar;
     top-k via row_number per doc. All shuffles key on term or doc_id.
+    The tf⋈dfreq join is deliberately NOT hinted: the distinct-term
+    vocabulary grows with the corpus and can exceed broadcast limits at
+    scale — AQE picks broadcast when the vocab is actually small.
     """
     terms = df.select(
         "doc_id",
@@ -225,7 +241,7 @@ def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)

@@ -549,3 +549,48 @@ def x_spectral_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fe.select(
         "vec_id", "frame_idx", trunc6(F.col("frame_energy")).alias("frame_energy")
     )
+
+
+@query(
+    "a_skew_salted_hotkey",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_skew_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the salted two-phase operator
+    (operators/skew.py:salted_aggregate), exercised in anger: the
+    grouping key is ``l_returnflag`` — THREE distinct values over the
+    whole lineitem table, the canonical hot-key shape where at 100 TB
+    each reducer would otherwise receive a third of the corpus'
+    per-key partials from a single shuffle key.
+
+    Phase 1 shuffles on ``(l_returnflag, _salt)`` (16 salts from a row
+    hash of the primary key — deterministic under retries), spreading
+    each hot key over 16 reducers; phase 2 merges the 16 tiny partials
+    per key. DECIMAL sums keep the two-phase result bit-identical to
+    the oracle's single GROUP BY regardless of merge order. The plan
+    must show BOTH HashAggregate rounds (asserted in
+    tests/test_plan_shapes.py).
+    """
+    from speech_data_pipeline_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    out = salted_aggregate(
+        li,
+        key="l_returnflag",
+        n_salts=16,
+        salt_source_cols=["l_orderkey", "l_linenumber"],
+        sums={"sum_qty": "_qty_dec"},
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("sum_qty", 2).cast("double").alias("sum_qty"),
+    )

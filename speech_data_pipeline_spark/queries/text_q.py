@@ -675,8 +675,9 @@ def _kmeans_oracle(dim: int = 64, n_cells: int = 8, iters: int = 2,
 def ml_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of deterministic k-means (quantized-grid
     centroid means, tie-broken argmin): the iterative-refinement
-    pattern as two grouped aggregates + two broadcast argmin joins,
-    value-replayed by a chained-CTE oracle."""
+    pattern as two grouped aggregates + two in-row argmins over the
+    broadcast centroid array (zero assignment shuffle), value-replayed
+    by a chained-CTE oracle."""
     e = load_table(spark, sf_dir, "embeddings")
     return sim.kmeans_assign(e, dim=64, n_cells=8, iters=2)
 

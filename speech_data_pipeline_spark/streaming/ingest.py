@@ -26,37 +26,62 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        # parquet TIMESTAMP(NANOS); Spark >= 4.1 reads it as TIMESTAMP_NTZ
-        # (micros precision). read_event_stream normalizes it back to the
-        # engine contract of epoch-nanos long (see sources/catalog.py).
-        T.StructField("ts", T.TimestampNTZType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def event_schema(ts_type: T.DataType | None = None) -> T.StructType:
+    """The landing-table schema, with ``ts`` typed per Spark build.
+
+    parquet TIMESTAMP(NANOS) surfaces as TIMESTAMP_NTZ on Spark >= 4.1
+    (the legacy ``nanosAsLong`` conf is ignored) but as a raw LONG on
+    builds that still honor it — mirror catalog.load_table's version
+    tolerance instead of pinning one.
+    """
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type or T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: Spark >= 4.1 shape, kept for callers that pin schemas statically.
+EVENT_SCHEMA = event_schema()
 
 
 def read_event_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     """File-source stream over a parquet landing directory.
 
-    ``ts`` is normalized to epoch-nanos long (timezone-independent NTZ
+    The ``ts`` physical type is probed with a one-off batch schema read
+    (driver-side footer only) so the declared stream schema matches
+    however THIS Spark build surfaces TIMESTAMP(NANOS) — NTZ timestamp
+    or raw long (see :func:`event_schema`). Either way ``ts`` is
+    normalized to epoch-nanos long (timezone-independent NTZ
     arithmetic; see sources/catalog.py EPOCH_NANOS_SQL), and an
     event-time ``ts_ts`` timestamp column is added for
     watermarking/windowing.
     """
     from speech_data_pipeline_spark.sources.catalog import epoch_nanos_expr
 
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed in some builds; the probe below covers it
+    probe = (
+        spark.read.option("pathGlobFilter", "events*.parquet")
+        .parquet(landing_dir)
+        .schema["ts"]
+        .dataType
+    )
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(event_schema(probe))
         .option("pathGlobFilter", "events*.parquet")
         .parquet(landing_dir)
     )
-    return raw.withColumn("ts", epoch_nanos_expr().cast("long")).withColumn(
+    if isinstance(probe, (T.TimestampNTZType, T.TimestampType)):
+        raw = raw.withColumn("ts", epoch_nanos_expr().cast("long"))
+    return raw.withColumn(
         "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 

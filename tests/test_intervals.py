@@ -89,3 +89,25 @@ def test_asof_join_golden_and_strict(spark):
     }
     assert strict[101] == 1.0  # equal-ts right row excluded under strict
     assert strict[100] == 1.0 and strict[200] is None
+
+
+def test_asof_join_null_payload_from_matched_row(spark):
+    """A matched right row whose payload is NULL must surface that NULL
+    — not fall through to an older non-null row — and multiple payload
+    columns must all come from the SAME matched right row."""
+    from speech_data_pipeline_spark.operators.intervals import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 30, 101)], "user_id long, ts_us long, event_id long"
+    ).select("event_id", "user_id", "ts_us")
+    right = spark.createDataFrame(
+        [(1, 5, 1.0, "a"), (1, 9, None, None), (1, 25, None, "c")],
+        "user_id long, ts_us long, value double, tag string",
+    )
+    got = {
+        r.event_id: (r.asof_value, r.asof_tag)
+        for r in asof_join(left, right, payload_cols=("value", "tag")).collect()
+    }
+    # event 100 matches ts=9 (value NULL, tag NULL): both NULL, no mixing
+    # with the ts=5 row's (1.0, 'a').
+    assert got == {100: (None, None), 101: (None, "c")}

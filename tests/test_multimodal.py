@@ -153,6 +153,41 @@ def test_chunked_waveform_slice_edges(spark):
     assert f == c and len(f) == 4
 
 
+def test_chunked_slice_deterministic_under_layout(spark):
+    """The chunked path's regroup key is content-derived, so the result
+    multiset must be identical under shuffle-partition perturbation and
+    input repartitioning (a task retry / AQE re-plan is exactly a
+    layout change) — including DUPLICATE segment rows, which must keep
+    their multiplicity, not collapse."""
+    samples = [float(i) for i in range(100)]
+    audio = spark.createDataFrame(
+        [("f", samples, 10)], "audio_id string, samples array<double>, sr int"
+    )
+    segs = spark.createDataFrame(
+        [("f", 0.0, 1.0), ("f", 0.0, 1.0), ("f", 2.5, 6.05), ("f", 20.0, 21.0)],
+        "audio_id string, start double, end double",
+    )
+    want = sorted(
+        (r.audio_id, r.start, r.end, tuple(r.samples))
+        for r in attach_sliced_samples(segs, audio).collect()
+    )
+    assert len(want) == 4 and want[0] == want[1]  # duplicate preserved
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n_shuffle, n_part in ((1, 1), (7, 5), (32, 3)):
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+            got = sorted(
+                (r.audio_id, r.start, r.end, tuple(r.samples))
+                for r in attach_sliced_samples(
+                    segs.repartition(n_part),
+                    chunk_waveforms(audio, chunk_samples=13),
+                ).collect()
+            )
+            assert got == want, (n_shuffle, n_part)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_decode_wav_stereo_channels_preserved():
     """mono=False keeps channels separate (S3 librosa.load(mono=False)
     parity); mono=True equals their mean."""
@@ -202,6 +237,25 @@ def test_sample_frames_arithmetic(spark):
         out.setdefault(r.media_id, []).append((r.sample_idx, r.frame_idx, r.frame_ts))
     assert sorted(out[1]) == [(0, 0, 0.0), (1, 30, 1.0), (2, 60, 2.0)]
     assert sorted(out[2]) == [(0, 0, 0.0)]  # clip shorter than one hop
+
+
+def test_sample_frames_exact_multiple_and_bad_durations(spark):
+    """duration == exact multiple of the sample period must NOT emit a
+    sample at t == duration (frame one past the end); duration <= 0
+    emits nothing."""
+    from speech_data_pipeline_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, 30.0, 2.0), (2, 30.0, 0.0), (3, 30.0, -1.5)],
+        "media_id long, fps double, duration double",
+    )
+    out = {}
+    for r in sample_frames(df, target_fps=1.0).collect():
+        out.setdefault(r.media_id, []).append((r.sample_idx, r.frame_idx))
+    # 2.0 s of 30 fps = frames 0..59: samples at t=0,1 only (frame 60
+    # does not exist).
+    assert sorted(out[1]) == [(0, 0), (1, 30)]
+    assert 2 not in out and 3 not in out
 
 
 def test_resize_frames_shape_and_determinism(spark):

@@ -134,6 +134,23 @@ def test_sketch_count_min_plan(plans):
     assert "Window" not in p
 
 
+def test_salted_aggregate_is_two_phase(plans):
+    # The hot-key query must shuffle on (key, _salt) first, then merge
+    # per-salt partials on the key alone — two distinct exchanges, the
+    # salted shape that splits one hot key across n_salts reducers.
+    p = plans["a_skew_salted_hotkey"]
+    assert "_salt" in p
+    salted_exchange = [
+        ln for ln in p.splitlines()
+        if "hashpartitioning" in ln and "_salt" in ln and "l_returnflag" in ln
+    ]
+    key_exchange = [
+        ln for ln in p.splitlines()
+        if "hashpartitioning" in ln and "_salt" not in ln and "l_returnflag" in ln
+    ]
+    assert salted_exchange and key_exchange, p
+
+
 def test_parquet_filter_and_column_pushdown(spark):
     from speech_data_pipeline_spark.sources.catalog import load_table
     from pyspark.sql import functions as F
