@@ -188,6 +188,102 @@ def stream_capped_sessions(
     )
 
 
+ASOF_STATE_SCHEMA = (
+    "pend_id array<long>, pend_ts array<long>, "
+    "r_ts array<long>, r_val array<double>"
+)
+ASOF_OUT_SCHEMA = (
+    "user_id long, event_id long, ts_us long, asof_value double"
+)
+
+
+def streaming_asof_enrich(
+    events: DataFrame,
+    right_type: str = "view",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming as-of enrichment via ``applyInPandasWithState`` — the
+    streaming analogue of the batch :func:`~speech_data_pipeline_spark.
+    operators.intervals.asof_join` (each event gets the value of the
+    key's latest ``right_type`` event at-or-before its timestamp).
+
+    EXACT against the batch join for all data inside the watermark, not
+    a best-effort carry-forward: a left row is buffered in state until
+    the watermark passes its event time — only then is it guaranteed
+    that every right row at-or-before it has been seen — and emitted
+    with a ``bisect`` lookup into the right-row history. Late left
+    emission is the price of exactness (the same tradeoff
+    session_window makes for session finality).
+
+    Bounded state per key: pending lefts shrink as the watermark
+    advances, and the right history is pruned to rows at-or-after the
+    watermark plus the single latest row before it (the only one any
+    future left can still match). An event-time timeout flushes pending
+    lefts when the watermark advances without new rows for the key.
+    """
+    import bisect
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cols = ["user_id", "event_id", "ts_us", "asof_value"]
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        pend_id, pend_ts, r_ts, r_val = (
+            ([*state.get[0]], [*state.get[1]], [*state.get[2]], [*state.get[3]])
+            if state.exists
+            else ([], [], [], [])
+        )
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows["ts_us"] = rows["ts_ts"].astype("int64") // 1000
+            rows = rows.sort_values("ts_us", kind="stable")
+            for eid, ts_us, etype, val in zip(
+                rows["event_id"], rows["ts_us"], rows["event_type"], rows["value"]
+            ):
+                pend_id.append(int(eid))
+                pend_ts.append(int(ts_us))
+                if etype == right_type:
+                    # insort keeps the history sorted under cross-batch
+                    # disorder inside the watermark
+                    i = bisect.bisect_right(r_ts, int(ts_us))
+                    r_ts.insert(i, int(ts_us))
+                    r_val.insert(i, float(val))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out, keep_id, keep_ts = [], [], []
+        for eid, ts_us in zip(pend_id, pend_ts):
+            if ts_us <= wm_us:
+                i = bisect.bisect_right(r_ts, ts_us) - 1
+                out.append(
+                    (user_id, eid, ts_us, r_val[i] if i >= 0 else None)
+                )
+            else:
+                keep_id.append(eid)
+                keep_ts.append(ts_us)
+        # prune right history: everything before the latest row <= wm is
+        # unreachable by any future (post-watermark) left row
+        cut = max(bisect.bisect_right(r_ts, wm_us) - 1, 0)
+        state.update((keep_id, keep_ts, r_ts[cut:], r_val[cut:]))
+        if keep_ts:
+            state.setTimeoutTimestamp(
+                max(min(keep_ts) // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        events.withWatermark("ts_ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            ASOF_OUT_SCHEMA,
+            ASOF_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 SESSION_STATE_SCHEMA = (
     "start_us long, end_us long, n_events long, total_value double"
 )

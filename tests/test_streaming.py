@@ -198,6 +198,88 @@ def test_streaming_stateful_sessions_cross_batch(spark):
     assert len(want) - len(got_keys) <= ev["user_id"].nunique()
 
 
+def test_streaming_asof_enrich_matches_batch_asof_join(spark):
+    """applyInPandasWithState as-of enrichment across micro-batches:
+    every emitted row equals the batch asof_join on the same data, no
+    duplicates, and everything inside the final watermark is emitted
+    (exactness, not best-effort carry-forward)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from speech_data_pipeline_spark.operators.intervals import asof_join
+    from speech_data_pipeline_spark.streaming.ingest import (
+        read_event_stream,
+        streaming_asof_enrich,
+    )
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("ts")
+        .toPandas()
+    )
+    tmp = tempfile.mkdtemp()
+    old_ts_type = spark.conf.get("spark.sql.timestampType")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    try:
+        thirds = [ev.iloc[: len(ev) // 3], ev.iloc[len(ev) // 3 : 2 * len(ev) // 3],
+                  ev.iloc[2 * len(ev) // 3 :]]
+        for i, part in enumerate(thirds):
+            part = part.assign(ts=pd.to_datetime(part["ts"]))
+            spark.createDataFrame(part).coalesce(1).write.mode("overwrite").parquet(
+                f"{tmp}/stage{i}"
+            )
+            src = [
+                f for f in os.listdir(f"{tmp}/stage{i}") if f.endswith(".parquet")
+            ][0]
+            os.rename(f"{tmp}/stage{i}/{src}", f"{tmp}/events_{i}.parquet")
+            time.sleep(1.1)
+    finally:
+        spark.conf.set("spark.sql.timestampType", old_ts_type)
+
+    stream = streaming_asof_enrich(
+        read_event_stream(spark, tmp), right_type="view", watermark="0 seconds"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("asof_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("maxFilesPerTrigger", "1")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("asof_enrich").collect()
+
+    batch_ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value", F.expr("ts div 1000").alias("ts_us")
+    )
+    right = batch_ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts_us", "value"
+    )
+    want = {
+        (r.user_id, r.event_id, r.ts_us, r.asof_value)
+        for r in asof_join(
+            batch_ev.select("event_id", "user_id", "ts_us"),
+            right,
+            key="user_id",
+            left_ts="ts_us",
+            right_ts="ts_us",
+            payload_cols=("value",),
+        ).collect()
+    }
+    got_keys = {(r.user_id, r.event_id, r.ts_us, r.asof_value) for r in got}
+    assert got_keys <= want  # every emission equals the batch join row
+    assert len(got_keys) == len(got)  # no duplicate emissions
+    # everything whose event time the watermark passed must be out: the
+    # final watermark is max(ts of first two files), so at minimum the
+    # first two thirds are all emitted.
+    assert len(got_keys) >= 2 * len(ev) // 3
+
+
 def test_streaming_exact_dedup_matches_batch_distinct(spark, landing):
     """Duplicate rows in the landing feed collapse to the batch
     distinct-by-key result."""
