@@ -392,6 +392,96 @@ def x_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_array_battery2",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(list_slice(embedding, 1, 8),
+                            x -> CAST(x AS DOUBLE)) AS w8,
+             list_transform(list_slice(embedding, 1, 5),
+                            x -> CAST(x AS DOUBLE)) AS w5,
+             CAST(embedding[1] AS DOUBLE) AS x0
+      FROM embeddings
+    ), stats AS (
+      SELECT vec_id, w8, w5, x0,
+             list_sum(w8) / 8 AS mu
+      FROM base
+    ), dm AS (
+      SELECT vec_id, w5, x0,
+             list_transform(w8, x -> x - mu) AS d,
+             list_max(list_transform(w8, x -> abs(x - mu))) AS mx
+      FROM stats
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(d,
+             x -> CAST(CAST(floor(CASE WHEN mx > 0 THEN x * 0.95 / mx
+                                       ELSE 0.0 END * 1000000.0)
+                            AS BIGINT) AS VARCHAR)), '|') AS normalized,
+           array_to_string(list_transform(
+             flatten(list_transform(
+               range(CAST(pow(2, CASE WHEN CAST(floor(63.0 / len(w5)) AS BIGINT) <= 0
+                                      THEN 0
+                                      ELSE length(bin(CAST(floor(63.0 / len(w5))
+                                                           AS BIGINT)))
+                                 END) AS INTEGER)),
+               i -> w5)),
+             x -> CAST(CAST(floor(x * 1000000.0) AS BIGINT) AS VARCHAR)),
+             '|') AS repeated,
+           floor((((0.99 * x0 - 0.82) * x0 + 1.13) * x0 + 0.04) * 1000000.0)
+             / 1000000.0 AS poly
+    FROM dm
+    """,
+)
+def x_array_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 normalize + W5 repeat-pad doubling + X14 polyval as an
+    oracle-gated query (previously pytest-only rows). Same stringified
+    float convention as x_array_battery: elements emitted as '|'-joined
+    floor(x*1e6) integer strings, scalars trunc6 — engine-identical
+    where raw float arrays/reprs are not.
+
+    - ``normalized``: demean + peak-scale of the first 8 embedding
+      elements (reference utils.py:58-62).
+    - ``repeated``: the DNSMOS doubling prelude (dnsmos.py:128-134) on
+      a 5-element base padded toward 64 — full doubled length
+      5·2^ceil(log2(64/5)) = 80, never cut to n.
+    - ``poly``: cubic Horner on the first element (dnsmos.py:78-104).
+    """
+    from speech_data_pipeline_spark.functions.arrays import (
+        normalize_wave,
+        polyval,
+        repeat_pad_to,
+    )
+
+    def _arr_str(col):
+        return F.concat_ws(
+            "|",
+            F.transform(
+                col,
+                lambda x: F.floor(x.cast("double") * F.lit(1e6))
+                .cast("long")
+                .cast("string"),
+            ),
+        )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    w8 = F.transform(
+        F.slice(F.col("embedding"), 1, 8), lambda x: x.cast("double")
+    )
+    w5 = F.transform(
+        F.slice(F.col("embedding"), 1, 5), lambda x: x.cast("double")
+    )
+    x0 = F.col("embedding")[0].cast("double")
+    return e.select(
+        "vec_id",
+        _arr_str(normalize_wave(w8, peak=0.95)).alias("normalized"),
+        _arr_str(repeat_pad_to(w5, 64)).alias("repeated"),
+        (F.floor(polyval(x0, [0.99, -0.82, 1.13, 0.04]) * F.lit(1e6)) / 1e6).alias(
+            "poly"
+        ),
+    )
+
+
+@query(
     "window_function_battery",
     oracle="""
     SELECT c_custkey, c_mktsegment,

@@ -941,3 +941,67 @@ def pipeline_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_segments").cast("long").alias("n_segments"),
     )
+
+
+@query(
+    "f5_single_overlap_split",
+    oracle=f"""
+    {_IV}, tagged AS (
+      SELECT user_id, start_us, end_us, event_type AS tag FROM iv
+      WHERE end_us > start_us
+    ), bounds AS (
+      SELECT DISTINCT user_id, t FROM (
+        SELECT user_id, start_us AS t FROM tagged
+        UNION ALL SELECT user_id, end_us AS t FROM tagged
+      )
+    ), pieces AS (
+      SELECT user_id, t AS piece_start,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t) AS piece_end
+      FROM bounds
+    ), flat AS (
+      SELECT p.user_id, p.piece_start, p.piece_end,
+             array_to_string(list_sort(list(DISTINCT g.tag)), '|') AS tags_str,
+             count(DISTINCT g.tag) AS n_active
+      FROM pieces p
+      JOIN tagged g
+        ON g.user_id = p.user_id
+       AND g.start_us < p.piece_end AND g.end_us > p.piece_start
+      WHERE p.piece_end IS NOT NULL
+      GROUP BY p.user_id, p.piece_start, p.piece_end
+    )
+    SELECT user_id, piece_start, piece_end,
+           CASE WHEN n_active = 1 THEN 'single' ELSE 'overlap' END AS branch,
+           tags_str
+    FROM flat
+    """,
+)
+def f5_single_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 as a gate query (previously pytest-only): the sweep-line's
+    flattened pieces split into the single-speaker branch (exactly one
+    active tag — exported with that tag) and the overlap branch (≥2
+    active tags), re-unioned with a branch marker so one oracle checks
+    both routes. Mirrors the reference's single/overlap segment split
+    (modules/vad_multi.py single-vs-overlap routing); the oracle
+    replays it as piece×interval stabbing.
+    """
+    tagged = derived_intervals(spark, sf_dir).select(
+        "user_id", "start_us", "end_us", F.col("event_type").alias("tag")
+    )
+    single, overlap = sweep_ops.split_single_overlap(
+        sweep_ops.flatten_active_sets(tagged)
+    )
+    return single.select(
+        "user_id",
+        "piece_start",
+        "piece_end",
+        F.lit("single").alias("branch"),
+        F.col("tag").alias("tags_str"),
+    ).unionByName(
+        overlap.select(
+            "user_id",
+            "piece_start",
+            "piece_end",
+            F.lit("overlap").alias("branch"),
+            F.concat_ws("|", F.col("tags")).alias("tags_str"),
+        )
+    )
