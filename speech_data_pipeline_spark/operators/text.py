@@ -365,3 +365,94 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
         "fingerprint",
         F.array_min(F.transform(char_shingles(F.col(text_col), k), F.md5)),
     )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """All word ``n``-grams of ``text`` as array<string> (space-joined,
+    lowercase alpha tokens; empty array when the document has fewer
+    than ``n`` tokens).
+
+    In-row column algebra: one regexp tokenization, then a
+    ``transform(sequence(...))`` slide — no explode until the caller
+    chooses to, so the gram stream stays inside whole-stage codegen.
+    """
+    t = F.regexp_extract_all(F.lower(text), F.lit("([a-z]+)"), 1)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing any word
+    ``n``-gram with a benchmark/eval set (the standard pre-training
+    leakage check; production stacks use n in 8–13).
+
+    Per corpus document: ``n_grams`` (distinct grams), ``n_hits``
+    (distinct grams also present in the benchmark), ``contaminated``.
+
+    100 TB shape: the benchmark gram set is bounded (eval suites are
+    MBs, the corpus is TBs), so it is **broadcast** — the corpus side
+    explodes, semi-joins map-side against the broadcast set, and only
+    the surviving hits shuffle into the per-document count. The corpus
+    is never shuffled at gram width; distinct-per-doc runs on the
+    (doc, gram) stream with map-side partial aggregation.
+    """
+    grams = F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    corpus_grams = corpus.select(id_col, grams).distinct()
+    bench_grams = benchmark.select(grams).distinct()
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_doc = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+#: PII regex patterns shared by the Spark operator and the DuckDB
+#: oracle: plain character classes only — identical semantics in Java
+#: regex and RE2 (no lookaround, no backrefs).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / IPv4s / phone numbers, emitting per-document match
+    counts and the redacted text.
+
+    Map-only column algebra (three ``regexp_replace`` passes + three
+    ``regexp_extract_all`` counts) — zero shuffle at any scale; the
+    patterns are mutually non-overlapping so replacement order does not
+    change the result.
+    """
+    out = df
+    red = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(text_col, F.lit(pat), 0))
+        )
+        red = F.regexp_replace(red, F.lit(pat), F.lit(repl))
+    return out.withColumn("redacted", red)

@@ -1,0 +1,437 @@
+"""Corpus-governance queries: test-set decontamination, PII scrubbing,
+deterministic training shuffle/sharding, quantile outlier filtering,
+Bloom-filter membership, context-window chunking.
+
+Round-3 widening of the training-data-pipeline surface (see also
+queries/curation_q.py). Everything is engine-portable by construction:
+seeded md5 hashes for any pseudo-randomness, integer or truncated
+IEEE arithmetic, identical regex character classes in Java regex and
+RE2. Every query has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.functions import trunc6
+from speech_data_pipeline_spark.operators import text as tx
+from speech_data_pipeline_spark.operators.sketches import (
+    BLOOM_K,
+    BLOOM_M,
+    bloom_build,
+    bloom_probe,
+)
+from speech_data_pipeline_spark.queries.registry import query
+from speech_data_pipeline_spark.queries.text_q import _hex7_to_int_sql
+from speech_data_pipeline_spark.sources.catalog import load_table
+
+#: Decontamination gram width. Production stacks use 8–13-word grams;
+#: 4 keeps a meaningful partial-overlap signal on the synthetic
+#: small-vocabulary corpus (≈14% of train docs at sf0.01).
+_DECON_N = 4
+
+#: Context-window chunking: window / stride in tokens.
+_CW_W = 32
+_CW_S = 24
+
+
+def _bucket(col_sql: str = "doc_id") -> F.Column:
+    """The md5 percent bucket shared with split_hash_buckets."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col_sql).cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+_BUCKET_SQL = _hex7_to_int_sql("md5(CAST(doc_id AS VARCHAR))") + " % 100"
+
+
+@query(
+    "decon_ngram_overlap",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, {_BUCKET_SQL} AS bucket FROM documents
+    ), toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS t
+      FROM documents
+    ), dg AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(t) - {_DECON_N - 1}, 0) + 1),
+                 i -> array_to_string(
+                        list_slice(t, CAST(i AS INTEGER),
+                                   CAST(i AS INTEGER) + {_DECON_N - 1}), ' ')))
+                 AS gram
+        FROM toks
+      )
+    ), train AS (
+      SELECT doc_id FROM b WHERE bucket < 80
+    ), bench AS (
+      SELECT DISTINCT gram FROM dg
+      JOIN (SELECT doc_id FROM b WHERE bucket >= 90) USING (doc_id)
+    ), tg AS (
+      SELECT dg.doc_id, dg.gram FROM dg JOIN train USING (doc_id)
+    ), per AS (
+      SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_hits FROM tg
+      WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(p.n_grams, 0) AS n_grams,
+           coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM train t
+    LEFT JOIN per p USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training decontamination: flag train-split documents sharing
+    any word {_DECON_N}-gram with the held-out test split (the leakage
+    check every LLM data pipeline runs before training). The benchmark
+    gram set is broadcast; the corpus is never shuffled at gram width
+    (operators/text.py `ngram_contamination`)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.withColumn("bucket", _bucket())
+    train = b.where(F.col("bucket") < 80).select("doc_id", "text")
+    bench = b.where(F.col("bucket") >= 90).select("doc_id", "text")
+    return tx.ngram_contamination(train, bench, n=_DECON_N)
+
+
+@query(
+    "pii_redact",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com ip 10.0.'
+                  || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                  || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+      FROM documents
+    )
+    SELECT doc_id,
+      len(regexp_extract_all(t2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        AS n_email,
+      len(regexp_extract_all(t2, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ip,
+      len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+      md5(regexp_replace(regexp_replace(regexp_replace(t2,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+            '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5,
+      length(regexp_replace(regexp_replace(regexp_replace(t2,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+            '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_len
+    FROM aug
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4s / phone numbers → typed redaction
+    tokens) with per-document match counts. The corpus carries no PII,
+    so both engines first append a deterministic synthetic PII suffix
+    per document — the redaction operator itself
+    (operators/text.py `redact_pii`) is what's under test. Map-only,
+    zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t2"),
+    )
+    return tx.redact_pii(aug, text_col="t2").select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.md5("redacted").alias("redacted_md5"),
+        F.length("redacted").alias("redacted_len"),
+    )
+
+
+#: Training-shuffle shard count.
+_SHUF_SHARDS = 8
+
+_SHARD_SQL = (
+    _hex7_to_int_sql("md5('shard:' || CAST(doc_id AS VARCHAR))")
+    + f" % {_SHUF_SHARDS}"
+)
+
+
+@query(
+    "shuffle_shard_manifest",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT doc_id,
+             CAST(floor(n_chars / 4.0) AS BIGINT) + 1 AS n_tokens,
+             {_SHARD_SQL} AS shard,
+             md5('pos:' || CAST(doc_id AS VARCHAR)) AS posk
+      FROM documents
+    ), positioned AS (
+      SELECT shard, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY posk, doc_id) AS pos
+      FROM sharded
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           max(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+           CAST(sum(doc_id * pos) AS BIGINT) AS order_checksum
+    FROM positioned GROUP BY shard
+    """,
+)
+def shuffle_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    pseudo-random shard (seeded md5 bucket) and a pseudo-random
+    position *within* its shard (row_number over a second seeded md5)
+    — together a reproducible permutation of the corpus, the property
+    `ORDER BY rand()` lacks across engines, runs, and cluster layouts.
+
+    Deliberately NOT a global sort: sharding is a map-side projection
+    and each shard orders independently (per-shard window), so the
+    plan parallelizes across shards at any scale — the manifest
+    checksum (Σ doc_id·pos) pins the exact within-shard order
+    cross-engine without materializing it."""
+    d = load_table(spark, sf_dir, "documents")
+    sharded = d.select(
+        "doc_id",
+        (F.floor(F.col("n_chars") / F.lit(4.0)).cast("long") + 1).alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _SHUF_SHARDS
+        ).alias("shard"),
+        F.md5(F.concat(F.lit("pos:"), F.col("doc_id").cast("string"))).alias("posk"),
+    )
+    w = Window.partitionBy("shard").orderBy("posk", "doc_id")
+    return (
+        sharded.withColumn("pos", F.row_number().over(w))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
+            F.sum(F.col("doc_id") * F.col("pos")).alias("order_checksum"),
+        )
+    )
+
+
+@query(
+    "quality_quantile_filter",
+    oracle="""
+    WITH stats AS (
+      SELECT source, count(*) AS n_total,
+             quantile_cont(n_chars, 0.1) AS p10,
+             quantile_cont(n_chars, 0.9) AS p90
+      FROM documents GROUP BY source
+    ), kept AS (
+      SELECT d.source, count(*) AS n_kept,
+             CAST(sum(CAST(floor(d.n_chars / 4.0) AS BIGINT) + 1) AS BIGINT)
+               AS kept_tokens
+      FROM documents d JOIN stats s USING (source)
+      WHERE d.n_chars >= s.p10 AND d.n_chars <= s.p90
+      GROUP BY d.source
+    )
+    SELECT s.source, s.n_total, k.n_kept, k.kept_tokens,
+           floor(s.p10 * 1000000.0) / 1000000.0 AS p10,
+           floor(s.p90 * 1000000.0) / 1000000.0 AS p90
+    FROM stats s JOIN kept k USING (source)
+    """,
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile outlier filter: drop documents outside the
+    [P10, P90] length band of their source (the distribution-aware
+    variant of fixed length cutoffs — each source keeps its own
+    middle mass). Exact interpolated percentiles (one grouped agg),
+    stats broadcast back onto the corpus (sources ≪ documents), then
+    one re-aggregate — two shuffles total at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.expr("percentile(n_chars, 0.1)").alias("p10"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+    )
+    kept = (
+        d.join(F.broadcast(stats), "source")
+        .where((F.col("n_chars") >= F.col("p10")) & (F.col("n_chars") <= F.col("p90")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.floor(F.col("n_chars") / F.lit(4.0)).cast("long") + 1).alias(
+                "kept_tokens"
+            ),
+        )
+    )
+    return stats.join(kept, "source").select(
+        "source",
+        "n_total",
+        "n_kept",
+        "kept_tokens",
+        trunc6(F.col("p10")).alias("p10"),
+        trunc6(F.col("p90")).alias("p90"),
+    )
+
+
+#: Build-side predicate: customers with at least one order above this
+#: price — a genuine subset (~1/3 of customers; every customer has
+#: *some* order in the synthetic data, so unfiltered membership would
+#: be degenerate: no true negatives, no observable false positives).
+_BLOOM_THR = 480000
+
+
+def _bloom_pos_sql(i: int, key_sql: str) -> str:
+    return (
+        _hex7_to_int_sql(f"md5('{i}:' || CAST({key_sql} AS VARCHAR))")
+        + f" % {BLOOM_M}"
+    )
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+      WHERE o_totalprice > {_BLOOM_THR}
+    ), pos AS (
+      {" UNION ".join(
+          f"SELECT CAST({_bloom_pos_sql(i, 'key')} AS BIGINT) AS p FROM keys"
+          for i in range(BLOOM_K)
+      )}
+    ), bits AS (
+      SELECT list_sort(list(DISTINCT p)) AS bs FROM pos
+    ), probe AS (
+      SELECT c_custkey,
+             {", ".join(
+                 f"CAST({_bloom_pos_sql(i, 'c_custkey')} AS BIGINT) AS p{i}"
+                 for i in range(BLOOM_K)
+             )}
+      FROM customer
+    ), m AS (
+      SELECT c_custkey,
+             {" AND ".join(f"list_contains(bits.bs, p{i})" for i in range(BLOOM_K))}
+               AS bloom_member
+      FROM probe CROSS JOIN bits
+    ), act AS (
+      SELECT c.c_custkey, (k.key IS NOT NULL) AS actual_member
+      FROM customer c LEFT JOIN keys k ON k.key = c.c_custkey
+    )
+    SELECT bloom_member, actual_member, count(*) AS n,
+           min(m.c_custkey) AS min_key, max(m.c_custkey) AS max_key
+    FROM m JOIN act USING (c_custkey)
+    GROUP BY bloom_member, actual_member
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom filter built over the high-value-order
+    customer keys (o_totalprice > {_BLOOM_THR}; ~1/3 of customers),
+    probed with every customer; the confusion-matrix summary
+    (bloom_member × actual_member) exhibits the sketch contract —
+    false positives present, false negatives structurally impossible
+    (the (false, true) row never exists; pinned in
+    tests/test_corpus_ops.py). Build is one O(m)-state aggregate;
+    probe is an in-row broadcast test, zero shuffle
+    (operators/sketches.py)."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > _BLOOM_THR
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    bits = bloom_build(orders, "o_custkey")
+    probed = bloom_probe(cust.select("c_custkey"), bits, "c_custkey")
+    actual = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        probed.join(
+            actual.withColumn("actual_member", F.lit(True)), "c_custkey", "left"
+        )
+        .withColumn("actual_member", F.coalesce("actual_member", F.lit(False)))
+        .groupBy("bloom_member", "actual_member")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+    )
+
+
+@query(
+    "chunk_context_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS t
+      FROM documents
+    ), spec AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) > {_CW_W}
+                  THEN CAST((len(t) - {_CW_W} + {_CW_S} - 1) // {_CW_S} AS BIGINT)
+                  ELSE 0 END AS k_max
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, k AS chunk_idx,
+             list_slice(t, CAST(k * {_CW_S} + 1 AS INTEGER),
+                        CAST(k * {_CW_S} + {_CW_W} AS INTEGER)) AS c
+      FROM (SELECT doc_id, t, unnest(range(0, k_max + 1)) AS k FROM spec)
+    )
+    SELECT doc_id, chunk_idx, len(c) AS n_tok,
+           md5(array_to_string(c, ' ')) AS chunk_md5
+    FROM chunks WHERE len(c) > 0
+    """,
+)
+def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window re-chunking: split each document's token stream
+    into overlapping training windows ({_CW_W} tokens, stride {_CW_S})
+    — the standard pre-tokenization step that turns variable-length
+    documents into model-context-sized pieces with cross-boundary
+    overlap. Pure in-row algebra (tokenize once, slide with
+    transform(sequence), explode) — the corpus never shuffles; chunk
+    identity is pinned cross-engine by the window md5."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+    spec = d.select("doc_id", toks.alias("t")).withColumn(
+        "k_max",
+        F.when(
+            F.size("t") > _CW_W,
+            F.floor(
+                (F.size("t") - F.lit(_CW_W) + F.lit(_CW_S - 1)) / F.lit(_CW_S)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    chunks = spec.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("k_max"))).alias(
+            "chunk_idx"
+        ),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice(
+            F.col("t"), (F.col("chunk_idx") * _CW_S + 1).cast("int"), _CW_W
+        ).alias("c"),
+    )
+    return chunks.where(F.size("c") > 0).select(
+        "doc_id",
+        "chunk_idx",
+        F.size("c").alias("n_tok"),
+        F.md5(F.concat_ws(" ", F.col("c"))).alias("chunk_md5"),
+    )

@@ -53,6 +53,7 @@ SCALAR_CROSS_WHITELIST = {
     "ml_kmeans_assign",  # centroid table per iteration: n_cells=8 rows
     "text_bigram_xent",  # vocabulary-size scalar: 1 row
     "text_tfidf_topk",  # corpus-count scalar: 1 row
+    "sketch_bloom_membership",  # bloom bit-set: 1 row, O(m)=4096 array
 }
 
 
