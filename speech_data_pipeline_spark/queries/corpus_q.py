@@ -435,3 +435,63 @@ def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("c").alias("n_tok"),
         F.md5(F.concat_ws(" ", F.col("c"))).alias("chunk_md5"),
     )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, len(embedding) AS dim,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, dim, v,
+             greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0
+               AS scale
+      FROM e
+    ), r AS (
+      SELECT vec_id, dim, scale,
+             list_transform(range(1, dim + 1),
+               i -> abs(v[CAST(i AS INTEGER)]
+                        - floor(v[CAST(i AS INTEGER)] / scale + 0.5) * scale))
+               AS err
+      FROM s
+    )
+    SELECT vec_id, dim,
+           floor(scale * 1000000.0) / 1000000.0 AS scale,
+           floor(list_max(err) * 1000000.0) / 1000000.0 AS max_abs_err,
+           floor(list_sum(err) / dim * 1000000.0) / 1000000.0 AS mean_abs_err
+    FROM r
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (per-vector absmax scale)
+    with reconstruction-error report — the standard 4× compression
+    before an ANN index ships to serving. Pure in-row array algebra on
+    doubles; rounding is spelled ``floor(x/scale + 0.5)`` in BOTH
+    engines so half-way ties cannot diverge. Zero shuffle, zero blowup
+    — the quantized corpus never leaves its scan partition."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> cast(x as double))")
+    scale = F.expr(
+        "greatest(array_max(transform(embedding,"
+        " x -> abs(cast(x as double)))), 1e-12) / 127.0"
+    )
+    r = e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        v.alias("v"),
+        scale.alias("scale"),
+    ).withColumn(
+        "err",
+        F.expr("transform(v, x -> abs(x - floor(x / scale + 0.5) * scale))"),
+    )
+    return r.select(
+        "vec_id",
+        "dim",
+        trunc6(F.col("scale")).alias("scale"),
+        trunc6(F.array_max("err")).alias("max_abs_err"),
+        trunc6(
+            F.aggregate("err", F.lit(0.0), lambda a, x: a + x) / F.col("dim")
+        ).alias("mean_abs_err"),
+    )
