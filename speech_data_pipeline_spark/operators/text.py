@@ -344,6 +344,68 @@ def cdc_chunks_bounded(
     )
 
 
+def cdc_anchor_chunks(
+    df: DataFrame,
+    window: int = 8,
+    base: int = 31,
+    mod: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stateless content-defined chunking: split each document at every
+    position where the polynomial hash of the trailing ``window``-char
+    codepoint window ≡ 0 (mod ``mod``); emit ``(id, chunk_hash)`` rows.
+
+    Hash convention (must match the SQL spec in
+    queries/curation_q.py `_cdc_pred`): the FIRST char of the window
+    carries base^0, the last base^(window-1).
+
+    Vectorized Arrow-batch kernel: codepoints come from one
+    ``utf-32-le`` reinterpretation (no per-char Python), the sliding
+    polynomial is one ``sliding_window_view @ pows`` matmul per
+    document, boundaries one ``nonzero``. This replaces an equivalent
+    in-row higher-order-function formulation that was ~2× slower —
+    Catalyst evaluates lambda bodies per element interpreted, outside
+    whole-stage codegen — while remaining exactly replayable: the
+    DuckDB oracle still runs the pure-SQL spec and hash-matches.
+    Per-document state only; scales with partitions like every other
+    kernel here.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pows = np.array([base**k for k in range(window)], dtype=np.int64)
+
+    def run(batches):
+        import hashlib
+
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids: list = []
+            hashes: list[str] = []
+            for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                n = len(text)
+                if n < window:
+                    continue
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                h = sliding_window_view(codes, window) @ pows
+                ends = np.nonzero(h % mod == 0)[0] + window  # 1-based end pos
+                bs = np.unique(np.concatenate(([0], ends, [n])))
+                for a, b in zip(bs[:-1], bs[1:]):
+                    ids.append(doc_id)
+                    hashes.append(hashlib.md5(text[a:b].encode()).hexdigest())
+            yield pd.DataFrame({id_col: ids, "chunk_hash": hashes})
+
+    return (
+        df.select(id_col, text_col)
+        .where(F.length(text_col) >= window)
+        .mapInPandas(run, schema=f"{id_col} long, chunk_hash string")
+    )
+
+
 def char_shingles(text: Column, k: int) -> Column:
     """All ``k``-char shingles of ``text`` as array<string> (with repeats).
 

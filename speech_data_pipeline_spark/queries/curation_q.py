@@ -346,59 +346,40 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stateless anchor form (boundary wherever the trailing-window
     polynomial hash ≡ 0 mod {_CDC_M}; expected chunk ≈ {_CDC_M} chars):
-    every position is decided independently, so the whole operator is
-    column algebra + one explode + two grouped aggregates — no kernel,
-    no Python. Production CDC adds min/max chunk bounds (a sequential
-    pass — would use the mapInPandas kernel shape); the anchor variant
-    keeps the oracle exact.
+    every position is decided independently. The boundary scan runs as
+    the vectorized Arrow-batch kernel
+    (operators/text.py `cdc_anchor_chunks` — one sliding-window matmul
+    per document); an equivalent pure-column formulation
+    (`filter(sequence(...), i -> polynomial)` over a lambda-bound
+    codepoint array) was ~2× slower because Catalyst evaluates
+    higher-order-function lambdas interpreted, per element, outside
+    whole-stage codegen. The oracle still replays the pure-SQL spec
+    (`_cdc_pred`), so the kernel's hash convention is pinned
+    cross-engine. Production CDC adds min/max chunk bounds — that
+    sequential variant is `cdc_chunks_bounded`.
     """
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    # `codes` is bound as a LAMBDA VARIABLE (transform over a 1-element
-    # array), not a projected column: Catalyst's CollapseProject would
-    # inline a column reference into every one of the predicate's 8
-    # element_at calls, re-running the O(n) split+ascii transform per
-    # lookup; a lambda variable is evaluated once per row by contract.
-    bounds = d.where(F.length("text") >= _CDC_W).select(
-        "doc_id",
-        "text",
-        F.expr(
-            f"""transform(
-                 array(transform(split(text, ''), c -> ascii(c))),
-                 codes -> array_sort(array_distinct(concat(
-                   array(0),
-                   filter(sequence({_CDC_W}, length(text)),
-                          i -> {_cdc_pred("spark")}),
-                   array(length(text))))))[0]"""
-        ).alias("bs"),
+    chunks = tx.cdc_anchor_chunks(d, window=_CDC_W, base=_CDC_B, mod=_CDC_M)
+    # Single kernel pass: the earlier groupBy+self-join consumed the
+    # chunk stream twice (Spark re-executes an uncached mapInPandas per
+    # subtree — re-decoding and re-hashing every document). Instead,
+    # reduce to the distinct (chunk, doc) stream once, tag each row
+    # with its chunk's doc count via a window, and re-aggregate: the
+    # exchanges move only the ~n_chars/64-row chunk stream, never the
+    # text, and the kernel runs once.
+    per = chunks.groupBy("chunk_hash", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occ")
     )
-    w = Window.partitionBy("doc_id").orderBy("b")
-    chunks = (
-        bounds.select("doc_id", "text", F.explode("bs").alias("b"))
-        .withColumn("prev", F.lag("b").over(w))
-        .where(F.col("prev").isNotNull() & (F.col("b") > F.col("prev")))
-        .select(
-            "doc_id",
-            F.md5(
-                F.expr("substr(text, cast(prev as int) + 1, cast(b - prev as int))")
-            ).alias("chunk_hash"),
-        )
+    tagged = per.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("chunk_hash"))
     )
-    shared = chunks.groupBy("chunk_hash").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
-    return (
-        chunks.join(shared, "chunk_hash")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_shared"),
-            trunc6(
-                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
-                / F.count(F.lit(1))
-            ).alias("shared_frac"),
-        )
+    shared_occ = F.sum(F.when(F.col("n_docs") > 1, F.col("n_occ")).otherwise(0))
+    return tagged.groupBy("doc_id").agg(
+        F.sum("n_occ").alias("n_chunks"),
+        shared_occ.alias("n_shared"),
+        trunc6(shared_occ / F.sum("n_occ")).alias("shared_frac"),
     )
 
 
