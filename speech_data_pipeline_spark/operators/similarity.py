@@ -360,6 +360,54 @@ def kmeans_assign(
 
     Returns ``(id, cell)`` after ``iters`` update+assign rounds.
     """
+    g, _ = _kmeans_state(df, dim, n_cells, iters, quant_bits, id_col, vec_col)
+    return g.select("id", "cell")
+
+
+def _sqd(vec: Column, cvec: Column) -> Column:
+    """Squared euclidean distance between two double arrays (in-row
+    sequential fold — deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(
+            vec, cvec, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroids_row(g: DataFrame, dim: int, scale: float):
+    """Quantized-grid centroid means of ``g``'s current assignment,
+    collapsed to a broadcastable single-row sorted struct array."""
+    sums = g.groupBy("cell").agg(
+        *[F.sum(F.col("gq")[i]).alias(f"s{i}") for i in range(dim)],
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = sums.select(
+        "cell",
+        F.array(
+            *[F.col(f"s{i}") / (F.col("n") * F.lit(scale)) for i in range(dim)]
+        ).alias("c"),
+    )
+    return cent.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cell"), F.col("c")))).alias(
+            "cents"
+        )
+    )
+
+
+def _kmeans_state(
+    df: DataFrame,
+    dim: int,
+    n_cells: int,
+    iters: int,
+    quant_bits: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Run the Lloyd trajectory; return ``(g, scale)`` where ``g`` is
+    the working frame ``(id, v, gq, cell)`` after ``iters`` rounds —
+    shared by :func:`kmeans_assign` and :func:`semantic_dedup`."""
     scale = float(1 << quant_bits)
     g = df.select(
         F.col(id_col).alias("id"),
@@ -370,39 +418,66 @@ def kmeans_assign(
         ).alias("gq"),
         F.pmod(F.col(id_col), F.lit(n_cells)).alias("cell"),
     )
-
-    def sqd(vec: Column, cvec: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                vec, cvec, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     for _ in range(iters):
-        sums = g.groupBy("cell").agg(
-            *[F.sum(F.col("gq")[i]).alias(f"s{i}") for i in range(dim)],
-            F.count(F.lit(1)).alias("n"),
-        )
-        cent = sums.select(
-            "cell",
-            F.array(
-                *[F.col(f"s{i}") / (F.col("n") * F.lit(scale)) for i in range(dim)]
-            ).alias("c"),
-        )
-        cents1 = cent.agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("cell"), F.col("c")))
-            ).alias("cents")
-        )
+        cents1 = _centroids_row(g, dim, scale)
         g = (
             g.drop("cell")
             .crossJoin(F.broadcast(cents1))
-            .withColumn("cell", argmin_cell(F.col("v"), F.col("cents"), sqd))
+            .withColumn("cell", argmin_cell(F.col("v"), F.col("cents"), _sqd))
             .select("id", "v", "gq", "cell")
         )
-    return g.select("id", "cell")
+    return g, scale
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    iters: int = 2,
+    quant_bits: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    corpus with deterministic k-means, then keep ONE representative per
+    cell — the member nearest its cell centroid (ties by id) — and map
+    every other member to it. The embedding analog of exact-dedup's
+    canonical survivor: downstream keeps ``is_rep`` rows and drops (or
+    downweights) semantic near-duplicates.
+
+    Per vector: ``(id, cell, rep_id, is_rep, dist)`` with ``dist`` the
+    trunc6 squared distance to the final cell centroid.
+
+    Plan shape: the Lloyd rounds are the only corpus shuffles (one
+    grouped agg each); the final distance is computed IN-ROW against
+    the broadcast centroid array (looked up by cell id, not array
+    position — a Lloyd round can empty a cell, so position ≠ id); the
+    per-cell representative is an 8-row ``min(struct(dist, id))``
+    aggregate broadcast back. No corpus-width join, no window over the
+    corpus.
+    """
+    g, scale = _kmeans_state(df, dim, n_cells, iters, quant_bits, id_col, vec_col)
+    cents1 = _centroids_row(g, dim, scale)
+    my_c = F.element_at(
+        F.filter(F.col("cents"), lambda s: s["cell"] == F.col("cell")), 1
+    )["c"]
+    d = (
+        g.crossJoin(F.broadcast(cents1))
+        .withColumn("dist", _sqd(F.col("v"), my_c))
+        .select("id", "cell", "dist")
+    )
+    rep = d.groupBy("cell").agg(
+        F.min(F.struct(F.col("dist"), F.col("id"))).alias("m")
+    ).select("cell", F.col("m.id").alias("rep_id"))
+    from speech_data_pipeline_spark.functions import trunc6
+
+    return d.join(F.broadcast(rep), "cell").select(
+        "id",
+        "cell",
+        "rep_id",
+        (F.col("id") == F.col("rep_id")).alias("is_rep"),
+        trunc6(F.col("dist")).alias("dist"),
+    )
 
 
 def ivf_topk(

@@ -682,6 +682,55 @@ def ml_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_assign(e, dim=64, n_cells=8, iters=2)
 
 
+def _semdedup_oracle(dim: int = 64, n_cells: int = 8, iters: int = 2,
+                     quant: int = 1 << 20) -> str:
+    """Kmeans chained-CTE replay + final-assignment centroids + per-cell
+    nearest-member representative."""
+    kmeans = _kmeans_oracle(dim, n_cells, iters, quant)
+    prefix = kmeans[: kmeans.rindex(" SELECT ")]  # strip the final SELECT
+    t = iters
+    return f"""{prefix},
+    cF AS (
+      SELECT cell, i,
+             CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * {quant}.0)
+                           AS BIGINT)) AS DOUBLE)
+               / (count(*) * {quant}.0) AS v
+      FROM a{t}, range(1, {dim} + 1) t(i)
+      GROUP BY cell, i
+    ),
+    cvF AS (SELECT cell, list(v ORDER BY i) AS c FROM cF GROUP BY cell),
+    dist AS (
+      SELECT a.vec_id, a.cell,
+             list_sum(list_transform(range(1, {dim} + 1),
+               i -> (CAST(a.embedding[i] AS DOUBLE) - cv.c[i])
+                    * (CAST(a.embedding[i] AS DOUBLE) - cv.c[i]))) AS d
+      FROM a{t} a JOIN cvF cv USING (cell)
+    ),
+    rep AS (
+      SELECT cell, vec_id AS rep_id FROM (
+        SELECT cell, vec_id,
+               row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    )
+    SELECT dist.vec_id AS id, dist.cell, r.rep_id,
+           dist.vec_id = r.rep_id AS is_rep,
+           floor(dist.d * 1000000.0) / 1000000.0 AS dist
+    FROM dist JOIN rep r USING (cell)
+    """
+
+
+@query("dedup_semantic", oracle=_semdedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: deterministic k-means
+    cells, one representative per cell (nearest the final centroid,
+    ties by id), every other member mapped to it — the embedding
+    analog of exact-dedup's canonical survivor
+    (operators/similarity.py semantic_dedup; chained-CTE oracle)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(e, dim=64, n_cells=8, iters=2)
+
+
 @query("sim_ivf_topk", oracle=_ivf_oracle())
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via an IVF coarse quantizer (the second scale path

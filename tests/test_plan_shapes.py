@@ -54,6 +54,7 @@ SCALAR_CROSS_WHITELIST = {
     "text_bigram_xent",  # vocabulary-size scalar: 1 row
     "text_tfidf_topk",  # corpus-count scalar: 1 row
     "sketch_bloom_membership",  # bloom bit-set: 1 row, O(m)=4096 array
+    "dedup_semantic",  # centroid table: n_cells=8 rows (kmeans attach)
 }
 
 

@@ -269,3 +269,25 @@ def test_kmeans_assign_recovers_blobs_deterministically(spark):
         for r in kmeans_assign(df.repartition(7), dim=16, n_cells=5, iters=4).collect()
     }
     assert again == got  # trajectory is partitioning-invariant
+
+
+def test_semantic_dedup_reps_and_mapping(spark):
+    """SemDeDup contract: exactly one representative per cell, every
+    member maps to its cell's rep, the rep attains the cell-minimum
+    distance, and the result is partitioning-invariant."""
+    from speech_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    df, _ = clustered_vecs(spark)
+    out = semantic_dedup(df, dim=16, n_cells=5, iters=3).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert sum(len(v) for v in by_cell.values()) == df.count()
+    for cell, members in by_cell.items():
+        reps = [r for r in members if r.is_rep]
+        assert len(reps) == 1
+        rep = reps[0]
+        assert all(m.rep_id == rep.id for m in members)
+        assert all(m.dist >= rep.dist for m in members)
+    again = semantic_dedup(df.repartition(9), dim=16, n_cells=5, iters=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
