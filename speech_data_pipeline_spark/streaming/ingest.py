@@ -375,3 +375,85 @@ def streaming_stateful_sessions(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_bloom_dedup(
+    events: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    key_col: str = "event_id",
+    m: int = 4096,
+    k: int = 3,
+    state: dict | None = None,
+):
+    """Approximate dedup on ingest with a cross-batch Bloom filter —
+    the BOUNDED-MEMORY companion to :func:`streaming_exact_dedup`.
+
+    Exact streaming dedup keeps one state row per key inside the
+    watermark horizon; over an unbounded horizon ("drop anything ever
+    seen") that state grows with stream lifetime. The Bloom form keeps
+    O(m) bits forever: each micro-batch (1) exact-dedups within itself
+    (bounded work), (2) probes the accumulated bitmap and drops
+    probable re-sights, (3) folds its OWN kept keys into the bitmap
+    with one `bloom_build` aggregate and ORs the 64-long words into
+    the carried filter — per batch the driver exchanges exactly
+    ceil(m/64) longs, never per-key state. The documented tradeoff is
+    inverted vs exact dedup: duplicates are ALWAYS dropped (no
+    watermark horizon), and the error is a false DROP of a new key at
+    rate ≈ (1-e^{-kn/m})^k — acceptable for training-data ingest,
+    where a lost sample is cheap and a kept duplicate costs quality.
+
+    Deterministic end to end (seeded md5 positions, first-in-key by
+    (ts, key) within a batch), so a sequential replay reproduces the
+    kept set exactly — pinned in tests/test_streaming.py.
+
+    ``state`` carries the bitmap (``{"bits": [ceil(m/64) longs]}``)
+    across restarts: pass the same dict to a re-started query to
+    resume the filter (in production the caller persists those few
+    longs beside the checkpoint — they are NOT in Spark's checkpoint,
+    which only tracks source progress).
+
+    Returns the started query; kept rows land under ``out_path``.
+    """
+    from pyspark.sql import Window
+
+    from speech_data_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    n_words = (m + 63) // 64
+    if state is None:
+        state = {}
+    state.setdefault("bits", [0] * n_words)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # (1) exact within-batch dedup, deterministic first-per-key
+        w = Window.partitionBy(key_col).orderBy("ts", key_col)
+        firsts = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # (2) probe the carried filter
+        bits_df = spark.createDataFrame([(state["bits"],)], f"bits array<long>")
+        kept = (
+            bloom_probe(firsts, bits_df, key_col, m, k)
+            .where(~F.col("bloom_member"))
+            .drop("bloom_member")
+        )
+        kept.write.mode("append").parquet(out_path)
+        # (3) fold this batch's kept keys into the filter: one O(m) row
+        row = bloom_build(kept.select(key_col), key_col, m, k).collect()
+        if row and row[0]["bits"] is not None:
+            state["bits"] = [
+                a | b for a, b in zip(state["bits"], row[0]["bits"])
+            ]
+
+    return (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -297,3 +297,76 @@ def test_streaming_exact_dedup_matches_batch_distinct(spark, landing):
     assert got.count() == n_unique
     assert got.distinct().count() == n_unique
     shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+def test_stream_bloom_dedup_matches_sequential_replay(spark):
+    """Cross-batch Bloom dedup: kept set equals an exact sequential
+    replay of the same seeded-md5 bitmap arithmetic (first batch wins,
+    later re-sights dropped, O(m) carried state); every surviving key
+    is unique."""
+    import hashlib
+    import os
+
+    from speech_data_pipeline_spark.streaming.ingest import stream_bloom_dedup
+
+    m, k = 1024, 3
+    tmp = tempfile.mkdtemp()
+    out = f"{tmp}/out"
+    batches = [
+        [(i, 1000 + i) for i in range(100)],          # new keys 0-99
+        [(i, 2000 + i) for i in range(50, 150)],      # 50 dups, 50 new
+        [(i, 3000 + i) for i in range(0, 200)],       # all prior + 50 new
+    ]
+    # drive the batches as three sequential availableNow passes over a
+    # growing landing dir with ONE shared checkpoint (each pass sees
+    # only the new file) and the carried bitmap dict — file-source
+    # micro-batch grouping is not guaranteed per-file, so relying on
+    # maxFilesPerTrigger makes batch boundaries nondeterministic
+    landing = f"{tmp}/stream"
+    os.makedirs(landing)
+    carried: dict = {}
+    for b, rows_ in enumerate(batches):
+        spark.createDataFrame(
+            [(kk, tt, f"p{kk}") for kk, tt in rows_],
+            "event_id long, ts long, payload string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/land/b{b}")
+        src = [
+            f for f in os.listdir(f"{tmp}/land/b{b}") if f.endswith(".parquet")
+        ][0]
+        shutil.copy(f"{tmp}/land/b{b}/{src}", f"{landing}/{b:03d}.parquet")
+        sdf = spark.readStream.schema(
+            "event_id long, ts long, payload string"
+        ).parquet(landing)
+        q = stream_bloom_dedup(
+            sdf, out, f"{tmp}/ck", key_col="event_id", m=m, k=k, state=carried
+        )
+        q.awaitTermination(180)
+
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert len(got) == len(set(got))  # no key survives twice
+
+    # exact sequential replay of the bitmap arithmetic
+    def positions(key):
+        return [
+            int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:7], 16) % m
+            for i in range(k)
+        ]
+
+    bits = 0
+    expect = []
+    for rows_ in batches:
+        kept_now = []
+        for key, _ts in rows_:  # keys unique within a batch already
+            ps = positions(key)
+            if not all((bits >> p) & 1 for p in ps):
+                kept_now.append(key)
+        for key in kept_now:
+            for p in positions(key):
+                bits |= 1 << p
+        expect += kept_now
+    assert got == sorted(expect)
+    # and the dedup actually dropped the cross-batch duplicates
+    assert len(got) < sum(len(b) for b in batches)
+    shutil.rmtree(tmp, ignore_errors=True)
