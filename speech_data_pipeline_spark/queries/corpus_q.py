@@ -438,6 +438,79 @@ def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "calibrate_isotonic",
+    oracle="""
+    WITH g AS (
+      SELECT source, least(n_chars // 75, 9) AS bucket,
+             count(*) AS n,
+             CAST(sum(CASE WHEN len(regexp_extract_all(lower(text),
+                                     '([a-z]+)', 1)) >= 40
+                           THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      FROM documents GROUP BY source, bucket
+    ), p AS (
+      SELECT source, bucket, n, hits,
+             sum(n) OVER w AS cn, sum(hits) OVER w AS ch,
+             sum(n) OVER w - n AS pn, sum(hits) OVER w - hits AS ph
+      FROM g WINDOW w AS (PARTITION BY source ORDER BY bucket)
+    ), seg AS (
+      SELECT pj.source, pj.bucket AS j, pk.bucket AS k,
+             (pk.ch - pj.ph) * 1.0 / (pk.cn - pj.pn) AS v
+      FROM p pj JOIN p pk
+        ON pj.source = pk.source AND pj.bucket <= pk.bucket
+    ), mm AS (
+      SELECT s.source, s.j, pi.bucket AS i, min(s.v) AS mv
+      FROM seg s JOIN p pi
+        ON pi.source = s.source
+       AND s.j <= pi.bucket AND pi.bucket <= s.k
+      GROUP BY s.source, s.j, pi.bucket
+    ), fit AS (
+      SELECT source, i AS bucket, max(mv) AS fitted
+      FROM mm GROUP BY source, i
+    )
+    SELECT g.source, g.bucket, g.n, g.hits,
+           floor(f.fitted * 1000000.0) / 1000000.0 AS fitted
+    FROM g JOIN fit f ON f.source = g.source AND f.bucket = g.bucket
+    """,
+)
+def calibrate_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source isotonic calibration of a quality signal: bucket
+    documents by length band, measure the integer hit rate of a
+    downstream property (>= 40 alpha tokens), and fit the best
+    non-decreasing step function with weighted PAVA
+    (operators/calibration.py) — raw score → calibrated keep-rate, the
+    classifier-calibration step of a filtering pipeline.
+
+    Cross-engine exactness without replaying the sequential merge: all
+    pool values are single divisions of exact integer sums, so the
+    DuckDB oracle recomputes the SAME doubles through the closed-form
+    minimax identity fit(i) = max_{j<=i} min_{k>=i} avg(j..k) — an
+    O(buckets³) triple join that is trivial on the b<=10 bucket table
+    (the corpus-sized work is the one grouped aggregate feeding it,
+    in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    from speech_data_pipeline_spark.operators.calibration import (
+        isotonic_calibrate,
+    )
+
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+    )
+    g = (
+        d.select(
+            "source",
+            F.least(F.expr("n_chars div 75"), F.lit(9)).alias("bucket"),
+            (n_tok >= 40).cast("int").alias("hit"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("hit").alias("hits"))
+    )
+    fit = isotonic_calibrate(g)
+    return fit.select(
+        "source", "bucket", "n", "hits", trunc6(F.col("fitted")).alias("fitted")
+    )
+
+
+@query(
     "embed_quantize_int8",
     oracle="""
     WITH e AS (

@@ -254,3 +254,73 @@ def test_chunk_windows_short_doc_single_chunk(spark):
         (F.col("n_chunks") != 1) | (F.col("max_tok") != F.col("n"))
     ).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------- isotonic PAVA
+
+
+def _minimax_fit(hits, ns):
+    """Brute-force minimax reference: fit(i)=max_{j<=i} min_{k>=i} avg."""
+    b = len(hits)
+    H = [0] * (b + 1)
+    N = [0] * (b + 1)
+    for i in range(b):
+        H[i + 1] = H[i] + hits[i]
+        N[i + 1] = N[i] + ns[i]
+    out = []
+    for i in range(b):
+        best = None
+        for j in range(i + 1):
+            worst = None
+            for k in range(i, b):
+                v = (H[k + 1] - H[j]) / (N[k + 1] - N[j])
+                worst = v if worst is None else min(worst, v)
+            best = worst if best is None else max(best, worst)
+        out.append(best)
+    return out
+
+
+def test_pava_matches_minimax_and_is_monotone():
+    import random
+
+    from speech_data_pipeline_spark.operators.calibration import pava_fit
+
+    random.seed(7)
+    for _ in range(50):
+        b = random.randint(1, 12)
+        ns = [random.randint(1, 30) for _ in range(b)]
+        hits = [random.randint(0, n) for n in ns]
+        pools = pava_fit(hits, ns)
+        fitted = [h / n for h, n in pools]
+        assert all(a <= b2 + 1e-15 for a, b2 in zip(fitted, fitted[1:]))
+        assert fitted == _minimax_fit(hits, ns)  # exact double equality
+        # mean preservation: total fitted mass equals total hits
+        assert sum(h * (nn / n) for (h, n), nn in zip(pools, ns)) == pytest.approx(
+            sum(hits)
+        )
+
+
+def test_pava_known_cases():
+    from speech_data_pipeline_spark.operators.calibration import pava_fit
+
+    # already monotone: untouched
+    assert pava_fit([1, 2, 3], [10, 10, 10]) == [(1, 10), (2, 10), (3, 10)]
+    # single violation merges into one pool
+    assert pava_fit([3, 1], [10, 10]) == [(4, 20), (4, 20)]
+    # cascade: strictly decreasing collapses to the global mean
+    assert pava_fit([5, 3, 1], [10, 10, 10]) == [(9, 30)] * 3
+
+
+def test_isotonic_calibrate_groups_independent(spark):
+    from speech_data_pipeline_spark.operators.calibration import (
+        isotonic_calibrate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0, 10, 8), ("a", 1, 10, 2), ("b", 0, 5, 1), ("b", 1, 5, 4)],
+        "source string, bucket long, n long, hits long",
+    )
+    out = {(r.source, r.bucket): r.fitted for r in isotonic_calibrate(df).collect()}
+    assert out[("a", 0)] == out[("a", 1)] == pytest.approx(0.5)  # merged
+    assert out[("b", 0)] == pytest.approx(0.2)  # monotone, untouched
+    assert out[("b", 1)] == pytest.approx(0.8)
