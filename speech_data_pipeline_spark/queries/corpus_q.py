@@ -437,6 +437,80 @@ def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Weighted-sample size per stratum.
+_PPS_K = 5
+
+
+@query(
+    "sample_weighted_pps",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, doc_id,
+             CAST(n_chars // 4 + 1 AS BIGINT) AS wt,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, wt,
+             sum(wt) OVER (PARTITION BY source ORDER BY ord, doc_id) AS hi,
+             sum(wt) OVER (PARTITION BY source) AS tot
+      FROM w
+    ), m AS (
+      SELECT source, doc_id, wt,
+        (CASE WHEN 2 * {_PPS_K} * hi >= tot
+              THEN (2 * {_PPS_K} * hi - tot) // (2 * tot) + 1 ELSE 0 END)
+        - (CASE WHEN 2 * {_PPS_K} * (hi - wt) >= tot
+                THEN (2 * {_PPS_K} * (hi - wt) - tot) // (2 * tot) + 1
+                ELSE 0 END) AS mult
+      FROM c
+    )
+    SELECT source, doc_id, wt, CAST(mult AS BIGINT) AS mult
+    FROM m WHERE mult > 0
+    """,
+)
+def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted (probability-proportional-to-size)
+    sampling: exactly {_PPS_K} draws per source with inclusion
+    multiplicity ∝ token weight, via systematic sampling over the
+    md5-ordered cumulative weight line — the particle-filter /
+    PPS-survey technique, done ENTIRELY in integer arithmetic (sample
+    point i sits at (2i+1)·W/(2k); a document's multiplicity is a
+    difference of integer floor divisions), so the draw is bit-exact
+    on any engine with no transcendental tie-break risk (the usual
+    A-ES exponential keys need ln/pow, which are not cross-engine
+    exactly rounded).
+
+    Plan: two windows over the stratum key (cumsum + total), map-side
+    multiplicity arithmetic, filter — one shuffle, no sort beyond the
+    per-stratum window, never materializes a stratum."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "source",
+        "doc_id",
+        (F.expr("n_chars div 4") + 1).cast("long").alias("wt"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+    )
+    win = Window.partitionBy("source").orderBy("ord", "doc_id")
+    c = w.select(
+        "source",
+        "doc_id",
+        "wt",
+        F.sum("wt").over(win).alias("hi"),
+        F.sum("wt").over(Window.partitionBy("source")).alias("tot"),
+    )
+    k2 = 2 * _PPS_K
+    # integer `div` throughout — floor(double-division) can round the
+    # wrong way when the quotient lands next to an integer
+    mult = F.expr(
+        f"""(CASE WHEN {k2} * hi >= tot
+                  THEN ({k2} * hi - tot) div (2 * tot) + 1 ELSE 0 END)
+          - (CASE WHEN {k2} * (hi - wt) >= tot
+                  THEN ({k2} * (hi - wt) - tot) div (2 * tot) + 1
+                  ELSE 0 END)"""
+    ).cast("long")
+    m = c.select("source", "doc_id", "wt", mult.alias("mult"))
+    return m.where(F.col("mult") > 0)
+
+
 @query(
     "calibrate_isotonic",
     oracle="""

@@ -324,3 +324,61 @@ def test_isotonic_calibrate_groups_independent(spark):
     assert out[("a", 0)] == out[("a", 1)] == pytest.approx(0.5)  # merged
     assert out[("b", 0)] == pytest.approx(0.2)  # monotone, untouched
     assert out[("b", 1)] == pytest.approx(0.8)
+
+
+# ------------------------------------------------------ weighted sampling
+
+
+def test_pps_sample_exact_k_per_stratum(spark):
+    """Systematic PPS: Σ multiplicity is exactly k in every stratum,
+    and the draw is invariant to shuffle-width perturbation."""
+    from speech_data_pipeline_spark.queries.corpus_q import (
+        _PPS_K,
+        sample_weighted_pps,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = sample_weighted_pps(spark, sf)
+    per = {
+        r["source"]: r["s"]
+        for r in out.groupBy("source").agg(F.sum("mult").alias("s")).collect()
+    }
+    n_sources = (
+        spark.read.parquet(f"{sf}/documents.parquet").select("source").distinct()
+    ).count()
+    assert len(per) == n_sources
+    assert all(v == _PPS_K for v in per.values())
+    got = rows(out)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        assert rows(sample_weighted_pps(spark, sf)) == got
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_pps_sample_weight_bias():
+    """A document with half the total weight must be drawn ≥ floor(k/2)
+    times (systematic sampling guarantee: mult ∈ {floor(k·w/W),
+    ceil(k·w/W)})."""
+    from speech_data_pipeline_spark.operators.calibration import pava_fit  # noqa: F401
+    # pure-python check of the multiplicity arithmetic
+    k = 5
+
+    def mult(hi, lo, tot):
+        def c(x):
+            return (2 * k * x - tot) // (2 * tot) + 1 if 2 * k * x >= tot else 0
+
+        return c(hi) - c(lo)
+
+    # weights: one heavy doc (50) among ten light (5 each): tot=100
+    ws = [50] + [5] * 10
+    tot = sum(ws)
+    cum = 0
+    ms = []
+    for w in ws:
+        cum += w
+        ms.append(mult(cum, cum - w, tot))
+    assert sum(ms) == k
+    assert ms[0] in (2, 3)  # k*w/W = 2.5 -> floor/ceil
+    assert all(m <= 1 for m in ms[1:])
