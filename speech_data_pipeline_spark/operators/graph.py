@@ -262,3 +262,74 @@ def resolve_duplicates(
         .withColumn("is_canonical", F.col(id_col) == F.col("component"))
     )
     return out
+
+
+#: Fixed-point scale for pagerank ranks (2^30 ≈ 1.0).
+PR_FP = 1 << 30
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+) -> DataFrame:
+    """Weighted PageRank with EXACT integer (fixed-point) arithmetic —
+    the third iterative-algorithm pattern here (beside connected
+    components and Lloyd k-means), used in corpus curation as a
+    centrality / density signal (rank web hosts, rank near-duplicate
+    cluster members, pick diverse representatives).
+
+    Every quantity is a BIGINT: ranks start at ``PR_FP`` (=1.0); an
+    edge passes ``floor(rank * w / outdeg)``; a node's next rank is
+    ``(15 * PR_FP) div 100 + (85 * inflow) div 100``. No float ever
+    appears, so partial-sum order, engine, and partitioning cannot
+    change a single bit — the DuckDB oracle replays the trajectory as
+    chained CTEs on the same integers.
+
+    Per iteration: one join (ranks onto edges, shuffle on src) + one
+    grouped sum (shuffle on dst) — the canonical distributed pagerank
+    step; the rank table is nodes-sized, never corpus-sized. Dangling
+    nodes (no out-edges) keep contributing nothing; nodes with no
+    in-edges settle at the teleport mass, matching the textbook
+    non-normalized formulation.
+
+    Returns ``(node, rank_fp)``; ``rank_fp / PR_FP`` is the rank.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(w_col).cast("long").alias("w"),
+    )
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    e = e.join(outdeg, "src")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(PR_FP).cast("long").alias("rank_fp"))
+    teleport = (100 - damping_pct) * PR_FP // 100
+    for _ in range(iters):
+        inflow = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.expr("rank_fp * w div outdeg").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
+                ).cast("long").alias("rank_fp"),
+            )
+        )
+    return ranks

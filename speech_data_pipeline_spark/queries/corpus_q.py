@@ -437,6 +437,62 @@ def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iters: int = 3, fp: int = 1 << 30,
+                     damping_pct: int = 85) -> str:
+    teleport = (100 - damping_pct) * fp // 100
+    parts = [
+        """e0 AS (
+      SELECT 'u:' || CAST(user_id AS VARCHAR) AS src,
+             't:' || event_type AS dst, count(*) AS w
+      FROM events GROUP BY user_id, event_type
+    ),
+    e AS (SELECT src, dst, w FROM e0
+          UNION ALL SELECT dst, src, w FROM e0),
+    od AS (SELECT src, sum(w) AS outdeg FROM e GROUP BY src),
+    n AS (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    r0 AS (SELECT node, CAST(%d AS BIGINT) AS rank_fp FROM n)""" % fp
+    ]
+    for t in range(iters):
+        parts.append(f"""
+    i{t + 1} AS (
+      SELECT e.dst, sum((r.rank_fp * e.w) // od.outdeg) AS s
+      FROM e JOIN od USING (src) JOIN r{t} r ON r.node = e.src
+      GROUP BY e.dst
+    ),
+    r{t + 1} AS (
+      SELECT n.node,
+             CAST({teleport} + ({damping_pct} * coalesce(i.s, 0)) // 100
+                  AS BIGINT) AS rank_fp
+      FROM n LEFT JOIN i{t + 1} i ON i.dst = n.node
+    )""")
+    return (
+        "WITH " + ",".join(parts)
+        + f" SELECT node, rank_fp FROM r{iters}"
+    )
+
+
+@query("graph_pagerank_activity", oracle=_pagerank_oracle())
+def graph_pagerank_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank centrality over the bipartite user ↔
+    event-type activity graph (both directions, edge weight = event
+    count) — the graph-centrality curation signal (rank hosts /
+    cluster members / pick diverse representatives), run with EXACT
+    fixed-point integer arithmetic so the 3-iteration trajectory is
+    bit-replayable as chained CTEs
+    (operators/graph.py pagerank_fixed_point)."""
+    from speech_data_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    ev = load_table(spark, sf_dir, "events")
+    e0 = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("w"))
+    u = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+    t = F.concat(F.lit("t:"), F.col("event_type"))
+    edges = e0.select(u.alias("src"), t.alias("dst"), "w").unionByName(
+        e0.select(t.alias("src"), u.alias("dst"), "w")
+    )
+    return pagerank_fixed_point(edges, iters=3)
+
+
 #: Weighted-sample size per stratum.
 _PPS_K = 5
 

@@ -120,3 +120,29 @@ def test_cc_star_loop_path_matches_fast_path(spark):
         )
     )
     assert fast == loop
+
+
+def test_pagerank_fixed_point_hub_and_determinism(spark):
+    """Star graph: the hub out-ranks every leaf; ranks are identical
+    under input repartitioning (pure integer arithmetic)."""
+    from speech_data_pipeline_spark.operators.graph import (
+        PR_FP,
+        pagerank_fixed_point,
+    )
+
+    # undirected star: hub h <-> leaves l1..l6 (two directed edges each)
+    rows_ = []
+    for i in range(1, 7):
+        rows_.append(("h", f"l{i}", 1))
+        rows_.append((f"l{i}", "h", 1))
+    e = spark.createDataFrame(rows_, "src string, dst string, w long")
+    r = {x["node"]: x["rank_fp"] for x in pagerank_fixed_point(e, iters=3).collect()}
+    assert all(r["h"] > r[f"l{i}"] for i in range(1, 7))
+    leaf_ranks = {r[f"l{i}"] for i in range(1, 7)}
+    assert len(leaf_ranks) == 1  # symmetry preserved exactly
+    assert r["h"] > PR_FP  # hub gains mass over the uniform start
+    r2 = {
+        x["node"]: x["rank_fp"]
+        for x in pagerank_fixed_point(e.repartition(5), iters=3).collect()
+    }
+    assert r2 == r
