@@ -437,6 +437,118 @@ def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_governed_mix",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, source, n_chars,
+             {_BUCKET_SQL} AS bucket,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS t
+      FROM documents
+    ), dg AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(t) - {_DECON_N - 1}, 0) + 1),
+                 i -> array_to_string(
+                        list_slice(t, CAST(i AS INTEGER),
+                                   CAST(i AS INTEGER) + {_DECON_N - 1}), ' ')))
+                 AS gram
+        FROM toks
+      )
+    ), bench AS (
+      SELECT DISTINCT gram FROM dg
+      JOIN (SELECT doc_id FROM b WHERE bucket >= 90) USING (doc_id)
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM dg
+      WHERE gram IN (SELECT gram FROM bench)
+    ), stats AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.1) AS p10,
+             quantile_cont(n_chars, 0.9) AS p90
+      FROM documents GROUP BY source
+    ), kept AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             {_SHARD_SQL} AS shard
+      FROM b d JOIN stats s USING (source)
+      WHERE d.bucket < 80
+        AND d.doc_id = d.canonical_id
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND d.n_chars >= s.p10 AND d.n_chars <= s.p90
+    )
+    SELECT source, shard, count(*) AS n_docs,
+           CAST(sum(CAST(n_chars // 4 + 1 AS BIGINT)) AS BIGINT)
+             AS total_tokens,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM kept GROUP BY source, shard
+    """,
+)
+def pipeline_governed_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 capstone: the full governance stack as ONE declarative
+    plan — exact-dedup canonical filter → train-split selection →
+    {_DECON_N}-gram test-set decontamination (broadcast benchmark
+    anti-join) → per-source quantile length band → deterministic shard
+    assignment → per (source, shard) training-mix report.
+
+    Catalyst fuses the whole chain: the corpus is scanned once for the
+    document stream (plus once for the gram stream), the benchmark
+    gram set and per-source stats are broadcast, and the only
+    corpus-width shuffles are the canonical-digest window and the
+    final report aggregate — the same count at 100 TB."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        "text",
+        "source",
+        "n_chars",
+        _bucket().alias("bucket"),
+        F.min("doc_id").over(W.partitionBy(F.md5("text"))).alias("canonical_id"),
+    )
+    grams = F.explode(tx.word_ngrams(F.col("text"), _DECON_N)).alias("gram")
+    dg = d.select("doc_id", grams).distinct()
+    bench_ids = b.where(F.col("bucket") >= 90).select("doc_id")
+    bench = dg.join(bench_ids, "doc_id", "left_semi").select("gram").distinct()
+    contaminated = (
+        dg.join(F.broadcast(bench), "gram", "left_semi").select("doc_id").distinct()
+    )
+    stats = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.1)").alias("p10"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _SHUF_SHARDS
+    )
+    kept = (
+        b.where((F.col("bucket") < 80) & (F.col("doc_id") == F.col("canonical_id")))
+        .join(contaminated, "doc_id", "left_anti")
+        .join(F.broadcast(stats), "source")
+        .where(
+            (F.col("n_chars") >= F.col("p10")) & (F.col("n_chars") <= F.col("p90"))
+        )
+        .withColumn("shard", shard)
+    )
+    return kept.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("n_chars div 4") + 1).cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def _pagerank_oracle(iters: int = 3, fp: int = 1 << 30,
                      damping_pct: int = 85) -> str:
     teleport = (100 - damping_pct) * fp // 100
