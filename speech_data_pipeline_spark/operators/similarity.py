@@ -407,7 +407,17 @@ def _kmeans_state(
 ):
     """Run the Lloyd trajectory; return ``(g, scale)`` where ``g`` is
     the working frame ``(id, v, gq, cell)`` after ``iters`` rounds —
-    shared by :func:`kmeans_assign` and :func:`semantic_dedup`."""
+    shared by :func:`kmeans_assign` and :func:`semantic_dedup`.
+
+    Each round's frame is persisted and the final one eagerly
+    materialized (then the intermediates dropped): every round
+    references its predecessor from TWO branches (the centroid
+    aggregate and the assignment), so an unmaterialized chain
+    re-evaluates upstream 2^iters times — the standard
+    checkpoint-between-iterations rule for iterative algorithms
+    (MLlib's own k-means does the same). Values are unchanged: the
+    quantized centroid math is layout-proof by construction.
+    """
     scale = float(1 << quant_bits)
     g = df.select(
         F.col(id_col).alias("id"),
@@ -418,7 +428,10 @@ def _kmeans_state(
         ).alias("gq"),
         F.pmod(F.col(id_col), F.lit(n_cells)).alias("cell"),
     )
+    kept = []
     for _ in range(iters):
+        g = g.persist()
+        kept.append(g)
         cents1 = _centroids_row(g, dim, scale)
         g = (
             g.drop("cell")
@@ -426,6 +439,11 @@ def _kmeans_state(
             .withColumn("cell", argmin_cell(F.col("v"), F.col("cents"), _sqd))
             .select("id", "v", "gq", "cell")
         )
+    if kept:
+        g = g.persist()
+        g.count()  # eager: materialize before dropping the chain
+        for prev in kept:
+            prev.unpersist(blocking=False)
     return g, scale
 
 

@@ -197,3 +197,65 @@ def stft_frame_energy(
             )
 
     return df.mapInPandas(kernel, schema=FRAME_ENERGY_SCHEMA)
+
+
+VAD_SEG_SCHEMA = "audio_id string, start double, end double"
+
+
+def vad_frame_energy(
+    df: DataFrame,
+    n_fft: int = 512,
+    hop: int = 160,
+    threshold_db: float = -35.0,
+    hangover_frames: int = 5,
+    min_dur: float = 0.05,
+) -> DataFrame:
+    """Classical frame-energy VAD on the real STFT — the standard
+    signal-processing baseline for the reference's Silero stage (M1,
+    modules/vad_multi.py:21-46): per-frame log energy from
+    :func:`ml.dsp.stft`, a frames-active threshold relative to the
+    file's peak frame (``threshold_db`` below it), hangover smoothing
+    (speech stays active ``hangover_frames`` past the last hot frame —
+    the classic VAD trick that bridges intra-word gaps), then runs →
+    (start, end) seconds with a minimum duration.
+
+    Real DSP end to end (the learned-model seam stays in ml/stubs.py);
+    per-row kernel, no shuffle, vectorized — frame energies are one
+    |STFT|² reduction, runs come from ``np.diff`` on the active mask,
+    no per-sample Python.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, samples, sr in zip(
+                pdf["audio_id"], pdf["samples"], pdf["sr"]
+            ):
+                x = np.asarray(samples, dtype=np.float64)
+                if len(x) < n_fft:
+                    continue
+                spec = dsp.stft(x, n_fft=n_fft, hop=hop)  # (frames, bins)
+                energy = (np.abs(spec) ** 2).sum(axis=1)
+                if not np.any(energy > 0):
+                    continue
+                edb = 10.0 * np.log10(np.maximum(energy, 1e-30))
+                active = edb > (edb.max() + threshold_db)
+                if hangover_frames > 0 and active.any():
+                    # extend each active frame forward by the hangover
+                    idx = np.nonzero(active)[0]
+                    for k in range(1, hangover_frames + 1):
+                        ext = idx + k
+                        active[ext[ext < len(active)]] = True
+                padded = np.concatenate(([False], active, [False]))
+                d = np.diff(padded.astype(np.int8))
+                starts = np.nonzero(d == 1)[0]
+                ends = np.nonzero(d == -1)[0]
+                for s, e in zip(starts, ends):
+                    # center=True: frame f is centered at f*hop samples
+                    t0 = max(0, s * hop - n_fft // 2) / sr
+                    t1 = min((e - 1) * hop + n_fft // 2, len(x)) / sr
+                    if t1 - t0 >= min_dur:
+                        rows.append((aid, t0, t1))
+            yield pd.DataFrame(rows, columns=["audio_id", "start", "end"])
+
+    return df.mapInPandas(kernel, schema=VAD_SEG_SCHEMA)

@@ -209,3 +209,43 @@ def test_score_quality_dnsmos_orchestration(spark):
     assert {a: tuple(r) for a, r in out.items()} == {
         a: tuple(r) for a, r in out2.items()
     }
+
+
+def test_vad_frame_energy_finds_bursts(spark):
+    """Frame-energy VAD recovers tone bursts in silence within a frame
+    of tolerance, merges intra-burst dips via hangover, and drops
+    sub-min_dur blips."""
+    import numpy as np
+
+    from speech_data_pipeline_spark.operators.spectral import vad_frame_energy
+
+    sr = 16000
+    t = np.arange(sr * 3) / sr  # 3 s
+    x = np.zeros(sr * 3)
+    # bursts at [0.5, 1.0) and [1.8, 2.5); 5 ms blip at 2.9 (dropped by
+    # min_dur + relative threshold)
+    for a, b in [(0.5, 1.0), (1.8, 2.5)]:
+        seg = slice(int(a * sr), int(b * sr))
+        x[seg] = 0.5 * np.sin(2 * np.pi * 440 * t[seg])
+    x[int(2.9 * sr):int(2.905 * sr)] = 0.002  # ~48 dB below the bursts
+    df = spark.createDataFrame(
+        [("a", [float(v) for v in x], sr)],
+        "audio_id string, samples array<float>, sr int",
+    )
+    segs = sorted(
+        (r["start"], r["end"]) for r in vad_frame_energy(df).collect()
+    )
+    assert len(segs) == 2
+    tol = 512 / sr + 0.04  # one frame + hangover slack
+    for (s, e), (a, b) in zip(segs, [(0.5, 1.0), (1.8, 2.5)]):
+        assert abs(s - a) < tol and abs(e - b) < tol + 5 * 160 / sr
+
+
+def test_vad_frame_energy_silence_and_short(spark):
+    from speech_data_pipeline_spark.operators.spectral import vad_frame_energy
+
+    df = spark.createDataFrame(
+        [("s", [0.0] * 4000, 16000), ("tiny", [0.1] * 100, 16000)],
+        "audio_id string, samples array<float>, sr int",
+    )
+    assert vad_frame_energy(df).count() == 0
