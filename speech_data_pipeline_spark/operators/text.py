@@ -344,6 +344,98 @@ def cdc_chunks_bounded(
     )
 
 
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the first ``n_merges`` BPE tokenizer merges over the
+    corpus — the way production tokenizers are actually trained: on the
+    WORD-FREQUENCY table, not raw sequences, so the corpus-sized work
+    is one token count and every merge round runs on the vocab.
+
+    Protocol (the standard greedy BPE): words are DOUBLE-space-joined
+    character symbols with double-space sentinels (``  a  b  c  ``);
+    each round counts adjacent symbol pairs weighted by word frequency,
+    picks the most frequent (ties: count desc, left asc, right asc),
+    and merges every greedy-leftmost occurrence as ONE string
+    ``replace(' a  b ' -> ' ab ')`` per word. The double boundary is
+    load-bearing: each match consumes one space from each side, so
+    symbol-disjoint adjacent occurrences (``x a b a b`` → ``x ab ab``)
+    do not overlap in the string and all merge in one round, while
+    symbol-SHARING occurrences (``a a a`` with pair (a,a) → ``aa a``)
+    still merge non-overlapping leftmost — exactly BPE's convention.
+    Both engines define replace() identically (leftmost,
+    non-overlapping, boundary-preserving here by construction), so the
+    whole trajectory replays as chained CTEs.
+
+    Fully declarative: the winning pair is a broadcast one-row argmax
+    (``orderBy().limit(1)``), never a driver round-trip; each round's
+    vocab is persisted (two downstream branches per round — the pair
+    count and the merge — would otherwise re-evaluate the chain
+    2^rounds times, the same checkpoint rule as the Lloyd loop).
+
+    Returns ``(round, left, right, pair_count)`` — the merge table a
+    tokenizer ships.
+    """
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1)
+        ).alias("word")
+    ).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = words.select(
+        F.concat(
+            F.lit("  "), F.concat_ws("  ", F.split("word", "")), F.lit("  ")
+        ).alias("w"),
+        "freq",
+    )
+    outs = []
+    kept = []
+    for rnd in range(1, n_merges + 1):
+        vocab = vocab.persist()
+        kept.append(vocab)
+        syms = F.filter(F.split("w", " "), lambda x: x != "")
+        n = F.size(syms)
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.when(
+                        n >= 2,
+                        F.zip_with(
+                            F.slice(syms, 1, n - 1),
+                            F.slice(syms, 2, n - 1),
+                            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1)
+        outs.append(top.select(
+            F.lit(rnd).alias("round"),
+            F.col("a").alias("left"),
+            F.col("b").alias("right"),
+            F.col("c").alias("pair_count"),
+        ))
+        vocab = vocab.crossJoin(F.broadcast(top)).select(
+            F.expr(
+                "replace(w, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')"
+            ).alias("w"),
+            "freq",
+        )
+    vocab = vocab.persist()
+    vocab.count()  # eager: materialize the chain before dropping it
+    for prev in kept:
+        prev.unpersist(blocking=False)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def cdc_anchor_chunks(
     df: DataFrame,
     window: int = 8,

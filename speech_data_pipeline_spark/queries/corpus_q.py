@@ -437,6 +437,69 @@ def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE training rounds for the tokenizer-merge query.
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle(n_merges: int = _BPE_ROUNDS) -> str:
+    parts = [
+        """w0 AS (
+      SELECT '  ' || array_to_string(string_split(word, ''), '  ') || '  '
+               AS w, freq
+      FROM (
+        SELECT word, count(*) AS freq FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1))
+                   AS word
+          FROM documents
+        ) GROUP BY word
+      )
+    )"""
+    ]
+    for t in range(1, n_merges + 1):
+        parts.append(f"""
+    p{t} AS (
+      SELECT p.a AS a, p.b AS b, sum(freq) AS c FROM (
+        SELECT freq,
+               unnest(list_transform(
+                 range(1, greatest(len(syms) - 1, 0) + 1),
+                 i -> {{'a': syms[CAST(i AS INTEGER)],
+                        'b': syms[CAST(i AS INTEGER) + 1]}})) AS p
+        FROM (
+          SELECT list_filter(string_split(w, ' '), x -> x <> '') AS syms,
+                 freq
+          FROM w{t - 1}
+        )
+      ) GROUP BY p.a, p.b
+    ),
+    t{t} AS (SELECT a, b, c FROM p{t} ORDER BY c DESC, a, b LIMIT 1),
+    w{t} AS (
+      SELECT replace(w, ' ' || a || '  ' || b || ' ',
+                     ' ' || a || b || ' ') AS w, freq
+      FROM w{t - 1} CROSS JOIN t{t}
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT {t} AS round, a AS left, b AS right, "
+        f"CAST(c AS BIGINT) AS pair_count FROM t{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(parts) + " " + sel
+
+
+@query("text_bpe_merges", oracle=_bpe_oracle())
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first {_BPE_ROUNDS} BPE tokenizer merges over the
+    corpus word-frequency table (operators/text.py bpe_train_merges) —
+    distributed tokenizer training, the step every LLM data pipeline
+    runs before token counting is even defined. Corpus-sized work is
+    one token count; each merge round is a vocab-sized pair count, a
+    broadcast one-row argmax, and a boundary-preserving string
+    replace. The DuckDB oracle replays the full greedy trajectory as
+    chained CTEs."""
+    return tx.bpe_train_merges(
+        load_table(spark, sf_dir, "documents"), n_merges=_BPE_ROUNDS
+    )
+
+
 @query(
     "pipeline_governed_mix",
     oracle=f"""

@@ -382,3 +382,60 @@ def test_pps_sample_weight_bias():
     assert sum(ms) == k
     assert ms[0] in (2, 3)  # k*w/W = 2.5 -> floor/ceil
     assert all(m <= 1 for m in ms[1:])
+
+
+# ------------------------------------------------------------- BPE merges
+
+
+def test_bpe_merges_classic_example(spark):
+    """The textbook BPE corpus: 'low' x5, 'lowest' x2 -> first merges
+    build 'lo', then 'low' (frequency-greedy, deterministic ties)."""
+    from speech_data_pipeline_spark.operators.text import bpe_train_merges
+
+    text = " ".join(["low"] * 5 + ["lowest"] * 2)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(df, n_merges=2).orderBy("round").collect()
+    ]
+    # round 1: pairs l-o (7), o-w (7), w-e (2), e-s (2), s-t (2);
+    # tie l-o vs o-w broken by (left, right) asc -> ('l','o')
+    assert got[0] == (1, "l", "o", 7)
+    # round 2: 'lo'-w now 7, wins
+    assert got[1] == (2, "lo", "w", 7)
+
+
+def test_bpe_merge_handles_adjacent_disjoint_pairs(spark):
+    """'abab' must become 'ab ab' after merging (a,b) once — the
+    double-boundary encoding merges symbol-disjoint adjacent
+    occurrences in one round (single-boundary string replace would
+    leave 'ab a b')."""
+    from speech_data_pipeline_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(1, "abab abab abab")], "doc_id long, text string"
+    )
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(df, n_merges=2).orderBy("round").collect()
+    ]
+    # round 1: a-b count 6 (2 per word), b-a count 3
+    assert got[0] == (1, "a", "b", 6)
+    # round 2: if both (a,b) merged per word, the pair stream is
+    # ab-ab (3); un-merged leftovers would surface (ab,a)/(a,b) instead
+    assert got[1] == (2, "ab", "ab", 3)
+
+
+def test_bpe_overlapping_same_symbol_pairs(spark):
+    """'aaa' with pair (a,a): greedy leftmost non-overlapping -> one
+    merge per word ('aa a'), count 1 per word not 2."""
+    from speech_data_pipeline_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(df, n_merges=2).orderBy("round").collect()
+    ]
+    assert got[0] == (1, "a", "a", 4)  # 2 adjacent pairs x 2 words
+    # after 'aaa' -> 'aa a': pairs are (aa, a) x2
+    assert got[1] == (2, "aa", "a", 2)

@@ -55,6 +55,7 @@ SCALAR_CROSS_WHITELIST = {
     "text_tfidf_topk",  # corpus-count scalar: 1 row
     "sketch_bloom_membership",  # bloom bit-set: 1 row, O(m)=4096 array
     "dedup_semantic",  # centroid table: n_cells=8 rows (kmeans attach)
+    "text_bpe_merges",  # winning-pair argmax: 1 row per merge round
 }
 
 
