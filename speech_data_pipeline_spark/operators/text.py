@@ -376,18 +376,34 @@ def bpe_train_merges(
     2^rounds times, the same checkpoint rule as the Lloyd loop).
 
     Returns ``(round, left, right, pair_count)`` — the merge table a
-    tokenizer ships.
+    tokenizer ships. :func:`bpe_train` additionally returns the
+    trained word table for encoding.
     """
+    merges, _ = bpe_train(df, n_merges, text_col)
+    return merges
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+):
+    """Run BPE training (see :func:`bpe_train_merges`); returns
+    ``(merges, vocab)`` where ``vocab`` is the trained word table
+    ``(word, freq, w)`` — ``w`` the word's final symbol string, whose
+    symbol count IS the word's BPE token count (the encode step is a
+    join against this table, never a re-segmentation)."""
     words = df.select(
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1)
         ).alias("word")
     ).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     vocab = words.select(
+        "word",
+        "freq",
         F.concat(
             F.lit("  "), F.concat_ws("  ", F.split("word", "")), F.lit("  ")
         ).alias("w"),
-        "freq",
     )
     outs = []
     kept = []
@@ -421,19 +437,20 @@ def bpe_train_merges(
             F.col("c").alias("pair_count"),
         ))
         vocab = vocab.crossJoin(F.broadcast(top)).select(
+            "word",
+            "freq",
             F.expr(
                 "replace(w, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')"
             ).alias("w"),
-            "freq",
         )
     vocab = vocab.persist()
     vocab.count()  # eager: materialize the chain before dropping it
     for prev in kept:
         prev.unpersist(blocking=False)
-    out = outs[0]
+    merges = outs[0]
     for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        merges = merges.unionByName(o)
+    return merges, vocab
 
 
 def cdc_anchor_chunks(

@@ -441,11 +441,12 @@ def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 5
 
 
-def _bpe_oracle(n_merges: int = _BPE_ROUNDS) -> str:
+def _bpe_ctes(n_merges: int = _BPE_ROUNDS) -> str:
     parts = [
         """w0 AS (
-      SELECT '  ' || array_to_string(string_split(word, ''), '  ') || '  '
-               AS w, freq
+      SELECT word, freq,
+             '  ' || array_to_string(string_split(word, ''), '  ') || '  '
+               AS w
       FROM (
         SELECT word, count(*) AS freq FROM (
           SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1))
@@ -473,16 +474,42 @@ def _bpe_oracle(n_merges: int = _BPE_ROUNDS) -> str:
     ),
     t{t} AS (SELECT a, b, c FROM p{t} ORDER BY c DESC, a, b LIMIT 1),
     w{t} AS (
-      SELECT replace(w, ' ' || a || '  ' || b || ' ',
-                     ' ' || a || b || ' ') AS w, freq
+      SELECT word, freq,
+             replace(w, ' ' || a || '  ' || b || ' ',
+                     ' ' || a || b || ' ') AS w
       FROM w{t - 1} CROSS JOIN t{t}
     )""")
+    return "WITH " + ",".join(parts)
+
+
+def _bpe_oracle(n_merges: int = _BPE_ROUNDS) -> str:
     sel = " UNION ALL ".join(
         f"SELECT {t} AS round, a AS left, b AS right, "
         f"CAST(c AS BIGINT) AS pair_count FROM t{t}"
         for t in range(1, n_merges + 1)
     )
-    return "WITH " + ",".join(parts) + " " + sel
+    return _bpe_ctes(n_merges) + " " + sel
+
+
+def _bpe_encode_oracle(n_merges: int = _BPE_ROUNDS) -> str:
+    return (
+        _bpe_ctes(n_merges)
+        + f""",
+    wc AS (
+      SELECT word,
+             len(list_filter(string_split(w, ' '), x -> x <> '')) AS n_sym
+      FROM w{n_merges}
+    ),
+    docw AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS word
+      FROM documents
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM docw JOIN wc USING (word) GROUP BY doc_id
+    """
+    )
 
 
 @query("text_bpe_merges", oracle=_bpe_oracle())
@@ -497,6 +524,34 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained CTEs."""
     return tx.bpe_train_merges(
         load_table(spark, sf_dir, "documents"), n_merges=_BPE_ROUNDS
+    )
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the learned BPE merges: a word's token
+    count under the trained tokenizer is the symbol count of its final
+    merged form, so encoding is the document word stream joined against
+    the trained word table — never a per-document re-segmentation.
+    Per document: word count and BPE token count (the number a packing
+    budget actually needs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = tx.bpe_train(docs, n_merges=_BPE_ROUNDS)
+    syms = F.filter(F.split("w", " "), lambda x: x != "")
+    wc = vocab.select("word", F.size(syms).alias("n_sym"))
+    docw = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+        ).alias("word"),
+    )
+    return (
+        docw.join(wc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
     )
 
 

@@ -56,6 +56,7 @@ SCALAR_CROSS_WHITELIST = {
     "sketch_bloom_membership",  # bloom bit-set: 1 row, O(m)=4096 array
     "dedup_semantic",  # centroid table: n_cells=8 rows (kmeans attach)
     "text_bpe_merges",  # winning-pair argmax: 1 row per merge round
+    "text_bpe_encode",  # same trained-vocab chain under the encode join
 }
 
 
