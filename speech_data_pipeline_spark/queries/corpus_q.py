@@ -437,6 +437,81 @@ def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_frame_sample_manifest",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             24.0 + (doc_id % 3) * 6 AS fps,
+             n_chars / 50.0 AS duration
+      FROM documents
+    ), s AS (
+      SELECT media_id, fps,
+             unnest(range(0, CAST(ceil(duration * 2.0) AS BIGINT))) AS k
+      FROM m WHERE duration > 0
+    )
+    SELECT media_id, k AS sample_idx,
+           CAST(floor(k * fps / 2.0) AS BIGINT) AS frame_idx,
+           k / 2.0 AS frame_ts
+    FROM s
+    """,
+)
+def mm_frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal frame-sampling PLAN as a gate query: a synthetic
+    media catalog (per-document fps/duration) → the exact
+    (media_id, frame_idx, ts) table a GPU decode stage would consume
+    at 2 fps (operators/multimodal.py `sample_frames` — plan
+    relationally, decode only the sampled frames; every sample
+    strictly before duration). Pure sequence+explode arithmetic, no
+    decode, no Python."""
+    from speech_data_pipeline_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(24.0) + (F.col("doc_id") % 3) * 6).alias("fps"),
+        (F.col("n_chars") / F.lit(50.0)).alias("duration"),
+    )
+    return sample_frames(media, target_fps=2.0)
+
+
+@query(
+    "profile_table_stats",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT doc_id) AS n_ids,
+           count(DISTINCT source) AS n_sources,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_empty_text,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           floor(avg(n_chars) * 1000000.0) / 1000000.0 AS avg_chars
+    FROM documents
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profiling in one pass: row/id/source/lang
+    cardinalities, empty-text count, length min/max/total/mean — the
+    data-quality dashboard every ingest runs first. Single aggregate,
+    map-side partials; distinct counts shuffle only distinct values."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)
+        ).alias("n_empty_text"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+        trunc6(F.avg("n_chars")).alias("avg_chars"),
+    )
+
+
 #: BPE training rounds for the tokenizer-merge query.
 _BPE_ROUNDS = 5
 
