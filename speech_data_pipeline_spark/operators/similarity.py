@@ -603,3 +603,127 @@ def ivf_topk(
         .orderBy(F.col("cos_sim").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    m_sub: int = 4,
+    n_cells: int = 4,
+    k: int = 10,
+    quant_bits: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via product quantization with ADC (asymmetric distance
+    computation) — the third scale path beside LSH and IVF, and the one
+    serving systems actually ship: vectors compress to ``m_sub`` small
+    codes (here 4×2 bits), queries scan CODES, not vectors.
+
+    Mechanics, all in one declarative plan:
+
+    - **codebooks**: the vector is split into ``m_sub`` contiguous
+      subvectors; each subspace gets ``n_cells`` centroids from one
+      quantized-grid k-means step off the ``id % n_cells`` init —
+      computed as a SINGLE corpus aggregate over all dims (the
+      subspace split is column slicing of the one centroid table),
+      collapsed to a broadcast one-row array.
+    - **encoding**: per subspace, the code is an in-row argmin over
+      the broadcast centroids (ties by cell id) — zero shuffle, the
+      corpus never duplicates.
+    - **ADC query**: the query's distance to a vector is approximated
+      by Σ_j sqdist(q_j, centroid[j, code_j]) — per row a fixed
+      left-to-right sum of ``m_sub`` doubles against the broadcast
+      centroid array (the classic distance-table lookup), then
+      ``orderBy(dist, id).limit(k)`` = TakeOrderedAndProject.
+
+    Deterministic cross-engine: centroids from exact BIGINT partial
+    sums; all folds in fixed index order; ties broken by id. The
+    DuckDB oracle of ``sim_pq_topk`` replays codebooks, codes, and the
+    ADC sum relationally.
+
+    Returns ``(id, codes, adc_dist)`` for the approximate top-k.
+    """
+    from speech_data_pipeline_spark.functions import trunc6
+
+    dim = len(query_vec)
+    sub = dim // m_sub
+    scale = float(1 << quant_bits)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+        ).alias("gq"),
+        F.pmod(F.col(id_col), F.lit(n_cells)).alias("init_cid"),
+    )
+    sums = g.groupBy("init_cid").agg(
+        *[F.sum(F.col("gq")[i]).alias(f"s{i}") for i in range(dim)],
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = sums.select(
+        F.col("init_cid").alias("cell"),
+        F.array(
+            *[F.col(f"s{i}") / (F.col("n") * F.lit(scale)) for i in range(dim)]
+        ).alias("c"),
+    )
+    cents1 = cent.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cell"), F.col("c")))).alias(
+            "cents"
+        )
+    )
+
+    def sub_sqd(vec, cvec, j: int):
+        # fold subspace dims in fixed ascending order
+        return F.aggregate(
+            F.sequence(F.lit(j * sub + 1), F.lit(j * sub + sub)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (F.element_at(vec, i.cast("int")) - F.element_at(cvec, i.cast("int")))
+            * (F.element_at(vec, i.cast("int")) - F.element_at(cvec, i.cast("int"))),
+        )
+
+    def code_expr(jj: int):
+        # closure factory: a `lambda s, jj=j` default arg would make
+        # PySpark read the HOF lambda as the 2-arg (element, index) form
+        return F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda s: F.struct(
+                    sub_sqd(F.col("v"), s["c"], jj).alias("d"),
+                    s["cell"].alias("cell"),
+                ),
+            )
+        )["cell"]
+
+    def cwin_expr(jj: int):
+        return F.element_at(
+            F.filter(
+                F.col("cents"), lambda s: s["cell"] == F.col(f"code{jj}")
+            ),
+            1,
+        )["c"]
+
+    enc = g.crossJoin(F.broadcast(cents1))
+    dist_total = None
+    code_cols = []
+    for j in range(m_sub):
+        enc = enc.withColumn(f"code{j}", code_expr(j))
+        dj = sub_sqd(qlit, cwin_expr(j), j)
+        dist_total = dj if dist_total is None else dist_total + dj
+        code_cols.append(f"code{j}")
+    scored = enc.withColumn("adc_raw", dist_total)
+    return (
+        scored.orderBy("adc_raw", "id")
+        .limit(k)
+        .select(
+            "id",
+            F.concat_ws("-", *[F.col(c).cast("string") for c in code_cols]).alias(
+                "codes"
+            ),
+            trunc6(F.col("adc_raw")).alias("adc_dist"),
+        )
+    )

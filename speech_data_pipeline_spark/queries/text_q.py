@@ -731,6 +731,76 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(e, dim=64, n_cells=8, iters=2)
 
 
+def _pq_oracle(dim: int = 64, m_sub: int = 4, n_cells: int = 4, k: int = 10,
+               quant: int = 1 << 20) -> str:
+    """DuckDB replay of the PQ/ADC plan: one-step codebooks per
+    subspace (sliced from the all-dims quantized-mean centroid table),
+    per-subspace argmin codes, distance-table ADC sum in j order."""
+    sub = dim // m_sub
+    qv = _mp_query_vec(dim)
+    qlit = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    sq = (
+        f"list_sum(list_transform(range(1, {sub} + 1), "
+        f"i -> (CAST(e.embedding[CAST(j.j * {sub} + i AS INTEGER)] AS DOUBLE)"
+        f" - cv.c[CAST(j.j * {sub} + i AS INTEGER)])"
+        f" * (CAST(e.embedding[CAST(j.j * {sub} + i AS INTEGER)] AS DOUBLE)"
+        f" - cv.c[CAST(j.j * {sub} + i AS INTEGER)])))"
+    )
+    qsq = (
+        f"list_sum(list_transform(range(1, {sub} + 1), "
+        f"i -> (q.qv[CAST(j.j * {sub} + i AS INTEGER)]"
+        f" - cv.c[CAST(j.j * {sub} + i AS INTEGER)])"
+        f" * (q.qv[CAST(j.j * {sub} + i AS INTEGER)]"
+        f" - cv.c[CAST(j.j * {sub} + i AS INTEGER)])))"
+    )
+    return f"""
+    WITH q AS (SELECT {qlit}::DOUBLE[] AS qv),
+    cent AS (
+      SELECT vec_id % {n_cells} AS cell, i,
+             CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * {quant}.0)
+                           AS BIGINT)) AS DOUBLE)
+               / (count(*) * {quant}.0) AS v
+      FROM embeddings, range(1, {dim} + 1) t(i)
+      GROUP BY cell, i
+    ),
+    cvec AS (SELECT cell, list(v ORDER BY i) AS c FROM cent GROUP BY cell),
+    codes AS (
+      SELECT vec_id, j, cell FROM (
+        SELECT e.vec_id, j.j AS j, cv.cell,
+               row_number() OVER (PARTITION BY e.vec_id, j.j
+                                  ORDER BY {sq}, cv.cell) AS rn
+        FROM embeddings e
+        CROSS JOIN range(0, {m_sub}) j(j) CROSS JOIN cvec cv
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT j.j AS j, cv.cell, {qsq} AS d
+      FROM cvec cv CROSS JOIN range(0, {m_sub}) j(j) CROSS JOIN q
+    ),
+    dist AS (
+      SELECT c.vec_id,
+             array_to_string(list(CAST(c.cell AS VARCHAR) ORDER BY c.j), '-')
+               AS codes,
+             list_sum(list(qd.d ORDER BY c.j)) AS adc
+      FROM codes c JOIN qd ON qd.j = c.j AND qd.cell = c.cell
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id AS id, codes,
+           floor(adc * 1000000.0) / 1000000.0 AS adc_dist
+    FROM dist ORDER BY adc, vec_id LIMIT {k}
+    """
+
+
+@query("sim_pq_topk", oracle=_pq_oracle())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via product quantization + asymmetric distance — the
+    third ANN tier beside LSH and IVF (operators/similarity.py
+    pq_topk): 4 subspaces × 4 one-step codebook centroids, in-row
+    codes, ADC distance-table sum, TakeOrderedAndProject cut."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_topk(e, _mp_query_vec(), m_sub=4, n_cells=4, k=10)
+
+
 @query("sim_ivf_topk", oracle=_ivf_oracle())
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via an IVF coarse quantizer (the second scale path

@@ -57,6 +57,7 @@ SCALAR_CROSS_WHITELIST = {
     "dedup_semantic",  # centroid table: n_cells=8 rows (kmeans attach)
     "text_bpe_merges",  # winning-pair argmax: 1 row per merge round
     "text_bpe_encode",  # same trained-vocab chain under the encode join
+    "sim_pq_topk",  # codebook table: m_sub*n_cells=16 centroids, 1 row
 }
 
 

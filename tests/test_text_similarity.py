@@ -291,3 +291,45 @@ def test_semantic_dedup_reps_and_mapping(spark):
         assert all(m.dist >= rep.dist for m in members)
     again = semantic_dedup(df.repartition(9), dim=16, n_cells=5, iters=3).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_pq_topk_matches_numpy_replay(spark):
+    """PQ/ADC: codes and distances match an independent NumPy replay of
+    the same protocol (quantized one-step codebooks, per-subspace
+    argmin with cell-id ties, ADC sum in subspace order)."""
+    import numpy as np
+
+    from speech_data_pipeline_spark.operators.similarity import pq_topk
+    from speech_data_pipeline_spark.queries.text_q import _mp_query_vec
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = pq_topk(e, _mp_query_vec(), m_sub=4, n_cells=4, k=10).collect()
+    assert len(got) == 10
+
+    rows_ = e.collect()
+    ids = np.array([r["vec_id"] for r in rows_])
+    V = np.array([r["embedding"] for r in rows_], dtype=np.float64)
+    q = np.array(_mp_query_vec(), dtype=np.float64)
+    scale = float(1 << 20)
+    cells = ids % 4
+    cent = np.zeros((4, V.shape[1]))
+    for c in range(4):
+        m = cells == c
+        cent[c] = np.floor(V[m] * scale).sum(axis=0) / (m.sum() * scale)
+    sub = V.shape[1] // 4
+    codes = np.zeros((len(ids), 4), dtype=int)
+    adc = np.zeros(len(ids))
+    for j in range(4):
+        sl = slice(j * sub, (j + 1) * sub)
+        d = ((V[:, None, sl] - cent[None, :, sl]) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1)  # ties: argmin takes lowest index
+        qd = ((q[sl] - cent[:, sl]) ** 2).sum(axis=1)
+        adc += qd[codes[:, j]]
+    order = np.lexsort((ids, adc))[:10]
+    expect = {
+        int(ids[i]): ("-".join(map(str, codes[i])), adc[i]) for i in order
+    }
+    for r in got:
+        c, d = expect[r["id"]]
+        assert r["codes"] == c
+        assert abs(r["adc_dist"] - d) < 2e-6
