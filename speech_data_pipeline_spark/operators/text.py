@@ -545,16 +545,28 @@ def word_ngrams(text: Column, n: int) -> Column:
 
     In-row column algebra: one regexp tokenization, then a
     ``transform(sequence(...))`` slide — no explode until the caller
-    chooses to, so the gram stream stays inside whole-stage codegen.
+    chooses to.
+
+    The token array is bound as a LAMBDA VARIABLE (transform over a
+    1-element array), not inlined: Catalyst's CollapseProject
+    duplicates a plain column expression into every reference — the
+    two ``size(t)`` guards and the per-gram ``slice`` — re-running the
+    regexp tokenization per gram (observed 6 ``regexp_extract_all``
+    nodes in a consumer's plan; same fix as the CDC codepoint array in
+    queries/curation_q.py).
     """
-    t = F.regexp_extract_all(F.lower(text), F.lit("([a-z]+)"), 1)
-    return F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tok = F.regexp_extract_all(F.lower(text), F.lit("([a-z]+)"), 1)
+
+    def build(t):
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tok), build), 1)
 
 
 def ngram_contamination(
@@ -572,28 +584,35 @@ def ngram_contamination(
     (distinct grams also present in the benchmark), ``contaminated``.
 
     100 TB shape: the benchmark gram set is bounded (eval suites are
-    MBs, the corpus is TBs), so it is **broadcast** — the corpus side
-    explodes, semi-joins map-side against the broadcast set, and only
-    the surviving hits shuffle into the per-document count. The corpus
-    is never shuffled at gram width; distinct-per-doc runs on the
-    (doc, gram) stream with map-side partial aggregation.
+    MBs, the corpus is TBs), so it is **broadcast** — and the corpus
+    is NEVER shuffled at gram width: per-document gram dedup is
+    in-row ``array_distinct`` (a document's grams live in one row
+    before any explode), ``n_grams`` is an in-row ``size``, the
+    exploded distinct-gram stream semi-joins map-side against the
+    broadcast set, and only the surviving hits shuffle into the
+    per-document count.
     """
-    grams = F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-    corpus_grams = corpus.select(id_col, grams).distinct()
-    bench_grams = benchmark.select(grams).distinct()
+    dg = corpus.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+    )
+    bench_grams = benchmark.select(
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("gram")
+    ).distinct()
     hits = (
-        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        dg.select(id_col, F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    per_doc = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     return (
-        corpus.select(id_col)
-        .join(per_doc, id_col, "left")
+        dg.select(id_col, F.size("grams").alias("n_grams"))
         .join(hits, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            "n_grams",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )

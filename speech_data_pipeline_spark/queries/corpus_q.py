@@ -694,18 +694,31 @@ def pipeline_governed_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
+    # digest computed BEFORE the window so the canonical-dedup exchange
+    # moves (doc_id, source, n_chars, bucket, dig) — never the text
     b = d.select(
         "doc_id",
-        "text",
         "source",
         "n_chars",
         _bucket().alias("bucket"),
-        F.min("doc_id").over(W.partitionBy(F.md5("text"))).alias("canonical_id"),
+        F.md5("text").alias("dig"),
+    ).withColumn(
+        "canonical_id", F.min("doc_id").over(W.partitionBy("dig"))
     )
-    grams = F.explode(tx.word_ngrams(F.col("text"), _DECON_N)).alias("gram")
-    dg = d.select("doc_id", grams).distinct()
-    bench_ids = b.where(F.col("bucket") >= 90).select("doc_id")
-    bench = dg.join(bench_ids, "doc_id", "left_semi").select("gram").distinct()
+    grams = F.explode(
+        F.array_distinct(tx.word_ngrams(F.col("text"), _DECON_N))
+    ).alias("gram")
+    # benchmark grams derive from the test split alone (10% of docs) —
+    # re-tokenizing that slice is cheaper than a second full-corpus
+    # gram pass (the un-persisted dg subtree would be evaluated once
+    # per consuming branch)
+    bench = (
+        d.withColumn("bucket", _bucket())
+        .where(F.col("bucket") >= 90)
+        .select(grams)
+        .distinct()
+    )
+    dg = d.select("doc_id", grams)  # per-doc distinct is in-row; no shuffle
     contaminated = (
         dg.join(F.broadcast(bench), "gram", "left_semi").select("doc_id").distinct()
     )

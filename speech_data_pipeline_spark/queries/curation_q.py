@@ -421,14 +421,16 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
+    # digest + token count computed BEFORE the window so the exchange
+    # moves five scalar columns, never the text
     canon = d.select(
         "doc_id",
         "source",
         "n_chars",
-        F.min("doc_id")
-        .over(Window.partitionBy(F.md5(F.col("text"))))
-        .alias("canonical_id"),
+        F.md5(F.col("text")).alias("dig"),
         F.size(tx.tokens(F.col("text"))).alias("n_tokens"),
+    ).withColumn(
+        "canonical_id", F.min("doc_id").over(Window.partitionBy("dig"))
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
