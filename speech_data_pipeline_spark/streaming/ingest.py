@@ -457,3 +457,90 @@ def stream_bloom_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cms_counters(
+    docs: DataFrame,
+    checkpoint: str,
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 256,
+    state: dict | None = None,
+):
+    """Streaming Count-Min sketch over an ingest stream's token
+    frequencies — the mergeable-sketch pattern: CMS counters are pure
+    sums, so per-batch counter tables merge by addition and the
+    streamed sketch is EXACTLY the batch sketch over the same rows
+    (no watermark, no approximation beyond CMS itself; pinned against
+    the batch `sketch_count_min` construction in
+    tests/test_streaming.py).
+
+    Each micro-batch runs one grouped aggregate producing at most d·w
+    rows, which fold into the caller-owned ``state["counters"]``
+    (a d×w int list-of-lists) driver-side — O(d·w) carried state and
+    per-batch traffic, independent of stream volume; same hashes as
+    queries/curation_q.py (``hex7(md5('j:tok')) % w``).
+
+    Returns the started query. ``cms_lookup(state, tok)`` estimates a
+    token's count from the carried counters.
+    """
+    if state is None:
+        state = {}
+    state.setdefault("counters", [[0] * w for _ in range(d)])
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1
+                )
+            ).alias("tok")
+        )
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("j").cast("string"), F.lit(":"), F.col("tok"))
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        )
+        rows = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                "tok", "c",
+                F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+            )
+            .withColumn("bucket", bucket)
+            .groupBy("j", "bucket")
+            .agg(F.sum("c").alias("n"))
+            .collect()
+        )
+        for r in rows:
+            state["counters"][r["j"]][r["bucket"]] += r["n"]
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_lookup(state: dict, tok: str) -> int:
+    """Point estimate from carried CMS counters (min over rows)."""
+    import hashlib
+
+    counters = state["counters"]
+    d = len(counters)
+    w = len(counters[0])
+    return min(
+        counters[j][int(hashlib.md5(f"{j}:{tok}".encode()).hexdigest()[:7], 16) % w]
+        for j in range(d)
+    )

@@ -370,3 +370,59 @@ def test_stream_bloom_dedup_matches_sequential_replay(spark):
     # and the dedup actually dropped the cross-batch duplicates
     assert len(got) < sum(len(b) for b in batches)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_cms_counters_match_batch_sketch(spark):
+    """Streaming CMS: counters accumulated across micro-batches equal
+    the batch sketch computed over all rows at once — mergeable-sketch
+    exactness (counters are pure sums), pinned against a pure-Python
+    reference with the same seeded hashes."""
+    import hashlib
+    import os
+    import re
+
+    import pandas as pd
+
+    from speech_data_pipeline_spark.streaming.ingest import (
+        cms_lookup,
+        stream_cms_counters,
+    )
+
+    d, w = 4, 256
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    tmp = tempfile.mkdtemp()
+    landing = f"{tmp}/land"
+    os.makedirs(landing)
+    carried: dict = {}
+    halves = [pdf.iloc[: len(pdf) // 2], pdf.iloc[len(pdf) // 2 :]]
+    for b, part in enumerate(halves):
+        spark.createDataFrame(part).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/b{b}"
+        )
+        src = [f for f in os.listdir(f"{tmp}/b{b}") if f.endswith(".parquet")][0]
+        shutil.copy(f"{tmp}/b{b}/{src}", f"{landing}/{b:03d}.parquet")
+        sdf = spark.readStream.schema("doc_id long, text string").parquet(landing)
+        q = stream_cms_counters(sdf, f"{tmp}/ck", d=d, w=w, state=carried)
+        q.awaitTermination(180)
+
+    # pure-Python reference over the full table
+    ref = [[0] * w for _ in range(d)]
+    for text in pdf["text"]:
+        for tok in re.findall("[a-z]+", text.lower()):
+            for j in range(d):
+                b = int(
+                    hashlib.md5(f"{j}:{tok}".encode()).hexdigest()[:7], 16
+                ) % w
+                ref[j][b] += 1
+    assert carried["counters"] == ref
+    # point estimates: CMS overestimates, never under
+    counts: dict = {}
+    for text in pdf["text"]:
+        for tok in re.findall("[a-z]+", text.lower()):
+            counts[tok] = counts.get(tok, 0) + 1
+    top = sorted(counts, key=lambda t: -counts[t])[:10]
+    for tok in top:
+        assert cms_lookup(carried, tok) >= counts[tok]
+    shutil.rmtree(tmp, ignore_errors=True)
