@@ -83,3 +83,58 @@ def run_incremental_stage(
         )
     out.write.mode("append").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+#: Mergeable partial-aggregate state columns produced/consumed by the
+#: continuous-aggregate helpers: additive sums + count (mean derives).
+def aggregate_delta(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str],
+) -> DataFrame:
+    """Partial-aggregate a batch into mergeable state rows: per key,
+    ``n`` plus one additive sum per requested column (aliased by the
+    dict). The partials are the same shape Spark's own map-side
+    aggregation uses — which is exactly what makes the view
+    incrementally maintainable: state ⊕ delta = state' by addition.
+    """
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(src).alias(dst) for dst, src in sum_cols.items()
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_aggregate_state(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Merge a delta partial-aggregate into the running state:
+    full-outer on the keys, coalesce + add every measure. Idempotence
+    is the CALLER's contract (feed each batch exactly once — pair with
+    :func:`pending`'s anti-join to guarantee it); associativity and
+    commutativity are the algebra's (sums/counts), so late or
+    out-of-order deltas merge to the same state.
+
+    100 TB shape: the continuous aggregate is keys-sized, not
+    corpus-sized; refresh cost is one grouped aggregate over the NEW
+    data plus one outer join on the (much smaller) state — never a
+    rescan of history. This is the materialized-view-maintenance
+    pattern (hypertable continuous aggregates, Delta incremental
+    refresh) as plain DataFrame algebra.
+    """
+    measures = [c for c in state.columns if c not in keys]
+    s = state.select(*keys, *[F.col(c).alias(f"_s_{c}") for c in measures])
+    d = delta.select(*keys, *[F.col(c).alias(f"_d_{c}") for c in measures])
+    merged = s.join(d, keys, "full_outer")
+    out = merged.select(
+        *keys,
+        *[
+            (
+                F.coalesce(F.col(f"_s_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in measures
+        ],
+    )
+    return out

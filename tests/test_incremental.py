@@ -61,3 +61,52 @@ def test_stage_counters(spark):
     )
     rows = {r.status: (r.n_keys, r.n_rows) for r in stage_counters(stage_out).collect()}
     assert rows == {"ok": (2, 3), "failed": (1, 1)}
+
+
+def test_continuous_aggregate_merge_equals_full_recompute(spark):
+    """Materialized-view maintenance: folding per-batch partial
+    aggregates into running state gives exactly the full recompute,
+    regardless of batch split or merge order."""
+    from speech_data_pipeline_spark.plans.incremental import (
+        aggregate_delta,
+        merge_aggregate_state,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    keys = ["user_id", "event_type"]
+    sums = {"total_value": "value"}
+    full = aggregate_delta(ev, keys, sums)
+
+    # three arbitrary batches (hash split), merged in a scrambled order
+    batches = [ev.where(F.pmod(F.col("user_id") + i, F.lit(3)) == 0)
+               for i in range(3)]
+    assert sum(b.count() for b in batches) == ev.count()
+    state = aggregate_delta(batches[2], keys, sums)
+    for b in (batches[0], batches[1]):
+        state = merge_aggregate_state(state, aggregate_delta(b, keys, sums), keys)
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["event_type"], r["n"], round(r["total_value"], 6))
+            for r in df.collect()
+        )
+
+    assert canon(state) == canon(full)
+
+
+def test_continuous_aggregate_handles_new_and_absent_keys(spark):
+    from speech_data_pipeline_spark.plans.incremental import (
+        aggregate_delta,
+        merge_aggregate_state,
+    )
+
+    a = spark.createDataFrame([(1, 2.0), (1, 3.0)], "k long, v double")
+    b = spark.createDataFrame([(2, 5.0)], "k long, v double")
+    state = aggregate_delta(a, ["k"], {"sv": "v"})
+    merged = merge_aggregate_state(
+        state, aggregate_delta(b, ["k"], {"sv": "v"}), ["k"]
+    )
+    got = {r["k"]: (r["n"], r["sv"]) for r in merged.collect()}
+    assert got == {1: (2, 5.0), 2: (1, 5.0)}
