@@ -33,6 +33,16 @@ from pyspark.sql import functions as F
 BLOOM_M = 4096
 BLOOM_K = 3
 
+#: HyperLogLog geometry: 2^HLL_P registers from a 60-bit seeded hash.
+HLL_P = 4
+HLL_M = 1 << HLL_P  # 16 registers
+HLL_HASH_BITS = 60  # 15 hex chars of md5 — exact in a BIGINT
+HLL_W_BITS = HLL_HASH_BITS - HLL_P  # 56-bit rho window
+#: rho cap so the scaled harmonic denominator stays an exact BIGINT:
+#: Σ 2^(53-ρ) over ≤2^p registers needs 53-ρ ≥ 0 and the sum < 2^63.
+HLL_RHO_CAP = 53
+HLL_ALPHA_16 = 0.673  # standard bias constant for m=16 (Flajolet et al.)
+
 
 def _hex7(col: Column) -> Column:
     """First 7 hex chars of md5 → bigint (28 bits, exact in both
@@ -104,4 +114,95 @@ def bloom_probe(
         probe.crossJoin(F.broadcast(bits))
         .withColumn("bloom_member", test)
         .drop("bits")
+    )
+
+
+def _hex15(col: Column) -> Column:
+    """First 15 hex chars of md5 → 60-bit nonneg bigint (exact in both
+    engines; the DuckDB oracle folds nibbles — no conv there)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hll_register_rho(key: Column) -> tuple[Column, Column]:
+    """``(j, rho)`` for one key: register index = low ``HLL_P`` hash
+    bits; rho = 1 + leading zeros of the remaining ``HLL_W_BITS``-bit
+    window, capped at :data:`HLL_RHO_CAP`.
+
+    Bit length comes from ``length(bin(w))`` — an exact integer-string
+    fold both engines implement identically (no float ``log2`` whose
+    rounding near powers of two could disagree cross-engine).
+    """
+    h = _hex15(key.cast("string"))
+    j = F.pmod(h, F.lit(HLL_M))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    return j, F.least(rho, F.lit(HLL_RHO_CAP))
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-group HLL register table ``(group..., j, rho)``.
+
+    One grouped ``max`` — max is partial-aggregable, so the corpus
+    combines map-side and the exchange carries ≤ ``groups × HLL_M``
+    rows regardless of input size. Register tables MERGE by the same
+    ``max(rho) GROUP BY j`` (sketch union = element-wise max), which is
+    what makes the sketch shardable: build per shard / per day, merge
+    without rescanning (the ALL row of ``sketch_hll_distinct`` is
+    computed exactly this way).
+    """
+    group_cols = group_cols or []
+    j, rho = hll_register_rho(F.col(key_col))
+    return (
+        df.select(*group_cols, j.alias("j"), rho.alias("rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Raw HLL estimate per group from a register table.
+
+    The harmonic denominator Σ 2^-M_j (absent registers count as 2^0)
+    is kept EXACT by scaling to ``2^53``: each register contributes the
+    BIGINT ``1 << (53 - rho)``, absent registers ``1 << 53``, and the
+    partial sums are merge-order-proof integers. The single float op is
+    the final ``alpha·m² · 2^53 / S`` division — bit-identical in any
+    IEEE engine. Small-range (linear-counting) correction is
+    deliberately NOT applied: with m=16 it would engage only under ~40
+    distinct keys, and the raw form keeps the estimate a pure function
+    of the register table in both engines (no ``ln`` whose libm
+    rounding may differ).
+
+    Output: ``(group..., n_regs, denom_scaled, hll_distinct)``.
+    """
+    group_cols = group_cols or []
+    scale = 1 << HLL_RHO_CAP
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        # shiftleft with a COLUMN shift amount needs call_function —
+        # the python wrapper only takes a literal int
+        F.sum(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.lit(HLL_RHO_CAP) - F.col("rho")).cast("int"),
+            )
+        ).alias("s_present"),
+    )
+    denom = F.col("s_present") + (F.lit(HLL_M) - F.col("n_regs")) * F.lit(scale)
+    est = (
+        F.lit(HLL_ALPHA_16)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(scale))
+        / denom.cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n_regs"),
+        denom.alias("denom_scaled"),
+        (F.floor(est * 1_000_000.0) / 1_000_000.0).alias("hll_distinct"),
     )

@@ -1016,3 +1016,81 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("err", F.lit(0.0), lambda a, x: a + x) / F.col("dim")
         ).alias("mean_abs_err"),
     )
+
+
+def _hex15_to_int_sql(md5_expr: str) -> str:
+    """DuckDB nibble fold for the first 15 hex chars of an md5 → the
+    same 60-bit BIGINT Spark's ``conv(substring(md5, 1, 15), 16, 10)``
+    produces (operators/sketches.py `_hex15`)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({md5_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_HLL_H_SQL = _hex15_to_int_sql("md5(CAST(user_id AS VARCHAR))")
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH jr AS (
+      SELECT event_type,
+             h % 16 AS j,
+             least(CASE WHEN h // 16 = 0 THEN 57
+                        ELSE 57 - length(bin(h // 16)) END, 53) AS rho
+      FROM (SELECT event_type, {_HLL_H_SQL} AS h FROM events)
+    ), regs AS (
+      SELECT event_type, j, max(rho) AS rho FROM jr GROUP BY event_type, j
+    ), allregs AS (
+      SELECT event_type AS scope, j, rho FROM regs
+      UNION ALL
+      SELECT 'ALL' AS scope, j, max(rho) AS rho FROM regs GROUP BY j
+    ), est AS (
+      SELECT scope, count(*) AS n_regs,
+             CAST(sum(1::BIGINT << (53 - rho))
+                  + (16 - count(*)) * (1::BIGINT << 53) AS BIGINT)
+               AS denom_scaled
+      FROM allregs GROUP BY scope
+    )
+    SELECT scope, n_regs, denom_scaled,
+           floor(((CAST(0.673 AS DOUBLE) * 256.0) * 9007199254740992.0
+                  / CAST(denom_scaled AS DOUBLE)) * 1000000.0) / 1000000.0
+             AS hll_distinct
+    FROM est
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type, plus an
+    ``ALL`` row computed by MERGING the per-type register tables
+    (element-wise max) — never by rescanning the corpus. That merge is
+    the whole point of HLL at 100 TB: build registers per shard / per
+    day with one map-side-combinable grouped ``max``, union sketches
+    associatively, estimate from O(groups × 16) rows of state.
+
+    Engine-portable by construction (operators/sketches.py): seeded
+    60-bit md5 hash, exact integer rho via ``length(bin(w))``, scaled
+    BIGINT harmonic denominator, single final float division. The
+    DuckDB oracle replays registers AND estimates bit-for-bit.
+
+    Reference parity: the reference counts distincts exactly
+    (e.g. speaker counts in reports); this is the sketch form those
+    counters need once the key set no longer fits an exact distinct.
+    """
+    from speech_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ["event_type"])
+    allregs = regs.select(
+        F.col("event_type").alias("scope"), "j", "rho"
+    ).unionByName(
+        regs.groupBy("j")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("ALL").alias("scope"), "j", "rho")
+    )
+    return hll_estimate(allregs, ["scope"])

@@ -684,3 +684,56 @@ def a_skew_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("sum_qty", 2).cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "events_retention_cohort",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ), c AS (
+      SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM d
+    )
+    SELECT cohort_day // 7 AS cohort_week,
+           (day - cohort_day) // 7 AS week_off,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM c
+    GROUP BY cohort_day // 7, (day - cohort_day) // 7
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    activity counted per week-offset since that first week — the
+    canonical product-analytics rollup every event pipeline ships.
+
+    All calendar math is integer division on epoch micros (exact and
+    timezone-proof in both engines — no date_trunc, whose week origin
+    differs across engines). Plan shape: one window shuffle on
+    ``user_id`` attaches each user's cohort day (first activity), then
+    one grouped distinct-count; Spark plans the count-distinct as the
+    standard two-phase expand — no join back, no self-join, and the
+    cohort matrix output is O(weeks²) rows regardless of corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    # integer div end-to-end: ts is epoch NANOS (~1.8e18) — a double
+    # detour would round above 2^53 and can flip a day boundary
+    day = F.expr("(ts div 1000) div 86400000000")
+    d = ev.select("user_id", day.alias("day"))
+    c = d.withColumn(
+        "cohort_day", F.min("day").over(W.partitionBy("user_id"))
+    )
+    return (
+        c.groupBy(
+            F.expr("cohort_day div 7").alias("cohort_week"),
+            F.expr("(day - cohort_day) div 7").alias("week_off"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

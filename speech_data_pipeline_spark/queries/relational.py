@@ -311,3 +311,114 @@ def x_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.substring("p_type", 1, 6).alias("type_prefix"),
     )
+
+
+def _ntz_us(col: str) -> F.Column:
+    """Epoch micros from a TIMESTAMP_NTZ column, timezone-proof (same
+    local-datetime arithmetic as sources/catalog.py EPOCH_NANOS_SQL)."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+             AS revenue,
+           epoch_us(o_orderdate) AS o_date_us,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: top-10 highest-revenue orders
+    placed before the cutoff but still shipping after it, for one
+    market segment.
+
+    Plan shape: both date filters and the segment filter push to the
+    parquet scans; customer (filtered, small) broadcasts onto orders;
+    the only large exchange is lineitem⋈orders on the fact key; the
+    top-10 is ``orderBy().limit()`` = TakeOrderedAndProject (per-
+    partition heaps — no global sort at any scale). DECIMAL revenue
+    sum is shuffle-order-proof; epoch-micros output is timezone-proof.
+
+    Reference parity: multi-way join + grouped ranking mirrors the
+    reference's report queries (SURVEY §2.4-2.5); standard TPC-H Q3
+    adapted to this schema (o_orderpriority for o_shippriority).
+    """
+    cutoff = "TIMESTAMP_NTZ '1998-06-01 00:00:00'"
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.expr(cutoff)
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.expr(cutoff)
+    )
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            _ntz_us("o_orderdate").alias("o_date_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q4_priority_late_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check: count one year's orders
+    having at least one lineitem shipped after the order date.
+
+    Plan shape: EXISTS = left-semi join on the order key, so lineitem
+    never inflates the output and duplicate matches never double-count;
+    the date range pushes into the orders scan; one key exchange (AQE
+    may broadcast the filtered orders side), then a 5-group aggregate.
+    The correlated non-equi condition (l_shipdate > o_orderdate) rides
+    the semi join as a residual — no cross product, no distinct.
+    """
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

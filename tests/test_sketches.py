@@ -69,3 +69,33 @@ def test_hll_sketch_merge_across_partitions(spark):
     ).first()[0]
     exact = docs.select(F.countDistinct("doc_id")).first()[0]
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_portable_hll_merge_equals_rescan(spark):
+    """Portable HLL (operators/sketches.py): merging per-type register
+    tables (max per j) must produce EXACTLY the registers of a direct
+    build over the whole corpus — sketch union is lossless."""
+    from speech_data_pipeline_spark.operators.sketches import hll_registers
+
+    ev = load_table(spark, SF_DIR, "events")
+    per_type = hll_registers(ev, "user_id", ["event_type"])
+    merged = {
+        (r.j): r.rho
+        for r in per_type.groupBy("j").agg(F.max("rho").alias("rho")).collect()
+    }
+    direct = {(r.j): r.rho for r in hll_registers(ev, "user_id").collect()}
+    assert merged == direct
+
+
+def test_portable_hll_estimate_accuracy(spark):
+    """Raw HLL estimate with m=16 has theoretical rsd ~1.04/4 = 26%;
+    assert the estimate lands within 2 rsd of exact on the fixture."""
+    from speech_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    est = hll_estimate(hll_registers(ev, "user_id")).first().hll_distinct
+    assert abs(est - exact) / exact < 0.52
