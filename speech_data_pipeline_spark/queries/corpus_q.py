@@ -1094,3 +1094,124 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("scope"), "j", "rho")
     )
     return hll_estimate(allregs, ["scope"])
+
+
+#: Equi-width histogram geometry for the quantile sketch.
+_HIST_B = 128
+_HIST_QS = [0.25, 0.5, 0.75, 0.9]
+
+
+@query(
+    "sketch_histogram_quantile",
+    oracle=f"""
+    WITH x AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders),
+    stats AS (SELECT min(x) AS mn, max(x) AS mx, count(*) AS n FROM x),
+    b AS (
+      SELECT CAST(least(floor(((x - mn) / (mx - mn)) * {float(_HIST_B)}),
+                        {_HIST_B - 1}) AS BIGINT) AS bin
+      FROM x, stats
+    ), bins AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+    cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin) AS cum,
+             coalesce(sum(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM bins
+    ), qs AS (SELECT CAST(unnest([{", ".join(str(q) for q in _HIST_QS)}])
+                          AS DOUBLE) AS q),
+    pick AS (
+      SELECT q, min(bin) AS bin
+      FROM qs JOIN cum
+        ON CAST(cum AS DOUBLE) >= q * (SELECT CAST(n AS DOUBLE) FROM stats)
+      GROUP BY q
+    )
+    SELECT p.q,
+           floor((mn + (CAST(c.bin AS DOUBLE)
+                        + (p.q * CAST(n AS DOUBLE)
+                           - CAST(c.cum_before AS DOUBLE))
+                          / CAST(c.cnt AS DOUBLE))
+                       * ((mx - mn) / {float(_HIST_B)})) * 1000000.0)
+             / 1000000.0 AS est,
+           n
+    FROM pick p JOIN cum c ON p.bin = c.bin, stats
+    """,
+)
+def sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width-histogram quantile sketch over ``o_totalprice`` — the
+    mergeable percentile estimator (the optimizer-statistics classic):
+    bin counts are pure sums, so shard histograms union by addition and
+    the quantile walk runs over O(B) state, never over rows.
+
+    Two passes by construction (min/max bounds, then counts) — the
+    standard tradeoff vs t-digest, bought back at scale because both
+    passes are map-side-combinable aggregates with ≤B-row exchanges.
+    The quantile interpolation itself runs IN-ROW over the collected
+    ≤128-bin array (broadcast-bounded-array pattern — no partition-less
+    window, same rule as the IVF probe ranking), picking the first bin
+    whose cumulative count reaches ``q·n`` and interpolating linearly
+    inside it. Every float op is replayed with identical operand order
+    in the DuckDB oracle; trunc6 absorbs nothing — it matches exactly.
+    """
+    B = _HIST_B
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("x")
+    )
+    stats = o.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = o.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor(
+                ((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                * F.lit(float(B))
+            ),
+            F.lit(B - 1),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    bins = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    one = (
+        bins.agg(
+            F.array_sort(F.collect_list(F.struct("bin", "cnt"))).alias("bs")
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in _HIST_QS])
+            ).alias("q"),
+            "bs", "mn", "mx", "n",
+        )
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(B))
+    t = F.col("q") * F.col("n").cast("double")
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"), F.lit(-1.0).alias("est")
+    )
+
+    def step(a, s):
+        new_cum = a["cum"] + s["cnt"]
+        est_here = F.col("mn") + (
+            s["bin"].cast("double")
+            + (t - a["cum"].cast("double")) / s["cnt"].cast("double")
+        ) * width
+        return F.struct(
+            new_cum.alias("cum"),
+            F.when(a["est"] >= 0, a["est"])
+            .when(new_cum.cast("double") >= t, est_here)
+            .otherwise(F.lit(-1.0))
+            .alias("est"),
+        )
+
+    walked = one.select(
+        "q",
+        F.aggregate("bs", zero, step)["est"].alias("_est"),
+        "n",
+    )
+    return walked.select(
+        "q",
+        (F.floor(F.col("_est") * 1_000_000.0) / 1_000_000.0).alias("est"),
+        "n",
+    )

@@ -737,3 +737,57 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "incr_view_maintenance",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def incr_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (materialized-view) maintenance as a gate
+    row: the orders history arrives as THREE date-ranged batches, each
+    partial-aggregated independently (plans/incremental.py
+    `aggregate_delta`) and folded into running state
+    (`merge_aggregate_state` — full-outer join + coalesce-add). The
+    oracle is the one-shot GROUP BY over all of history: the fold MUST
+    equal the rescan, which is the whole correctness contract of
+    incremental view maintenance (state ⊕ delta = state', associative,
+    so out-of-order batches converge).
+
+    Scale shape: each refresh touches one batch plus the keys-sized
+    state — never rescans history; DECIMAL sums make the fold result
+    independent of batch order and shuffle merge order.
+    """
+    from speech_data_pipeline_spark.plans.incremental import (
+        aggregate_delta,
+        merge_aggregate_state,
+    )
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "_tot_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    keys = ["o_orderpriority", "o_orderstatus"]
+    cuts = ["1997-01-01 00:00:00", "1999-01-01 00:00:00"]
+    b1 = o.where(F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{cuts[0]}'"))
+    b2 = o.where(
+        (F.col("o_orderdate") >= F.expr(f"TIMESTAMP_NTZ '{cuts[0]}'"))
+        & (F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{cuts[1]}'"))
+    )
+    b3 = o.where(F.col("o_orderdate") >= F.expr(f"TIMESTAMP_NTZ '{cuts[1]}'"))
+    state = aggregate_delta(b1, keys, {"total_dec": "_tot_dec"})
+    for batch in (b2, b3):
+        state = merge_aggregate_state(
+            state, aggregate_delta(batch, keys, {"total_dec": "_tot_dec"}), keys
+        )
+    return state.select(
+        *keys,
+        "n",
+        F.round("total_dec", 2).cast("double").alias("total"),
+    )

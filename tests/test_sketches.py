@@ -99,3 +99,31 @@ def test_portable_hll_estimate_accuracy(spark):
     exact = ev.select(F.countDistinct("user_id")).first()[0]
     est = hll_estimate(hll_registers(ev, "user_id")).first().hll_distinct
     assert abs(est - exact) / exact < 0.52
+
+
+def test_histogram_quantile_accuracy(spark):
+    """Histogram quantile estimates land within one bin width of the
+    exact percentiles (the estimator's structural error bound)."""
+    from speech_data_pipeline_spark.queries.corpus_q import (
+        _HIST_B,
+        sketch_histogram_quantile,
+    )
+
+    o = load_table(spark, SF_DIR, "orders")
+    mn, mx = o.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).first()
+    width = (mx - mn) / _HIST_B
+    exact = dict(
+        zip(
+            [0.25, 0.5, 0.75, 0.9],
+            o.select(
+                F.expr(
+                    "percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.9))"
+                )
+            ).first()[0],
+        )
+    )
+    got = {r.q: r.est for r in sketch_histogram_quantile(spark, SF_DIR).collect()}
+    for q, e in exact.items():
+        assert abs(got[q] - e) <= width, (q, got[q], e, width)
