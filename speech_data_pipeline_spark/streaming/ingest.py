@@ -544,3 +544,63 @@ def cms_lookup(state: dict, tok: str) -> int:
         counters[j][int(hashlib.md5(f"{j}:{tok}".encode()).hexdigest()[:7], 16) % w]
         for j in range(d)
     )
+
+
+def streaming_view_purchase_join(
+    events: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native watermarked stream-stream interval join: every purchase
+    matched to the same user's views in the preceding ``horizon`` —
+    the streaming form of the batch attribution join behind
+    ``funnel_view_to_purchase``.
+
+    Both sides carry their own watermark and the join condition bounds
+    ``purchase_ts - view_ts`` to ``[0, horizon]``, which is what lets
+    Spark PRUNE join state: a buffered view is droppable once the
+    purchase-side watermark passes ``view_ts + horizon`` (state bound =
+    rate × (watermark + horizon), independent of stream length). An
+    unbounded-time condition would accumulate state forever — the
+    stream-stream equivalent of the partition-less window rule.
+
+    Inner join ⇒ append-mode output with no emission delay beyond
+    arrival of both rows. Exactly equals the batch join over the same
+    data for events inside the watermark (pinned in
+    tests/test_streaming.py).
+    """
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts_ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+            F.col("ts_ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"""v_user_id = p_user_id
+                AND purchase_ts >= view_ts
+                AND purchase_ts <= view_ts + interval {horizon}"""
+        ),
+    )
+    return joined.select(
+        F.col("v_user_id").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "amount",
+    )

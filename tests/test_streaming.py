@@ -426,3 +426,53 @@ def test_stream_cms_counters_match_batch_sketch(spark):
     for tok in top:
         assert cms_lookup(carried, tok) >= counts[tok]
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch(spark, landing):
+    """The watermarked stream-stream view⋈purchase interval join must
+    equal the identical batch join over the same landing data (all
+    events are inside the watermark under availableNow)."""
+    import tempfile
+
+    from speech_data_pipeline_spark.streaming.ingest import (
+        streaming_view_purchase_join,
+    )
+
+    stream = streaming_view_purchase_join(read_event_stream(spark, landing))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ssj")
+
+    ev = load_table(spark, landing, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts_us").alias("view_us"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+        F.col("ts_us").alias("purchase_us"),
+    )
+    batch = v.join(
+        p,
+        (v["u"] == p["u"])
+        & (p["purchase_us"] >= v["view_us"])
+        & (p["purchase_us"] <= v["view_us"] + 30 * 60_000_000),
+    ).select(
+        v["u"].alias("user_id"),
+        "view_id", "purchase_id", "view_us", "purchase_us", "amount",
+    )
+    key = lambda r: (r.user_id, r.view_id, r.purchase_id)
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+    assert got.count() > 0
