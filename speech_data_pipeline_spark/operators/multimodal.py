@@ -539,3 +539,42 @@ def decode_media_at_sr(
                 )
 
     return df.mapInPandas(kernel, schema=out_schema)
+
+
+def parse_wav_header(payload: bytes) -> dict:
+    """Header-only RIFF/WAV probe: format, rate, channels, bit depth,
+    frame count, duration — WITHOUT touching sample data (the ``data``
+    chunk is sized, never read). This is the real S6 duration probe
+    (reference modules/vad_multi.py:12-16 opens the file with pydub
+    just to get ``duration_seconds``); cost is O(header) bytes per
+    file, so a metadata scan of a 100 TB corpus reads megabytes.
+
+    Raises on non-RIFF payloads — callers map that to the reference's
+    0.0-duration broken-file contract.
+    """
+    import struct
+
+    b = bytes(payload[: 1 << 16])  # headers live in the first chunks
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAV payload")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (csize,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data_size is None:
+        raise ValueError("malformed WAV: missing fmt or data chunk")
+    audio_format, n_ch, sr, _brate, block_align, bits = fmt
+    frames = data_size // block_align if block_align else 0
+    return {
+        "format_tag": int(audio_format),
+        "sample_rate": int(sr),
+        "channels": int(n_ch),
+        "bits": int(bits),
+        "n_frames": int(frames),
+        "duration": (frames / sr) if sr else 0.0,
+    }

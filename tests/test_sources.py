@@ -115,3 +115,57 @@ def test_json_stage_roundtrip(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(out) if d.startswith("audio_id=")
     ) == ["audio_id=a", "audio_id=b"]
+
+
+def test_wavmeta_datasource(spark, tmp_path):
+    """Custom Python DataSource: header-only metadata scan of a WAV
+    directory — values match a full decode, broken files yield
+    ok=false rows (never task failures), and file batches spread
+    across the requested partitions."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_multimodal import make_wav
+
+    from speech_data_pipeline_spark.operators.multimodal import decode_wav_bytes
+    from speech_data_pipeline_spark.sources.wavmeta import register_wavmeta
+
+    specs = {
+        "a": dict(sr=8000, bits=16, n_ch=1, n=1600),
+        "b": dict(sr=16000, bits=24, n_ch=2, n=3200),
+        "c": dict(sr=44100, bits=32, n_ch=2, n=441),
+    }
+    for name, s in specs.items():
+        wav = make_wav(
+            [0.25, -0.5] * (s["n"] * s["n_ch"] // 2),
+            sr=s["sr"], bits=s["bits"], n_ch=s["n_ch"],
+        )
+        (tmp_path / f"{name}.wav").write_bytes(wav)
+    (tmp_path / "broken.wav").write_bytes(b"not a riff file at all")
+    (tmp_path / "ignored.txt").write_bytes(b"x")
+
+    register_wavmeta(spark)
+    df = (
+        spark.read.format("wavmeta")
+        .option("partitions", "2")
+        .load(str(tmp_path))
+    )
+    rows = {r.audio_id: r for r in df.collect()}
+    assert set(rows) == {"a", "b", "c", "broken"}
+    assert not rows["broken"].ok and rows["broken"].duration == 0.0
+    for name, s in specs.items():
+        r = rows[name]
+        assert r.ok and (r.sample_rate, r.channels, r.bits) == (
+            s["sr"], s["n_ch"], s["bits"]
+        )
+        # frame count & duration agree with the full decoder
+        wave, sr = decode_wav_bytes((tmp_path / f"{name}.wav").read_bytes())
+        assert sr == s["sr"]
+        assert r.n_frames == len(wave)
+        assert abs(r.duration - len(wave) / sr) < 1e-12
+    # projection pushdown: pruned schema still reads
+    slim = (
+        spark.read.format("wavmeta").load(str(tmp_path))
+        .select("audio_id", "duration").collect()
+    )
+    assert len(slim) == 4
