@@ -30,7 +30,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -77,6 +82,9 @@ class WavMetaDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return WavMetaReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        return WavMetaStreamReader(schema, self.options)
+
 
 class WavMetaReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
@@ -99,50 +107,110 @@ class WavMetaReader(DataSourceReader):
 
     def read(self, partition: _FilesPartition):
         # executor-side: header bytes only, never the payload
-        from speech_data_pipeline_spark.operators.multimodal import (
-            parse_wav_header,
-        )
-        from speech_data_pipeline_spark.sources.audio import (
-            AUDIO_EXTENSIONS as _exts,
-        )
-
         fields = [f.name for f in self.schema.fields]
         for path in partition.paths:
-            base = os.path.basename(path)
-            audio_id = base
-            for e in _exts:
-                if base.lower().endswith("." + e):
-                    audio_id = base[: -(len(e) + 1)]
-                    break
-            try:
-                size = os.path.getsize(path)
-                with open(path, "rb") as fh:
-                    head = fh.read(1 << 16)
-                meta = parse_wav_header(head)
-                row = {
-                    "audio_id": audio_id,
-                    "path": path,
-                    "byte_len": size,
-                    "sample_rate": meta["sample_rate"],
-                    "channels": meta["channels"],
-                    "bits": meta["bits"],
-                    "n_frames": meta["n_frames"],
-                    "duration": float(meta["duration"]),
-                    "ok": True,
-                }
-            except (OSError, ValueError):
-                row = {
-                    "audio_id": audio_id,
-                    "path": path,
-                    "byte_len": 0,
-                    "sample_rate": 0,
-                    "channels": 0,
-                    "bits": 0,
-                    "n_frames": 0,
-                    "duration": 0.0,
-                    "ok": False,
-                }
-            yield tuple(row[f] for f in fields)
+            yield _meta_tuple(path, fields)
+
+
+def _meta_tuple(path: str, fields: list[str]) -> tuple:
+    """One metadata row for ``path`` — header bytes only; broken or
+    non-WAV files become ``ok=false`` rows, never exceptions."""
+    from speech_data_pipeline_spark.operators.multimodal import (
+        parse_wav_header,
+    )
+
+    base = os.path.basename(path)
+    audio_id = base
+    for e in AUDIO_EXTENSIONS:
+        if base.lower().endswith("." + e):
+            audio_id = base[: -(len(e) + 1)]
+            break
+    try:
+        size = os.path.getsize(path)
+        with open(path, "rb") as fh:
+            head = fh.read(1 << 16)
+        meta = parse_wav_header(head)
+        row = {
+            "audio_id": audio_id,
+            "path": path,
+            "byte_len": size,
+            "sample_rate": meta["sample_rate"],
+            "channels": meta["channels"],
+            "bits": meta["bits"],
+            "n_frames": meta["n_frames"],
+            "duration": float(meta["duration"]),
+            "ok": True,
+        }
+    except (OSError, ValueError):
+        row = {
+            "audio_id": audio_id,
+            "path": path,
+            "byte_len": 0,
+            "sample_rate": 0,
+            "channels": 0,
+            "bits": 0,
+            "n_frames": 0,
+            "duration": 0.0,
+            "ok": False,
+        }
+    return tuple(row[f] for f in fields)
+
+
+class WavMetaStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: ``spark.readStream.format("wavmeta")`` tails an
+    append-only landing directory, emitting one metadata row per NEW
+    file each micro-batch.
+
+    The offset is the lexically-largest file name processed so far —
+    O(1) state regardless of history, exactly replayable (``read``
+    from a committed offset re-lists deterministically, and
+    ``readBetweenOffsets`` re-derives any batch from its bounds). The
+    contract this buys is the one the training-shard sink already
+    guarantees for its own output (sources/shardsink.py): landing
+    files arrive with monotonically increasing names
+    (``part-00001…``, timestamped uploads). A file sorting BELOW the
+    cursor is ignored by construction — the same append-only
+    assumption Spark's file stream source makes, but with bounded
+    offset state instead of its seen-files log.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.directory = options.get("path")
+        if not self.directory:
+            raise ValueError("wavmeta: .load(directory) is required")
+        exts = tuple(f".{e}" for e in AUDIO_EXTENSIONS)
+        self.exts = exts
+
+    def _names(self) -> list[str]:
+        return sorted(
+            f
+            for f in os.listdir(self.directory)
+            if f.lower().endswith(self.exts)
+        )
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def read(self, start: dict):
+        names = [n for n in self._names() if n > start["last"]]
+        fields = [f.name for f in self.schema.fields]
+        rows = [
+            _meta_tuple(os.path.join(self.directory, n), fields)
+            for n in names
+        ]
+        end = {"last": names[-1]} if names else dict(start)
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        names = [
+            n for n in self._names() if start["last"] < n <= end["last"]
+        ]
+        fields = [f.name for f in self.schema.fields]
+        return iter(
+            _meta_tuple(os.path.join(self.directory, n), fields)
+            for n in names
+        )
 
 
 def register_wavmeta(spark) -> None:

@@ -169,3 +169,44 @@ def test_wavmeta_datasource(spark, tmp_path):
         .select("audio_id", "duration").collect()
     )
     assert len(slim) == 4
+
+
+def test_wavmeta_stream_reader_incremental(spark, tmp_path):
+    """Streaming wavmeta: two micro-batch rounds over the same
+    checkpoint pick up exactly the newly-landed files."""
+    import sys
+    import tempfile
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_multimodal import make_wav
+
+    from speech_data_pipeline_spark.sources.wavmeta import register_wavmeta
+
+    land = tmp_path / "land"
+    land.mkdir()
+    ckpt = tempfile.mkdtemp()
+    for n in ("part-0001", "part-0002"):
+        (land / f"{n}.wav").write_bytes(make_wav([0.1, -0.1] * 800, sr=8000))
+
+    register_wavmeta(spark)
+
+    out = str(tmp_path / "out")
+
+    def run_round():
+        q = (
+            spark.readStream.format("wavmeta")
+            .load(str(land))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.audio_id for r in spark.read.parquet(out).collect()}
+
+    assert run_round() == {"part-0001", "part-0002"}
+    (land / "part-0003.wav").write_bytes(make_wav([0.2] * 400, sr=8000))
+    # same checkpoint: the second round appends ONLY the new file
+    assert run_round() == {"part-0001", "part-0002", "part-0003"}
