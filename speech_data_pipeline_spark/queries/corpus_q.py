@@ -1215,3 +1215,67 @@ def sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("_est") * 1_000_000.0) / 1_000_000.0).alias("est"),
         "n",
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.p AS x, b.p AS y
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ), deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e)
+      GROUP BY n
+    ), oe AS (
+      SELECT CASE WHEN (dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y))
+                  THEN e.x ELSE e.y END AS su,
+             CASE WHEN (dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y))
+                  THEN e.y ELSE e.x END AS sv,
+             CASE WHEN (dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y))
+                  THEN dy.d ELSE dx.d END AS dv
+      FROM e JOIN deg dx ON e.x = dx.n JOIN deg dy ON e.y = dy.n
+    ), tri AS (
+      SELECT count(*) AS n_triangles
+      FROM oe a
+      JOIN oe b ON a.su = b.su
+              AND (a.dv < b.dv OR (a.dv = b.dv AND a.sv < b.sv))
+      JOIN oe c ON c.su = a.sv AND c.sv = b.sv
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_vertices,
+           (SELECT count(*) FROM e) AS n_edges,
+           n_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the part co-purchase graph
+    (parts are connected when some order contains both) — the third
+    graph-analytics primitive beside connected components
+    (dedup_resolve) and PageRank.
+
+    Edge building is self-bounded: pairs form only within one order
+    (≤7 items), so the pair join is O(items²-per-order), never global.
+    Counting uses degree orientation (operators/graph.py
+    `triangle_count`): the wedge join's out-degrees are O(√m) under
+    the orientation, which is what makes the only quadratic step safe
+    under hub skew at 100 TB. The DuckDB oracle replays the identical
+    orientation and wedge-close joins.
+    """
+    from speech_data_pipeline_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("u"))
+    b_ = op.select("o", F.col("p").alias("v"))
+    edges = (
+        a.join(b_, "o")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_count(edges)

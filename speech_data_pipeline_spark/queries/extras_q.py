@@ -791,3 +791,92 @@ def incr_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("total_dec", 2).cast("double").alias("total"),
     )
+
+
+#: Sequence-pattern horizon: whole view→click→purchase chain within
+#: 24 h (the synthetic corpus averages one event per user per ~11 h, so
+#: a 1 h horizon matches nothing — vacuous for the gate).
+_SEQ_HORIZON_US = 24 * 3_600_000_000
+
+
+@query(
+    "pattern_funnel_sequence",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t, event_type, value
+      FROM events
+    ), w1 AS (
+      SELECT *, last_value(CASE WHEN event_type = 'view' THEN t END
+                           IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+      FROM ev
+    ), w2 AS (
+      SELECT *, last_value(CASE WHEN event_type = 'click'
+                                THEN struct_pack(ct := t, vt := lv) END
+                           IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+      FROM w1
+    )
+    SELECT user_id, cl.vt AS view_us, cl.ct AS click_us, t AS purchase_us,
+           value AS amount
+    FROM w2
+    WHERE event_type = 'purchase' AND cl IS NOT NULL
+      AND cl.vt IS NOT NULL AND cl.vt < cl.ct AND cl.ct < t
+      AND t - cl.vt <= {_SEQ_HORIZON_US}
+    """,
+)
+def pattern_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern: per user, every
+    ``view → click → purchase`` chain (strictly increasing times,
+    latest-match semantics, whole chain within 24 hours) — the CEP
+    primitive product funnels need beyond the simple two-step as-of
+    attribution of ``funnel_view_to_purchase``.
+
+    The pattern automaton is encoded as TWO chained carry-forward
+    windows over ONE partitioning (single shuffle on ``user_id``):
+    pass 1 carries the latest view time; pass 2 carries, at each
+    click, the struct (click_ts, view-at-click) — so every purchase
+    row reads the full chain in O(1) and a WHERE applies the strict
+    ordering + horizon. No self-joins, no per-user quadratic: the
+    window state is one struct regardless of history length, the same
+    shape `asof_join` uses. DuckDB replays it with
+    ``last_value IGNORE NULLS`` windows.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("t"),
+        "event_type", "value",
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    lv = F.last(
+        F.when(F.col("event_type") == "view", F.col("t")), ignorenulls=True
+    ).over(w)
+    ev1 = ev.withColumn("lv", lv)
+    cl = F.last(
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.col("t").alias("ct"), F.col("lv").alias("vt")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    ev2 = ev1.withColumn("cl", cl)
+    return (
+        ev2.where(
+            (F.col("event_type") == "purchase")
+            & F.col("cl").isNotNull()
+            & F.col("cl.vt").isNotNull()
+            & (F.col("cl.vt") < F.col("cl.ct"))
+            & (F.col("cl.ct") < F.col("t"))
+            & (F.col("t") - F.col("cl.vt") <= _SEQ_HORIZON_US)
+        )
+        .select(
+            "user_id",
+            F.col("cl.vt").alias("view_us"),
+            F.col("cl.ct").alias("click_us"),
+            F.col("t").alias("purchase_us"),
+            F.col("value").alias("amount"),
+        )
+    )

@@ -146,3 +146,22 @@ def test_pagerank_fixed_point_hub_and_determinism(spark):
         for x in pagerank_fixed_point(e.repartition(5), iters=3).collect()
     }
     assert r2 == r
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; removing one edge leaves 2; a star has 0
+    (orientation makes the hub the wedge sink, not source)."""
+    from speech_data_pipeline_spark.operators.graph import triangle_count
+
+    def count(edges):
+        df = spark.createDataFrame(edges, "u long, v long")
+        return triangle_count(df).first()
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    r = count(k4)
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (4, 6, 4)
+    r = count(k4[:-1])  # drop (3,4)
+    assert r.n_triangles == 2
+    star = [(0, i) for i in range(1, 8)]
+    r = count(star)
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (8, 7, 0)

@@ -59,6 +59,7 @@ SCALAR_CROSS_WHITELIST = {
     "text_bpe_encode",  # same trained-vocab chain under the encode join
     "sim_pq_topk",  # codebook table: m_sub*n_cells=16 centroids, 1 row
     "sketch_histogram_quantile",  # min/max/n scalar: 1 row; bin array: ≤128
+    "graph_triangle_count",  # n_vertices/n_edges count scalars: 1 row each
 }
 
 
