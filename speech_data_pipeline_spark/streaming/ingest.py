@@ -604,3 +604,71 @@ def streaming_view_purchase_join(
         F.unix_micros("purchase_ts").alias("purchase_us"),
         "amount",
     )
+
+
+def streaming_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` —
+    the Spark 4.1 arbitrary-stateful API (typed state variables
+    instead of one opaque tuple), kept alongside the
+    ``applyInPandasWithState`` operators as the forward path: value
+    state here, but the same processor can hold list/map state and
+    event-time timers, which the old API packs into a single struct.
+
+    Emits one updated ``(user_id, n_events, total_value,
+    n_purchases)`` row per user per micro-batch containing that user
+    — update semantics, state is one fixed-width row per user.
+
+    ENVIRONMENT SEAM: the transformWithState Python worker speaks
+    protobuf to the JVM state server; containers without
+    ``google.protobuf`` cannot run it (raises ImportError here, at
+    declaration, instead of crashing the stream driver mid-query).
+    ``applyInPandasWithState`` operators above cover the same
+    semantics wherever this seam is closed.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf "
+            "(absent in this container); use the applyInPandasWithState "
+            "operators instead"
+        ) from e
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events long, total_value double, n_purchases long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, npur = (
+                self._state.get() if self._state.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                npur += int((pdf["event_type"] == "purchase").sum())
+            self._state.update((n, total, npur))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "n_purchases": [npur],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserTotals(),
+        "user_id long, n_events long, total_value double, n_purchases long",
+        "Update",
+        "ProcessingTime",
+    )

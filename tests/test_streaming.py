@@ -476,3 +476,46 @@ def test_stream_stream_join_matches_batch(spark, landing):
     key = lambda r: (r.user_id, r.view_id, r.purchase_id)
     assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
     assert got.count() > 0
+
+
+def test_transform_with_state_running_totals(spark, landing):
+    """transformWithStateInPandas running per-user totals equal the
+    batch aggregate over the same landing data (last update per user
+    wins under Update output mode). Skipped where the container lacks
+    protobuf (the tWS python worker's wire dependency) — the
+    applyInPandasWithState tests above cover the same semantics."""
+    import tempfile
+
+    pytest.importorskip("google.protobuf")
+
+    from speech_data_pipeline_spark.streaming.ingest import (
+        streaming_user_totals_tws,
+    )
+
+    stream = streaming_user_totals_tws(read_event_stream(spark, landing))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tws_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per user is the running total after all batches
+    got = {
+        r.user_id: (r.n_events, r.n_purchases, round(r.total_value, 6))
+        for r in spark.table("tws_totals").collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.np, round(r.tv, 6))
+        for r in load_table(spark, landing, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("np"),
+            F.sum("value").alias("tv"),
+        )
+        .collect()
+    }
+    assert got == batch
