@@ -30,7 +30,7 @@ mechanics over vectors).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from speech_data_pipeline_spark.operators.text import char_shingles
@@ -362,4 +362,119 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-span dedup statistics (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", arXiv
+    2107.06499 — the word-gram bounded variant).
+
+    A word ``n``-gram is *duplicated* when it occurs ``min_count``+
+    times across the corpus (cross-document copies AND in-document
+    repeats both count). Per document this reports how much of the
+    text sits inside duplicated spans:
+
+    - ``n_dup_grams`` — duplicated gram occurrences in the doc;
+    - ``n_dup_spans`` — maximal merged spans (consecutive duplicated
+      gram starts ≤ ``n`` apart fuse into one span);
+    - ``dup_tok_frac`` — fraction of tokens covered by those spans.
+
+    Plan shape (scales): grams are built IN-ROW (``transform`` over a
+    ``sequence`` of start offsets — no corpus-width explode before
+    hashing), then explode to ``(doc, pos, gram_hash)`` where the hash
+    is the 60-bit md5 prefix — the shuffle carries a bigint, never the
+    gram string. One groupBy counts occurrences (map-side partial
+    combine); duplicated hashes flow back through a window count over
+    the same key (no second scan); span merging is a per-document
+    ``lag`` window: covered tokens = Σ min(pos - prev_pos, n), span
+    starts where the gap exceeds ``n``. Two shuffles total (gram hash,
+    then doc id) — at 100 TB both are plain hash exchanges with no
+    skew beyond natural gram popularity, which ``min_count`` filtering
+    happens after (a stop-gram ``max_df`` cap like ngram_jaccard's
+    could bound it; popularity only inflates the count stage here, not
+    a join).
+
+    Cross-engine determinism: gram hash = md5 prefix (exact in DuckDB
+    via nibble folding), all arithmetic integer, final fraction
+    trunc6.
+    """
+    t = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1)
+    base = df.select(F.col(id_col).alias("id"), t.alias("t")).select(
+        "id", "t", F.size("t").alias("n_toks")
+    )
+    grams = base.select(
+        "id",
+        "n_toks",
+        F.posexplode(
+            F.transform(
+                # sequence(1, 0) would run DESCENDING in Spark — guard
+                # short docs to an explicit empty start list.
+                F.when(
+                    F.size("t") >= n,
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, n))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("p0", "gh"),
+    ).select("id", "n_toks", (F.col("p0") + 1).alias("pos"), "gh")
+    # occurrences per gram hash as a window count over the hash key:
+    # one shuffle serves both the count and the filter-back.
+    w_g = Window.partitionBy("gh")
+    dup = (
+        grams.withColumn("_c", F.count(F.lit(1)).over(w_g))
+        .where(F.col("_c") >= min_count)
+        .select("id", "pos")
+    )
+    w_d = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        dup.withColumn("prev", F.lag("pos").over(w_d))
+        .select(
+            "id",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > n),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("is_start"),
+            F.when(
+                F.col("prev").isNull(), F.lit(n).cast("long")
+            )
+            .otherwise(F.least(F.col("pos") - F.col("prev"), F.lit(n)).cast("long"))
+            .alias("covered"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum("is_start").alias("n_dup_spans"),
+            F.sum("covered").alias("_cov"),
+        )
+    )
+    return (
+        base.select("id", "n_toks")
+        .join(spans, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_toks",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            trunc6(
+                F.when(
+                    F.col("n_toks") > 0,
+                    F.coalesce(F.col("_cov"), F.lit(0)) / F.col("n_toks"),
+                ).otherwise(F.lit(0.0))
+            ).alias("dup_tok_frac"),
+        )
     )

@@ -646,3 +646,68 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         red = F.regexp_replace(red, F.lit(pat), F.lit(repl))
     return out.withColumn("redacted", red)
+
+
+def hash_embed_sparse(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashed bag-of-words embedding, sparse form
+    ``(id, bucket, dv)`` (Weinberger et al. 2009, "Feature Hashing for
+    Large Scale Multitask Learning" — the signed hashing-trick).
+
+    Text becomes a ``dim``-dimensional vector with NO model: each word
+    occurrence hashes to a bucket (low ``log2(dim)`` bits of its 60-bit
+    md5 prefix) and contributes ±1 (the next hash bit), so ``dv`` is an
+    exact integer and every downstream dot product / norm is integer
+    arithmetic — bit-identical on any engine and any shuffle order.
+
+    Plan shape: explode word occurrences → one groupBy
+    ``(id, bucket)`` with map-side partial combine. At 100 TB that is
+    a single hash shuffle of ``(id, bucket, ±1)`` partial sums — the
+    canonical distributed text-vectorization shape (Spark MLlib's
+    HashingTF is the same plan with a murmur hash; md5 here keeps the
+    DuckDB oracle exact).
+
+    ``dim`` must be a power of two (bucket = bitmask, sign = next bit).
+    """
+    if dim & (dim - 1):
+        raise ValueError("hash_embed_sparse: dim must be a power of two")
+    shift = dim.bit_length() - 1
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1)
+        ).alias("w"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    return (
+        occ.select(
+            "id",
+            F.pmod(h, F.lit(dim)).alias("bucket"),
+            F.when(F.pmod(F.shiftright(h, shift), F.lit(2)) == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.sum("s").alias("dv"))
+    )
+
+
+def hash_embed_vector(text: str, dim: int = 64) -> dict[int, int]:
+    """Driver-side mirror of :func:`hash_embed_sparse` for one literal
+    query string — same md5-prefix hash, same bucket/sign bits, so the
+    resulting sparse dict matches what the cluster would compute."""
+    import hashlib
+    import re
+
+    shift = dim.bit_length() - 1
+    vec: dict[int, int] = {}
+    for w in re.findall("[a-z]+", text.lower()):
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        b = h % dim
+        s = 1 if (h >> shift) % 2 == 0 else -1
+        vec[b] = vec.get(b, 0) + s
+    return {b: v for b, v in vec.items()}

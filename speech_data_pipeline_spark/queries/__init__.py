@@ -11,3 +11,4 @@ from speech_data_pipeline_spark.queries import text_q  # noqa: F401,E402
 from speech_data_pipeline_spark.queries import extras_q  # noqa: F401,E402
 from speech_data_pipeline_spark.queries import curation_q  # noqa: F401,E402
 from speech_data_pipeline_spark.queries import corpus_q  # noqa: F401,E402
+from speech_data_pipeline_spark.queries import mining_q  # noqa: F401,E402

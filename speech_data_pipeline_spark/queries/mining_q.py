@@ -1,0 +1,269 @@
+"""Data-mining queries: exact substring-span dedup, feature-hashed
+embedding search, temperature-based domain mixing, matrix-free PCA.
+
+Round-3 widening of the training-data-pipeline surface beyond
+queries/corpus_q.py. Engine-portable by construction: md5-prefix
+hashes for content identity, integer arithmetic wherever sums cross a
+shuffle, ``sqrt``/division as the only float ops (IEEE-exact), trunc6
+on every reported fraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.operators import dedup as dd
+from speech_data_pipeline_spark.queries.registry import query
+from speech_data_pipeline_spark.sources.catalog import load_table
+
+#: Substring-dedup gram width (words). Lee et al. use 50 BPE tokens on
+#: web text; 5 words keeps a meaningful duplicated-span population on
+#: the synthetic small-vocabulary corpus (~14% of docs at sf0.01).
+_SPAN_N = 5
+
+
+def _hex15_sql(md5_expr: str) -> str:
+    """DuckDB: first 15 md5 hex chars → 60-bit bigint (nibble fold)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({md5_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS n_toks FROM toks
+    ), grams AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(t) - {_SPAN_N - 1}, 0) + 1)) AS pos,
+             t
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id, pos,
+             {_hex15_sql(
+                 "md5(array_to_string(list_slice(t, CAST(pos AS INTEGER), "
+                 f"CAST(pos AS INTEGER) + {_SPAN_N - 1}), ' '))"
+             )} AS gh
+      FROM grams
+    ), dup AS (
+      SELECT doc_id, pos
+      FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS c
+            FROM hashed)
+      WHERE c >= 2
+    ), spans AS (
+      SELECT doc_id,
+             count(*) AS n_dup_grams,
+             sum(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_N}
+                 THEN 1 ELSE 0 END) AS n_dup_spans,
+             sum(CASE WHEN prev IS NULL THEN {_SPAN_N}
+                 ELSE least(pos - prev, {_SPAN_N}) END) AS cov
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM dup)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.n_toks,
+           CAST(COALESCE(s.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           floor(CASE WHEN b.n_toks > 0
+                 THEN COALESCE(s.cov, 0) * 1.0 / b.n_toks
+                 ELSE 0.0 END * 1000000.0) / 1000000.0 AS dup_tok_frac
+    FROM base b LEFT JOIN spans s USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring coverage (Lee et al. 2021
+    word-gram variant): which spans of each document also appear
+    elsewhere in the corpus, and how much of the text they cover."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.duplicated_span_stats(d, n=_SPAN_N, min_count=2)
+
+
+#: Hash-embedding geometry + the literal search query.
+_HE_DIM = 64
+_HE_QUERY = "fast hash join over sorted columns"
+
+
+def _he_query_parts():
+    import math
+
+    from speech_data_pipeline_spark.operators.text import hash_embed_vector
+
+    qv = hash_embed_vector(_HE_QUERY, _HE_DIM)
+    qnorm = math.sqrt(sum(v * v for v in qv.values()))
+    return qv, qnorm
+
+
+def _he_oracle() -> str:
+    qv, qnorm = _he_query_parts()
+    values = ", ".join(f"({b}, {v})" for b, v in sorted(qv.items()))
+    shift = _HE_DIM.bit_length() - 1
+    return f"""
+    WITH occ AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS w
+      FROM documents
+    ), hh AS (
+      SELECT doc_id, {_hex15_sql("md5(w)")} AS h FROM occ
+    ), sp AS (
+      SELECT doc_id, h % {_HE_DIM} AS bucket,
+             CAST(SUM(CASE WHEN (h >> {shift}) % 2 = 0 THEN 1 ELSE -1 END)
+                  AS BIGINT) AS dv
+      FROM hh GROUP BY doc_id, bucket
+    ), q(bucket, qv) AS (VALUES {values}),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(dv * COALESCE(qv, 0)) AS BIGINT) AS num,
+             CAST(SUM(dv * dv) AS BIGINT) AS nrm2
+      FROM sp LEFT JOIN q USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           floor(num / (sqrt(CAST(nrm2 AS DOUBLE)) * {qnorm!r})
+                 * 1000000.0) / 1000000.0 AS cos_sim
+    FROM agg
+    WHERE nrm2 > 0
+    ORDER BY cos_sim DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("sim_hash_embed_search", oracle=_he_oracle())
+def sim_hash_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free semantic-ish search: feature-hashed bag-of-words
+    embeddings (operators/text.py hash_embed_sparse) scored by cosine
+    against a literal query string's own hash embedding.
+
+    Plan shape: one (id, bucket) shuffle builds the doc vectors; the
+    query vector is a ≤dim-row broadcast; numerator and norm come out
+    of ONE groupBy(id) (left-join the query first, aggregate both sums
+    together); top-10 is TakeOrderedAndProject. All integer until the
+    final divide — exact on any engine.
+    """
+    from speech_data_pipeline_spark.functions import trunc6
+    from speech_data_pipeline_spark.operators.text import hash_embed_sparse
+
+    qv, qnorm = _he_query_parts()
+    d = load_table(spark, sf_dir, "documents")
+    sp = hash_embed_sparse(d, dim=_HE_DIM)
+    qdf = spark.createDataFrame(
+        sorted(qv.items()), "bucket long, qv long"
+    )
+    agg = (
+        sp.join(F.broadcast(qdf), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("dv") * F.coalesce(F.col("qv"), F.lit(0))).alias("num"),
+            F.sum(F.col("dv") * F.col("dv")).alias("nrm2"),
+        )
+    )
+    return (
+        agg.where(F.col("nrm2") > 0)
+        .select(
+            F.col("id").alias("doc_id"),
+            trunc6(
+                F.col("num")
+                / (F.sqrt(F.col("nrm2").cast("double")) * F.lit(qnorm))
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+#: Temperature-mixing knobs: doc budget to allocate, weight quantum.
+_MIX_BUDGET = 10_000
+_MIX_Q = 10 ** 12
+
+
+@query(
+    "mix_temperature_domains",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(lower(text), '([a-z]+)', 1)))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM per
+    ), wq AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(floor(sqrt(n_tokens * 1.0 / tot_tokens) * {_MIX_Q})
+                  AS BIGINT) AS w
+      FROM per, tot
+    ), sw AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS sum_w FROM wq
+    )
+    SELECT source, n_docs, n_tokens,
+           floor(n_tokens * 1.0 / (SELECT tot_tokens FROM tot)
+                 * 1000000.0) / 1000000.0 AS share_natural,
+           floor(w * 1.0 / sum_w * 1000000.0) / 1000000.0 AS share_temp,
+           CAST(({_MIX_BUDGET} * w) // sum_w AS BIGINT) AS target_docs,
+           floor((({_MIX_BUDGET} * w) // sum_w) * 1.0 / n_docs
+                 * 1000000.0) / 1000000.0 AS epochs
+    FROM wq, sw
+    ORDER BY source
+    """,
+)
+def mix_temperature_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled domain mixture (the GPT-3 / LLaMA / DoReMi
+    pretraining-mix recipe): per-source sampling weights ∝ p^α with
+    α = 0.5, flattening the natural token distribution so small
+    domains are up-sampled. Reports natural vs tempered shares, the
+    doc allocation of a fixed budget, and effective epochs per source
+    (>1 ⇒ that domain repeats).
+
+    Determinism: α = 0.5 makes the tempering a ``sqrt`` — IEEE
+    correctly-rounded in every engine (a general ``pow`` is only
+    1-ulp-accurate and can flip a floor at quantization). Weights are
+    quantized to integers before normalization, so the allocation is
+    pure bigint arithmetic.
+
+    Plan shape: one groupBy(source) over the corpus (map-side
+    combine), then a single-row global sum broadcast back — the
+    textbook two-level aggregate; nothing scales with corpus size but
+    the first scan.
+    """
+    from speech_data_pipeline_spark.functions import trunc6
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("tot_tokens"))
+    wq = per.crossJoin(F.broadcast(tot)).withColumn(
+        "w",
+        F.floor(
+            F.sqrt(F.col("n_tokens") / F.col("tot_tokens")) * F.lit(_MIX_Q)
+        ).cast("long"),
+    )
+    sw = wq.agg(F.sum("w").cast("long").alias("sum_w"))
+    # exact bigint floor-division (a double divide + floor can flip
+    # near an integer quotient; `div` is the SQL `//`)
+    target = F.expr(f"({_MIX_BUDGET}L * w) div sum_w")
+    return (
+        wq.crossJoin(F.broadcast(sw))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            trunc6(F.col("n_tokens") / F.col("tot_tokens")).alias(
+                "share_natural"
+            ),
+            trunc6(F.col("w") / F.col("sum_w")).alias("share_temp"),
+            target.alias("target_docs"),
+            trunc6(target / F.col("n_docs")).alias("epochs"),
+        )
+        .orderBy("source")
+    )
