@@ -727,3 +727,125 @@ def pq_topk(
             trunc6(F.col("adc_raw")).alias("adc_dist"),
         )
     )
+
+
+def pca_power_topk(
+    df: DataFrame,
+    dim: int,
+    iters: int = 3,
+    k: int = 20,
+    quant_bits: int = 20,
+    contrib_bits: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """First principal component by MATRIX-FREE power iteration, and
+    the top-k projections onto it — distributed PCA without ever
+    materializing the d×d covariance.
+
+    Each iteration computes ``u = Σ_rows xc · (xc·v)`` directly: one
+    corpus aggregate producing ``dim`` sums (the classic scalable PCA
+    step — a covariance pass would shuffle d² partial sums and cap
+    ``dim``; this shape works at dim=4096 as well as 64). The running
+    vector ``v`` lives in a single-row broadcast state chained through
+    the plan, exactly like the Lloyd state in :func:`kmeans_assign`.
+
+    Determinism on any engine / shuffle order:
+
+    - the mean comes from exact BIGINT sums of a ``2^-quant_bits``
+      integer grid;
+    - each row's contribution ``xc_i·(xc·v)`` is floored onto a
+      ``2^-contrib_bits`` grid BEFORE summing, so the per-dimension
+      sums are exact integers (a raw double sum would drift with
+      partitioning); at N rows the sums need
+      ``log2(N · max|contrib| · 2^contrib_bits)`` < 63 bits — for
+      larger corpora lower ``contrib_bits`` or sum as DECIMAL(38,0);
+    - normalization and dot products fold left-to-right in index
+      order (``F.aggregate`` ≡ DuckDB ``list_sum``), and ``sqrt`` /
+      division are IEEE-exact.
+
+    The sign of ``v`` follows the all-positive init (power iteration
+    converges up to sign; a fixed init pins it). Returns
+    ``(id, pc1)`` for the ``k`` largest projections (ties by id).
+    """
+    scale = float(1 << quant_bits)
+    cb = float(1 << contrib_bits)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+        ).alias("gq"),
+    ).persist()
+
+    sums = base.agg(
+        *[F.sum(F.col("gq")[i]).alias(f"s{i}") for i in range(dim)],
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu_row = sums.select(
+        F.array(
+            *[F.col(f"s{i}") / (F.col("n") * F.lit(scale)) for i in range(dim)]
+        ).alias("mu")
+    )
+
+    import math
+
+    v0 = 1.0 / math.sqrt(float(dim))
+    state = mu_row.withColumn("v", F.array(*[F.lit(v0)] * dim))
+
+    def dv_expr() -> Column:
+        return F.aggregate(
+            F.zip_with(F.col("xc"), F.col("v"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(iters):
+        j = (
+            base.crossJoin(F.broadcast(state))
+            .withColumn(
+                "xc", F.zip_with(F.col("x"), F.col("mu"), lambda a, b: a - b)
+            )
+            .withColumn("dv", dv_expr())
+        )
+        usums = j.agg(
+            *[
+                F.sum(
+                    F.floor(F.col("xc")[i] * F.col("dv") * F.lit(cb)).cast(
+                        "long"
+                    )
+                ).alias(f"u{i}")
+                for i in range(dim)
+            ]
+        )
+        norm_state = usums.select(
+            F.array(*[F.col(f"u{i}") / F.lit(cb) for i in range(dim)]).alias(
+                "un"
+            )
+        ).select(
+            F.transform(
+                F.col("un"),
+                lambda e: e
+                / F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col("un"), lambda y: y * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+            ).alias("v")
+        )
+        state = mu_row.crossJoin(F.broadcast(norm_state))
+
+    from speech_data_pipeline_spark.functions import trunc6
+
+    return (
+        base.crossJoin(F.broadcast(state))
+        .withColumn(
+            "xc", F.zip_with(F.col("x"), F.col("mu"), lambda a, b: a - b)
+        )
+        .select(F.col("id").alias(id_col), trunc6(dv_expr()).alias("pc1"))
+        .orderBy(F.col("pc1").desc(), F.col(id_col))
+        .limit(k)
+    )

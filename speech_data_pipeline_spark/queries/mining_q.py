@@ -267,3 +267,85 @@ def mix_temperature_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: PCA geometry: embedding dim, power-iteration rounds, fixed-point
+#: grids (mirrors operators/similarity.py pca_power_topk defaults).
+_PCA_D = 64
+_PCA_ITERS = 3
+_PCA_QB = float(1 << 20)
+_PCA_CB = float(1 << 24)
+
+
+def _pca_oracle() -> str:
+    d, qb, cb = _PCA_D, _PCA_QB, _PCA_CB
+    s_list = ", ".join(
+        f"sum(CAST(floor(x[{j + 1}] * {qb!r}) AS BIGINT))" for j in range(d)
+    )
+    u_list = ", ".join(
+        f"sum(CAST(floor(xc[{j + 1}] * dv * {cb!r}) AS BIGINT))"
+        for j in range(d)
+    )
+    rng = f"range(1, {d + 1})"
+    # iteration chain: d1 uses the literal v0; d2/d3 use the previous
+    # normalized vector CTE. Every fold is list_sum over an
+    # index-ordered list_transform — left-to-right like F.aggregate.
+    its = [f"""
+    d1 AS (
+      SELECT vec_id, xc,
+             list_sum(list_transform({rng}, j -> xc[j] * {1.0 / d ** 0.5!r}))
+               AS dv
+      FROM p
+    ), u1 AS (
+      SELECT [{u_list}] AS u FROM d1
+    ), v1 AS (
+      SELECT list_transform(un, e ->
+               e / sqrt(list_sum(list_transform(un, y -> y * y)))) AS v
+      FROM (SELECT list_transform(u, e -> e / {cb!r}) AS un FROM u1)
+    )"""]
+    for it in range(2, _PCA_ITERS + 1):
+        its.append(f"""
+    d{it} AS (
+      SELECT p.vec_id, p.xc,
+             list_sum(list_transform({rng}, j -> p.xc[j] * w.v[j])) AS dv
+      FROM p, v{it - 1} w
+    ), u{it} AS (
+      SELECT [{u_list}] AS u FROM d{it}
+    ), v{it} AS (
+      SELECT list_transform(un, e ->
+               e / sqrt(list_sum(list_transform(un, y -> y * y)))) AS v
+      FROM (SELECT list_transform(u, e -> e / {cb!r}) AS un FROM u{it})
+    )""")
+    return f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform({rng}, j -> CAST(embedding[j] AS DOUBLE)) AS x
+      FROM embeddings
+    ), qs AS (
+      SELECT [{s_list}] AS s, count(*) AS n FROM base
+    ), mu AS (
+      SELECT list_transform({rng}, j -> s[j] / (n * {qb!r})) AS mu FROM qs
+    ), p AS (
+      SELECT b.vec_id,
+             list_transform({rng}, j -> b.x[j] - m.mu[j]) AS xc
+      FROM base b, mu m
+    ),{",".join(its)}
+    SELECT p.vec_id,
+           floor(list_sum(list_transform({rng}, j -> p.xc[j] * w.v[j]))
+                 * 1000000.0) / 1000000.0 AS pc1
+    FROM p, v{_PCA_ITERS} w
+    ORDER BY pc1 DESC, vec_id
+    LIMIT 20
+    """
+
+
+@query("embed_pca_power", oracle=_pca_oracle())
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component of the embedding corpus by matrix-free
+    power iteration (operators/similarity.py pca_power_topk): top-20
+    projections onto PC1. The covariance matrix never materializes —
+    each round is ONE corpus aggregate of dim integer sums."""
+    from speech_data_pipeline_spark.operators.similarity import pca_power_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pca_power_topk(e, dim=_PCA_D, iters=_PCA_ITERS, k=20)

@@ -1,0 +1,173 @@
+"""Semantics tests for the round-3 mining operators: substring-span
+dedup, feature-hashed embeddings, temperature mixing, matrix-free PCA.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.operators.dedup import duplicated_span_stats
+from speech_data_pipeline_spark.operators.similarity import pca_power_topk
+from speech_data_pipeline_spark.operators.text import (
+    hash_embed_sparse,
+    hash_embed_vector,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from speech_data_pipeline_spark.session import get_spark
+
+    return get_spark("test-mining")
+
+
+def test_duplicated_spans_planted(spark):
+    # doc 1 and doc 2 share an exact 6-word run; doc 3 is clean.
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"{shared} five six seven eight nine ten"),
+        (3, "unique words only here nothing repeats ever really"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_span_stats(df, n=5, min_count=2).collect()
+    }
+    # a shared 6-word run holds two duplicated 5-gram starts that fuse
+    # into ONE span of 6 covered tokens
+    assert out[1]["n_dup_grams"] == 2
+    assert out[1]["n_dup_spans"] == 1
+    assert out[1]["dup_tok_frac"] == pytest.approx(6 / 10, abs=1e-6)
+    assert out[2]["n_dup_grams"] == 2
+    assert out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_grams"] == 0
+    assert out[3]["n_dup_spans"] == 0
+    assert out[3]["dup_tok_frac"] == 0.0
+
+
+def test_duplicated_spans_in_doc_repeat(spark):
+    # the SAME doc repeating a 5-gram twice counts as duplication too
+    run = "red orange yellow green blue"
+    df = spark.createDataFrame(
+        [(1, f"{run} filler filler2 filler3 filler4 fillerfive {run}")],
+        "doc_id long, text string",
+    )
+    row = duplicated_span_stats(df, n=5, min_count=2).collect()[0]
+    assert row["n_dup_grams"] == 2
+    assert row["n_dup_spans"] == 2  # far apart -> two separate spans
+
+
+def test_duplicated_spans_short_doc_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "")], "doc_id long, text string"
+    )
+    rows = duplicated_span_stats(df, n=5, min_count=2).collect()
+    assert {r["n_dup_grams"] for r in rows} == {0}
+
+
+def test_hash_embed_driver_mirror_matches_spark(spark):
+    text = "spark shuffles hash joins and sorts rows"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        (r["bucket"], r["dv"])
+        for r in hash_embed_sparse(df, dim=64).collect()
+    }
+    want = {(b, v) for b, v in hash_embed_vector(text, 64).items()}
+    assert got == want
+
+
+def test_hash_embed_self_similarity_is_top(spark):
+    # a doc equal to the query string must score cos == 1
+    docs = [
+        (1, "fast hash join over sorted columns"),
+        (2, "completely different words about cats and dogs"),
+        (3, "fast hash join over unsorted heaps"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sp = hash_embed_sparse(df, dim=64)
+    qv = hash_embed_vector("fast hash join over sorted columns", 64)
+    qn = math.sqrt(sum(v * v for v in qv.values()))
+    qdf = spark.createDataFrame(sorted(qv.items()), "bucket long, qv long")
+    agg = (
+        sp.join(F.broadcast(qdf), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("dv") * F.coalesce("qv", F.lit(0))).alias("num"),
+            F.sum(F.col("dv") * F.col("dv")).alias("nrm2"),
+        )
+        .select(
+            "id",
+            (F.col("num") / (F.sqrt("nrm2") * F.lit(qn))).alias("cos"),
+        )
+    )
+    scores = {r["id"]: r["cos"] for r in agg.collect()}
+    assert scores[1] == pytest.approx(1.0, abs=1e-12)
+    assert scores[1] > scores[3] > scores[2]
+
+
+def test_hash_embed_rejects_non_power_of_two(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        hash_embed_sparse(df, dim=48)
+
+
+def test_pca_power_matches_numpy(spark):
+    # planted dominant direction: x = s*w + noise, PC1 ≈ w
+    rng = np.random.default_rng(7)
+    d, n = 8, 400
+    w = rng.standard_normal(d)
+    w /= np.linalg.norm(w)
+    s = rng.standard_normal(n)[:, None] * 3.0
+    X = s * w[None, :] + rng.standard_normal((n, d)) * 0.1
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = pca_power_topk(df, dim=d, iters=6, k=n).collect()
+
+    Xc = X.astype(np.float32).astype(np.float64)
+    Xc = Xc - Xc.mean(axis=0)
+    _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+    pc = vt[0]
+    proj = Xc @ pc
+    # align sign with the engine's all-positive init
+    got_map = {r["vec_id"]: r["pc1"] for r in got}
+    some = max(got_map, key=lambda i: abs(got_map[i]))
+    if np.sign(proj[some]) != np.sign(got_map[some]):
+        proj = -proj
+    errs = [abs(got_map[i] - proj[i]) for i in range(n)]
+    # quantized grids + finite iterations: loose-but-meaningful bound
+    assert max(errs) < 5e-2
+    # and the top-magnitude ordering agrees at the head
+    top_np = sorted(range(n), key=lambda i: -proj[i])[:5]
+    top_sp = [r["vec_id"] for r in sorted(got, key=lambda r: -r["pc1"])[:5]]
+    assert set(top_np) == set(top_sp)
+
+
+def test_mix_temperature_flattens(spark, tmp_path):
+    # big source vs small source: temperature alpha=0.5 must raise the
+    # small source's share and lower the big one's, preserving order
+    from speech_data_pipeline_spark.queries.mining_q import (
+        mix_temperature_domains,
+    )
+
+    rows = [(i, "word " * (50 if i % 10 else 5), "big" if i % 10 else "small")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in
+           mix_temperature_domains(spark, str(tmp_path)).collect()}
+    big, small = out["big"], out["small"]
+    assert big["share_natural"] > big["share_temp"]
+    assert small["share_natural"] < small["share_temp"]
+    # shares stay ordered and allocations stay within budget
+    assert big["share_temp"] > small["share_temp"]
+    assert big["target_docs"] + small["target_docs"] <= 10_000
+    # tempering UP-samples the small domain relative to its natural
+    # share (per-doc epochs depend on doc lengths, so compare shares)
+    assert small["share_temp"] / small["share_natural"] > 1.5
+    assert big["share_temp"] / big["share_natural"] < 1.0
+    assert big["epochs"] > 0 and small["epochs"] > 0

@@ -60,6 +60,8 @@ SCALAR_CROSS_WHITELIST = {
     "sim_pq_topk",  # codebook table: m_sub*n_cells=16 centroids, 1 row
     "sketch_histogram_quantile",  # min/max/n scalar: 1 row; bin array: ≤128
     "graph_triangle_count",  # n_vertices/n_edges count scalars: 1 row each
+    "mix_temperature_domains",  # total-tokens / total-weight scalars: 1 row
+    "embed_pca_power",  # mean + power-iteration vector state: 1 row each
 }
 
 
