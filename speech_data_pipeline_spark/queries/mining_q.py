@@ -10,7 +10,7 @@ on every reported fraction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from speech_data_pipeline_spark.operators import dedup as dd
@@ -349,3 +349,143 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return pca_power_topk(e, dim=_PCA_D, iters=_PCA_ITERS, k=20)
+
+
+#: Gap-fill grid step: 1 day in microseconds.
+_GF_STEP = 86_400_000_000
+
+
+@query(
+    "ts_gapfill_interpolate",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) AS t, arg_max(value, event_id) AS v
+      FROM events
+      WHERE event_type = 'view' AND value IS NOT NULL
+      GROUP BY user_id, epoch_us(ts)
+    ), bounds AS (
+      SELECT user_id,
+             CAST(ceil(min(t) * 1.0 / {_GF_STEP}) AS BIGINT) AS g0,
+             CAST(floor(max(t) * 1.0 / {_GF_STEP}) AS BIGINT) AS g1
+      FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(range(g0, g1 + 1)) * {_GF_STEP} AS t
+      FROM bounds WHERE g1 >= g0
+    ), u AS (
+      SELECT user_id, t, 0 AS kind, v FROM obs
+      UNION ALL
+      SELECT user_id, t, 1 AS kind, NULL AS v FROM grid
+    ), w AS (
+      SELECT user_id, t, kind,
+             last_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS)
+               OVER win_p AS pt,
+             last_value(CASE WHEN kind = 0 THEN v END IGNORE NULLS)
+               OVER win_p AS pv,
+             first_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS)
+               OVER win_f AS nt,
+             first_value(CASE WHEN kind = 0 THEN v END IGNORE NULLS)
+               OVER win_f AS nv
+      FROM u
+      WINDOW
+        win_p AS (PARTITION BY user_id ORDER BY t, kind
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        win_f AS (PARTITION BY user_id ORDER BY t, kind
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, t AS grid_us,
+           floor((CASE WHEN nt > pt
+                  THEN pv + (nv - pv) * ((t - pt) * 1.0 / (nt - pt))
+                  ELSE pv END) * 1000000.0) / 1000000.0 AS value_interp
+    FROM w
+    WHERE kind = 1 AND pt IS NOT NULL AND nt IS NOT NULL
+    ORDER BY user_id, grid_us
+    """,
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: resample each user's 'view' value series
+    onto a regular daily grid with LINEAR interpolation between the
+    surrounding observations (the timeseries-DB `interpolate()` /
+    `time_bucket_gapfill` operator).
+
+    Plan shape: observations collapse to one row per (user, ts)
+    (arg_max tie-break); the grid is generated IN-ROW from each user's
+    min/max (sequence + explode — no calendar table, no cross join);
+    union + ONE hash shuffle on user_id feeds two window passes over
+    the same sort (carry-forward previous obs, carry-back next obs) —
+    Spark plans both windows in a single sort of one exchange. Grid
+    cardinality is (span/step) per user, bounded by construction.
+
+    Interpolation arithmetic: timestamps are exact integer micros;
+    the lerp is per-row IEEE double, trunc6 on output — identical
+    cross-engine.
+    """
+    from speech_data_pipeline_spark.functions import trunc6
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.where((F.col("event_type") == "view") & F.col("value").isNotNull())
+        .groupBy("user_id", F.expr("ts div 1000").alias("t"))
+        .agg(F.max_by("value", "event_id").alias("v"))
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.ceil(F.min("t") / F.lit(float(_GF_STEP))).cast("long").alias("g0"),
+        F.floor(F.max("t") / F.lit(float(_GF_STEP))).cast("long").alias("g1"),
+    )
+    grid = (
+        bounds.where(F.col("g1") >= F.col("g0"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("g0", "g1")).alias("gi"),
+        )
+        .select("user_id", (F.col("gi") * _GF_STEP).alias("t"))
+    )
+    u = obs.select(
+        "user_id", "t", F.lit(0).alias("kind"), F.col("v")
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "t",
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    w_p = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("kind") == 0, F.col("t"))
+    obs_v = F.when(F.col("kind") == 0, F.col("v"))
+    scored = u.select(
+        "user_id",
+        "t",
+        "kind",
+        F.last(obs_t, ignorenulls=True).over(w_p).alias("pt"),
+        F.last(obs_v, ignorenulls=True).over(w_p).alias("pv"),
+        F.first(obs_t, ignorenulls=True).over(w_f).alias("nt"),
+        F.first(obs_v, ignorenulls=True).over(w_f).alias("nv"),
+    )
+    lerp = F.when(
+        F.col("nt") > F.col("pt"),
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * ((F.col("t") - F.col("pt")) / (F.col("nt") - F.col("pt"))),
+    ).otherwise(F.col("pv"))
+    return (
+        scored.where(
+            (F.col("kind") == 1)
+            & F.col("pt").isNotNull()
+            & F.col("nt").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("t").alias("grid_us"),
+            trunc6(lerp).alias("value_interp"),
+        )
+        .orderBy("user_id", "grid_us")
+    )

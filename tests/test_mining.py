@@ -171,3 +171,41 @@ def test_mix_temperature_flattens(spark, tmp_path):
     assert small["share_temp"] / small["share_natural"] > 1.5
     assert big["share_temp"] / big["share_natural"] < 1.0
     assert big["epochs"] > 0 and small["epochs"] > 0
+
+
+def test_gapfill_linear_exact(spark, tmp_path):
+    # two observations 4 days apart: interior daily grid points must be
+    # the exact lerp; grid points outside [min, max] must not exist
+    from speech_data_pipeline_spark.queries.mining_q import (
+        _GF_STEP,
+        ts_gapfill_interpolate,
+    )
+    import datetime as dt
+
+    day = 86_400_000_000
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)  # off-grid (noon)
+    rows = [
+        (1, base, 7, "view", 10.0, "{}"),
+        (2, base + dt.timedelta(days=4), 7, "view", 30.0, "{}"),
+        (3, base + dt.timedelta(days=2), 7, "click", 99.0, "{}"),  # ignored
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = ts_gapfill_interpolate(spark, str(tmp_path)).collect()
+    assert _GF_STEP == day
+    got = {r["grid_us"]: r["value_interp"] for r in out}
+    t0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    # grid days: 11..14 Jan midnight; lerp slope = 20 units / 4 days
+    expect = {}
+    import math
+
+    for g in range(4):
+        gt = (t0 // day + 1 + g) * day
+        expect[gt] = math.floor(
+            (10.0 + 20.0 * ((gt - t0) / (4 * day))) * 1e6
+        ) / 1e6
+    assert got == expect
