@@ -768,84 +768,63 @@ def pca_power_topk(
     converges up to sign; a fixed init pins it). Returns
     ``(id, pc1)`` for the ``k`` largest projections (ties by id).
     """
-    scale = float(1 << quant_bits)
-    cb = float(1 << contrib_bits)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
-        ).alias("gq"),
+    # Expressions are assembled as SQL strings (one py4j round-trip per
+    # WHOLE array expression instead of ~5 per element): the Column-API
+    # form of the dim-wide aggregates cost ~8 s of pure driver-side
+    # plan construction at dim=64. The generated SQL mirrors the DuckDB
+    # oracle text operator-for-operator.
+    scale = repr(float(1 << quant_bits))
+    cb = repr(float(1 << contrib_bits))
+    base = df.selectExpr(
+        f"{id_col} AS id",
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS x",
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}D)"
+        " AS BIGINT)) AS gq",
     ).persist()
 
-    sums = base.agg(
-        *[F.sum(F.col("gq")[i]).alias(f"s{i}") for i in range(dim)],
+    s_arr = ",".join(f"sum(gq[{i}])" for i in range(dim))
+    mu_row = base.agg(
+        F.expr(f"array({s_arr})").alias("s"),
         F.count(F.lit(1)).alias("n"),
-    )
-    mu_row = sums.select(
-        F.array(
-            *[F.col(f"s{i}") / (F.col("n") * F.lit(scale)) for i in range(dim)]
-        ).alias("mu")
-    )
+    ).selectExpr(f"transform(s, e -> e / (n * {scale}D)) AS mu")
 
     import math
 
-    v0 = 1.0 / math.sqrt(float(dim))
-    state = mu_row.withColumn("v", F.array(*[F.lit(v0)] * dim))
+    v0 = repr(1.0 / math.sqrt(float(dim)))
+    state = mu_row.selectExpr(
+        "mu", f"transform(mu, e -> {v0}D) AS v"
+    )
 
-    def dv_expr() -> Column:
-        return F.aggregate(
-            F.zip_with(F.col("xc"), F.col("v"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
+    dv_sql = (
+        "aggregate(zip_with(xc, v, (a, b) -> a * b), 0.0D,"
+        " (acc, e) -> acc + e)"
+    )
+    u_arr = ",".join(
+        f"sum(CAST(floor(xc[{i}] * dv * {cb}D) AS BIGINT))" for i in range(dim)
+    )
     for _ in range(iters):
         j = (
             base.crossJoin(F.broadcast(state))
-            .withColumn(
-                "xc", F.zip_with(F.col("x"), F.col("mu"), lambda a, b: a - b)
-            )
-            .withColumn("dv", dv_expr())
+            .withColumn("xc", F.expr("zip_with(x, mu, (a, b) -> a - b)"))
+            .withColumn("dv", F.expr(dv_sql))
         )
-        usums = j.agg(
-            *[
-                F.sum(
-                    F.floor(F.col("xc")[i] * F.col("dv") * F.lit(cb)).cast(
-                        "long"
-                    )
-                ).alias(f"u{i}")
-                for i in range(dim)
-            ]
-        )
-        norm_state = usums.select(
-            F.array(*[F.col(f"u{i}") / F.lit(cb) for i in range(dim)]).alias(
-                "un"
+        norm_state = (
+            j.agg(F.expr(f"array({u_arr})").alias("u"))
+            .selectExpr(f"transform(u, e -> e / {cb}D) AS un")
+            .selectExpr(
+                "transform(un, e -> e / sqrt(aggregate("
+                "transform(un, y -> y * y), 0.0D, (acc, y) -> acc + y))) AS v"
             )
-        ).select(
-            F.transform(
-                F.col("un"),
-                lambda e: e
-                / F.sqrt(
-                    F.aggregate(
-                        F.transform(F.col("un"), lambda y: y * y),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                ),
-            ).alias("v")
         )
         state = mu_row.crossJoin(F.broadcast(norm_state))
 
-    from speech_data_pipeline_spark.functions import trunc6
-
     return (
         base.crossJoin(F.broadcast(state))
-        .withColumn(
-            "xc", F.zip_with(F.col("x"), F.col("mu"), lambda a, b: a - b)
+        .withColumn("xc", F.expr("zip_with(x, mu, (a, b) -> a - b)"))
+        .selectExpr(
+            f"id AS {id_col}",
+            f"floor({dv_sql} * 1000000.0D) / 1000000.0D AS pc1",
         )
-        .select(F.col("id").alias(id_col), trunc6(dv_expr()).alias("pc1"))
         .orderBy(F.col("pc1").desc(), F.col(id_col))
         .limit(k)
     )

@@ -489,3 +489,230 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "grid_us")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+      FROM lineitem
+    ), m AS (
+      SELECT l_partkey, min(p) AS mp FROM pr GROUP BY l_partkey
+    ), w AS (
+      SELECT pr.l_partkey, min(pr.l_suppkey) AS l_suppkey, m.mp
+      FROM pr JOIN m ON pr.l_partkey = m.l_partkey AND pr.p = m.mp
+      GROUP BY pr.l_partkey, m.mp
+    )
+    SELECT w.l_partkey AS p_partkey, p.p_name, w.l_suppkey AS s_suppkey,
+           s.s_name, CAST(w.mp AS DOUBLE) AS min_price
+    FROM w JOIN part p ON w.l_partkey = p.p_partkey
+           JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    ORDER BY min_price DESC, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated min-cost subquery) re-keyed to this
+    schema: for every part, the cheapest observed supplier — the
+    classic ``WHERE cost = (SELECT min(cost) ... )`` decorrelated into
+    one grouped aggregate.
+
+    Plan shape: ONE lineitem shuffle — ``min(struct(price, suppkey))``
+    per part computes the min price and its tie-broken supplier in the
+    same pass (the oracle replays it as min + equality join-back, the
+    textbook decorrelation; the struct-min is the one-pass Spark
+    form). Part and supplier attach as broadcast dimensions; top-100
+    is TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    w = (
+        li.select(
+            "l_partkey",
+            F.struct(
+                F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+                F.col("l_suppkey").alias("k"),
+            ).alias("ps"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min("ps").alias("m"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("m.k").alias("s_suppkey"),
+            F.col("m.p").cast("double").alias("min_price"),
+        )
+    )
+    return (
+        w.join(F.broadcast(p), "p_partkey")
+        .join(F.broadcast(s), "s_suppkey")
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "min_price")
+        .orderBy(F.col("min_price").desc(), "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q13_order_count_histogram",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM co GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the orders-per-customer distribution (including
+    zero-order customers via the outer join). Two shuffles: the outer
+    join + per-customer count, then the tiny histogram aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    co = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "grouping_sets_report",
+    oracle="""
+    SELECT n.n_name, c.c_mktsegment,
+           CAST(GROUPING(n.n_name) AS BIGINT) * 2 +
+           CAST(GROUPING(c.c_mktsegment) AS BIGINT) AS gid,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name, c.c_mktsegment), (n.n_name),
+                            (c.c_mktsegment), ())
+    ORDER BY gid, n_name NULLS FIRST, c_mktsegment NULLS FIRST
+    """,
+)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS beyond rollup/cube: the four-set account-balance
+    report with an explicit grouping id (``GROUPING`` flags
+    disambiguate a NULL group key from the all-group row — the
+    standard cube-table idiom).
+
+    Plan shape: Spark expands grouping sets into one Expand + ONE
+    grouped aggregate (not a union of four scans); nation is a
+    broadcast dimension; decimal sums are merge-order-proof.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    gid = (
+        F.grouping("n_name").cast("long") * 2
+        + F.grouping("c_mktsegment").cast("long")
+    ).alias("gid")
+    return (
+        j.groupingSets(
+            [["n_name", "c_mktsegment"], ["n_name"], ["c_mktsegment"], []],
+            "n_name",
+            "c_mktsegment",
+        )
+        .agg(
+            gid,
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .select(
+            "n_name", "c_mktsegment", "gid", "n_customers", "total_acctbal"
+        )
+        .orderBy(
+            "gid",
+            F.col("n_name").asc_nulls_first(),
+            F.col("c_mktsegment").asc_nulls_first(),
+        )
+    )
+
+
+#: Banded time join: half-band width in microseconds (±5 minutes).
+_BAND_US = 300_000_000
+
+
+@query(
+    "j_banded_time_join",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+    ), pairs AS (
+      SELECT a.event_id, count(*) AS n_near
+      FROM e a JOIN e b
+        ON b.t >= a.t - {_BAND_US} AND b.t <= a.t + {_BAND_US}
+       AND a.user_id <> b.user_id
+      GROUP BY a.event_id
+    )
+    SELECT e.event_id, CAST(COALESCE(p.n_near, 0) AS BIGINT) AS n_near
+    FROM e LEFT JOIN pairs p USING (event_id)
+    ORDER BY n_near DESC, event_id
+    LIMIT 200
+    """,
+)
+def j_banded_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded time self-join via BUCKETING — the scale pattern for
+    range joins Spark lacks natively: how many events of OTHER users
+    happened within ±5 minutes of each event.
+
+    A naive theta-join on ``|t_a - t_b| <= band`` plans as a nested
+    loop over the whole corpus (the DuckDB oracle can afford its IEJoin
+    at sf0.01; a cluster cannot at 100 TB). Instead each probe event
+    explodes into its bucket and the two adjacent buckets
+    (bucket = t div band), the join is a plain EQUI-join on the bucket
+    key, and the band predicate evaluates as a residual — per-bucket
+    population is rate×band, so the join is linear in events with a
+    bounded constant, shuffles once on the bucket key, and a hot
+    bucket remains AQE-splittable because the join stays equi.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("t")
+    )
+    b = F.expr(f"t div {_BAND_US}")
+    probe = e.select(
+        "event_id",
+        "user_id",
+        "t",
+        F.explode(
+            F.array(b - 1, b, b + 1)
+        ).alias("bk"),
+    )
+    build = e.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("t").alias("b_t"),
+        b.alias("bk"),
+    )
+    near = (
+        probe.join(build, "bk")
+        .where(
+            (F.col("b_t") >= F.col("t") - _BAND_US)
+            & (F.col("b_t") <= F.col("t") + _BAND_US)
+            & (F.col("user_id") != F.col("b_user"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        e.select("event_id")
+        .join(near, "event_id", "left")
+        .select(
+            "event_id", F.coalesce("n_near", F.lit(0)).alias("n_near")
+        )
+        .orderBy(F.col("n_near").desc(), "event_id")
+        .limit(200)
+    )
