@@ -1,0 +1,62 @@
+"""Registry-wide determinism fence: the value-sensitive queries —
+iterative algorithms, seeded sampling, fixed-point trajectories,
+hash-keyed shuffles — must return IDENTICAL rows under a perturbed
+``spark.sql.shuffle.partitions``. This is the cheap local stand-in for
+"different cluster layout / task retry / AQE re-plan": if a result
+depends on partition count, it will drift on a real cluster and the
+DuckDB oracle match is an accident of local[32].
+
+Queries covered are the ones whose docstrings CLAIM layout-proof
+arithmetic (quantized-grid sums, integer fixed-point, seeded md5);
+plain relational aggregates are already order-proof by construction
+and covered by the oracle gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: name -> claim being defended
+PERTURB_QUERIES = [
+    "ml_kmeans_assign",  # quantized Lloyd trajectory
+    "embed_pca_power",  # fixed-point power iteration
+    "dedup_semantic",  # kmeans + per-cell representative
+    "sim_pq_topk",  # codebooks from quantized sums
+    "sample_weighted_pps",  # integer systematic sampling
+    "shuffle_shard_manifest",  # seeded-md5 permutation + checksums
+    "dedup_resolve",  # connected-components fixed point
+    "text_bpe_merges",  # greedy merge trajectory
+    "graph_pagerank_activity",  # integer fixed-point ranks
+    "dedup_substring_spans",  # md5 gram hashing + lag windows
+    "mix_temperature_domains",  # bigint budget allocation
+    "ts_gapfill_interpolate",  # grid + carry windows
+]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from speech_data_pipeline_spark.session import get_spark
+
+    return get_spark("test-determinism")
+
+
+def _rows(spark, name):
+    import __spark_entry__ as ent
+
+    df = ent.queries()[name](spark, SF_DIR)
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", PERTURB_QUERIES)
+def test_partition_count_invariance(spark, name):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = _rows(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        b = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b, f"{name} drifted under partition-count change"
