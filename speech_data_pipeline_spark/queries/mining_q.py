@@ -716,3 +716,132 @@ def j_banded_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_near").desc(), "event_id")
         .limit(200)
     )
+
+
+@query(
+    "dedup_fuzzy_partnames",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT p_name FROM part
+    ), keyed AS (
+      SELECT p_name,
+             regexp_extract(p_name, '([a-z]+)$', 1) AS blk
+      FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ORDER BY dist, name_a, name_b
+    """,
+)
+def dedup_fuzzy_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching with BLOCKING — the record-linkage
+    primitive: near-identical part names by Levenshtein distance ≤ 4,
+    candidate pairs restricted to names sharing their final word (the
+    noun) so the quadratic comparison never crosses blocks.
+
+    Plan shape: names collapse to the DISTINCT vocabulary first (names
+    are vocabulary-sized, not corpus-sized — the dedup groupBy is the
+    corpus' only shuffle); the self-join is a plain equi-join on the
+    block key with the edit distance as a residual, so per-block work
+    is O(block²) with vocabulary-bounded blocks. Levenshtein is the
+    classic integer DP in both engines — exact parity.
+    """
+    p = load_table(spark, sf_dir, "part")
+    keyed = p.select("p_name").distinct().select(
+        "p_name",
+        F.regexp_extract(F.col("p_name"), "([a-z]+)$", 1).alias("blk"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(dist <= 4)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .orderBy("dist", "name_a", "name_b")
+    )
+
+
+@query(
+    "scd2_user_value_history",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id, value
+      FROM events WHERE event_type = 'signup'
+    ), chg AS (
+      SELECT user_id, t, event_id, value,
+             lag(value) OVER w AS prev_value
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ), hist AS (
+      SELECT user_id, t AS valid_from, value,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS valid_to
+      FROM chg
+      WHERE prev_value IS NULL OR value <> prev_value
+    )
+    SELECT user_id, valid_from, valid_to,
+           floor(value * 1000000.0) / 1000000.0 AS value,
+           CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+    FROM hist
+    ORDER BY user_id, valid_from
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (SCD type 2) history build: collapse
+    each user's 'signup' value stream into validity intervals
+    [valid_from, valid_to) that open when the value CHANGES and close
+    at the next change (NULL = current row) — the standard warehouse
+    dimension-history operator, derived here from the raw event log.
+
+    Plan shape: one user_id shuffle; change detection (lag) and
+    interval close (lead over the filtered change rows) are two window
+    passes over the same sort. Timestamps stay integer micros;
+    deterministic order by (t, event_id).
+    """
+    from speech_data_pipeline_spark.functions import trunc6
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "signup"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    chg = (
+        ev.select(
+            "user_id",
+            F.expr("ts div 1000").alias("t"),
+            "event_id",
+            "value",
+        )
+        .withColumn("prev_value", F.lag("value").over(w))
+        .where(
+            F.col("prev_value").isNull()
+            | (F.col("value") != F.col("prev_value"))
+        )
+    )
+    hist = chg.select(
+        "user_id",
+        F.col("t").alias("valid_from"),
+        "value",
+        F.lead("t").over(
+            Window.partitionBy("user_id").orderBy("t", "event_id")
+        ).alias("valid_to"),
+        "event_id",
+    )
+    return hist.select(
+        "user_id",
+        "valid_from",
+        "valid_to",
+        trunc6(F.col("value")).alias("value"),
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from")
