@@ -1026,3 +1026,108 @@ def text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(-F.avg(F.log(p))).alias("xent"),
         )
     )
+
+
+def _cluster_label_oracle() -> str:
+    kmeans = _kmeans_oracle()
+    prefix = kmeans[: kmeans.rindex(" SELECT ")]  # strip the final SELECT
+    return f"""{prefix},
+    occ AS (
+      SELECT d.doc_id,
+             unnest(regexp_extract_all(lower(d.text), '([a-z]+)', 1)) AS w
+      FROM documents d
+    ), tagged AS (
+      SELECT a.cell, o.w FROM occ o JOIN a2 a ON o.doc_id = a.vec_id
+    ), cw AS (
+      SELECT cell, w, count(*) AS c FROM tagged GROUP BY cell, w
+    ), wt AS (
+      SELECT w, CAST(sum(c) AS BIGINT) AS tw FROM cw GROUP BY w
+    ), ct AS (
+      SELECT cell, CAST(sum(c) AS BIGINT) AS tc FROM cw GROUP BY cell
+    ), g AS (
+      SELECT CAST(sum(c) AS BIGINT) AS tg FROM cw
+    ), scored AS (
+      SELECT cw.cell, cw.w,
+             CAST(cw.c AS BIGINT) * g.tg - wt.tw * ct.tc AS lift,
+             cw.c
+      FROM cw JOIN wt USING (w) JOIN ct USING (cell) CROSS JOIN g
+    ), ranked AS (
+      SELECT cell, w, lift, c,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY lift DESC, w) AS rnk
+      FROM scored
+    )
+    SELECT cell, CAST(rnk AS BIGINT) AS rnk, w AS term,
+           CAST(lift AS BIGINT) AS lift, CAST(c AS BIGINT) AS n_occ
+    FROM ranked WHERE rnk <= 3
+    ORDER BY cell, rnk
+    """
+
+
+@query("cluster_label_terms", oracle=_cluster_label_oracle())
+def cluster_label_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling capstone: k-means cells over the embedding
+    corpus (the deterministic Lloyd trajectory of ``ml_kmeans_assign``)
+    labeled with each cell's 3 most DISTINCTIVE terms from the paired
+    documents (vec_id ≡ doc_id in the fixture, the usual
+    one-embedding-per-doc contract).
+
+    Distinctiveness avoids float idf entirely: term w is
+    over-represented in cell c iff c_count/cell_total > w_total/grand,
+    tested as the BIGINT cross-multiplication
+    ``lift = c_count·grand − w_total·cell_total`` — exact on any
+    engine, no log, no division.
+
+    Plan shape: the Lloyd rounds are the only embedding shuffles; the
+    assignment joins the exploded token stream on doc id (1 corpus
+    shuffle); (cell, term) counts aggregate map-side; the w-totals
+    join is vocabulary-sized, cell totals and the grand total are
+    broadcast scalars; top-3 is a window over n_cells bounded
+    partitions.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    assign = sim.kmeans_assign(e, dim=64, n_cells=8, iters=2)
+    occ = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+        ).alias("w"),
+    )
+    cw = (
+        occ.join(assign, occ["doc_id"] == assign["id"])
+        .groupBy("cell", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = cw.groupBy("w").agg(F.sum("c").cast("long").alias("tw"))
+    ct = cw.groupBy("cell").agg(F.sum("c").cast("long").alias("tc"))
+    g = cw.agg(F.sum("c").cast("long").alias("tg"))
+    scored = (
+        cw.join(wt, "w")
+        .join(F.broadcast(ct), "cell")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "cell",
+            "w",
+            (F.col("c").cast("long") * F.col("tg")
+             - F.col("tw") * F.col("tc")).alias("lift"),
+            "c",
+        )
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("cell").orderBy(F.col("lift").desc(), "w")
+    )
+    return (
+        scored.withColumn("rnk", rnk.cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "cell",
+            "rnk",
+            F.col("w").alias("term"),
+            "lift",
+            F.col("c").cast("long").alias("n_occ"),
+        )
+        .orderBy("cell", "rnk")
+    )

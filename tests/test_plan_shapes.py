@@ -62,6 +62,7 @@ SCALAR_CROSS_WHITELIST = {
     "graph_triangle_count",  # n_vertices/n_edges count scalars: 1 row each
     "mix_temperature_domains",  # total-tokens / total-weight scalars: 1 row
     "embed_pca_power",  # mean + power-iteration vector state: 1 row each
+    "cluster_label_terms",  # kmeans centroid rows + grand-total scalar
 }
 
 
