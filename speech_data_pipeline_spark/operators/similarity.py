@@ -808,12 +808,19 @@ def pca_power_topk(
             .withColumn("xc", F.expr("zip_with(x, mu, (a, b) -> a - b)"))
             .withColumn("dv", F.expr(dv_sql))
         )
+        # zero-variance corpus -> u = 0 -> norm 0: emit the zero vector
+        # instead of dividing by zero (ANSI mode raises otherwise)
         norm_state = (
             j.agg(F.expr(f"array({u_arr})").alias("u"))
             .selectExpr(f"transform(u, e -> e / {cb}D) AS un")
             .selectExpr(
-                "transform(un, e -> e / sqrt(aggregate("
-                "transform(un, y -> y * y), 0.0D, (acc, y) -> acc + y))) AS v"
+                "un",
+                "sqrt(aggregate(transform(un, y -> y * y), 0.0D,"
+                " (acc, y) -> acc + y)) AS nrm",
+            )
+            .selectExpr(
+                "transform(un, e -> CASE WHEN nrm = 0.0D THEN 0.0D"
+                " ELSE e / nrm END) AS v"
             )
         )
         state = mu_row.crossJoin(F.broadcast(norm_state))

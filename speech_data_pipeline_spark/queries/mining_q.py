@@ -300,8 +300,10 @@ def _pca_oracle() -> str:
       SELECT [{u_list}] AS u FROM d1
     ), v1 AS (
       SELECT list_transform(un, e ->
-               e / sqrt(list_sum(list_transform(un, y -> y * y)))) AS v
-      FROM (SELECT list_transform(u, e -> e / {cb!r}) AS un FROM u1)
+               CASE WHEN nrm = 0.0 THEN 0.0 ELSE e / nrm END) AS v
+      FROM (SELECT un, sqrt(list_sum(list_transform(un, y -> y * y))) AS nrm
+            FROM (SELECT list_transform(u, e -> e / {cb!r}) AS un
+                  FROM u1))
     )"""]
     for it in range(2, _PCA_ITERS + 1):
         its.append(f"""
@@ -313,8 +315,10 @@ def _pca_oracle() -> str:
       SELECT [{u_list}] AS u FROM d{it}
     ), v{it} AS (
       SELECT list_transform(un, e ->
-               e / sqrt(list_sum(list_transform(un, y -> y * y)))) AS v
-      FROM (SELECT list_transform(u, e -> e / {cb!r}) AS un FROM u{it})
+               CASE WHEN nrm = 0.0 THEN 0.0 ELSE e / nrm END) AS v
+      FROM (SELECT un, sqrt(list_sum(list_transform(un, y -> y * y))) AS nrm
+            FROM (SELECT list_transform(u, e -> e / {cb!r}) AS un
+                  FROM u{it}))
     )""")
     return f"""
     WITH base AS (

@@ -209,3 +209,16 @@ def test_gapfill_linear_exact(spark, tmp_path):
             (10.0 + 20.0 * ((gt - t0) / (4 * day))) * 1e6
         ) / 1e6
     assert got == expect
+
+
+def test_mining_ops_on_degenerate_input(spark):
+    # empty corpora must yield empty (not crash) across the new ops
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert duplicated_span_stats(empty_docs, n=5).count() == 0
+    assert hash_embed_sparse(empty_docs).count() == 0
+    one_vec = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    # single-row PCA: centered data is all-zero, projections are 0
+    rows = pca_power_topk(one_vec, dim=2, iters=2, k=5).collect()
+    assert [(r["vec_id"], r["pc1"]) for r in rows] == [(1, 0.0)]
