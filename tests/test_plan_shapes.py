@@ -63,6 +63,8 @@ SCALAR_CROSS_WHITELIST = {
     "mix_temperature_domains",  # total-tokens / total-weight scalars: 1 row
     "embed_pca_power",  # mean + power-iteration vector state: 1 row each
     "cluster_label_terms",  # kmeans centroid rows + grand-total scalar
+    "q11_part_value_concentration",  # group-total threshold scalar: 1 row
+    "q22_idle_customers",  # positive-average-balance scalar: 1 row
 }
 
 
