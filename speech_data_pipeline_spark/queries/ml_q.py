@@ -1,0 +1,229 @@
+"""Relational ML and data-layout queries: a fully declarative
+multinomial naive-Bayes text classifier and Z-order multidimensional
+clustering statistics.
+
+Both are 100 TB-shaped: NB training is two grouped aggregates over the
+token stream (model size = vocabulary × classes, orders below the
+corpus); prediction is one join of the test token stream against the
+model; Z-ordering is pure per-row bit arithmetic feeding a range
+partitioner. Determinism follows the registry rules — every sum that
+crosses a shuffle is an exact BIGINT (log-probabilities are quantized
+onto a 2^-20 grid BEFORE summing), argmaxes tie-break on the label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.operators import text as tx
+from speech_data_pipeline_spark.queries.registry import query
+from speech_data_pipeline_spark.sources.catalog import load_table
+
+#: Log-prob quantization grid: floor(ln(p) * 2^20) — BIGINT-exact sums
+#: across any shuffle order; 1 ulp of ln() shifts a term only if it
+#: sits exactly on a grid boundary (the same accepted hazard class as
+#: the registry's trunc6 outputs).
+_Q = float(1 << 20)
+
+
+@query(
+    "ml_nb_classify",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+    test  AS (SELECT doc_id, tok, count(*) AS n_t
+              FROM toks WHERE doc_id % 5 = 0 GROUP BY doc_id, tok),
+    truth AS (SELECT doc_id, lang AS true_lang FROM documents
+              WHERE doc_id % 5 = 0),
+    ctc AS (SELECT lang, tok, count(*) AS c FROM train GROUP BY lang, tok),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM ctc GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT tok) AS v FROM train),
+    prior AS (
+      SELECT lang,
+             CAST(floor(ln(CAST(count(*) AS DOUBLE)
+                           / (SELECT count(*) FROM documents
+                              WHERE doc_id % 5 <> 0)) * {_Q}) AS BIGINT)
+               AS prior_q,
+             count(*) AS n_docs
+      FROM (SELECT DISTINCT doc_id, lang FROM train) GROUP BY lang
+    ),
+    scored AS (
+      SELECT test.doc_id, tot.lang,
+             CAST(sum(test.n_t * CAST(floor(ln(
+               (COALESCE(ctc.c, 0) + 1.0) / (tot.tot + vocab.v)
+             ) * {_Q}) AS BIGINT)) AS BIGINT) AS tok_score
+      FROM test
+      CROSS JOIN tot
+      CROSS JOIN vocab
+      LEFT JOIN ctc ON ctc.tok = test.tok AND ctc.lang = tot.lang
+      GROUP BY test.doc_id, tot.lang
+    ),
+    ranked AS (
+      SELECT scored.doc_id, scored.lang,
+             scored.tok_score + prior.prior_q AS score_q,
+             row_number() OVER (
+               PARTITION BY scored.doc_id
+               ORDER BY scored.tok_score + prior.prior_q DESC, scored.lang
+             ) AS rn
+      FROM scored JOIN prior USING (lang)
+    )
+    SELECT ranked.doc_id, ranked.lang AS pred_lang, truth.true_lang,
+           CAST(ranked.score_q AS BIGINT) AS score_q,
+           (ranked.lang = truth.true_lang) AS correct
+    FROM ranked JOIN truth ON truth.doc_id = ranked.doc_id
+    WHERE rn = 1
+    """,
+)
+def ml_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier, trained and scored
+    entirely as relational algebra — no driver-side model object.
+
+    Train/test split by key hash (``doc_id % 5``); Laplace-smoothed
+    token likelihoods. The model IS two tables: per-(class, token)
+    counts and per-class totals. Scoring joins the test token stream
+    against the model per class (classes are a bounded broadcast; the
+    token join is the only exchange) and sums QUANTIZED log-probs as
+    exact BIGINTs — shuffle-order-proof, so the per-document argmax
+    (score desc, label asc) is identical on any engine.
+
+    At 100 TB: model size is |vocab|×|classes| (millions of rows, not
+    corpus-scale); the unseen-token mass rides the LEFT join's
+    ``coalesce(c, 0)`` so no dense vocab×class materialization exists;
+    the per-document window partitions on doc_id with ≤|classes| rows
+    per partition. Reference parity: the engine-side analogue of the
+    reference's language-ID stage (SURVEY.md M8) with a trainable
+    model instead of a fixed heuristic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    )
+    train = toks.where(F.col("doc_id") % 5 != 0)
+    test = (
+        toks.where(F.col("doc_id") % 5 == 0)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    truth = d.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    ctc = train.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = ctc.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    vocab = train.agg(F.countDistinct("tok").alias("v"))
+    train_docs = train.select("doc_id", "lang").distinct()
+    n_train = train_docs.agg(F.count(F.lit(1)).alias("n_train"))
+    prior = (
+        train_docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "lang",
+            F.floor(
+                F.log(F.col("n_docs").cast("double") / F.col("n_train")) * _Q
+            )
+            .cast("long")
+            .alias("prior_q"),
+        )
+    )
+    lq = (
+        F.floor(
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("tot") + F.col("v"))
+            )
+            * _Q
+        )
+        .cast("long")
+    )
+    scored = (
+        test.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+        .join(ctc, ["tok", "lang"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("n_t") * lq).cast("long").alias("tok_score"))
+        .join(F.broadcast(prior), "lang")
+        .withColumn("score_q", F.col("tok_score") + F.col("prior_q"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_q").desc(), F.col("lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(truth, "doc_id")
+        .select(
+            "doc_id",
+            F.col("lang").alias("pred_lang"),
+            "true_lang",
+            F.col("score_q").cast("long").alias("score_q"),
+            (F.col("lang") == F.col("true_lang")).alias("correct"),
+        )
+    )
+
+
+def _zvalue_sql(x: str, y: str, bits: int) -> str:
+    """Bit-interleaved Morton code as portable integer arithmetic:
+    x's bit b lands at position 2b+1, y's at 2b."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) * {1 << (2 * b + 1)})")
+        terms.append(f"((({y} >> {b}) & 1) * {1 << (2 * b)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "layout_zorder_stats",
+    oracle=f"""
+    WITH z AS (
+      SELECT {_zvalue_sql("(l_partkey % 1024)", "(l_suppkey % 1024)", 10)}
+               AS zval,
+             (l_partkey % 1024) AS x, (l_suppkey % 1024) AS y
+      FROM lineitem
+    )
+    SELECT CAST(zval // {1 << 14} AS BIGINT) AS zbucket,
+           count(*) AS n_rows,
+           CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+           CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max,
+           CAST(max(x) - min(x) + max(y) - min(y) AS BIGINT) AS bbox_span
+    FROM z
+    GROUP BY 1
+    """,
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering manifest: interleave the bits of two
+    join/filter dimensions into one sort key and report each
+    target-file bucket's bounding box.
+
+    This is the lakehouse ``OPTIMIZE ZORDER BY (a, b)`` primitive: at
+    100 TB the write path is ``repartitionByRange(zval)`` + sort-within
+    → parquet, and THESE bounding boxes become the row-group min/max
+    stats that let point/range queries on EITHER dimension skip most
+    files (a single-column sort gives pruning on one dimension only;
+    the interleave bounds both). The z-value is pure per-row integer
+    bit arithmetic — no UDF, no shuffle before the one grouped
+    aggregate; ``bbox_span`` quantifies locality (smaller = better
+    skipping), which a layout optimizer would monitor per bucket.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.selectExpr(
+        f"{_zvalue_sql('(l_partkey % 1024)', '(l_suppkey % 1024)', 10)} AS zval",
+        "(l_partkey % 1024) AS x",
+        "(l_suppkey % 1024) AS y",
+    )
+    return (
+        z.groupBy((F.col("zval") / (1 << 14)).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").cast("long").alias("x_min"),
+            F.max("x").cast("long").alias("x_max"),
+            F.min("y").cast("long").alias("y_min"),
+            F.max("y").cast("long").alias("y_max"),
+            (F.max("x") - F.min("x") + F.max("y") - F.min("y"))
+            .cast("long")
+            .alias("bbox_span"),
+        )
+    )

@@ -65,6 +65,7 @@ SCALAR_CROSS_WHITELIST = {
     "cluster_label_terms",  # kmeans centroid rows + grand-total scalar
     "q11_part_value_concentration",  # group-total threshold scalar: 1 row
     "q22_idle_customers",  # positive-average-balance scalar: 1 row
+    "ml_nb_classify",  # class-totals (|classes| rows) + vocab/n scalars
 }
 
 
