@@ -1,0 +1,274 @@
+"""Data-selection queries: Gopher-style quality heuristics and DSIR
+importance-weighted selection — the two document-scoring families a
+pretraining pipeline runs between dedup and mixing.
+
+- ``text_gopher_rules``: the repetition-free subset of the Gopher /
+  RefinedWeb quality rules (Rae et al. 2021 §A1.1; repetition rules
+  live in ``text_repetition``) as pure column expressions — zero
+  shuffles before the output.
+- ``select_dsir_importance``: hashed-n-gram importance resampling
+  (Xie et al. 2023, "Data Selection for Language Models via Importance
+  Resampling"): score every raw document by how much more likely its
+  hashed unigram+bigram features are under a target-domain bag-of-
+  grams model than under the raw-corpus model, and keep the top-k.
+
+Determinism: gram hashing is the registry's portable 60-bit md5
+prefix; log-likelihood DIFFERENCES are quantized onto a 2^-20 integer
+grid per bucket BEFORE the per-document sum, so scores are exact
+BIGINTs under any shuffle order and the top-k tie-breaks on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.queries.registry import query
+from speech_data_pipeline_spark.sources.catalog import load_table
+
+#: Stopword probe list (Gopher uses a tiny "must contain 2 of these"
+#: check, not a full stopword table).
+_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+#: DSIR hashed-feature bucket count (power of two; the bucket table is
+#: a bounded 2·B-row model, broadcastable at any corpus size).
+_DSIR_B = 4096
+
+#: Log-ratio quantization grid (see module docstring).
+_Q = float(1 << 20)
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '([a-z]+)', 1) AS w,
+             (length(text) - length(replace(text, '#', '')))
+               + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                      AS BIGINT) AS n_symbols
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE floor(CAST(list_sum(list_transform(w, x -> length(x)))
+                                  AS DOUBLE) / len(w) * 1000000.0) / 1000000.0
+             END AS mean_word_len,
+             len(list_filter(w, x -> length(x) >= 1)) AS n_alpha_words,
+             len(list_filter(w, x -> list_contains({list(_STOPS)}, x)))
+               AS n_stop,
+             CASE WHEN len(w) = 0 THEN 1.0
+                  ELSE floor(CAST(n_symbols AS DOUBLE) / len(w) * 1000000.0)
+                       / 1000000.0
+             END AS symbol_ratio
+      FROM t
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+           CAST(n_stop AS BIGINT) AS n_stop, symbol_ratio,
+           (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+             AS ok_mean_word_len,
+           (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+           (n_stop >= 2) AS ok_stopwords,
+           (n_words >= 20 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND n_stop >= 2) AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1, the non-repetition
+    subset): word-count bounds, mean-word-length band, symbol-to-word
+    ratio, minimum stop-word presence — each surfaced as a flag plus
+    the conjunctive ``keep`` decision.
+
+    Plan shape: everything is in-row array arithmetic off one scan —
+    no explode, no shuffle, no UDF; the filter a 100 TB curation run
+    would apply is a map-only projection, which is exactly what these
+    rules are in every production pipeline (the repetition rules, which
+    DO need grouped passes, are ``text_repetition``).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+    n_words = F.size(w)
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.floor(sum_len.cast("double") / n_words * 1_000_000.0) / 1_000_000.0
+    )
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*_STOPS)))
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ellipsis = (
+        (F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))) / 3
+    ).cast("long")
+    n_symbols = n_hash + n_ellipsis
+    symbol_ratio = F.when(n_words == 0, F.lit(1.0)).otherwise(
+        F.floor(n_symbols.cast("double") / n_words * 1_000_000.0) / 1_000_000.0
+    )
+    m = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        n_stop.cast("long").alias("n_stop"),
+        symbol_ratio.alias("symbol_ratio"),
+    )
+    ok_wc = (F.col("n_words") >= 20) & (F.col("n_words") <= 100000)
+    ok_mwl = (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+    ok_sym = F.col("symbol_ratio") <= 0.1
+    ok_stop = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "n_stop",
+        "symbol_ratio",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_stop).alias("keep"),
+    )
+
+
+def _hex15_sql(md5_expr: str) -> str:
+    """DuckDB: first 15 md5 hex chars → 60-bit bigint (nibble fold)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({md5_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "select_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '([a-z]+)', 1) AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, unnest(w) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, lang,
+             w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] AS g
+      FROM (SELECT doc_id, lang, w,
+                   unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i
+            FROM toks)
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             {_hex15_sql("md5(g)")} % {_DSIR_B} AS bucket
+      FROM grams
+    ),
+    raw_cnt AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket),
+    tgt_cnt AS (SELECT bucket, count(*) AS ct FROM b
+                WHERE lang = 'en' GROUP BY bucket),
+    totals AS (
+      SELECT (SELECT count(*) FROM b) AS tot_r,
+             (SELECT count(*) FROM b WHERE lang = 'en') AS tot_t
+    ),
+    model AS (
+      SELECT raw_cnt.bucket,
+             CAST(floor((ln((COALESCE(tgt_cnt.ct, 0) + 1.0)
+                            / (totals.tot_t + {_DSIR_B}))
+                         - ln((raw_cnt.cr + 1.0)
+                              / (totals.tot_r + {_DSIR_B}))) * {_Q})
+                  AS BIGINT) AS lq_diff
+      FROM raw_cnt LEFT JOIN tgt_cnt USING (bucket) CROSS JOIN totals
+    ),
+    docfeat AS (
+      SELECT doc_id, bucket, count(*) AS n_b FROM b
+      GROUP BY doc_id, bucket
+    ),
+    scored AS (
+      SELECT docfeat.doc_id,
+             CAST(sum(docfeat.n_b * model.lq_diff) AS BIGINT) AS score_q
+      FROM docfeat JOIN model USING (bucket)
+      GROUP BY docfeat.doc_id
+    )
+    SELECT doc_id, score_q FROM scored
+    ORDER BY score_q DESC, doc_id
+    LIMIT 50
+    """,
+)
+def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (Xie et al. 2023): rank raw documents
+    by the hashed-n-gram log importance weight
+    ``log p_target(doc) - log p_raw(doc)`` under bag-of-grams models of
+    a target domain (here ``lang='en'``) vs the raw corpus, and keep
+    the top-k. This is the standing method for matching pretraining
+    data to a quality domain without a trained classifier.
+
+    Plan shape at 100 TB: grams stay in-row until ONE explode; the two
+    bucket-count models are grouped aggregates whose output is bounded
+    (2·B rows, B=4096) and broadcast back; per-doc scores are one
+    ``(doc, bucket)`` aggregate joined against the broadcast model —
+    the corpus shuffles twice (gram→bucket counts, doc scores), never
+    quadratically. The top-k is TakeOrderedAndProject. The log-RATIO is
+    quantized per bucket before the BIGINT score sum (see module
+    docstring), so ranking is engine- and layout-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+    toks = d.select("doc_id", "lang", w.alias("w"))
+    n = F.greatest(F.size("w") - 1, F.lit(0))
+    uni = toks.select("doc_id", "lang", F.explode("w").alias("g"))
+    bi = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n),
+                F.slice("w", 2, n),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("g"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    b = uni.unionAll(bi).select(
+        "doc_id", "lang", F.pmod(h, F.lit(_DSIR_B)).alias("bucket")
+    )
+    raw_cnt = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_cnt = (
+        b.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = b.agg(
+        F.count(F.lit(1)).alias("tot_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tot_t"),
+    )
+    model = (
+        raw_cnt.join(tgt_cnt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tot_t") + F.lit(_DSIR_B))
+                    )
+                    - F.log(
+                        (F.col("cr") + F.lit(1.0)) / (F.col("tot_r") + F.lit(_DSIR_B))
+                    )
+                )
+                * _Q
+            )
+            .cast("long")
+            .alias("lq_diff"),
+        )
+    )
+    docfeat = b.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        docfeat.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n_b") * F.col("lq_diff")).cast("long").alias("score_q"))
+        .orderBy(F.col("score_q").desc(), "doc_id")
+        .limit(50)
+    )

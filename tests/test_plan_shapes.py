@@ -66,6 +66,7 @@ SCALAR_CROSS_WHITELIST = {
     "q11_part_value_concentration",  # group-total threshold scalar: 1 row
     "q22_idle_customers",  # positive-average-balance scalar: 1 row
     "ml_nb_classify",  # class-totals (|classes| rows) + vocab/n scalars
+    "select_dsir_importance",  # gram-total scalars: 1 row onto ≤B buckets
 }
 
 

@@ -1,0 +1,101 @@
+"""Gopher quality rules and DSIR importance selection: semantic
+properties beyond the oracle's value equality."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gopher_keep_is_conjunction_of_flags(spark):
+    from speech_data_pipeline_spark.queries.selection_q import text_gopher_rules
+
+    out = text_gopher_rules(spark, SF).collect()
+    assert out
+    for r in out:
+        assert r["keep"] == (
+            r["ok_word_count"]
+            and r["ok_mean_word_len"]
+            and r["ok_symbol_ratio"]
+            and r["ok_stopwords"]
+        )
+        assert r["n_words"] >= 0 and r["n_stop"] >= 0
+        assert 0.0 <= r["symbol_ratio"]
+
+
+def test_gopher_rules_on_crafted_documents(spark):
+    """Each rule must fire on a document built to violate exactly it."""
+    import os
+    import tempfile
+
+    from speech_data_pipeline_spark.queries import selection_q
+
+    good = "the cat and the dog have fun with some long words here " * 3
+    docs = [
+        (0, good, "en", "s", 1),  # passes everything
+        (1, "the of and to", "en", "s", 1),  # too few words
+        (2, "a b c d " * 10 + "the of", "en", "s", 1),  # mean word len < 3
+        (3, good + " ##########" * 20, "en", "s", 1),  # symbol ratio
+        (4, "zebra quagga wombat numbat " * 10, "en", "s", 1),  # no stopwords
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r["doc_id"]: r for r in selection_q.text_gopher_rules(spark, td).collect()
+        }
+    assert out[0]["keep"]
+    assert not out[1]["ok_word_count"] and not out[1]["keep"]
+    assert not out[2]["ok_mean_word_len"] and not out[2]["keep"]
+    assert not out[3]["ok_symbol_ratio"] and not out[3]["keep"]
+    assert not out[4]["ok_stopwords"] and not out[4]["keep"]
+
+
+def test_dsir_ranks_target_domain_docs_first(spark):
+    """Importance weights must rank documents written in the target
+    domain's vocabulary above out-of-domain ones."""
+    import os
+    import tempfile
+
+    from speech_data_pipeline_spark.queries import selection_q
+
+    # target (lang=en) shares vocabulary A; others use vocabulary B;
+    # two held docs (lang=xx) written in vocabulary A must outrank the
+    # vocabulary-B crowd.
+    va = "alpha beta gamma delta epsilon"
+    vb = "zork grum thok blarg wuzzle"
+    docs = (
+        [(i, va, "en", "s", 1) for i in range(20)]
+        + [(100 + i, vb, "de", "s", 1) for i in range(20)]
+        + [(900, va + " " + va, "xx", "s", 1), (901, vb, "xx", "s", 1)]
+    )
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        top = selection_q.select_dsir_importance(spark, td).collect()
+    scores = {r["doc_id"]: r["score_q"] for r in top}
+    assert scores[900] > scores[901]
+    # every vocabulary-A doc outranks every vocabulary-B doc
+    a_min = min(s for d, s in scores.items() if d < 20 or d == 900)
+    b_max = max(s for d, s in scores.items() if 100 <= d < 120 or d == 901)
+    assert a_min > b_max
+
+
+def test_dsir_deterministic_across_partitioning(spark):
+    from tests.conftest import rows
+
+    from speech_data_pipeline_spark.queries.selection_q import (
+        select_dsir_importance,
+    )
+
+    a = rows(select_dsir_importance(spark, SF))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = rows(select_dsir_importance(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
