@@ -1,0 +1,208 @@
+"""Behavioral / time-series queries over the events stream: rolling
+z-score anomaly detection, first-order Markov transition model, and
+CDC-changelog apply (Delta ``MERGE INTO`` last-writer-wins semantics).
+
+Engine-portable by the registry's standard contract: event values are
+quantized to integer milli-units at the boundary so every windowed sum
+crosses the shuffle as an exact BIGINT; z-scores come out of the
+integer sums ``(n·x − Σx)/sqrt(n·Σx² − (Σx)²)`` so the only float ops
+are one sqrt and one divide (IEEE-exact, shuffle-order-proof);
+orderings tie-break on ``event_id``.
+
+Reference parity: the reference's pipeline has no time-series surface
+(its F-stage filters are per-file); these queries are part of the
+beyond-reference analytics north star (SURVEY.md §2 "beyond").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.functions import trunc6
+from speech_data_pipeline_spark.queries.registry import query
+from speech_data_pipeline_spark.sources.catalog import load_table
+
+#: Rolling-baseline frame: the 20 events strictly before the current
+#: one (never the current row — the anomaly must not shift its own
+#: baseline), minimum 10 for a usable variance.
+_ZW_N = 20
+_ZW_MIN = 10
+_Z_THRESHOLD = 2.0
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us, value,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS mv
+      FROM events
+    ), w AS (
+      SELECT user_id, event_id, t_us, value, mv,
+             count(mv) OVER win AS n,
+             sum(mv) OVER win AS s1,
+             sum(mv * mv) OVER win AS s2
+      FROM e
+      WINDOW win AS (PARTITION BY user_id ORDER BY t_us, event_id
+                     ROWS BETWEEN {_ZW_N} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, t_us, value,
+           floor(((n * mv - s1) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+                 * 1000000.0) / 1000000.0 AS zscore
+    FROM w
+    WHERE n >= {_ZW_MIN} AND n * s2 - s1 * s1 > 0
+      AND abs((n * mv - s1) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+          >= {_Z_THRESHOLD}
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score anomaly detection.
+
+    One shuffle (the ``user_id`` window sort); the frame carries only
+    integer partial sums, so the flagged set is identical under any
+    partitioning. z is derived entirely from the frame's integer
+    ``(n, Σx, Σx²)``: ``z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²)`` — the
+    population z-score against the 20 PRIOR events, exact to the last
+    bit on any engine (no running float mean crosses a boundary).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mv = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("t_us"),
+        "value",
+        mv.alias("mv"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(-_ZW_N, -1)
+    )
+    stats = base.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        "value",
+        "mv",
+        F.count("mv").over(win).alias("n"),
+        F.sum("mv").over(win).alias("s1"),
+        F.sum(F.col("mv") * F.col("mv")).over(win).alias("s2"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = (F.col("n") * F.col("mv") - F.col("s1")) / F.sqrt(var_num.cast("double"))
+    return stats.where(
+        (F.col("n") >= _ZW_MIN) & (var_num > 0) & (F.abs(z) >= _Z_THRESHOLD)
+    ).select(
+        "user_id", "event_id", "t_us", "value", trunc6(z).alias("zscore")
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+               AS prev_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS cnt
+      FROM s WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, cnt,
+           floor((CAST(cnt AS DOUBLE)
+                  / sum(cnt) OVER (PARTITION BY prev_type))
+                 * 1000000.0) / 1000000.0 AS prob
+    FROM c
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams.
+
+    Plan: one ``user_id`` window sort (lag), one grouped count — the
+    transition matrix is |types|² rows, so the per-``prev_type``
+    normalizing window runs over a bounded ≤|types|-row partition of an
+    already-tiny aggregate, never over the event stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.expr("ts div 1000"), "event_id"
+            )
+        )
+        .alias("prev_type"),
+    )
+    counts = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        trunc6(F.col("cnt").cast("double") / F.sum("cnt").over(norm)).alias(
+            "prob"
+        ),
+    )
+
+
+@query(
+    "incr_merge_upserts",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us, event_type, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC)
+               AS rn
+      FROM events
+    )
+    SELECT user_id, t_us AS last_t_us, event_type AS last_type,
+           value AS last_value
+    FROM log WHERE rn = 1 AND op = 'U'
+    """,
+)
+def incr_merge_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply: Delta ``MERGE INTO`` last-writer-wins.
+
+    The events stream is read as a changelog keyed by ``user_id``
+    (``error`` rows are tombstones, everything else an upsert); the
+    surviving state is the latest non-superseded row per key. Shape is
+    the A3 per-key argmax — one shuffle on the merge key, a
+    ``WindowGroupLimit``-prunable ``row_number`` — exactly how a
+    MERGE's dedup-latest pre-step runs on a real lakehouse table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("t_us"),
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("t_us").alias("last_t_us"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )

@@ -103,6 +103,38 @@ def _he_query_parts():
     return qv, qnorm
 
 
+def _he_scored_ctes() -> str:
+    """The hash-embed scored relation as composable CTE text (ends at
+    ``hescored`` = (doc_id, cos_sim), no ORDER/LIMIT)."""
+    qv, qnorm = _he_query_parts()
+    values = ", ".join(f"({b}, {v})" for b, v in sorted(qv.items()))
+    shift = _HE_DIM.bit_length() - 1
+    return f"""occ AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS w
+      FROM documents
+    ), hh AS (
+      SELECT doc_id, {_hex15_sql("md5(w)")} AS h FROM occ
+    ), sp AS (
+      SELECT doc_id, h % {_HE_DIM} AS bucket,
+             CAST(SUM(CASE WHEN (h >> {shift}) % 2 = 0 THEN 1 ELSE -1 END)
+                  AS BIGINT) AS dv
+      FROM hh GROUP BY doc_id, bucket
+    ), q(bucket, qv) AS (VALUES {values}),
+    heagg AS (
+      SELECT doc_id,
+             CAST(SUM(dv * COALESCE(qv, 0)) AS BIGINT) AS num,
+             CAST(SUM(dv * dv) AS BIGINT) AS nrm2
+      FROM sp LEFT JOIN q USING (bucket) GROUP BY doc_id
+    ), hescored AS (
+      SELECT doc_id,
+             floor(num / (sqrt(CAST(nrm2 AS DOUBLE)) * {qnorm!r})
+                   * 1000000.0) / 1000000.0 AS cos_sim
+      FROM heagg
+      WHERE nrm2 > 0
+    )"""
+
+
 def _he_oracle() -> str:
     qv, qnorm = _he_query_parts()
     values = ", ".join(f"({b}, {v})" for b, v in sorted(qv.items()))
@@ -148,6 +180,16 @@ def sim_hash_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     together); top-10 is TakeOrderedAndProject. All integer until the
     final divide — exact on any engine.
     """
+    return (
+        _hash_embed_scored(spark, sf_dir)
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _hash_embed_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cos_sim) hash-embed scores, unlimited (shared by the
+    sparse search query and the RRF fusion's sparse branch)."""
     from speech_data_pipeline_spark.functions import trunc6
     from speech_data_pipeline_spark.operators.text import hash_embed_sparse
 
@@ -165,17 +207,12 @@ def sim_hash_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("dv") * F.col("dv")).alias("nrm2"),
         )
     )
-    return (
-        agg.where(F.col("nrm2") > 0)
-        .select(
-            F.col("id").alias("doc_id"),
-            trunc6(
-                F.col("num")
-                / (F.sqrt(F.col("nrm2").cast("double")) * F.lit(qnorm))
-            ).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), "doc_id")
-        .limit(10)
+    return agg.where(F.col("nrm2") > 0).select(
+        F.col("id").alias("doc_id"),
+        trunc6(
+            F.col("num")
+            / (F.sqrt(F.col("nrm2").cast("double")) * F.lit(qnorm))
+        ).alias("cos_sim"),
     )
 
 
@@ -849,3 +886,107 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(F.col("value")).alias("value"),
         F.col("valid_to").isNull().alias("is_current"),
     ).orderBy("user_id", "valid_from")
+
+
+#: Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60) and
+#: per-branch candidate depth.
+_RRF_K = 60
+_RRF_DEPTH = 20
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    WITH {_he_scored_ctes()},
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    dscored AS (
+      SELECT e.vec_id,
+             floor((
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.v[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(qv.v,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+               * 1000000.0) / 1000000.0 AS cos_sim
+      FROM embeddings e, qv
+    ),
+    dtop AS (SELECT vec_id, cos_sim FROM dscored
+             ORDER BY cos_sim DESC, vec_id LIMIT {_RRF_DEPTH}),
+    dense AS (SELECT vec_id AS id,
+                     CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                          AS BIGINT) AS rd
+              FROM dtop),
+    stop_ AS (SELECT doc_id, cos_sim FROM hescored
+              ORDER BY cos_sim DESC, doc_id LIMIT {_RRF_DEPTH}),
+    sparse AS (SELECT doc_id AS id,
+                      CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+                           AS BIGINT) AS rs
+               FROM stop_),
+    fused AS (
+      SELECT COALESCE(d.id, s.id) AS id, d.rd, s.rs,
+             COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + d.rd), 0)
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + s.rs), 0) AS score
+      FROM dense d FULL OUTER JOIN sparse s ON d.id = s.id
+    )
+    SELECT id, rd AS dense_rank, rs AS sparse_rank,
+           floor(score * 1000000.0) / 1000000.0 AS rrf_score
+    FROM fused
+    ORDER BY score DESC, id
+    LIMIT 10
+    """
+
+
+@query("sim_rrf_fusion", oracle=_rrf_oracle())
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a dense branch
+    (brute-force cosine over ``embeddings`` vs the vec_id=0 query) and
+    a sparse branch (hashing-trick bag-of-words search over
+    ``documents``), RRF score = Σ 1/(60 + rank) (Cormack et al. 2009).
+
+    Scale shape: each branch ends in TakeOrderedAndProject (per-
+    partition heap, depth 20); the rank windows and the full-outer
+    fusion join run over two ≤20-row relations — driver-size work no
+    matter the corpus. Ranks are assigned on trunc6-quantized scores
+    with id tie-breaks, so the fused ordering is engine-exact.
+    """
+    from speech_data_pipeline_spark.functions import trunc6
+    from speech_data_pipeline_spark.operators import similarity as sim
+    from speech_data_pipeline_spark.queries.text_q import _query_vec
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dense = sim.cosine_topk(e, _query_vec(spark, sf_dir), k=_RRF_DEPTH).select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), "vec_id"))
+        .cast("long")
+        .alias("rd"),
+    )
+    sparse = (
+        _hash_embed_scored(spark, sf_dir)
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_sim").desc(), "doc_id"))
+            .cast("long")
+            .alias("rs"),
+        )
+    )
+    one = F.lit(1.0)
+    score = F.coalesce(one / (F.lit(_RRF_K) + F.col("rd")), F.lit(0.0)) + (
+        F.coalesce(one / (F.lit(_RRF_K) + F.col("rs")), F.lit(0.0))
+    )
+    return (
+        dense.join(sparse, "id", "full_outer")
+        .select(
+            "id",
+            F.col("rd").alias("dense_rank"),
+            F.col("rs").alias("sparse_rank"),
+            trunc6(score).alias("rrf_score"),
+            score.alias("_s"),
+        )
+        .orderBy(F.col("_s").desc(), "id")
+        .limit(10)
+        .drop("_s")
+    )

@@ -1,0 +1,126 @@
+"""Behavioral/time-series queries (behavior_q) and RRF fusion:
+semantic properties beyond the oracle's value equality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_zscore_flags_injected_spike(spark):
+    """A flat series with one spike must flag exactly the spike."""
+    from speech_data_pipeline_spark.queries.behavior_q import ts_anomaly_zscore
+
+    rows = []
+    for i in range(40):
+        v = 10.0 + (i % 5) * 0.5 if i != 30 else 500.0
+        # ts is epoch-nanos long downstream of load_table; build the
+        # same shape directly and monkey-load via a temp view is
+        # heavier — instead exercise the registered query on real data
+        # below and the kernel math here through a crafted frame.
+        rows.append((1, i, i * 1_000_000, "click", v))
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, t_us long, event_type string, value double",
+    )
+    # Re-express the query's math inline against the crafted frame.
+    from pyspark.sql import Window
+
+    mv = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    win = (
+        Window.partitionBy("user_id").orderBy("t_us", "event_id").rowsBetween(-20, -1)
+    )
+    stats = df.select(
+        "event_id",
+        mv.alias("mv"),
+        F.count(mv).over(win).alias("n"),
+        F.sum(mv).over(win).alias("s1"),
+        F.sum(mv * mv).over(win).alias("s2"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = (F.col("n") * F.col("mv") - F.col("s1")) / F.sqrt(var_num.cast("double"))
+    flagged = [
+        r["event_id"]
+        for r in stats.where((F.col("n") >= 10) & (var_num > 0) & (F.abs(z) >= 2.0))
+        .select("event_id")
+        .collect()
+    ]
+    assert flagged == [30]
+
+
+def test_zscore_runs_on_fixture(spark):
+    from speech_data_pipeline_spark.queries.behavior_q import ts_anomaly_zscore
+
+    out = ts_anomaly_zscore(spark, SF)
+    rows = out.collect()
+    # Flagged rows are genuinely extreme vs their own trailing window.
+    for r in rows:
+        assert abs(r["zscore"]) >= 1.999999
+
+
+def test_markov_probs_sum_to_one_per_prev(spark):
+    from speech_data_pipeline_spark.queries.behavior_q import (
+        events_markov_transitions,
+    )
+
+    out = events_markov_transitions(spark, SF)
+    sums = (
+        out.groupBy("prev_type")
+        .agg(F.sum("prob").alias("p"), F.sum("cnt").alias("n"))
+        .collect()
+    )
+    assert sums
+    for r in sums:
+        assert r["p"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_merge_upserts_lww_semantics(spark):
+    """Hand-built changelog: the survivor is the latest non-tombstone
+    ONLY IF the latest op isn't a delete (true MERGE semantics)."""
+    from speech_data_pipeline_spark.operators.intervals import asof_join  # noqa: F401
+    from speech_data_pipeline_spark.queries.behavior_q import incr_merge_upserts
+
+    out = incr_merge_upserts(spark, SF)
+    got = {r["user_id"]: r for r in out.collect()}
+    # Independent replay on the driver at sf0.001 scale.
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("ts div 1000").alias("t_us"),
+            "event_type",
+            "value",
+        )
+        .collect()
+    )
+    last = {}
+    for r in sorted(ev, key=lambda r: (r["t_us"], r["event_id"])):
+        last[r["user_id"]] = r
+    expect = {
+        u: r for u, r in last.items() if r["event_type"] != "error"
+    }
+    assert set(got) == set(expect)
+    for u, r in expect.items():
+        assert got[u]["last_t_us"] == r["t_us"]
+        assert got[u]["last_value"] == r["value"]
+
+
+def test_rrf_fusion_structure(spark):
+    from speech_data_pipeline_spark.queries.mining_q import sim_rrf_fusion
+
+    rows = sim_rrf_fusion(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    # Scores decrease; every row has at least one branch rank; a row
+    # ranked #1 in both branches would score 2/(60+1).
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["dense_rank"] is not None or r["sparse_rank"] is not None
+        if r["dense_rank"] is not None:
+            assert 1 <= r["dense_rank"] <= 20
+        if r["sparse_rank"] is not None:
+            assert 1 <= r["sparse_rank"] <= 20
+        assert r["rrf_score"] <= 2.0 / 61.0 + 1e-9

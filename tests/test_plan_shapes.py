@@ -94,7 +94,9 @@ def test_no_row_at_a_time_python_udfs(plans):
 #: Queries allowed a partition-less Window because its input is BOUNDED
 #: (a driver-known constant number of rows reaches the window), so the
 #: single task the global sort implies is O(1), not O(corpus).
-GLOBAL_WINDOW_WHITELIST: set[str] = set()
+GLOBAL_WINDOW_WHITELIST: set[str] = {
+    "sim_rrf_fusion",  # rank windows run over two LIMIT-20 relations
+}
 
 
 def _partitionless_windows(df) -> int:
