@@ -206,3 +206,69 @@ def incr_merge_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(epoch_us(ts)) AS su_t
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+      SELECT s.user_id, s.su_t, min(epoch_us(e.ts)) AS p_t
+      FROM su s JOIN events e ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.su_t
+      GROUP BY s.user_id, s.su_t
+    ), durs AS (
+      SELECT su_t // 86400000000 AS cohort_day, p_t - su_t AS dur_us
+      FROM conv
+    )
+    SELECT cohort_day,
+           count(*) AS n_converted,
+           floor(median(dur_us) * 1000000.0) / 1000000.0 AS med_dur_us,
+           floor(quantile_cont(dur_us, 0.9) * 1000000.0) / 1000000.0 AS p90_dur_us
+    FROM durs GROUP BY cohort_day
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency percentiles per signup-day
+    cohort.
+
+    Plan: one grouped min builds the per-user signup time (users-sized,
+    re-keyed on user_id so the purchase join reuses the exchange); the
+    first-qualifying-purchase min is a second grouped agg; cohort
+    percentiles run grouped by day (bounded per-group state is the
+    day's converting-user count — same contract as the registry's other
+    exact-percentile queries).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.expr("ts div 1000")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(t_us).alias("su_t"))
+    )
+    conv = (
+        su.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "user_id", t_us.alias("p_raw")
+            ),
+            "user_id",
+        )
+        .where(F.col("p_raw") >= F.col("su_t"))
+        .groupBy("user_id", "su_t")
+        .agg(F.min("p_raw").alias("p_t"))
+    )
+    durs = conv.select(
+        F.expr("su_t div 86400000000").alias("cohort_day"),
+        (F.col("p_t") - F.col("su_t")).alias("dur_us"),
+    )
+    return durs.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (F.floor(F.expr("percentile(dur_us, 0.5)") * F.lit(1e6)) / 1e6).alias(
+            "med_dur_us"
+        ),
+        (F.floor(F.expr("percentile(dur_us, 0.9)") * F.lit(1e6)) / 1e6).alias(
+            "p90_dur_us"
+        ),
+    )

@@ -990,3 +990,66 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("_s")
     )
+
+
+#: Keyword-retrieval query terms (words present in the synthetic
+#: corpus vocabulary) and AND-ish threshold.
+_BOOL_TERMS = ("fast", "hash", "join", "sorted")
+_BOOL_MIN_MATCH = 3
+
+
+@query(
+    "search_boolean_retrieval",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '([a-z]+)', 1) AS w
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(list_filter(list_distinct(w),
+                 x -> list_contains({list(_BOOL_TERMS)}, x))) AS match_cnt,
+             len(list_filter(w,
+                 x -> list_contains({list(_BOOL_TERMS)}, x))) AS tf
+      FROM t
+    )
+    SELECT doc_id, CAST(match_cnt AS BIGINT) AS match_cnt,
+           CAST(tf AS BIGINT) AS tf
+    FROM m
+    WHERE match_cnt >= {_BOOL_MIN_MATCH}
+    ORDER BY match_cnt DESC, tf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def search_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: documents matching ≥3 of the 4 query terms,
+    ranked by distinct-term coverage then total term frequency.
+
+    ZERO-shuffle scoring — coverage and tf are in-row array folds over
+    the tokenized document (the query is a literal array baked into the
+    plan, the moral equivalent of an inverted-index AND with a
+    broadcast posting filter); top-20 is TakeOrderedAndProject.
+    """
+    terms = F.array(*[F.lit(t) for t in _BOOL_TERMS])
+    d = load_table(spark, sf_dir, "documents")
+    w = F.expr(r"regexp_extract_all(lower(text), '([a-z]+)', 1)")
+    m = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.array_distinct(w), lambda x: F.array_contains(terms, x)
+            )
+        )
+        .cast("long")
+        .alias("match_cnt"),
+        F.size(F.filter(w, lambda x: F.array_contains(terms, x)))
+        .cast("long")
+        .alias("tf"),
+    )
+    return (
+        m.where(F.col("match_cnt") >= _BOOL_MIN_MATCH)
+        .orderBy(
+            F.col("match_cnt").desc(), F.col("tf").desc(), "doc_id"
+        )
+        .limit(20)
+    )

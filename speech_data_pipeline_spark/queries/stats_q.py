@@ -1,0 +1,233 @@
+"""Statistical analytics queries: single-pass Pearson correlation
+matrix and Welch's two-sample t-test.
+
+Both are built on the moment-sum identity: quantize each measure to an
+integer grid at the scan (cents / milli-units), carry ONLY integer
+moment sums ``(n, Σx, Σx², Σxy)`` across the shuffle as
+``DECIMAL(38,0)`` (exact at any corpus size — Σx² of cent-scaled
+prices overflows BIGINT past ~10⁵ rows), and form the statistic from
+the exact sums with one cast-to-double per term. Every float op is
+then a single IEEE divide/sqrt over identical operands on any engine
+or partitioning — the classic "corr in one pass, exact under
+re-aggregation" shape a warehouse needs at 100 TB.
+
+Reference parity: none (the reference has no statistics surface);
+beyond-reference analytics per SURVEY.md north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.functions import trunc6
+from speech_data_pipeline_spark.queries.registry import query
+from speech_data_pipeline_spark.sources.catalog import load_table
+
+#: Correlation-matrix measures (all quantized ×100 → exact integers:
+#: quantity is integral, price has 2dp cents, discount/tax have 2dp).
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_oracle() -> str:
+    cols = _CORR_COLS
+    qsel = ", ".join(
+        f"CAST(floor({c} * 100.0 + 0.5) AS BIGINT) AS q{i}"
+        for i, c in enumerate(cols)
+    )
+    sums = ["count(*) AS n"]
+    for i in range(len(cols)):
+        sums.append(f"sum(q{i}) AS s{i}")
+        for j in range(i, len(cols)):
+            sums.append(f"sum(q{i} * q{j}) AS s{i}{j}")
+    selects = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            num = f"CAST(n * s{i}{j} - s{i} * s{j} AS DOUBLE)"
+            dx = f"CAST(n * s{i}{i} - s{i} * s{i} AS DOUBLE)"
+            dy = f"CAST(n * s{j}{j} - s{j} * s{j} AS DOUBLE)"
+            selects.append(
+                f"SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y,"
+                f" floor(({num} / sqrt({dx} * {dy})) * 1000000.0)"
+                f" / 1000000.0 AS corr, CAST(n AS BIGINT) AS n FROM s"
+            )
+    body = " UNION ALL ".join(selects)
+    return f"""
+    WITH q AS (SELECT {qsel} FROM lineitem),
+    s AS (SELECT {", ".join(sums)} FROM q)
+    {body}
+    """
+
+
+@query("stats_corr_matrix", oracle=_corr_oracle())
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Pearson correlation over the lineitem measures in ONE
+    scan and ONE 1-row aggregate.
+
+    The 14 moment sums ride a single partial-aggregate tree (map-side
+    combine, a one-row final state); the 6 output rows are exploded
+    from that single row — no per-pair scans, no second shuffle.
+    """
+    cols = list(_CORR_COLS)
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        *[
+            F.floor(F.col(c) * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias(f"q{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for i in range(len(cols)):
+        aggs.append(
+            F.sum(F.col(f"q{i}").cast("decimal(38,0)")).alias(f"s{i}")
+        )
+        for j in range(i, len(cols)):
+            aggs.append(
+                F.sum(
+                    (F.col(f"q{i}") * F.col(f"q{j}")).cast("decimal(38,0)")
+                ).alias(f"s{i}{j}")
+            )
+    one = q.agg(*aggs)
+
+    def corr(i: int, j: int):
+        num = (F.col("n") * F.col(f"s{i}{j}") - F.col(f"s{i}") * F.col(f"s{j}")).cast(
+            "double"
+        )
+        dx = (F.col("n") * F.col(f"s{i}{i}") - F.col(f"s{i}") * F.col(f"s{i}")).cast(
+            "double"
+        )
+        dy = (F.col("n") * F.col(f"s{j}{j}") - F.col(f"s{j}") * F.col(f"s{j}")).cast(
+            "double"
+        )
+        return trunc6(num / F.sqrt(dx * dy))
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(cols[i]).alias("col_x"),
+                F.lit(cols[j]).alias("col_y"),
+                corr(i, j).alias("corr"),
+            )
+            for i in range(len(cols))
+            for j in range(i + 1, len(cols))
+        ]
+    )
+    return one.select(
+        F.explode(pairs).alias("p"), F.col("n").cast("long").alias("n")
+    ).select("p.col_x", "p.col_y", "p.corr", "n")
+
+
+#: Welch's t-test arms: does `purchase` carry a different mean value
+#: than `view`?
+_AB_TREAT = "purchase"
+_AB_CONTROL = "view"
+
+
+@query(
+    "ab_welch_ttest",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS mv
+      FROM events
+      WHERE event_type IN ('{_AB_TREAT}', '{_AB_CONTROL}')
+    ), s AS (
+      SELECT
+        sum(CASE WHEN event_type = '{_AB_TREAT}' THEN 1 ELSE 0 END) AS nt,
+        sum(CASE WHEN event_type = '{_AB_TREAT}' THEN mv ELSE 0 END) AS st1,
+        sum(CASE WHEN event_type = '{_AB_TREAT}' THEN mv * mv ELSE 0 END) AS st2,
+        sum(CASE WHEN event_type = '{_AB_CONTROL}' THEN 1 ELSE 0 END) AS nc,
+        sum(CASE WHEN event_type = '{_AB_CONTROL}' THEN mv ELSE 0 END) AS sc1,
+        sum(CASE WHEN event_type = '{_AB_CONTROL}' THEN mv * mv ELSE 0 END) AS sc2
+      FROM q
+    ), d AS (
+      SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_control,
+             CAST(st1 AS DOUBLE) / CAST(nt AS DOUBLE) / 1000.0 AS mean_treat,
+             CAST(sc1 AS DOUBLE) / CAST(nc AS DOUBLE) / 1000.0 AS mean_control,
+             CAST(nt * st2 - st1 * st1 AS DOUBLE)
+               / (CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE)) AS vt,
+             CAST(nc * sc2 - sc1 * sc1 AS DOUBLE)
+               / (CAST(nc AS DOUBLE) * CAST(nc - 1 AS DOUBLE)) AS vc
+      FROM s
+    )
+    SELECT n_treat, n_control,
+           floor(mean_treat * 1000000.0) / 1000000.0 AS mean_treat,
+           floor(mean_control * 1000000.0) / 1000000.0 AS mean_control,
+           floor(((mean_treat - mean_control)
+                  / (sqrt(vt / n_treat + vc / n_control) / 1000.0))
+                 * 1000000.0) / 1000000.0 AS t_stat,
+           floor(((vt / n_treat + vc / n_control)
+                   * (vt / n_treat + vc / n_control)
+                  / ((vt / n_treat) * (vt / n_treat) / (n_treat - 1)
+                     + (vc / n_control) * (vc / n_control) / (n_control - 1)))
+                 * 1000000.0) / 1000000.0 AS df
+    FROM d
+    """,
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event-type arms, in
+    one conditional-aggregation pass (1-row output).
+
+    Sample variances come from the exact integer sums
+    ``(n·Σx² − (Σx)²)/(n(n−1))`` on the milli-unit grid; the t statistic
+    and Welch–Satterthwaite df are pure double expressions over those
+    exact moments — bit-identical under any shuffle order. The /1000
+    factors de-scale the milli-unit grid back to value units (t itself
+    is scale-free; means are reported in natural units).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mv = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    q = ev.where(
+        F.col("event_type").isin(_AB_TREAT, _AB_CONTROL)
+    ).select("event_type", mv.alias("mv"))
+    t_arm = F.col("event_type") == _AB_TREAT
+    c_arm = F.col("event_type") == _AB_CONTROL
+    mv2 = (F.col("mv") * F.col("mv")).cast("decimal(38,0)")
+    mvd = F.col("mv").cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    s = q.agg(
+        F.sum(F.when(t_arm, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(t_arm, mvd).otherwise(zero)).alias("st1"),
+        F.sum(F.when(t_arm, mv2).otherwise(zero)).alias("st2"),
+        F.sum(F.when(c_arm, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(c_arm, mvd).otherwise(zero)).alias("sc1"),
+        F.sum(F.when(c_arm, mv2).otherwise(zero)).alias("sc2"),
+    )
+    nt_d = F.col("nt").cast("double")
+    nc_d = F.col("nc").cast("double")
+    d = s.select(
+        F.col("nt").cast("long").alias("n_treat"),
+        F.col("nc").cast("long").alias("n_control"),
+        (F.col("st1").cast("double") / nt_d / F.lit(1000.0)).alias("mean_treat"),
+        (F.col("sc1").cast("double") / nc_d / F.lit(1000.0)).alias("mean_control"),
+        (
+            (F.col("nt") * F.col("st2") - F.col("st1") * F.col("st1")).cast("double")
+            / (nt_d * (F.col("nt") - 1).cast("double"))
+        ).alias("vt"),
+        (
+            (F.col("nc") * F.col("sc2") - F.col("sc1") * F.col("sc1")).cast("double")
+            / (nc_d * (F.col("nc") - 1).cast("double"))
+        ).alias("vc"),
+    )
+    vt_n = F.col("vt") / F.col("n_treat")
+    vc_n = F.col("vc") / F.col("n_control")
+    se = vt_n + vc_n
+    return d.select(
+        "n_treat",
+        "n_control",
+        trunc6(F.col("mean_treat")).alias("mean_treat"),
+        trunc6(F.col("mean_control")).alias("mean_control"),
+        trunc6(
+            (F.col("mean_treat") - F.col("mean_control"))
+            / (F.sqrt(se) / F.lit(1000.0))
+        ).alias("t_stat"),
+        trunc6(
+            se * se
+            / (
+                vt_n * vt_n / (F.col("n_treat") - 1)
+                + vc_n * vc_n / (F.col("n_control") - 1)
+            )
+        ).alias("df"),
+    )

@@ -1,0 +1,100 @@
+"""Statistics queries (stats_q) + funnel/retrieval: semantic checks
+against independently computed NumPy/driver references."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_corr_matrix_matches_numpy(spark):
+    from speech_data_pipeline_spark.queries.stats_q import (
+        _CORR_COLS,
+        stats_corr_matrix,
+    )
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    got = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in stats_corr_matrix(spark, SF).collect()
+    }
+    assert len(got) == 6
+    pdf = load_table(spark, SF, "lineitem").select(*_CORR_COLS).toPandas()
+    q = np.floor(pdf.to_numpy() * 100.0 + 0.5)  # the query's exact grid
+    ref = np.corrcoef(q, rowvar=False)
+    idx = {c: i for i, c in enumerate(_CORR_COLS)}
+    for (cx, cy), v in got.items():
+        assert v == pytest.approx(ref[idx[cx], idx[cy]], abs=2e-6)
+        assert -1.0 <= v <= 1.0
+
+
+def test_welch_ttest_matches_reference(spark):
+    from speech_data_pipeline_spark.queries.stats_q import ab_welch_ttest
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    row = ab_welch_ttest(spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events").select("event_type", "value").toPandas()
+    a = np.floor(
+        ev[ev.event_type == "purchase"].value.to_numpy() * 1000.0 + 0.5
+    ) / 1000.0
+    b = np.floor(
+        ev[ev.event_type == "view"].value.to_numpy() * 1000.0 + 0.5
+    ) / 1000.0
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se = np.sqrt(va / len(a) + vb / len(b))
+    t_ref = (a.mean() - b.mean()) / se
+    df_ref = (va / len(a) + vb / len(b)) ** 2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert row["n_treat"] == len(a) and row["n_control"] == len(b)
+    assert row["t_stat"] == pytest.approx(t_ref, abs=1e-4)
+    assert row["df"] == pytest.approx(df_ref, rel=1e-4)
+    assert row["mean_treat"] == pytest.approx(a.mean(), abs=1e-5)
+
+
+def test_corr_partition_invariance(spark):
+    """The moment sums must make corr independent of partitioning."""
+    from speech_data_pipeline_spark.queries.stats_q import stats_corr_matrix
+
+    base = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in stats_corr_matrix(spark, SF).collect()
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = {
+            (r["col_x"], r["col_y"]): r["corr"]
+            for r in stats_corr_matrix(spark, SF).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == again  # bit-exact, not approx
+
+
+def test_funnel_durations_positive(spark):
+    from speech_data_pipeline_spark.queries.behavior_q import (
+        funnel_time_to_convert,
+    )
+
+    rows = funnel_time_to_convert(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_converted"] >= 1
+        assert 0 <= r["med_dur_us"] <= r["p90_dur_us"]
+
+
+def test_boolean_retrieval_ranking(spark):
+    from speech_data_pipeline_spark.queries.mining_q import (
+        _BOOL_MIN_MATCH,
+        search_boolean_retrieval,
+    )
+
+    rows = search_boolean_retrieval(spark, SF).collect()
+    assert rows
+    keys = [(-r["match_cnt"], -r["tf"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r["match_cnt"] >= _BOOL_MIN_MATCH
+        assert r["tf"] >= r["match_cnt"]
