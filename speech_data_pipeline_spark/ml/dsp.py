@@ -203,3 +203,52 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     elif k == len(X) and k < k_out and n % 2 == 0:  # upsample from even length
         Y[k - 1] = 0.5 * Y[k - 1]
     return np.fft.irfft(Y, n=m) * (m / n)
+
+
+def dct2_ortho(n_out: int, n_in: int) -> np.ndarray:
+    """Orthonormal DCT-II basis ``(n_out, n_in)`` — scipy's
+    ``dct(type=2, norm='ortho')`` matrix, written out so the MFCC path
+    needs no scipy: ``D[k, n] = s_k * cos(pi*k*(2n+1)/(2N))`` with
+    ``s_0 = sqrt(1/N)``, ``s_k = sqrt(2/N)``.
+    """
+    n = np.arange(n_in, dtype=np.float64)
+    k = np.arange(n_out, dtype=np.float64)[:, None]
+    basis = np.cos(np.pi * k * (2.0 * n + 1.0) / (2.0 * n_in))
+    basis *= np.sqrt(2.0 / n_in)
+    basis[0] *= np.sqrt(0.5)
+    return basis
+
+
+def mfcc(
+    x: np.ndarray,
+    sr: int = 16000,
+    n_mfcc: int = 13,
+    n_fft: int = 512,
+    hop: int = 160,
+    n_mels: int = 40,
+) -> np.ndarray:
+    """MFCCs ``(n_frames, n_mfcc)``: DCT-II (ortho) over the dB-scaled
+    mel power spectrogram — librosa's ``feature.mfcc`` contract
+    (which the reference's model stack would consume where it feeds
+    waveform features to scoring models, cf. the mel pipeline at
+    modules/models/dnsmos.py:54-76).
+    """
+    m = melspectrogram(x, sr=sr, n_fft=n_fft, hop=hop, n_mels=n_mels)
+    log_m = power_to_db(m, ref=1.0, top_db=None)
+    return log_m @ dct2_ortho(n_mfcc, n_mels).T
+
+
+def delta(feats: np.ndarray, width: int = 9) -> np.ndarray:
+    """Delta (first-order regression) features over time, librosa's
+    Savitzky-Golay-free classic form: least-squares slope over a
+    ±(width//2) frame window with edge replication.
+    """
+    feats = np.asarray(feats, dtype=np.float64)
+    half = width // 2
+    denom = 2.0 * sum(i * i for i in range(1, half + 1))
+    padded = np.pad(feats, ((half, half), (0, 0)), mode="edge")
+    out = np.zeros_like(feats)
+    for i in range(1, half + 1):
+        out += i * (padded[half + i:half + i + len(feats)]
+                    - padded[half - i:half - i + len(feats)])
+    return out / denom

@@ -259,3 +259,49 @@ def vad_frame_energy(
             yield pd.DataFrame(rows, columns=["audio_id", "start", "end"])
 
     return df.mapInPandas(kernel, schema=VAD_SEG_SCHEMA)
+
+
+MFCC_SCHEMA = (
+    "audio_id string, frame_idx int, mfcc array<double>, d_mfcc array<double>"
+)
+
+
+def mfcc_features(
+    df: DataFrame,
+    n_mfcc: int = 13,
+    n_fft: int = 512,
+    hop: int = 160,
+    n_mels: int = 40,
+    samples_col: str = "samples",
+    sr_col: str = "sr",
+) -> DataFrame:
+    """Per-frame MFCC + delta features, 1→N exploded like
+    :func:`mel_features` — the classic ASR front-end the reference's
+    model stages would consume in place of raw mel (cf. the mel
+    pipeline at modules/models/dnsmos.py:54-76).
+
+    Arrow-batched ``mapInPandas``: one Python call per batch; each
+    waveform's frames are computed with the pure-NumPy DSP kernels
+    (ml/dsp.py stft → mel → dct2_ortho → delta), so the operator ships
+    no model or codec dependency.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, samples, sr in zip(pdf["audio_id"], pdf[samples_col], pdf[sr_col]):
+                x = np.asarray(samples, dtype=np.float64)
+                if len(x) < n_fft:
+                    continue
+                feats = dsp.mfcc(
+                    x, sr=int(sr), n_mfcc=n_mfcc, n_fft=n_fft, hop=hop,
+                    n_mels=n_mels,
+                )
+                d = dsp.delta(feats)
+                for i in range(feats.shape[0]):
+                    rows.append((aid, i, feats[i].tolist(), d[i].tolist()))
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "frame_idx", "mfcc", "d_mfcc"]
+            )
+
+    return df.mapInPandas(kernel, schema=MFCC_SCHEMA)

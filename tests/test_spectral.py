@@ -249,3 +249,76 @@ def test_vad_frame_energy_silence_and_short(spark):
         "audio_id string, samples array<float>, sr int",
     )
     assert vad_frame_energy(df).count() == 0
+
+
+# ---------------------------------------------------------------- mfcc
+
+
+def test_dct2_ortho_is_orthonormal():
+    D = dsp.dct2_ortho(40, 40)
+    assert np.abs(D @ D.T - np.eye(40)).max() < 1e-12
+
+
+def test_mfcc_constant_spectrum_energy_in_c0():
+    # White-flat log-mel (a constant vector per frame) must project
+    # entirely onto the DC coefficient.
+    logm = np.full((7, 40), 3.0)
+    coefs = logm @ dsp.dct2_ortho(13, 40).T
+    assert np.abs(coefs[:, 1:]).max() < 1e-12
+    assert np.allclose(coefs[:, 0], 3.0 * np.sqrt(40.0))
+
+
+def test_mfcc_shape_and_determinism():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(8000)
+    f1 = dsp.mfcc(x, n_mfcc=13, n_fft=512, hop=160, n_mels=40)
+    f2 = dsp.mfcc(x.copy(), n_mfcc=13, n_fft=512, hop=160, n_mels=40)
+    assert f1.shape[1] == 13 and f1.shape[0] > 0
+    assert np.array_equal(f1, f2)
+
+
+def test_delta_linear_ramp_recovers_slope():
+    # delta of a perfectly linear feature track == its slope
+    # (interior frames; edges are replicated-padded).
+    t = np.arange(30, dtype=np.float64)[:, None]
+    feats = np.hstack([2.0 * t, -0.5 * t])
+    d = dsp.delta(feats, width=9)
+    assert np.allclose(d[4:-4, 0], 2.0)
+    assert np.allclose(d[4:-4, 1], -0.5)
+
+
+def test_mfcc_features_operator(spark, audio_df):
+    from speech_data_pipeline_spark.operators.spectral import mfcc_features
+
+    out = mfcc_features(
+        audio_df, n_mfcc=13, n_fft=256, hop=64, n_mels=24
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.audio_id, []).append(r)
+    assert "c" not in by_id  # empty waveform yields no frames
+    a = sorted(by_id["a"], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in a] == list(range(len(a)))
+    assert all(len(r.mfcc) == 13 and len(r.d_mfcc) == 13 for r in a)
+
+
+def test_mfcc_operator_matches_kernel(spark, audio_df):
+    from speech_data_pipeline_spark.operators.spectral import mfcc_features
+
+    pdf = audio_df.toPandas()
+    wave = {
+        r.audio_id: (np.asarray(r.samples, dtype=np.float64), int(r.sr))
+        for _, r in pdf.iterrows()
+    }
+    out = mfcc_features(audio_df, n_mfcc=13, n_fft=256, hop=64, n_mels=24)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.audio_id, {})[r.frame_idx] = np.asarray(r.mfcc)
+    for aid, (x, sr) in wave.items():
+        if len(x) < 256:
+            assert aid not in got
+            continue
+        ref = dsp.mfcc(x, sr=sr, n_mfcc=13, n_fft=256, hop=64, n_mels=24)
+        assert len(got[aid]) == ref.shape[0]
+        for i in range(ref.shape[0]):
+            assert np.allclose(got[aid][i], ref[i], atol=1e-9)
