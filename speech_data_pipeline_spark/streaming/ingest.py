@@ -672,3 +672,176 @@ def streaming_user_totals_tws(events: DataFrame) -> DataFrame:
         "Update",
         "ProcessingTime",
     )
+
+
+def stream_minhash_neardup(
+    docs: DataFrame,
+    out_path: str,
+    dup_path: str,
+    bands_path: str,
+    checkpoint: str,
+    k: int = 16,
+    bands: int = 4,
+    shingle_len: int = 5,
+):
+    """Streaming MinHash/LSH NEAR-duplicate dedup — the streaming form
+    of the batch ``dedup_minhash_lsh`` chain, with its cross-batch
+    state in a lakehouse side TABLE instead of operator memory.
+
+    Per micro-batch (foreachBatch):
+
+    1. signatures + band hashes for the batch's docs (the same
+       ``minhash_signatures`` column algebra as batch — no UDFs);
+    2. GREEDY within-batch resolution in doc_id order: a doc is kept
+       iff no lower-id KEPT doc of the same batch shares a band
+       (iterated band-join contraction, deterministic);
+    3. cross-batch probe: surviving docs that share a band with the
+       accumulated kept-band table are flagged as dups (anchor = the
+       minimum earlier kept doc sharing a band); the rest are kept;
+    4. the kept docs' bands are APPENDED to the band table.
+
+    Scale shape: state is ``bands×n_kept`` rows of
+    ``(band_idx, band_hash, id)`` in partitioned parquet — it grows
+    with the KEPT corpus, not the stream, lives off-heap/off-driver,
+    and both the probe join and the append are ordinary distributed
+    ops (shuffle on the band key). Driver memory stays O(1); nothing
+    is collected. The greedy keep-first-by-id semantics is pinned
+    against a driver-side replay in tests/test_streaming.py.
+    """
+    from speech_data_pipeline_spark.operators.dedup import minhash_signatures
+
+    def band_rows(sigs: DataFrame, rows_per_band: int) -> DataFrame:
+        return sigs.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    *[
+                                        F.col("sig")[b * rows_per_band + r].cast(
+                                            "string"
+                                        )
+                                        for r in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select("id", "band.band_idx", "band.band_hash")
+
+    rows_per_band = k // bands
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures(
+            batch_df, id_col="doc_id", k=k, shingle_len=shingle_len
+        ).persist()
+        banded = band_rows(sigs, rows_per_band).persist()
+
+        # (2) within-batch greedy keep-first in doc_id order. The
+        # keep set is the unique fixed point of T(S) = {d : no d' in S
+        # with d' < d sharing a band}. T is antitone, so iterating
+        # from S0 = all docs alternates under- (odd) and over- (even)
+        # approximations of the greedy set; when consecutive iterates
+        # have equal cardinality the sandwich closes and both equal
+        # the greedy set. Chains are short in practice (1-2 rounds).
+        def t_step(s: DataFrame) -> DataFrame:
+            a, b = banded.alias("a"), s.alias("b")
+            drops = (
+                a.join(
+                    b,
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_hash") == F.col("b.band_hash"))
+                    & (F.col("a.id") > F.col("b.id")),
+                    "left_semi",
+                )
+                .select("a.id")
+                .distinct()
+            )
+            return banded.join(drops, "id", "left_anti")
+
+        cur = banded
+        while True:
+            under = t_step(cur).persist()
+            over = t_step(under).persist()
+            n_under = under.select("id").distinct().count()
+            n_over = over.select("id").distinct().count()
+            if n_under == n_over:
+                kept_b = over
+                under.unpersist()
+                break
+            cur = over
+            under.unpersist()
+
+        # (3) dup flagging with a SINGLE anchor rule: a doc is a dup
+        # iff some lower-id doc sharing a band was kept — either in
+        # the accumulated side table (prior batches) or in this
+        # batch's greedy keep set — and its anchor is the MINIMUM such
+        # id across both sources (so an in-batch dup that also matches
+        # an older doc anchors to the oldest).
+        import os
+
+        if os.path.isdir(bands_path) and any(
+            f.endswith(".parquet") for f in os.listdir(bands_path)
+        ):
+            prior = spark.read.parquet(bands_path).select(
+                "id", "band_idx", "band_hash"
+            )
+            anchor_src = prior.unionByName(
+                kept_b.select("id", "band_idx", "band_hash")
+            )
+        else:
+            anchor_src = kept_b.select("id", "band_idx", "band_hash")
+
+        d_, s_ = banded.alias("d"), anchor_src.alias("s")
+        anchors = (
+            d_.join(
+                s_,
+                (F.col("d.band_idx") == F.col("s.band_idx"))
+                & (F.col("d.band_hash") == F.col("s.band_hash"))
+                & (F.col("s.id") < F.col("d.id")),
+            )
+            .groupBy(F.col("d.id").alias("id"))
+            .agg(F.min("s.id").alias("anchor_id"))
+        )
+        # a doc with an anchor IS a dup (dropped docs always have one
+        # by the greedy property; a kept_b doc's anchor can only come
+        # from prior batches); docs without anchors are kept
+        dup_ids = anchors
+        kept_ids = (
+            banded.select("id").distinct().join(anchors, "id", "left_anti")
+        )
+
+        kept_docs = batch_df.join(
+            kept_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
+        )
+        dup_docs = batch_df.join(
+            dup_ids.withColumnRenamed("id", "doc_id"), "doc_id"
+        ).select("doc_id", "anchor_id")
+
+        kept_docs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+        dup_docs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(dup_path)
+        # (4) fold the kept docs' bands into the side table
+        kept_b.join(
+            kept_ids, "id", "left_semi"
+        ).write.mode("append").parquet(bands_path)
+        sigs.unpersist()
+        banded.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
