@@ -17,3 +17,4 @@ from speech_data_pipeline_spark.queries import ml_q  # noqa: F401,E402
 from speech_data_pipeline_spark.queries import selection_q  # noqa: F401,E402
 from speech_data_pipeline_spark.queries import behavior_q  # noqa: F401,E402
 from speech_data_pipeline_spark.queries import stats_q  # noqa: F401,E402
+from speech_data_pipeline_spark.queries import market_q  # noqa: F401,E402

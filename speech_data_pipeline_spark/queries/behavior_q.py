@@ -272,3 +272,55 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_dur_us"
         ),
     )
+
+
+@query(
+    "engagement_decay_score",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS mv
+      FROM events
+    ), nowt AS (SELECT max(t_us) AS now_us FROM e),
+    c AS (
+      SELECT user_id,
+             mv // (CAST(1 AS BIGINT) << CAST(least(
+               (now_us - t_us) // 604800000000, 62) AS INTEGER))
+               AS contrib
+      FROM e CROSS JOIN nowt
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(contrib) AS DOUBLE) / 1000.0 AS score
+    FROM c GROUP BY user_id
+    """,
+)
+def engagement_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement: each event's value halves per week
+    of age (bucketed exponential decay as an integer right-shift — the
+    float-free form of Σ value·2^(−Δt/τ), exact under any fold order,
+    where a true ``exp`` would be vulnerable to cross-engine last-ulp
+    drift at the truncation boundary).
+
+    One grouped sum; "now" is the corpus max timestamp, a 1-row
+    broadcast scalar.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr("ts div 1000").alias("t_us"),
+        F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("mv"),
+    )
+    nowt = e.agg(F.max("t_us").alias("now_us"))
+    c = e.crossJoin(F.broadcast(nowt)).select(
+        "user_id",
+        F.expr(
+            "mv div shiftleft(cast(1 as bigint), "
+            "cast(least((now_us - t_us) div 604800000000, 62) as int))"
+        ).alias("contrib"),
+    )
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("contrib").cast("double") / F.lit(1000.0)).alias("score"),
+    )

@@ -67,6 +67,9 @@ SCALAR_CROSS_WHITELIST = {
     "q22_idle_customers",  # positive-average-balance scalar: 1 row
     "ml_nb_classify",  # class-totals (|classes| rows) + vocab/n scalars
     "select_dsir_importance",  # gram-total scalars: 1 row onto ≤B buckets
+    "basket_copurchase_pairs",  # order-count scalar: 1 row
+    "recs_item_cosine",  # same pair-count chain as basket pairs
+    "engagement_decay_score",  # corpus max-ts "now" scalar: 1 row
 }
 
 
