@@ -395,3 +395,46 @@ def triangle_count(edges: DataFrame, a: str = "u", b: str = "v") -> DataFrame:
         .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
         .select("n_vertices", "n_edges", "n_triangles")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: str,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Breadth-first hop distances from ``source``: ``(node, hop)`` for
+    every node reachable within ``max_hops``.
+
+    The frontier-expansion pattern: each round joins the CURRENT
+    frontier (not the whole visited set) onto the edge table — one
+    shuffle on the edge key per round — then anti-joins the visited
+    set to keep only newly discovered nodes. Frontier and visited are
+    node-sized, never edge-sized; rounds are a driver-known constant,
+    so the loop unrolls into a fixed plan the same way the PageRank
+    and k-means iterations do (exactly replayable as chained CTEs —
+    the oracle in queries/corpus_q.py is that replay).
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(source, 0)], "node string, hop int").persist()
+    frontier = visited.select("node")
+    # No per-round emptiness probe: rounds are a fixed constant, an
+    # exhausted frontier makes later rounds empty joins (near-free),
+    # and probing would force one Spark job per round — lazily built,
+    # the whole expansion is ONE job at materialization time. Persists
+    # keep each level from recomputing where visited feeds both the
+    # anti-join and the union.
+    for k in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "_s"), "_s")
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hop", F.lit(k))
+            .persist()
+        )
+        visited = visited.unionByName(nxt).persist()
+        frontier = nxt.select("node")
+    return visited

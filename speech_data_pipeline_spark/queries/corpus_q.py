@@ -1466,3 +1466,47 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
+
+
+def _bfs_oracle(source: str = "t:purchase", max_hops: int = 4) -> str:
+    parts = ["""e0 AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+             't:' || event_type AS dst
+      FROM events
+    ),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    v0(node, hop) AS (SELECT '%s', 0)""" % source]
+    for k in range(1, max_hops + 1):
+        parts.append(f"""
+    n{k} AS (
+      SELECT DISTINCT e.dst AS node FROM e
+      JOIN v{k - 1} f ON e.src = f.node AND f.hop = {k - 1}
+      WHERE e.dst NOT IN (SELECT node FROM v{k - 1})
+    ),
+    v{k} AS (SELECT node, hop FROM v{k - 1}
+             UNION ALL SELECT node, {k} FROM n{k})""")
+    return (
+        "WITH " + ",".join(parts)
+        + f" SELECT node, CAST(hop AS INTEGER) AS hop FROM v{max_hops}"
+    )
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from the ``t:purchase`` node over the
+    bipartite user ↔ event-type activity graph — the frontier-
+    expansion iterative primitive (operators/graph.py bfs_hops): each
+    round joins only the FRONTIER onto the edge table and anti-joins
+    the visited set; state is node-sized, rounds are a driver-known
+    constant, and the trajectory replays exactly as chained CTEs."""
+    from speech_data_pipeline_spark.operators.graph import bfs_hops
+
+    ev = load_table(spark, sf_dir, "events")
+    e0 = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return bfs_hops(edges, "t:purchase", max_hops=4)

@@ -165,3 +165,23 @@ def test_triangle_count_known_graphs(spark):
     star = [(0, i) for i in range(1, 8)]
     r = count(star)
     assert (r.n_vertices, r.n_edges, r.n_triangles) == (8, 7, 0)
+
+
+def test_bfs_hops_on_path_graph(spark):
+    """Path a-b-c-d plus isolated e: hops are exact, unreachable nodes
+    absent, max_hops truncates."""
+    from speech_data_pipeline_spark.operators.graph import bfs_hops
+
+    e0 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "e2")],
+        "src string, dst string",
+    )
+    edges = e0.unionByName(
+        e0.selectExpr("dst as src", "src as dst")
+    )
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, "a", max_hops=4).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    trunc = {
+        r["node"]: r["hop"] for r in bfs_hops(edges, "a", max_hops=2).collect()
+    }
+    assert trunc == {"a": 0, "b": 1, "c": 2}
