@@ -231,3 +231,81 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("df"),
     )
+
+
+@query(
+    "stats_linreg",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qx,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS qy
+      FROM lineitem
+    ), s AS (
+      SELECT count(*) AS n, sum(qx) AS sx, sum(qy) AS sy,
+             sum(qx * qx) AS sxx, sum(qy * qy) AS syy,
+             sum(qx * qy) AS sxy
+      FROM q
+    ), d AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+             CAST(n * syy - sy * sy AS DOUBLE) AS dy,
+             CAST(sy * sxx - sx * sxy AS DOUBLE) AS inum
+      FROM s
+    )
+    SELECT n,
+           floor((num / dx) * 1000000.0) / 1000000.0 AS slope,
+           floor((inum / dx / 100.0) * 1000000.0) / 1000000.0 AS intercept,
+           floor(((num / sqrt(dx * dy)) * (num / sqrt(dx * dy)))
+                 * 1000000.0) / 1000000.0 AS r2
+    FROM d
+    """,
+)
+def stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS of extended price on quantity in one pass: the
+    same exact DECIMAL(38,0) moment sums as :func:`stats_corr_matrix`
+    give slope ``(nΣxy−ΣxΣy)/(nΣx²−(Σx)²)``, intercept, and r² with a
+    single cast-to-double per exact term — bit-identical under any
+    shuffle (both variables share the ×100 grid, so the slope is
+    already in natural units; the intercept de-scales by 100).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("qx"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("qy"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = q.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("qx"))).alias("sx"),
+        F.sum(dec(F.col("qy"))).alias("sy"),
+        F.sum(dec(F.col("qx") * F.col("qx"))).alias("sxx"),
+        F.sum(dec(F.col("qy") * F.col("qy"))).alias("syy"),
+        F.sum(dec(F.col("qx") * F.col("qy"))).alias("sxy"),
+    )
+    d = s.select(
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("dx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("dy"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+        .cast("double")
+        .alias("inum"),
+    )
+    corr = F.col("num") / F.sqrt(F.col("dx") * F.col("dy"))
+    return d.select(
+        "n",
+        trunc6(F.col("num") / F.col("dx")).alias("slope"),
+        trunc6(F.col("inum") / F.col("dx") / F.lit(100.0)).alias("intercept"),
+        trunc6(corr * corr).alias("r2"),
+    )

@@ -32,6 +32,14 @@ PERTURB_QUERIES = [
     "dedup_substring_spans",  # md5 gram hashing + lag windows
     "mix_temperature_domains",  # bigint budget allocation
     "ts_gapfill_interpolate",  # grid + carry windows
+    "ts_anomaly_zscore",  # integer (n, Σx, Σx²) window moments
+    "select_dsir_importance",  # integer-grid log-ratio sums + top-k
+    "stats_corr_matrix",  # DECIMAL(38,0) moment sums
+    "ab_welch_ttest",  # same moment-sum machinery
+    "stats_linreg",  # same moment-sum machinery
+    "engagement_decay_score",  # integer-shift decay sums
+    "sim_rrf_fusion",  # trunc6-quantized rank fusion
+    "graph_bfs_hops",  # frontier fixed rounds
 ]
 
 

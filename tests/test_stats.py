@@ -98,3 +98,23 @@ def test_boolean_retrieval_ranking(spark):
     for r in rows:
         assert r["match_cnt"] >= _BOOL_MIN_MATCH
         assert r["tf"] >= r["match_cnt"]
+
+
+def test_linreg_matches_numpy(spark):
+    import numpy as np
+
+    from speech_data_pipeline_spark.queries.stats_q import stats_linreg
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    row = stats_linreg(spark, SF).collect()[0]
+    pdf = load_table(spark, SF, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    ).toPandas()
+    x = np.floor(pdf.l_quantity.to_numpy() * 100.0 + 0.5)
+    y = np.floor(pdf.l_extendedprice.to_numpy() * 100.0 + 0.5)
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert row["n"] == len(x)
+    assert row["slope"] == pytest.approx(slope, rel=1e-5)
+    assert row["intercept"] == pytest.approx(intercept / 100.0, rel=1e-4)
+    assert row["r2"] == pytest.approx(r * r, abs=1e-5)
