@@ -68,3 +68,79 @@ def test_packing_weight_equal_to_budget(spark):
     )
     out = {r.doc_id: r.seq_id for r in pack_sequences(df, budget=100).collect()}
     assert out == {0: 1, 1: 2, 2: 3, 3: 4}  # exact-fit rows each fill a bin
+
+
+def _empty_sf(spark, tmp_path, tables):
+    """Write empty copies of the named tables with production schemas."""
+    import os
+
+    d = str(tmp_path / "sf_empty")
+    os.makedirs(d, exist_ok=True)
+    schemas = {
+        "events": (
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string"
+        ),
+        "lineitem": (
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber long, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate string"
+        ),
+        "documents": (
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ),
+    }
+    for t in tables:
+        spark.createDataFrame([], schemas[t]).write.mode("overwrite").parquet(
+            f"{d}/{t}.parquet"
+        )
+    return d
+
+
+def test_behavior_queries_on_empty_events(spark, tmp_path):
+    from speech_data_pipeline_spark.queries.behavior_q import (
+        engagement_decay_score,
+        events_markov_transitions,
+        incr_merge_upserts,
+        ts_anomaly_zscore,
+    )
+
+    d = _empty_sf(spark, tmp_path, ["events"])
+    assert ts_anomaly_zscore(spark, d).count() == 0
+    assert events_markov_transitions(spark, d).count() == 0
+    assert incr_merge_upserts(spark, d).count() == 0
+    assert engagement_decay_score(spark, d).count() == 0
+
+
+def test_market_and_stats_on_empty_lineitem(spark, tmp_path):
+    from speech_data_pipeline_spark.queries.market_q import (
+        basket_copurchase_pairs,
+        recs_item_cosine,
+    )
+    from speech_data_pipeline_spark.queries.stats_q import (
+        stats_corr_matrix,
+        stats_linreg,
+    )
+
+    d = _empty_sf(spark, tmp_path, ["lineitem"])
+    assert basket_copurchase_pairs(spark, d).count() == 0
+    assert recs_item_cosine(spark, d).count() == 0
+    # moment-sum queries emit their 1-row/6-row shape with NULL stats
+    # (0/0) rather than crashing
+    corr = stats_corr_matrix(spark, d).collect()
+    assert len(corr) == 6 and all(r["corr"] is None for r in corr)
+    lr = stats_linreg(spark, d).collect()
+    assert len(lr) == 1 and lr[0]["slope"] is None
+
+
+def test_selection_on_empty_documents(spark, tmp_path):
+    from speech_data_pipeline_spark.queries.selection_q import (
+        select_dsir_importance,
+        text_gopher_rules,
+    )
+
+    d = _empty_sf(spark, tmp_path, ["documents"])
+    assert text_gopher_rules(spark, d).count() == 0
+    assert select_dsir_importance(spark, d).count() == 0
