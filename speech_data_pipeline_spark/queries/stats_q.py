@@ -309,3 +309,177 @@ def stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(F.col("inum") / F.col("dx") / F.lit(100.0)).alias("intercept"),
         trunc6(corr * corr).alias("r2"),
     )
+
+
+#: PSI drift bins: fixed-width over [0, 500) in value units (the
+#: events fixture's range), plus an overflow bin — fixed edges so the
+#: bin id is pure integer arithmetic on the milli-grid.
+_PSI_BINS = 10
+_PSI_WIDTH_MILLI = 50_000  # 50.0 value units per bin
+
+
+@query(
+    "drift_psi_value",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             least(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
+                   // {_PSI_WIDTH_MILLI}, {_PSI_BINS - 1}) AS bin
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), c AS (
+      SELECT bin,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv
+      FROM q GROUP BY bin
+    ), t AS (
+      SELECT CAST(sum(np) AS BIGINT) AS tp, CAST(sum(nv) AS BIGINT) AS tv
+      FROM c
+    ), terms AS (
+      SELECT bin, np, nv,
+             (CAST(np AS DOUBLE) / tp - CAST(nv AS DOUBLE) / tv)
+               * ln((CAST(np AS DOUBLE) / tp) / (CAST(nv AS DOUBLE) / tv))
+               AS term
+      FROM c CROSS JOIN t
+      WHERE np > 0 AND nv > 0
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(np AS BIGINT) AS n_treat,
+           CAST(nv AS BIGINT) AS n_control,
+           floor(term * 1000000.0) / 1000000.0 AS psi_term,
+           floor(sum(term) OVER () * 1000000.0) / 1000000.0 AS psi_total
+    FROM terms
+    """,
+)
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the `purchase` and `view`
+    value distributions over fixed-width bins — the standard
+    production drift monitor (PSI > 0.25 ⇒ significant shift).
+
+    Bin ids are integer milli-grid divisions (map-side); one grouped
+    conditional count; bin totals are a 1-row broadcast. Each PSI term
+    is a per-row IEEE expression over exact integer counts, and the
+    total is a sum over the ≤{_PSI_BINS}-row bin table (the OVER ()
+    window is bounded by the bin count, never the corpus).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        "event_type",
+        F.least(
+            F.expr(
+                f"cast(floor(value * 1000.0 + 0.5) as bigint)"
+                f" div {_PSI_WIDTH_MILLI}"
+            ),
+            F.lit(_PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    c = q.groupBy("bin").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "np"
+        ),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("nv"),
+    )
+    t = c.agg(
+        F.sum("np").cast("long").alias("tp"),
+        F.sum("nv").cast("long").alias("tv"),
+    )
+    p = F.col("np").cast("double") / F.col("tp")
+    v = F.col("nv").cast("double") / F.col("tv")
+    terms = (
+        c.crossJoin(F.broadcast(t))
+        .where((F.col("np") > 0) & (F.col("nv") > 0))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("np").cast("long").alias("n_treat"),
+            F.col("nv").cast("long").alias("n_control"),
+            ((p - v) * F.log(p / v)).alias("term"),
+        )
+    )
+    from pyspark.sql import Window
+
+    return terms.select(
+        "bin",
+        "n_treat",
+        "n_control",
+        trunc6(F.col("term")).alias("psi_term"),
+        trunc6(
+            F.sum("term").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        ).alias("psi_total"),
+    )
+
+
+@query(
+    "chisq_type_by_day",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             (epoch_us(ts) // 86400000000) % 7 AS dow
+      FROM events
+    ), o AS (
+      SELECT event_type, dow, count(*) AS obs FROM q GROUP BY 1, 2
+    ), r AS (SELECT event_type, sum(obs) AS rt FROM o GROUP BY 1),
+    c AS (SELECT dow, sum(obs) AS ct FROM o GROUP BY 1),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS tot FROM o),
+    cells AS (
+      SELECT o.event_type, o.dow, o.obs,
+             CAST(r.rt * c.ct AS DOUBLE) / tot AS expected
+      FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(obs AS BIGINT) AS obs,
+           floor(expected * 1000000.0) / 1000000.0 AS expected,
+           floor(sum((obs - expected) * (obs - expected) / expected) OVER ()
+                 * 1000000.0) / 1000000.0 AS chi2_total
+    FROM cells
+    """,
+)
+def chisq_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: event type × day-of-week.
+
+    The contingency table is one grouped count; marginals re-aggregate
+    the |types|×7 cell table (never the corpus); expected counts are
+    exact integer products with one divide; the χ² sum runs over the
+    bounded cell table. The categorical drift/independence monitor
+    beside the numeric PSI.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        (F.expr("(ts div 1000) div 86400000000") % 7).alias("dow"),
+    )
+    o = q.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("event_type").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("dow").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").cast("long").alias("tot"))
+    cells = (
+        o.join(r, "event_type")
+        .join(c, "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            F.col("obs").cast("long").alias("obs"),
+            ((F.col("rt") * F.col("ct")).cast("double") / F.col("tot")).alias(
+                "expected"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    dev = (F.col("obs") - F.col("expected")) * (
+        F.col("obs") - F.col("expected")
+    ) / F.col("expected")
+    return cells.select(
+        "event_type",
+        "dow",
+        "obs",
+        trunc6(F.col("expected")).alias("expected"),
+        trunc6(
+            F.sum(dev).over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        ).alias("chi2_total"),
+    )

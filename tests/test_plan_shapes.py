@@ -70,6 +70,8 @@ SCALAR_CROSS_WHITELIST = {
     "basket_copurchase_pairs",  # order-count scalar: 1 row
     "recs_item_cosine",  # same pair-count chain as basket pairs
     "engagement_decay_score",  # corpus max-ts "now" scalar: 1 row
+    "drift_psi_value",  # bin-total scalar: 1 row
+    "chisq_type_by_day",  # grand-total scalar: 1 row
 }
 
 
@@ -99,6 +101,8 @@ def test_no_row_at_a_time_python_udfs(plans):
 #: single task the global sort implies is O(1), not O(corpus).
 GLOBAL_WINDOW_WHITELIST: set[str] = {
     "sim_rrf_fusion",  # rank windows run over two LIMIT-20 relations
+    "drift_psi_value",  # total window over the ≤10-row bin table
+    "chisq_type_by_day",  # total window over the |types|×7 cell table
 }
 
 

@@ -118,3 +118,68 @@ def test_linreg_matches_numpy(spark):
     assert row["slope"] == pytest.approx(slope, rel=1e-5)
     assert row["intercept"] == pytest.approx(intercept / 100.0, rel=1e-4)
     assert row["r2"] == pytest.approx(r * r, abs=1e-5)
+
+
+def test_psi_zero_for_identical_distributions(spark, tmp_path):
+    """Two arms drawn with identical bin layout => PSI == 0."""
+    import datetime
+    import os
+
+    import pyspark.sql.types as T
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for v in [10.0, 60.0, 110.0, 160.0, 210.0] * 4:
+        for ty in ("purchase", "view"):
+            rows.append((eid, t0, 1, ty, v, "{}"))
+            eid += 1
+    spark.createDataFrame(rows, schema).write.parquet(f"{d}/events.parquet")
+    from speech_data_pipeline_spark.queries.stats_q import drift_psi_value
+
+    out = drift_psi_value(spark, d).collect()
+    assert out
+    for r in out:
+        assert r["psi_term"] == 0.0
+        assert r["psi_total"] == 0.0
+        assert r["n_treat"] == r["n_control"]
+
+
+def test_chisq_matches_scipy_free_reference(spark):
+    """χ² total equals the classic formula computed driver-side."""
+    from speech_data_pipeline_spark.queries.stats_q import chisq_type_by_day
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    rows = chisq_type_by_day(spark, SF).collect()
+    assert rows
+    chi2 = rows[0]["chi2_total"]
+    assert all(r["chi2_total"] == chi2 for r in rows)
+    ev = load_table(spark, SF, "events").select(
+        "event_type", (F.expr("(ts div 1000) div 86400000000") % 7).alias("dow")
+    ).toPandas()
+    import numpy as np
+
+    ct = ev.groupby(["event_type", "dow"]).size()
+    tot = len(ev)
+    rt = ev.groupby("event_type").size()
+    cl = ev.groupby("dow").size()
+    ref = 0.0
+    for (ty, dw), obs in ct.items():
+        exp = rt[ty] * cl[dw] / tot
+        ref += (obs - exp) ** 2 / exp
+    assert chi2 == pytest.approx(ref, rel=1e-6)
+    # observed cells only: every obs >= 1 and expected > 0
+    for r in rows:
+        assert r["obs"] >= 1 and r["expected"] > 0
