@@ -1510,3 +1510,92 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return bfs_hops(edges, "t:purchase", max_hops=4)
+
+
+def _textrank_oracle(iters: int = 3, fp: int = 1 << 30,
+                     damping_pct: int = 85, min_len: int = 4,
+                     k: int = 20) -> str:
+    teleport = (100 - damping_pct) * fp // 100
+    parts = [f"""toks AS (
+      SELECT regexp_extract_all(lower(text), '([a-z]+)', 1) AS w
+      FROM documents
+    ),
+    adj AS (
+      SELECT w[CAST(i AS INTEGER)] AS l, w[CAST(i AS INTEGER) + 1] AS r
+      FROM (SELECT w, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i
+            FROM toks)
+    ),
+    e0 AS (
+      SELECT l AS src, r AS dst, count(*) AS w FROM adj
+      WHERE length(l) >= {min_len} AND length(r) >= {min_len} AND l <> r
+      GROUP BY l, r
+    ),
+    e AS (SELECT src, dst, w FROM e0
+          UNION ALL SELECT dst, src, w FROM e0),
+    od AS (SELECT src, sum(w) AS outdeg FROM e GROUP BY src),
+    n AS (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    r0 AS (SELECT node, CAST({fp} AS BIGINT) AS rank_fp FROM n)"""]
+    for t in range(iters):
+        parts.append(f"""
+    i{t + 1} AS (
+      SELECT e.dst, sum((r.rank_fp * e.w) // od.outdeg) AS s
+      FROM e JOIN od USING (src) JOIN r{t} r ON r.node = e.src
+      GROUP BY e.dst
+    ),
+    r{t + 1} AS (
+      SELECT n.node,
+             CAST({teleport} + ({damping_pct} * coalesce(i.s, 0)) // 100
+                  AS BIGINT) AS rank_fp
+      FROM n LEFT JOIN i{t + 1} i ON i.dst = n.node
+    )""")
+    return (
+        "WITH " + ",".join(parts)
+        + f" SELECT node AS word, rank_fp FROM r{iters}"
+        f" ORDER BY rank_fp DESC, word LIMIT {k}"
+    )
+
+
+@query("text_textrank_keywords", oracle=_textrank_oracle())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): integer
+    fixed-point PageRank over the corpus-level word co-occurrence
+    graph (adjacent ≥4-char words, undirected, weight = count), top-20
+    by centrality.
+
+    A pure composition: the DSIR-style in-row bigram explode feeds
+    operators/graph.py ``pagerank_fixed_point`` unchanged; the
+    vocabulary-sized rank table ends in TakeOrderedAndProject. Same
+    bit-replayable trajectory contract as graph_pagerank_activity.
+    """
+    from speech_data_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+    toks = d.select(w.alias("w"))
+    n = F.greatest(F.size("w") - 1, F.lit(0))
+    adj = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n),
+                F.slice("w", 2, n),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+        ).alias("p")
+    ).select("p.l", "p.r")
+    e0 = (
+        adj.where(
+            (F.length("l") >= 4) & (F.length("r") >= 4) & (F.col("l") != F.col("r"))
+        )
+        .groupBy(F.col("l").alias("src"), F.col("r").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    pr = pagerank_fixed_point(edges, iters=3)
+    return (
+        pr.select(F.col("node").alias("word"), "rank_fp")
+        .orderBy(F.col("rank_fp").desc(), "word")
+        .limit(20)
+    )

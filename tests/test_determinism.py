@@ -40,6 +40,7 @@ PERTURB_QUERIES = [
     "engagement_decay_score",  # integer-shift decay sums
     "sim_rrf_fusion",  # trunc6-quantized rank fusion
     "graph_bfs_hops",  # frontier fixed rounds
+    "text_textrank_keywords",  # integer fixed-point ranks over word graph
 ]
 
 
