@@ -324,3 +324,84 @@ def engagement_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.sum("contrib").cast("double") / F.lit(1000.0)).alias("score"),
     )
+
+
+#: Journey sessionization gap (30 min in micros).
+_JOURNEY_GAP_US = 1_800_000_000
+
+
+@query(
+    "session_entry_exit",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
+      FROM events
+    ), marked AS (
+      SELECT *,
+             CASE WHEN t_us - lag(t_us) OVER w > {_JOURNEY_GAP_US}
+                  OR lag(t_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    ), sess AS (
+      SELECT *,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS sid,
+           min(t_us) AS start_us, max(t_us) AS end_us,
+           max(t_us) - min(t_us) AS duration_us,
+           count(*) AS n_events,
+           min_by(event_type,
+                  t_us * CAST(1000000000 AS HUGEINT) + event_id)
+             AS entry_type,
+           max_by(event_type,
+                  t_us * CAST(1000000000 AS HUGEINT) + event_id)
+             AS exit_type
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream journeys: 30-minute-gap sessions with entry/exit
+    event types — the path-analysis view (landing/exit pages) over the
+    event stream.
+
+    One ``user_id`` window sort assigns session ids (gap-break running
+    sum); the per-session aggregate rides the same partitioning; entry
+    and exit are ``min_by``/``max_by`` on the (t, event_id) order key —
+    no second window, no self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    marked = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("t_us").over(w).isNull()
+            | (F.col("t_us") - F.lag("t_us").over(w) > _JOURNEY_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    # composite order key (t, event_id) packed into one exact number:
+    # DuckDB's min_by takes only scalar keys, so both engines use
+    # t·1e9 + event_id (DECIMAL(38,0) / HUGEINT — event_id < 1e9)
+    key = F.col("t_us").cast("decimal(38,0)") * F.lit(1_000_000_000) + F.col(
+        "event_id"
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("t_us").alias("start_us"),
+        F.max("t_us").alias("end_us"),
+        (F.max("t_us") - F.min("t_us")).alias("duration_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("event_type", key).alias("entry_type"),
+        F.max_by("event_type", key).alias("exit_type"),
+    )

@@ -124,3 +124,48 @@ def test_rrf_fusion_structure(spark):
         if r["sparse_rank"] is not None:
             assert 1 <= r["sparse_rank"] <= 20
         assert r["rrf_score"] <= 2.0 / 61.0 + 1e-9
+
+
+def test_session_entry_exit_semantics(spark):
+    """Sessions partition each user's events; entry/exit equal the
+    chronological first/last; gaps inside a session never exceed the
+    30-minute threshold (checked via a driver replay)."""
+    from speech_data_pipeline_spark.queries.behavior_q import (
+        _JOURNEY_GAP_US,
+        session_entry_exit,
+    )
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    out = session_entry_exit(spark, SF).collect()
+    assert out
+    ev = (
+        load_table(spark, SF, "events")
+        .select(
+            "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("t")
+        )
+        .collect()
+    )
+    by_user = {}
+    for r in sorted(ev, key=lambda r: (r["t"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    expect = {}
+    for u, rows in by_user.items():
+        sid = 0
+        sessions = []
+        cur = [rows[0]]
+        for prev, nxt in zip(rows, rows[1:]):
+            if nxt["t"] - prev["t"] > _JOURNEY_GAP_US:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+        for i, s in enumerate(sessions, start=1):
+            expect[(u, i)] = s
+    got = {(r["user_id"], r["sid"]): r for r in out}
+    assert set(got) == set(expect)
+    for k, s in expect.items():
+        r = got[k]
+        assert r["n_events"] == len(s)
+        assert r["entry_type"] == s[0]["event_type"]
+        assert r["exit_type"] == s[-1]["event_type"]
+        assert r["start_us"] == s[0]["t"] and r["end_us"] == s[-1]["t"]
