@@ -405,3 +405,71 @@ def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_type", key).alias("entry_type"),
         F.max_by("event_type", key).alias("exit_type"),
     )
+
+
+#: Page width (days) for the two-level cumulative-sum pattern.
+_CUM_PAGE_DAYS = 32
+
+
+@query(
+    "users_cumulative_distinct",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, min(epoch_us(ts) // 86400000000) AS d0
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT d0 AS day, count(*) AS new_users FROM fs GROUP BY d0
+    )
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def users_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth curve — WITHOUT
+    a global window or a distinct-state blowup.
+
+    Two standard at-scale tricks compose:
+
+    1. cumulative DISTINCT decomposes exactly into "new users per
+       day" (min first-seen day per user, one shuffle) + a running
+       SUM — no growing distinct state;
+    2. the running sum over the unbounded day axis runs TWO-LEVEL:
+       an intra-page cumsum partitioned by 32-day page, plus each
+       page's offset = sum of all PRIOR pages' totals, computed on
+       the page-level table (days/32 rows — ~11 rows per year; the
+       only partition-less work is over that table, via a bounded
+       self-join, not over days). The oracle is the plain global
+       window, proving the two-level plan returns identical rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.expr("min((ts div 1000) div 86400000000)").alias("day")
+    )
+    daily = fs.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    page = (F.col("day") / _CUM_PAGE_DAYS).cast("long")
+    d = daily.withColumn("page", page)
+    intra_w = (
+        Window.partitionBy("page")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = d.withColumn("run_in_page", F.sum("new_users").over(intra_w))
+    totals = d.groupBy("page").agg(F.sum("new_users").alias("page_total"))
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(b, F.col("b.page") < F.col("a.page"), "left")
+        .groupBy(F.col("a.page").alias("page"))
+        .agg(F.coalesce(F.sum("b.page_total"), F.lit(0)).alias("offset"))
+    )
+    return (
+        intra.join(F.broadcast(offsets), "page")
+        .select(
+            "day",
+            F.col("new_users").cast("long").alias("new_users"),
+            (F.col("run_in_page") + F.col("offset")).cast("long").alias(
+                "cum_users"
+            ),
+        )
+    )

@@ -169,3 +169,35 @@ def test_session_entry_exit_semantics(spark):
         assert r["entry_type"] == s[0]["event_type"]
         assert r["exit_type"] == s[-1]["event_type"]
         assert r["start_us"] == s[0]["t"] and r["end_us"] == s[-1]["t"]
+
+
+def test_cumulative_distinct_matches_naive(spark):
+    """Two-level paged cumsum == naive driver accumulation; the curve
+    is the distinct-user growth curve."""
+    from speech_data_pipeline_spark.queries.behavior_q import (
+        users_cumulative_distinct,
+    )
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    out = sorted(
+        users_cumulative_distinct(spark, SF).collect(), key=lambda r: r["day"]
+    )
+    assert out
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.expr("(ts div 1000) div 86400000000").alias("day"))
+        .collect()
+    )
+    first = {}
+    for r in ev:
+        if r["user_id"] not in first or r["day"] < first[r["user_id"]]:
+            first[r["user_id"]] = r["day"]
+    from collections import Counter
+
+    per_day = Counter(first.values())
+    cum, expect = 0, []
+    for day in sorted(per_day):
+        cum += per_day[day]
+        expect.append((day, per_day[day], cum))
+    assert [(r["day"], r["new_users"], r["cum_users"]) for r in out] == expect
+    assert out[-1]["cum_users"] == len(first)
