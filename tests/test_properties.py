@@ -10,6 +10,7 @@ Invariants pinned:
   brute-force stabbing query.
 """
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from conftest import rows
@@ -122,3 +123,49 @@ def test_pack_sequences_properties(spark, ws):
             assert sum(items) <= budget
         if sid + 1 in bins:  # greedy: next bin's head overflowed this bin
             assert sum(items) + bins[sid + 1][0] > budget
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False), min_size=2,
+        max_size=64,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_dct2_ortho_preserves_energy(xs):
+    """Parseval for the orthonormal DCT-II: the full square transform
+    preserves the L2 norm (to fp rounding)."""
+    import numpy as np
+
+    from speech_data_pipeline_spark.ml import dsp
+
+    x = np.asarray(xs, dtype=np.float64)
+    D = dsp.dct2_ortho(len(x), len(x))
+    y = D @ x
+    assert np.linalg.norm(y) == pytest.approx(np.linalg.norm(x), rel=1e-9, abs=1e-9)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=500.0, allow_nan=False),
+        min_size=12,
+        max_size=60,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_zscore_moment_identity(vals):
+    """The integer moment-sum z ((n·x−Σx)/√(n·Σx²−(Σx)²)) equals the
+    classic (x−μ)/σ_pop on the quantized grid, for every window."""
+    import numpy as np
+
+    mv = np.floor(np.asarray(vals) * 1000.0 + 0.5).astype(np.int64)
+    for i in range(10, len(mv)):
+        w = mv[max(0, i - 20):i]
+        n, s1, s2 = len(w), int(w.sum()), int((w.astype(object) ** 2).sum())
+        var_num = n * s2 - s1 * s1
+        if var_num <= 0:
+            continue
+        z_int = (n * int(mv[i]) - s1) / np.sqrt(float(var_num))
+        mu, sd = w.mean(), w.std()  # population std
+        z_ref = (mv[i] - mu) / sd
+        assert z_int == pytest.approx(z_ref, rel=1e-9, abs=1e-9)
