@@ -768,17 +768,20 @@ def stream_minhash_neardup(
             return banded.join(drops, "id", "left_anti")
 
         cur = banded
+        prev_over = None
         while True:
             under = t_step(cur).persist()
             over = t_step(under).persist()
             n_under = under.select("id").distinct().count()
             n_over = over.select("id").distinct().count()
+            under.unpersist()
+            if prev_over is not None:
+                prev_over.unpersist()
             if n_under == n_over:
                 kept_b = over
-                under.unpersist()
                 break
             cur = over
-            under.unpersist()
+            prev_over = over
 
         # (3) dup flagging with a SINGLE anchor rule: a doc is a dup
         # iff some lower-id doc sharing a band was kept — either in
