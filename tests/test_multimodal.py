@@ -273,3 +273,33 @@ def test_resize_frames_shape_and_determinism(spark):
     assert all(p == 0.0 for p in out[2].pixels)  # zero payload -> zeros
     again = {r.media_id: r for r in resize_frames(df, out_h=4, out_w=4).collect()}
     assert again[1].pixels == out[1].pixels
+
+
+def test_decode_media_through_mfcc(spark):
+    """WAV bytes → decode_media → mfcc_features: the decoded column
+    feeds the ASR front-end directly, and the operator's coefficients
+    match the NumPy kernel on the decoded samples."""
+    import numpy as np
+
+    from speech_data_pipeline_spark.ml import dsp
+    from speech_data_pipeline_spark.operators.multimodal import decode_media
+    from speech_data_pipeline_spark.operators.spectral import mfcc_features
+
+    sr = 16000
+    x = tone(sr, freq=440.0, sr=sr, amp=0.5)
+    payloads = spark.createDataFrame(
+        [(7, bytearray(make_wav(x, sr=sr)))], "media_id long, payload binary"
+    )
+    audio = decode_media(payloads).select(
+        F.col("media_id").cast("string").alias("audio_id"), "samples", "sr"
+    )
+    out = mfcc_features(audio, n_mfcc=13, n_fft=512, hop=256, n_mels=40)
+    rows = sorted(out.collect(), key=lambda r: r.frame_idx)
+    assert rows and all(len(r.mfcc) == 13 for r in rows)
+    decoded = np.asarray(
+        audio.collect()[0]["samples"], dtype=np.float64
+    )
+    ref = dsp.mfcc(decoded, sr=sr, n_mfcc=13, n_fft=512, hop=256, n_mels=40)
+    assert len(rows) == ref.shape[0]
+    for r in rows[:5]:
+        assert np.allclose(r.mfcc, ref[r.frame_idx], atol=1e-9)
