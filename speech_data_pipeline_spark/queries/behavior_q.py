@@ -353,10 +353,10 @@ _JOURNEY_GAP_US = 1_800_000_000
            max(t_us) - min(t_us) AS duration_us,
            count(*) AS n_events,
            min_by(event_type,
-                  t_us * CAST(1000000000 AS HUGEINT) + event_id)
+                  t_us * CAST('10000000000000000000' AS HUGEINT) + event_id)
              AS entry_type,
            max_by(event_type,
-                  t_us * CAST(1000000000 AS HUGEINT) + event_id)
+                  t_us * CAST('10000000000000000000' AS HUGEINT) + event_id)
              AS exit_type
     FROM sess
     GROUP BY user_id, sid
@@ -393,10 +393,12 @@ def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # composite order key (t, event_id) packed into one exact number:
     # DuckDB's min_by takes only scalar keys, so both engines use
-    # t·1e9 + event_id (DECIMAL(38,0) / HUGEINT — event_id < 1e9)
-    key = F.col("t_us").cast("decimal(38,0)") * F.lit(1_000_000_000) + F.col(
-        "event_id"
-    )
+    # t·1e19 + event_id (DECIMAL(38,0) / HUGEINT). 1e19 > 2^63, so the
+    # packing is collision-free for EVERY non-negative BIGINT event_id;
+    # t·1e19 ≤ ~1.7e34 stays inside both DECIMAL(38,0) and HUGEINT.
+    key = F.col("t_us").cast("decimal(38,0)") * F.expr(
+        "cast('10000000000000000000' as decimal(38,0))"
+    ) + F.col("event_id")
     return sess.groupBy("user_id", "sid").agg(
         F.min("t_us").alias("start_us"),
         F.max("t_us").alias("end_us"),
@@ -448,8 +450,7 @@ def users_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min((ts div 1000) div 86400000000)").alias("day")
     )
     daily = fs.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
-    page = (F.col("day") / _CUM_PAGE_DAYS).cast("long")
-    d = daily.withColumn("page", page)
+    d = daily.withColumn("page", F.expr(f"day div {_CUM_PAGE_DAYS}"))
     intra_w = (
         Window.partitionBy("page")
         .orderBy("day")

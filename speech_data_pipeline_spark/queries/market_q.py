@@ -47,6 +47,28 @@ _PAIR_CTES = f"""
 """
 
 
+def _pair_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair-count chain: order→item incidence, bounded
+    per-basket self-join, min-support pair counts, item totals joined
+    back — the runtime twin of the SQL side's ``_PAIR_CTES``.
+    Columns: (pa, pb, cnt, ca, cb)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    inc = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = inc.alias("a"), inc.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= _MIN_SUPPORT)
+    )
+    item = inc.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    return pairs.join(
+        item.select(F.col("p").alias("pa"), F.col("c").alias("ca")), "pa"
+    ).join(item.select(F.col("p").alias("pb"), F.col("c").alias("cb")), "pb")
+
+
 @query(
     "basket_copurchase_pairs",
     oracle=f"""
@@ -66,23 +88,11 @@ def basket_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pair-key aggregate, item totals joined back on the item key.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    inc = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = inc.alias("a"), inc.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") >= _MIN_SUPPORT)
+    tot = (
+        li.select(F.col("l_orderkey").alias("o"))
+        .agg(F.countDistinct("o").alias("n_orders"))
     )
-    item = inc.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
-    tot = inc.agg(F.countDistinct("o").alias("n_orders"))
-    scored = (
-        pairs.join(item.select(F.col("p").alias("pa"), F.col("c").alias("ca")), "pa")
-        .join(item.select(F.col("p").alias("pb"), F.col("c").alias("cb")), "pb")
-        .crossJoin(F.broadcast(tot))
-    )
+    scored = _pair_scored(spark, sf_dir).crossJoin(F.broadcast(tot))
     return scored.select(
         "pa",
         "pb",
@@ -123,26 +133,10 @@ _REC_K = 3
 )
 def recs_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item cosine recommendations from binary basket incidence:
-    ``cos(i,j) = c_ij / sqrt(c_i·c_j)``, top-{_REC_K} per item via a
+    ``cos(i,j) = c_ij / sqrt(c_i·c_j)``, top-3 per item via a
     ``WindowGroupLimit``-prunable per-item rank (partitioned window —
     never a global sort)."""
-    # rebuild scored (pair counts + item totals) — shared shape with
-    # basket_copurchase_pairs, re-derived so each query stands alone
-    li = load_table(spark, sf_dir, "lineitem")
-    inc = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = inc.alias("a"), inc.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") >= _MIN_SUPPORT)
-    )
-    item = inc.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
-    scored = pairs.join(
-        item.select(F.col("p").alias("pa"), F.col("c").alias("ca")), "pa"
-    ).join(item.select(F.col("p").alias("pb"), F.col("c").alias("cb")), "pb")
+    scored = _pair_scored(spark, sf_dir)
     sym = scored.select(
         F.col("pa").alias("item"),
         F.col("pb").alias("rec"),

@@ -17,7 +17,7 @@ beyond-reference analytics per SURVEY.md north star.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from speech_data_pipeline_spark.functions import trunc6
@@ -311,9 +311,9 @@ def stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: PSI drift bins: fixed-width over [0, 500) in value units (the
-#: events fixture's range), plus an overflow bin — fixed edges so the
-#: bin id is pure integer arithmetic on the milli-grid.
+#: PSI drift bins: fixed-width over [0, 450) in value units, with
+#: bin 9 as the overflow bin (>= 450) — fixed edges so the bin id is
+#: pure integer arithmetic on the milli-grid.
 _PSI_BINS = 10
 _PSI_WIDTH_MILLI = 50_000  # 50.0 value units per bin
 
@@ -336,11 +336,10 @@ _PSI_WIDTH_MILLI = 50_000  # 50.0 value units per bin
       FROM c
     ), terms AS (
       SELECT bin, np, nv,
-             (CAST(np AS DOUBLE) / tp - CAST(nv AS DOUBLE) / tv)
-               * ln((CAST(np AS DOUBLE) / tp) / (CAST(nv AS DOUBLE) / tv))
-               AS term
+             ((np + 1.0) / (tp + {_PSI_BINS}.0) - (nv + 1.0) / (tv + {_PSI_BINS}.0))
+               * ln(((np + 1.0) / (tp + {_PSI_BINS}.0))
+                    / ((nv + 1.0) / (tv + {_PSI_BINS}.0))) AS term
       FROM c CROSS JOIN t
-      WHERE np > 0 AND nv > 0
     )
     SELECT CAST(bin AS BIGINT) AS bin, CAST(np AS BIGINT) AS n_treat,
            CAST(nv AS BIGINT) AS n_control,
@@ -355,10 +354,13 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     production drift monitor (PSI > 0.25 ⇒ significant shift).
 
     Bin ids are integer milli-grid divisions (map-side); one grouped
-    conditional count; bin totals are a 1-row broadcast. Each PSI term
-    is a per-row IEEE expression over exact integer counts, and the
-    total is a sum over the ≤{_PSI_BINS}-row bin table (the OVER ()
-    window is bounded by the bin count, never the corpus).
+    conditional count; bin totals are a 1-row broadcast. Proportions
+    are Laplace-smoothed ((n+1)/(N+bins)) so a bin populated by only
+    ONE arm — the most drifted case — still contributes a finite term
+    instead of being dropped. Each PSI term is a per-row IEEE
+    expression over exact integer counts, and the total is a sum over
+    the 10-row bin table (the OVER () window is bounded by the bin
+    count, never the corpus).
     """
     ev = load_table(spark, sf_dir, "events")
     q = ev.where(F.col("event_type").isin("purchase", "view")).select(
@@ -381,11 +383,10 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("np").cast("long").alias("tp"),
         F.sum("nv").cast("long").alias("tv"),
     )
-    p = F.col("np").cast("double") / F.col("tp")
-    v = F.col("nv").cast("double") / F.col("tv")
+    p = (F.col("np") + F.lit(1.0)) / (F.col("tp") + F.lit(float(_PSI_BINS)))
+    v = (F.col("nv") + F.lit(1.0)) / (F.col("tv") + F.lit(float(_PSI_BINS)))
     terms = (
         c.crossJoin(F.broadcast(t))
-        .where((F.col("np") > 0) & (F.col("nv") > 0))
         .select(
             F.col("bin").cast("long").alias("bin"),
             F.col("np").cast("long").alias("n_treat"),
@@ -393,8 +394,6 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((p - v) * F.log(p / v)).alias("term"),
         )
     )
-    from pyspark.sql import Window
-
     return terms.select(
         "bin",
         "n_treat",
@@ -465,8 +464,6 @@ def chisq_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    from pyspark.sql import Window
-
     dev = (F.col("obs") - F.col("expected")) * (
         F.col("obs") - F.col("expected")
     ) / F.col("expected")

@@ -183,3 +183,41 @@ def test_chisq_matches_scipy_free_reference(spark):
     # observed cells only: every obs >= 1 and expected > 0
     for r in rows:
         assert r["obs"] >= 1 and r["expected"] > 0
+
+
+def test_psi_one_arm_bins_still_counted(spark, tmp_path):
+    """Total separation (arms in disjoint bins) must yield a LARGE
+    finite PSI — the Laplace smoothing keeps one-arm bins in the sum
+    instead of dropping the most-drifted evidence."""
+    import datetime
+    import os
+
+    import pyspark.sql.types as T
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(50):
+        rows.append((i, t0, 1, "purchase", 480.0, "{}"))       # bin 9 only
+        rows.append((1000 + i, t0, 1, "view", 10.0, "{}"))     # bin 0 only
+    spark.createDataFrame(rows, schema).write.parquet(f"{d}/events.parquet")
+    from speech_data_pipeline_spark.queries.stats_q import drift_psi_value
+
+    out = {r["bin"]: r for r in drift_psi_value(spark, d).collect()}
+    assert set(out) == {0, 9}
+    assert out[9]["n_treat"] == 50 and out[9]["n_control"] == 0
+    assert out[0]["n_treat"] == 0 and out[0]["n_control"] == 50
+    total = out[0]["psi_total"]
+    assert total == out[9]["psi_total"]
+    assert total > 1.0  # far past the 0.25 "significant shift" bar
