@@ -21,13 +21,17 @@ Spark-specific mechanics:
 - neighborhood minima via ``min().over(Window.partitionBy(u))`` —
   never ``collect_list`` (a celebrity node's neighbor list must not
   have to fit in one task's memory);
-- per-iteration ``localCheckpoint(eager=True)`` truncates lineage —
+- per-iteration ``localCheckpoint`` truncates lineage —
   without it the plan doubles every round and the driver dies at
   ~iteration 15 planning, long before any executor does work (on a
   real cluster use ``spark.sparkContext.setCheckpointDir`` + durable
   ``checkpoint()`` for fault tolerance; localCheckpoint trades
   executor-loss recovery for zero-setup, the right default in
-  local mode);
+  local mode). Note the per-round ``unpersist()`` releases only the
+  cache-manager entry; the checkpoint RDD blocks themselves are
+  reclaimed by the ContextCleaner once the superseded DataFrame is
+  unreferenced — rounds are few (O(log n)), so peak block residency
+  is a small constant multiple of the contracted edge set;
 - convergence test = count + order-insensitive xxhash64 checksum of
   the canonicalized edge set — one tiny job per round, no driver-side
   edge materialization.
@@ -108,7 +112,11 @@ def _contract_partitions(
 
     n = edges.count() if n_edges is None else n_edges
     parts = max(1, math.ceil(n / target_edges_per_part))
-    if parts < edges.rdd.getNumPartitions():
+    # repartition in BOTH directions: fewer partitions than the target
+    # means each task would union-find MORE than target_edges_per_part
+    # edges (unbounded per-task dict — the exact OOM this pass exists
+    # to prevent), not just more tasks than needed.
+    if parts != edges.rdd.getNumPartitions():
         edges = edges.repartition(parts)
 
     schema = edges.schema
@@ -255,7 +263,7 @@ def resolve_duplicates(
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     out = (
         df.join(comp, df[id_col] == comp["id"], "left")
-        .drop("id")
+        .drop(comp["id"])  # by reference: df may carry its own "id" column
         .withColumn("component", F.coalesce("component", F.col(id_col)))
         .join(sizes, "component", "left")
         .withColumn("n_members", F.coalesce("n_members", F.lit(1)))
@@ -302,7 +310,9 @@ def pagerank_fixed_point(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(w_col).cast("long").alias("w"),
-    )
+    ).where(F.col("w") > 0)  # w=0 edges carry no rank and would make a
+    # zero outdeg divide (DIVIDE_BY_ZERO under ANSI); dropping them is
+    # the dangling-node semantics the docstring already promises
     outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     e = e.join(outdeg, "src")
     nodes = (

@@ -248,7 +248,9 @@ def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = docfeat.agg(
         F.sum("n_b").alias("tot_r"),
-        F.sum(F.when(F.col("lang") == "en", F.col("n_b"))).alias("tot_t"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == "en", F.col("n_b"))), F.lit(0)
+        ).alias("tot_t"),
     )
     model = (
         raw_cnt.join(tgt_cnt, "bucket", "left")

@@ -68,18 +68,26 @@ def read_event_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # conf removed in some builds; the probe below covers it
-    probe = (
-        spark.read.option("pathGlobFilter", "events*.parquet")
-        .parquet(landing_dir)
-        .schema["ts"]
-        .dataType
-    )
+    try:
+        probe = (
+            spark.read.option("pathGlobFilter", "events*.parquet")
+            .parquet(landing_dir)
+            .schema["ts"]
+            .dataType
+        )
+    except Exception:
+        # empty landing dir (stream started before the first file
+        # lands) — declare the current-build default and let the
+        # stream wait for files like any file source
+        probe = None
     raw = (
         spark.readStream.schema(event_schema(probe))
         .option("pathGlobFilter", "events*.parquet")
         .parquet(landing_dir)
     )
-    if isinstance(probe, (T.TimestampNTZType, T.TimestampType)):
+    if probe is None or isinstance(probe, (T.TimestampNTZType, T.TimestampType)):
+        # probe=None declared the NTZ default, which also needs the
+        # epoch-nanos normalization
         raw = raw.withColumn("ts", epoch_nanos_expr().cast("long"))
     return raw.withColumn(
         "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
@@ -293,71 +301,108 @@ SESSION_OUT_SCHEMA = (
 )
 
 
+SESSION_STATE_SCHEMA = "buf_ts array<long>, buf_val array<double>"
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, "
+    "n_events long, total_value double, closed_by string"
+)
+
+
 def streaming_stateful_sessions(
     events: DataFrame,
     gap_us: int = 600_000_000,
     watermark: str = "30 minutes",
 ) -> DataFrame:
     """Custom stateful sessionization via ``applyInPandasWithState`` —
-    the streaming-native form that is exact ACROSS micro-batches
-    (unlike the per-batch ``foreachBatch`` variant above).
+    exact ACROSS micro-batches, including late/out-of-order arrivals
+    inside the watermark horizon.
 
-    Per-user state holds the one open session (start, end, count, sum).
-    Each batch folds its rows in event-time order: within ``gap_us`` of
-    the open end → extend; beyond → emit the closed session, open a new
-    one. An event-time timeout at ``session_end + gap`` flushes the
-    trailing session once the watermark passes it, so every session is
-    eventually emitted exactly once (``closed_by`` records whether a
-    successor event or the timeout closed it).
+    Exactness argument: per-user state buffers the (ts, value) events
+    of every session not yet finalized; a session is emitted only once
+    ``session_end + gap < watermark``. Spark drops input rows older
+    than the watermark before they reach the operator, so any future
+    event has ``ts ≥ watermark > end + gap`` — it can neither extend,
+    bridge, nor precede a finalized session. Sessions followed by a
+    later session in the buffer are ``closed_by='event'``; the trailing
+    session flushes by event-time timeout (``closed_by='timeout'``)
+    when the watermark passes ``end + gap``. (The previous open-session
+    fold emitted eagerly and merged ANY late event into the open
+    session regardless of gap — wrong on out-of-order input; this
+    buffer-until-watermark form is the standard exact construction.)
 
-    Scale shape: state is O(1) per active user key, partitioned by the
-    groupBy hash — the canonical Structured Streaming stateful-operator
-    layout; nothing here is per-event state.
+    Scale shape: per-user state is bounded by the events inside the
+    (watermark + gap) horizon — rate-bounded, never stream-lifetime —
+    partitioned by the groupBy hash.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_ms = gap_us // 1000
 
+    def sessions_of(ts_list, val_list):
+        order = sorted(range(len(ts_list)), key=lambda i: (ts_list[i], val_list[i]))
+        out = []  # (start, end, n, total, member_indices)
+        cur = None
+        for i in order:
+            t = int(ts_list[i])
+            if cur is None or t - cur[1] > gap_us:
+                if cur is not None:
+                    out.append(cur)
+                cur = [t, t, 1, float(val_list[i]), [i]]
+            else:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += float(val_list[i])
+                cur[4].append(i)
+        if cur is not None:
+            out.append(cur)
+        return out
+
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
-        if state.hasTimedOut:
-            s, e, n, tv = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [(user_id, s, e, n, tv, "timeout")],
-                columns=[
-                    "user_id", "session_start_us", "session_end_us",
-                    "n_events", "total_value", "closed_by",
-                ],
-            )
-            return
+        if state.exists:
+            buf_ts, buf_val = state.get
+            buf_ts, buf_val = list(buf_ts), list(buf_val)
+        else:
+            buf_ts, buf_val = [], []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us = (pdf["ts_ts"].astype("int64") // 1000).tolist()
+                buf_ts.extend(int(t) for t in ts_us)
+                buf_val.extend(float(v) for v in pdf["value"])
+        wm_us = state.getCurrentWatermarkMs() * 1000
 
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        rows["ts_us"] = rows["ts_ts"].astype("int64") // 1000
-        rows = rows.sort_values("ts_us")
-        cur = state.get if state.exists else None
-        closed = []
-        for ts_us, value in zip(rows["ts_us"], rows["value"]):
-            if cur is None:
-                cur = (int(ts_us), int(ts_us), 1, float(value))
-            elif ts_us - cur[1] <= gap_us:
-                cur = (
-                    min(cur[0], int(ts_us)),
-                    max(cur[1], int(ts_us)),
-                    cur[2] + 1,
-                    cur[3] + float(value),
-                )
+        sess = sessions_of(buf_ts, buf_val)
+        emitted = []
+        keep_idx = []
+        for j, (s, e, n, tv, members) in enumerate(sess):
+            if e + gap_us < wm_us:
+                closed_by = "event" if j + 1 < len(sess) else "timeout"
+                emitted.append((user_id, s, e, n, tv, closed_by))
             else:
-                closed.append(cur)
-                cur = (int(ts_us), int(ts_us), 1, float(value))
-        state.update(cur)
-        # flush the open session once the watermark passes end + gap
-        state.setTimeoutTimestamp(
-            max(cur[1] // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
-        )
-        if closed:
+                keep_idx.extend(members)
+
+        if keep_idx:
+            state.update(
+                (
+                    [buf_ts[i] for i in keep_idx],
+                    [buf_val[i] for i in keep_idx],
+                )
+            )
+            first_open_end = min(
+                e for (s, e, n, tv, m) in sess if not e + gap_us < wm_us
+            )
+            state.setTimeoutTimestamp(
+                max(
+                    first_open_end // 1000 + gap_ms + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        else:
+            state.remove()
+
+        if emitted:
             yield pd.DataFrame(
-                [(user_id, s, e, n, tv, "event") for s, e, n, tv in closed],
+                emitted,
                 columns=[
                     "user_id", "session_start_us", "session_end_us",
                     "n_events", "total_value", "closed_by",
@@ -788,19 +833,18 @@ def stream_minhash_neardup(
         # the accumulated side table (prior batches) or in this
         # batch's greedy keep set — and its anchor is the MINIMUM such
         # id across both sources (so an in-batch dup that also matches
-        # an older doc anchors to the oldest).
-        import os
-
-        if os.path.isdir(bands_path) and any(
-            f.endswith(".parquet") for f in os.listdir(bands_path)
-        ):
+        # an older doc anchors to the oldest). Prior state is detected
+        # by READING the table, not by driver-local os.path probes —
+        # the side table may live on any Hadoop filesystem (S3/HDFS),
+        # where os.listdir would silently disable cross-batch dedup.
+        try:
             prior = spark.read.parquet(bands_path).select(
                 "id", "band_idx", "band_hash"
             )
             anchor_src = prior.unionByName(
                 kept_b.select("id", "band_idx", "band_hash")
             )
-        else:
+        except Exception:  # path does not exist yet: first batch
             anchor_src = kept_b.select("id", "band_idx", "band_hash")
 
         d_, s_ = banded.alias("d"), anchor_src.alias("s")
@@ -841,6 +885,7 @@ def stream_minhash_neardup(
         ).write.mode("append").parquet(bands_path)
         sigs.unpersist()
         banded.unpersist()
+        kept_b.unpersist()
 
     return (
         docs.writeStream.foreachBatch(process)

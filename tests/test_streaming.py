@@ -625,3 +625,78 @@ def test_stream_minhash_neardup_matches_greedy_replay(spark):
     # sanity: the fixture genuinely exercises both paths
     assert len(dup_ref) >= 3 and len(kept_ref) >= 3
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_sessions_late_event_exactness(spark):
+    """The review-found defect: a late (out-of-order) event inside the
+    watermark horizon must merge into ITS OWN time-local session, not
+    the currently-open one, and nothing may be emitted before the
+    watermark makes it final. Fixture: events at t=0 and t=20min in
+    batch 1, a LATE t=5min in batch 2 (gap=10min, watermark=30min),
+    then t=2h to flush. Exact result: [0..5min] (2 events) and
+    [20min] (1 event)."""
+    import datetime
+    import os
+    import time
+
+    from speech_data_pipeline_spark.streaming.ingest import (
+        read_event_stream,
+        streaming_stateful_sessions,
+    )
+
+    minute = 60_000_000  # us
+    t0 = 1_700_000_000_000_000
+    batches = [
+        [(1, t0 + 0 * minute, 1, "click", 1.0, "{}"),
+         (2, t0 + 20 * minute, 1, "click", 2.0, "{}")],
+        [(3, t0 + 5 * minute, 1, "click", 4.0, "{}")],       # late arrival
+        [(4, t0 + 120 * minute, 1, "click", 8.0, "{}")],     # flushes all
+    ]
+    tmp = tempfile.mkdtemp()
+    old_ts_type = spark.conf.get("spark.sql.timestampType")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    try:
+        for i, rows in enumerate(batches):
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                rows,
+                columns=["event_id", "ts", "user_id", "event_type", "value",
+                         "props"],
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us")
+            spark.createDataFrame(pdf).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/stage{i}")
+            src = [
+                f for f in os.listdir(f"{tmp}/stage{i}") if f.endswith(".parquet")
+            ][0]
+            os.rename(f"{tmp}/stage{i}/{src}", f"{tmp}/events_{i}.parquet")
+            time.sleep(1.1)
+    finally:
+        spark.conf.set("spark.sql.timestampType", old_ts_type)
+
+    stream = streaming_stateful_sessions(
+        read_event_stream(spark, tmp),
+        gap_us=10 * minute,
+        watermark="30 minutes",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("maxFilesPerTrigger", "1")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.session_start_us, r.session_end_us, r.n_events, r.total_value)
+        for r in spark.table("late_sessions").collect()
+    )
+    assert got == [
+        (t0 + 0 * minute, t0 + 5 * minute, 2, 5.0),
+        (t0 + 20 * minute, t0 + 20 * minute, 1, 2.0),
+    ]
+    shutil.rmtree(tmp, ignore_errors=True)
