@@ -97,7 +97,9 @@ def istft(
         wsq[i * hop : i * hop + n_fft] += w * w
     out = out / np.maximum(wsq, 1e-12)
     if center:
-        out = out[n_fft // 2 :]
+        # trim the reflect padding from BOTH ends (torch.istft contract);
+        # an explicit `length` below re-trims/pads as requested
+        out = out[n_fft // 2 : len(out) - n_fft // 2 if length is None else None]
     if length is not None:
         out = out[:length] if len(out) >= length else np.pad(out, (0, length - len(out)))
     return out
@@ -118,6 +120,10 @@ def _mel_to_hz(m: np.ndarray) -> np.ndarray:
     return np.where(m >= 15.0, 1000.0 * np.exp(log_step * (m - 15.0)), linear)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def mel_filterbank(
     sr: int, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: float | None = None
 ) -> np.ndarray:
@@ -197,19 +203,25 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     Y = np.zeros(k_out, dtype=np.complex128)
     k = min(len(X), k_out)
     Y[:k] = X[:k]
-    # shared Nyquist-edge bin: halve when it stops/starts being the fold point
-    if k < len(X) and m % 2 == 0:  # downsample onto an even length
-        Y[k - 1] = Y[k - 1].real  # fold point must be real
-    elif k == len(X) and k < k_out and n % 2 == 0:  # upsample from even length
+    # shared Nyquist-edge bin (scipy.signal.resample convention):
+    if m % 2 == 0 and m < n:
+        # downsample onto an even length: the output Nyquist bin folds
+        # the input's +-m/2 pair -> X[m/2] + conj(X[m/2]) = 2*Re
+        Y[m // 2] = 2.0 * Y[m // 2].real
+    elif k == len(X) and k < k_out and n % 2 == 0:
+        # upsample from an even length: the input's single folded
+        # Nyquist bin splits across +-n/2 in the wider spectrum
         Y[k - 1] = 0.5 * Y[k - 1]
     return np.fft.irfft(Y, n=m) * (m / n)
 
 
+@functools.lru_cache(maxsize=64)
 def dct2_ortho(n_out: int, n_in: int) -> np.ndarray:
     """Orthonormal DCT-II basis ``(n_out, n_in)`` — scipy's
     ``dct(type=2, norm='ortho')`` matrix, written out so the MFCC path
     needs no scipy: ``D[k, n] = s_k * cos(pi*k*(2n+1)/(2N))`` with
-    ``s_0 = sqrt(1/N)``, ``s_k = sqrt(2/N)``.
+    ``s_0 = sqrt(1/N)``, ``s_k = sqrt(2/N)``. Cached (per-row kernel
+    callers); treat the returned array as read-only.
     """
     n = np.arange(n_in, dtype=np.float64)
     k = np.arange(n_out, dtype=np.float64)[:, None]

@@ -267,6 +267,39 @@ def attach_sliced_samples(
     return sliced.unionByName(unmatched).select(*seg_cols, "sr", "samples")
 
 
+def _walk_riff(b: bytes):
+    """Shared RIFF chunk walk: returns ``(fmt6, data_off, data_size)``
+    where ``fmt6`` is the 6-tuple of the fmt chunk with
+    WAVE_FORMAT_EXTENSIBLE already resolved to its SubFormat code.
+    Raises ``ValueError`` (never ``struct.error``) on truncated or
+    malformed headers — the contract sources/wavmeta.py maps to
+    ok=false rows.
+    """
+    import struct
+
+    pos, fmt, fmt_body, data_off, data_size = 12, None, b"", None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (csize,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            body = b[pos + 8 : pos + 8 + csize]
+            if len(body) < 16:
+                raise ValueError("malformed WAV: truncated fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
+        elif cid == b"data":
+            data_off, data_size = pos + 8, csize
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("malformed WAV: missing fmt or data chunk")
+    audio_format = fmt[0]
+    if audio_format == 0xFFFE and len(fmt_body) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: actual code is the first two bytes of
+        # the SubFormat GUID at offset 24 of the fmt body.
+        (audio_format,) = struct.unpack("<H", fmt_body[24:26])
+    return (audio_format,) + tuple(fmt[1:]), data_off, data_size
+
+
 def decode_wav_bytes(
     payload: bytes, mono: bool = True
 ) -> tuple[list, int]:
@@ -294,23 +327,9 @@ def decode_wav_bytes(
             "not an uncompressed RIFF/WAV payload; compressed formats "
             "require a codec backend (librosa/ffmpeg) unavailable here"
         )
-    pos, fmt, fmt_body, data = 12, None, b"", None
-    while pos + 8 <= len(b):
-        cid = b[pos : pos + 4]
-        (csize,) = struct.unpack("<I", b[pos + 4 : pos + 8])
-        body = b[pos + 8 : pos + 8 + csize]
-        if cid == b"fmt ":
-            fmt, fmt_body = struct.unpack("<HHIIHH", body[:16]), body
-        elif cid == b"data":
-            data = body
-        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
-    if fmt is None or data is None:
-        raise ValueError("malformed WAV: missing fmt or data chunk")
-    audio_format, n_ch, sr, _brate, _balign, bits = fmt
-    if audio_format == 0xFFFE and len(fmt_body) >= 26:
-        # WAVE_FORMAT_EXTENSIBLE: actual code is the first two bytes of
-        # the SubFormat GUID at offset 24 of the fmt body.
-        (audio_format,) = struct.unpack("<H", fmt_body[24:26])
+    fmt6, data_off, data_size = _walk_riff(b)
+    audio_format, n_ch, sr, _brate, _balign, bits = fmt6
+    data = b[data_off : data_off + data_size]
     if audio_format == 1:  # integer PCM
         if bits == 8:
             x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
@@ -557,18 +576,8 @@ def parse_wav_header(payload: bytes) -> dict:
     b = bytes(payload[: 1 << 16])  # headers live in the first chunks
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAV payload")
-    pos, fmt, data_size = 12, None, None
-    while pos + 8 <= len(b):
-        cid = b[pos : pos + 4]
-        (csize,) = struct.unpack("<I", b[pos + 4 : pos + 8])
-        if cid == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
-        elif cid == b"data":
-            data_size = csize
-        pos += 8 + csize + (csize & 1)
-    if fmt is None or data_size is None:
-        raise ValueError("malformed WAV: missing fmt or data chunk")
-    audio_format, n_ch, sr, _brate, block_align, bits = fmt
+    fmt6, _data_off, data_size = _walk_riff(b)
+    audio_format, n_ch, sr, _brate, block_align, bits = fmt6
     frames = data_size // block_align if block_align else 0
     return {
         "format_tag": int(audio_format),

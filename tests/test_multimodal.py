@@ -303,3 +303,38 @@ def test_decode_media_through_mfcc(spark):
     assert len(rows) == ref.shape[0]
     for r in rows[:5]:
         assert np.allclose(r.mfcc, ref[r.frame_idx], atol=1e-9)
+
+
+def test_header_and_decode_agree_on_extensible_format():
+    """WAVE_FORMAT_EXTENSIBLE: the metadata probe must resolve the
+    SubFormat code exactly as the decoder does (review finding — a
+    format_tag==1 filter must not drop decodable extensible files)."""
+    import struct
+
+    from speech_data_pipeline_spark.operators.multimodal import (
+        decode_wav_bytes,
+        parse_wav_header,
+    )
+
+    samples = [0.0, 0.25, -0.25, 0.5]
+    pcm = b"".join(
+        struct.pack("<h", int(max(-1, min(1, s)) * 32767)) for s in samples
+    )
+    # 40-byte extensible fmt body: tag 0xFFFE, SubFormat GUID says PCM
+    guid = struct.pack("<H", 1) + b"\x00\x00" + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    fmt_body = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)
+    fmt_body += struct.pack("<HHI", 22, 16, 1) + guid[2:] if False else (
+        struct.pack("<H", 22) + struct.pack("<H", 16) + struct.pack("<I", 1)
+        + guid
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + (b"\x00" if len(fmt_body) % 2 else b"")
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    hdr = parse_wav_header(blob)
+    assert hdr["format_tag"] == 1  # resolved, not 65534
+    assert hdr["sample_rate"] == 16000 and hdr["n_frames"] == 4
+    decoded, sr = decode_wav_bytes(blob)
+    assert sr == 16000 and len(decoded) == 4

@@ -322,3 +322,26 @@ def test_mfcc_operator_matches_kernel(spark, audio_df):
         assert len(got[aid]) == ref.shape[0]
         for i in range(ref.shape[0]):
             assert np.allclose(got[aid][i], ref[i], atol=1e-9)
+
+
+def test_resample_nyquist_fold_exact():
+    """Review-found defect: downsampling onto an even length must fold
+    the ±m/2 pair into the output Nyquist bin at FULL amplitude
+    (scipy.signal.resample convention), and even-length round-trips
+    must be exact."""
+    t = np.arange(8)
+    y = dsp.resample(np.cos(2 * np.pi * 2 * t / 8), 2, 1)
+    assert np.allclose(y, [1.0, -1.0, 1.0, -1.0])
+    rng = np.random.default_rng(3)
+    for n in (8, 9, 12):
+        x = rng.standard_normal(n)
+        rt = dsp.resample(dsp.resample(x, 1, 2), 2, 1)
+        assert np.abs(rt - x).max() < 1e-12
+
+
+def test_istft_default_length_trims_both_pads():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(64)
+    y = dsp.istft(dsp.stft(x, n_fft=16, hop=4), n_fft=16, hop=4)
+    assert len(x) - 4 <= len(y) <= len(x)  # no trailing reflect-pad tail
+    assert np.abs(y - x[: len(y)]).max() < 1e-9
