@@ -167,3 +167,140 @@ def recs_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _REC_K)
         .drop("rn")
     )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_o,
+             count(*) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS m_cents
+      FROM orders GROUP BY o_custkey
+    ), nowt AS (SELECT max(last_o) AS now_o FROM per),
+    feat AS (
+      SELECT o_custkey,
+             (epoch_us(now_o) - epoch_us(last_o)) // 86400000000 AS r_days,
+             n_orders, m_cents
+      FROM per CROSS JOIN nowt
+    ), th AS (
+      SELECT quantile_cont(r_days, 0.25) AS r1, quantile_cont(r_days, 0.5) AS r2,
+             quantile_cont(r_days, 0.75) AS r3,
+             quantile_cont(n_orders, 0.25) AS f1, quantile_cont(n_orders, 0.5) AS f2,
+             quantile_cont(n_orders, 0.75) AS f3,
+             quantile_cont(m_cents, 0.25) AS m1, quantile_cont(m_cents, 0.5) AS m2,
+             quantile_cont(m_cents, 0.75) AS m3
+      FROM feat
+    ), scored AS (
+      SELECT o_custkey, r_days, n_orders,
+             floor(m_cents / 100.0 * 1000000.0) / 1000000.0 AS monetary,
+             1 + CAST(r_days <= r3 AS INT) + CAST(r_days <= r2 AS INT)
+               + CAST(r_days <= r1 AS INT) AS r_score,
+             1 + CAST(n_orders > f1 AS INT) + CAST(n_orders > f2 AS INT)
+               + CAST(n_orders > f3 AS INT) AS f_score,
+             1 + CAST(m_cents > m1 AS INT) + CAST(m_cents > m2 AS INT)
+               + CAST(m_cents > m3 AS INT) AS m_score
+      FROM feat CROSS JOIN th
+    )
+    SELECT o_custkey, CAST(r_days AS BIGINT) AS r_days,
+           CAST(n_orders AS BIGINT) AS n_orders, monetary,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3
+                  THEN 'champion'
+                WHEN r_score >= 3 AND f_score <= 2 THEN 'new'
+                WHEN r_score <= 2 AND (f_score >= 3 OR m_score >= 3)
+                  THEN 'at_risk'
+                ELSE 'hibernating' END AS segment
+    FROM scored
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quartile scores
+    per customer, with the classic champion / new / at-risk /
+    hibernating labels.
+
+    Shape: one grouped agg builds the per-customer features (exact:
+    integer day recency, integer cents); "now" and the nine quartile
+    thresholds are ONE-row aggregates broadcast back, so scoring is a
+    map-side projection — no rank window over the customer table (the
+    usual ntile() formulation is a partition-less sort; threshold
+    broadcasting is the shape that survives a billion customers, at
+    the cost of the exact-percentile aggregate the registry already
+    uses elsewhere).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_o"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("m_cents"),
+    )
+    nowt = per.agg(F.max("last_o").alias("now_o"))
+    feat = per.crossJoin(F.broadcast(nowt)).select(
+        "o_custkey",
+        F.expr(
+            # NTZ-safe exact integer-microsecond difference (the
+            # catalog's timestampdiff idiom; unix_micros rejects NTZ)
+            "timestampdiff(MICROSECOND, last_o, now_o) div 86400000000"
+        ).alias("r_days"),
+        "n_orders",
+        "m_cents",
+    )
+    th = feat.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{a}{i}")
+            for c, a in (("r_days", "r"), ("n_orders", "f"), ("m_cents", "m"))
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+    s = feat.crossJoin(F.broadcast(th))
+    r_score = (
+        F.lit(1)
+        + (F.col("r_days") <= F.col("r3")).cast("int")
+        + (F.col("r_days") <= F.col("r2")).cast("int")
+        + (F.col("r_days") <= F.col("r1")).cast("int")
+    ).cast("long")
+    f_score = (
+        F.lit(1)
+        + (F.col("n_orders") > F.col("f1")).cast("int")
+        + (F.col("n_orders") > F.col("f2")).cast("int")
+        + (F.col("n_orders") > F.col("f3")).cast("int")
+    ).cast("long")
+    m_score = (
+        F.lit(1)
+        + (F.col("m_cents") > F.col("m1")).cast("int")
+        + (F.col("m_cents") > F.col("m2")).cast("int")
+        + (F.col("m_cents") > F.col("m3")).cast("int")
+    ).cast("long")
+    scored = s.select(
+        "o_custkey",
+        F.col("r_days").cast("long").alias("r_days"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (F.floor(F.col("m_cents") / F.lit(100.0) * F.lit(1e6)) / F.lit(1e6)).alias(
+            "monetary"
+        ),
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_score") >= 3) & (F.col("f_score") >= 3)
+            & (F.col("m_score") >= 3),
+            "champion",
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2), "new")
+        .when(
+            (F.col("r_score") <= 2)
+            & ((F.col("f_score") >= 3) | (F.col("m_score") >= 3)),
+            "at_risk",
+        )
+        .otherwise("hibernating"),
+    )

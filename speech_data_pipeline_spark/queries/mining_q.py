@@ -1053,3 +1053,102 @@ def search_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+#: PMI collocations: minimum pair occurrences and output size.
+_PMI_MIN_PAIR = 5
+_PMI_K = 20
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '([a-z]+)', 1) AS w
+      FROM documents
+    ),
+    words AS (SELECT unnest(w) AS x FROM toks),
+    uni AS (SELECT x, count(*) AS cx FROM words GROUP BY x),
+    u AS (SELECT CAST(count(*) AS BIGINT) AS n_words FROM words),
+    adj AS (
+      SELECT w[CAST(i AS INTEGER)] AS l, w[CAST(i AS INTEGER) + 1] AS r
+      FROM (SELECT w, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i
+            FROM toks)
+    ),
+    pairs AS (
+      SELECT l, r, count(*) AS cxy FROM adj GROUP BY l, r
+    ),
+    tp AS (SELECT CAST(sum(cxy) AS BIGINT) AS n_pairs FROM pairs),
+    scored AS (
+      SELECT p.l, p.r, p.cxy,
+             floor(ln((CAST(p.cxy AS DOUBLE) * n_words * n_words)
+                      / (CAST(cl.cx AS DOUBLE) * cr.cx * n_pairs))
+                   * 1000000.0) / 1000000.0 AS pmi
+      FROM pairs p
+      JOIN uni cl ON cl.x = p.l
+      JOIN uni cr ON cr.x = p.r
+      CROSS JOIN u CROSS JOIN tp
+      WHERE p.cxy >= {_PMI_MIN_PAIR}
+    )
+    SELECT l, r, cxy, pmi FROM scored
+    ORDER BY pmi DESC, l, r
+    LIMIT {_PMI_K}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-20 adjacent word pairs by pointwise
+    mutual information ``ln(P(x,y) / (P(x)·P(y)))`` — the classic
+    statistically-bound-phrase miner (complementary to TextRank's
+    centrality keywords).
+
+    Shape: one bigram explode → pair counts; unigram counts join back
+    on the word key; the two corpus totals are 1-row broadcasts; PMI
+    is one IEEE ln over exact integer counts, ranked truncated with
+    lexicographic tie-breaks; top-20 is TakeOrderedAndProject.
+    """
+    from speech_data_pipeline_spark.functions import trunc6
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+    toks = d.select(w.alias("w"))
+    words = toks.select(F.explode("w").alias("x"))
+    uni = words.groupBy("x").agg(F.count(F.lit(1)).alias("cx"))
+    u = words.agg(F.count(F.lit(1)).alias("n_words"))
+    n = F.greatest(F.size("w") - 1, F.lit(0))
+    adj = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n),
+                F.slice("w", 2, n),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+        ).alias("p")
+    ).select("p.l", "p.r")
+    pairs = (
+        adj.groupBy("l", "r")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .where(F.col("cxy") >= _PMI_MIN_PAIR)
+    )
+    # total adjacency count = Σ max(len(w)-1, 0) — in-row, no second
+    # pass over the exploded pair stream
+    tp = toks.agg(
+        F.sum(F.greatest(F.size("w") - 1, F.lit(0))).cast("long").alias("n_pairs")
+    )
+    scored = (
+        pairs.join(uni.select(F.col("x").alias("l"), F.col("cx").alias("cl")), "l")
+        .join(uni.select(F.col("x").alias("r"), F.col("cx").alias("cr")), "r")
+        .crossJoin(F.broadcast(u))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "l",
+            "r",
+            "cxy",
+            trunc6(
+                F.log(
+                    (F.col("cxy").cast("double") * F.col("n_words") * F.col("n_words"))
+                    / (F.col("cl").cast("double") * F.col("cr") * F.col("n_pairs"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "l", "r").limit(_PMI_K)

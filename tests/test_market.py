@@ -113,3 +113,36 @@ def test_engagement_decay_halving(spark, tmp_path):
     assert got[1]["n_events"] == 3
     # user 2: age 1w => 100/2 = 50
     assert got[2]["score"] == pytest.approx(50.0, abs=1e-9)
+
+
+def test_rfm_scores_and_segments(spark):
+    from speech_data_pipeline_spark.queries.market_q import rfm_customer_segments
+
+    rows = rfm_customer_segments(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 4
+        assert 1 <= r["f_score"] <= 4
+        assert 1 <= r["m_score"] <= 4
+        assert r["r_days"] >= 0 and r["n_orders"] >= 1 and r["monetary"] > 0
+        if r["segment"] == "champion":
+            assert r["r_score"] >= 3 and r["f_score"] >= 3 and r["m_score"] >= 3
+    segs = {r["segment"] for r in rows}
+    assert segs <= {"champion", "new", "at_risk", "hibernating"}
+    assert len(segs) >= 2  # the fixture actually spreads
+
+
+def test_pmi_collocations_exceed_independence(spark):
+    from speech_data_pipeline_spark.queries.mining_q import (
+        _PMI_MIN_PAIR,
+        text_pmi_collocations,
+    )
+
+    rows = text_pmi_collocations(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in rows:
+        assert r["cxy"] >= _PMI_MIN_PAIR
+    # the strongest collocations genuinely co-occur above independence
+    assert pmis[0] > 0

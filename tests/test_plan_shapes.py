@@ -72,6 +72,8 @@ SCALAR_CROSS_WHITELIST = {
     "engagement_decay_score",  # corpus max-ts "now" scalar: 1 row
     "drift_psi_value",  # bin-total scalar: 1 row
     "chisq_type_by_day",  # grand-total scalar: 1 row
+    "rfm_customer_segments",  # now + quartile-threshold scalars: 1 row each
+    "text_pmi_collocations",  # corpus word/pair totals: 1 row each
 }
 
 
