@@ -474,3 +474,45 @@ def users_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_path_trigrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+           count(*) AS cnt
+    FROM s WHERE p2 IS NOT NULL
+    GROUP BY p2, p1, event_type
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-order path mining: counts of every 3-step event sequence
+    per user stream — the n-gram generalization of the Markov
+    transition matrix (common-journey discovery).
+
+    One user_id window sort carries BOTH lags; the trigram table is
+    ≤|types|³ rows out of one grouped count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts div 1000"), "event_id")
+    s = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    return (
+        s.where(F.col("p2").isNotNull())
+        .groupBy(
+            F.col("p2").alias("step1"),
+            F.col("p1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -304,3 +304,52 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("hibernating"),
     )
+
+
+@query(
+    "supplier_lead_time_percentiles",
+    oracle="""
+    WITH d AS (
+      SELECT l.l_suppkey,
+             (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+               // 86400000000 AS lead_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT l_suppkey,
+           count(*) AS n_shipments,
+           floor(median(lead_days) * 1000000.0) / 1000000.0 AS med_days,
+           floor(quantile_cont(lead_days, 0.9) * 1000000.0) / 1000000.0
+             AS p90_days,
+           CAST(max(lead_days) AS BIGINT) AS max_days
+    FROM d GROUP BY l_suppkey
+    """,
+)
+def supplier_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time percentiles per supplier — the supply-
+    chain SLA report. Fact⋈orders on the order key (one exchange),
+    integer day deltas, grouped exact percentiles (bounded per-group
+    state = a supplier's shipment count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "l_suppkey",
+            F.expr(
+                "timestampdiff(MICROSECOND, o_orderdate, l_shipdate)"
+                " div 86400000000"
+            ).alias("lead_days"),
+        )
+    )
+    return d.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        (F.floor(F.expr("percentile(lead_days, 0.5)") * F.lit(1e6)) / 1e6).alias(
+            "med_days"
+        ),
+        (F.floor(F.expr("percentile(lead_days, 0.9)") * F.lit(1e6)) / 1e6).alias(
+            "p90_days"
+        ),
+        F.max("lead_days").cast("long").alias("max_days"),
+    )

@@ -201,3 +201,24 @@ def test_cumulative_distinct_matches_naive(spark):
         expect.append((day, per_day[day], cum))
     assert [(r["day"], r["new_users"], r["cum_users"]) for r in out] == expect
     assert out[-1]["cum_users"] == len(first)
+
+
+def test_path_trigrams_consistent_with_markov(spark):
+    """Trigram marginals must agree with the first-order transition
+    counts: summing trigram counts over step1 gives the bigram counts
+    of (step2, step3) restricted to positions with 2+ predecessors."""
+    from speech_data_pipeline_spark.queries.behavior_q import (
+        events_path_trigrams,
+    )
+
+    rows = events_path_trigrams(spark, SF).collect()
+    assert rows
+    total = sum(r["cnt"] for r in rows)
+    # each user with n>=3 events contributes n-2 trigrams
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    sizes = (
+        load_table(spark, SF, "events").groupBy("user_id").count().collect()
+    )
+    expect = sum(max(r["count"] - 2, 0) for r in sizes)
+    assert total == expect

@@ -146,3 +146,15 @@ def test_pmi_collocations_exceed_independence(spark):
         assert r["cxy"] >= _PMI_MIN_PAIR
     # the strongest collocations genuinely co-occur above independence
     assert pmis[0] > 0
+
+
+def test_lead_time_percentiles_ordered(spark):
+    from speech_data_pipeline_spark.queries.market_q import (
+        supplier_lead_time_percentiles,
+    )
+
+    rows = supplier_lead_time_percentiles(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["med_days"] <= r["p90_days"] <= r["max_days"]
+        assert r["n_shipments"] >= 1
