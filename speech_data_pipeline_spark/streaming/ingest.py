@@ -893,3 +893,102 @@ def stream_minhash_neardup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_trending_topk(
+    events: DataFrame,
+    out_path: str,
+    state_path: str,
+    checkpoint: str,
+    key_col: str = "event_type",
+    k: int = 5,
+    decay_shift: int = 1,
+):
+    """Streaming trending top-k: exponentially decayed key counters
+    with cross-batch state in a VERSIONED parquet side table — the
+    "what's hot right now" operator.
+
+    Per micro-batch (foreachBatch):
+
+    1. count the batch's keys (one grouped agg);
+    2. read the latest counter snapshot ``state_path/v=<n>``, decay it
+       by an integer right-shift (``decay_shift=1`` halves per batch —
+       bucketed exponential decay, exact under any fold order, same
+       rationale as the batch engagement_decay_score), and outer-merge
+       the batch counts;
+    3. write the merged counters as snapshot ``v=<n+1>`` (never
+       overwriting the snapshot being read — the lakehouse
+       copy-on-write pattern; compaction/vacuum of old versions is the
+       table format's job);
+    4. append the snapshot's top-``k`` (count desc, key) to
+       ``out_path`` tagged with the batch id.
+
+    Scale shape: counters are key-cardinality rows in parquet —
+    distributed state, never a driver dict; decay+merge is one outer
+    join; zero-count keys are dropped so the table self-prunes.
+    Deterministic end to end (integer counters, lexicographic
+    tie-breaks) — pinned against a sequential replay in
+    tests/test_streaming.py.
+    """
+
+    def latest_version(spark: SparkSession) -> int:
+        try:
+            import re
+
+            from py4j.protocol import Py4JJavaError  # noqa: F401
+
+            vs = []
+            jvm_path = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+            fs = jvm_path.getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+            if not fs.exists(jvm_path):
+                return -1
+            for st in fs.listStatus(jvm_path):
+                m = re.fullmatch(r"v=(\d+)", st.getPath().getName())
+                if m:
+                    vs.append(int(m.group(1)))
+            return max(vs) if vs else -1
+        except Exception:
+            return -1
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_cnt = batch_df.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("bc")
+        )
+        v = latest_version(spark)
+        if v >= 0:
+            prior = spark.read.parquet(f"{state_path}/v={v}").select(
+                key_col, F.shiftright("cnt", decay_shift).alias("pc")
+            )
+        else:
+            prior = spark.createDataFrame(
+                [], f"{key_col} string, pc long"
+            )
+        merged = (
+            batch_cnt.join(prior, key_col, "full_outer")
+            .select(
+                key_col,
+                (
+                    F.coalesce(F.col("bc"), F.lit(0))
+                    + F.coalesce(F.col("pc"), F.lit(0))
+                ).alias("cnt"),
+            )
+            .where(F.col("cnt") > 0)
+        )
+        merged.write.mode("overwrite").parquet(f"{state_path}/v={v + 1}")
+        top = (
+            spark.read.parquet(f"{state_path}/v={v + 1}")
+            .orderBy(F.col("cnt").desc(), key_col)
+            .limit(k)
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        top.write.mode("append").parquet(out_path)
+
+    return (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

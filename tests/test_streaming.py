@@ -700,3 +700,57 @@ def test_stateful_sessions_late_event_exactness(spark):
         (t0 + 20 * minute, t0 + 20 * minute, 1, 2.0),
     ]
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_trending_topk_matches_replay(spark):
+    """Decayed trending counters across micro-batches equal a
+    sequential integer replay (halve-then-add per batch), and each
+    batch's emitted top-k reflects the post-merge snapshot."""
+    import os
+    import time
+    from collections import Counter
+
+    from speech_data_pipeline_spark.streaming.ingest import stream_trending_topk
+
+    batches = [
+        ["a"] * 8 + ["b"] * 4 + ["c"] * 2,
+        ["b"] * 10 + ["c"] * 1,
+        ["c"] * 6,
+    ]
+    tmp = tempfile.mkdtemp()
+    landing = f"{tmp}/stream"
+    os.makedirs(landing)
+    for i, keys in enumerate(batches):
+        spark.createDataFrame(
+            [(j, kk) for j, kk in enumerate(keys)], "event_id long, event_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/land/b{i}")
+        src = [
+            f for f in os.listdir(f"{tmp}/land/b{i}") if f.endswith(".parquet")
+        ][0]
+        shutil.copy(f"{tmp}/land/b{i}/{src}", f"{landing}/{i:03d}.parquet")
+        sdf = spark.readStream.schema("event_id long, event_type string").parquet(
+            landing
+        )
+        q = stream_trending_topk(
+            sdf, f"{tmp}/out", f"{tmp}/state", f"{tmp}/ck", k=2
+        )
+        q.awaitTermination(180)
+        time.sleep(0.2)
+
+    got = {}
+    for r in spark.read.parquet(f"{tmp}/out").collect():
+        got.setdefault(r["batch_id"], []).append((r["cnt"], r["event_type"]))
+
+    # sequential integer replay
+    state: Counter = Counter()
+    expect = {}
+    for i, keys in enumerate(batches):
+        decayed = Counter({kk: c >> 1 for kk, c in state.items() if c >> 1 > 0})
+        for kk in keys:
+            decayed[kk] += 1
+        state = Counter({kk: c for kk, c in decayed.items() if c > 0})
+        top = sorted(state.items(), key=lambda it: (-it[1], it[0]))[:2]
+        expect[i] = [(c, kk) for kk, c in top]
+    for b in expect:
+        assert sorted(got[b]) == sorted(expect[b]), (b, got[b], expect[b])
+    shutil.rmtree(tmp, ignore_errors=True)
