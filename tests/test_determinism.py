@@ -41,6 +41,9 @@ PERTURB_QUERIES = [
     "sim_rrf_fusion",  # trunc6-quantized rank fusion
     "graph_bfs_hops",  # frontier fixed rounds
     "text_textrank_keywords",  # integer fixed-point ranks over word graph
+    "rfm_customer_segments",  # exact-percentile thresholds on integer features
+    "text_pmi_collocations",  # trunc6 ln over exact counts + tie-broken top-k
+    "users_cumulative_distinct",  # two-level paged running sum
 ]
 
 
