@@ -31,8 +31,14 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization → array<string> (empty array for blank text)."""
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    """Whitespace tokenization → array<string> (empty array for blank
+    text). The separator is an EXPLICIT class rather than ``\\s`` —
+    Java's ``\\s`` includes vertical tab while RE2's (DuckDB) does
+    not, so ``\\s`` silently breaks the cross-engine tokenizer
+    contract on U+000B; the class below is byte-identical in both."""
+    return F.filter(
+        F.split(F.trim(text), "[ \\t\\n\\r\\f\\x0b]+"), lambda t: t != ""
+    )
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -623,7 +629,10 @@ def ngram_contamination(
 #: oracle: plain character classes only — identical semantics in Java
 #: regex and RE2 (no lookaround, no backrefs).
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    # explicit [a-zA-Z] classes, not (?i): real-world PII is mixed-case
+    # (John.Doe@Gmail.COM), and spelled-out classes keep the Java/RE2
+    # semantics identical without relying on flag parity
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
 )

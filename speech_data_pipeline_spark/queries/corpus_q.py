@@ -36,6 +36,24 @@ _CW_W = 32
 _CW_S = 24
 
 
+def _shard_expr() -> "F.Column":
+    """Seeded-md5 shard key (shared by shuffle_shard_manifest and the
+    governed-mix capstone — ONE definition so the shard convention
+    cannot silently fork)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _SHUF_SHARDS
+    )
+
+
 def _bucket(col_sql: str = "doc_id") -> F.Column:
     """The md5 percent bucket shared with split_hash_buckets."""
     return (
@@ -91,7 +109,7 @@ _BUCKET_SQL = _hex7_to_int_sql("md5(CAST(doc_id AS VARCHAR))") + " % 100"
 )
 def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training decontamination: flag train-split documents sharing
-    any word {_DECON_N}-gram with the held-out test split (the leakage
+    any word 4-gram with the held-out test split (the leakage
     check every LLM data pipeline runs before training). The benchmark
     gram set is broadcast; the corpus is never shuffled at gram width
     (operators/text.py `ngram_contamination`)."""
@@ -114,16 +132,16 @@ def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-      len(regexp_extract_all(t2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+      len(regexp_extract_all(t2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
         AS n_email,
       len(regexp_extract_all(t2, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ip,
       len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
       md5(regexp_replace(regexp_replace(regexp_replace(t2,
-            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
             '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5,
       length(regexp_replace(regexp_replace(regexp_replace(t2,
-            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
             '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_len
     FROM aug
@@ -211,18 +229,7 @@ def shuffle_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = d.select(
         "doc_id",
         (F.floor(F.col("n_chars") / F.lit(4.0)).cast("long") + 1).alias("n_tokens"),
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
-                    1,
-                    7,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % _SHUF_SHARDS
-        ).alias("shard"),
+        _shard_expr().alias("shard"),
         F.md5(F.concat(F.lit("pos:"), F.col("doc_id").cast("string"))).alias("posk"),
     )
     w = Window.partitionBy("shard").orderBy("posk", "doc_id")
@@ -345,7 +352,7 @@ def _bloom_pos_sql(i: int, key_sql: str) -> str:
 )
 def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bloom filter built over the high-value-order
-    customer keys (o_totalprice > {_BLOOM_THR}; ~1/3 of customers),
+    customer keys (o_totalprice > 480000; high-value customers),
     probed with every customer; the confusion-matrix summary
     (bloom_member × actual_member) exhibits the sketch contract —
     false positives present, false negatives structurally impossible
@@ -399,7 +406,7 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window re-chunking: split each document's token stream
-    into overlapping training windows ({_CW_W} tokens, stride {_CW_S})
+    into overlapping training windows (32 tokens, stride 24)
     — the standard pre-tokenization step that turns variable-length
     documents into model-context-sized pieces with cross-boundary
     overlap. Pure in-row algebra (tokenize once, slide with
@@ -589,7 +596,7 @@ def _bpe_encode_oracle(n_merges: int = _BPE_ROUNDS) -> str:
 
 @query("text_bpe_merges", oracle=_bpe_oracle())
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the first {_BPE_ROUNDS} BPE tokenizer merges over the
+    """Train the first 5 BPE tokenizer merges over the
     corpus word-frequency table (operators/text.py bpe_train_merges) —
     distributed tokenizer training, the step every LLM data pipeline
     runs before token counting is even defined. Corpus-sized work is
@@ -682,7 +689,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_governed_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 capstone: the full governance stack as ONE declarative
     plan — exact-dedup canonical filter → train-split selection →
-    {_DECON_N}-gram test-set decontamination (broadcast benchmark
+    4-gram test-set decontamination (broadcast benchmark
     anti-join) → per-source quantile length band → deterministic shard
     assignment → per (source, shard) training-mix report.
 
@@ -691,7 +698,6 @@ def pipeline_governed_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram set and per-source stats are broadcast, and the only
     corpus-width shuffles are the canonical-digest window and the
     final report aggregate — the same count at 100 TB."""
-    from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
     # digest computed BEFORE the window so the canonical-dedup exchange
@@ -703,7 +709,7 @@ def pipeline_governed_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bucket().alias("bucket"),
         F.md5("text").alias("dig"),
     ).withColumn(
-        "canonical_id", F.min("doc_id").over(W.partitionBy("dig"))
+        "canonical_id", F.min("doc_id").over(Window.partitionBy("dig"))
     )
     grams = F.explode(
         F.array_distinct(tx.word_ngrams(F.col("text"), _DECON_N))
@@ -726,18 +732,7 @@ def pipeline_governed_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(n_chars, 0.1)").alias("p10"),
         F.expr("percentile(n_chars, 0.9)").alias("p90"),
     )
-    shard = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
-                1,
-                7,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _SHUF_SHARDS
-    )
+    shard = _shard_expr()
     kept = (
         b.where((F.col("bucket") < 80) & (F.col("doc_id") == F.col("canonical_id")))
         .join(contaminated, "doc_id", "left_anti")
@@ -843,7 +838,7 @@ _PPS_K = 5
 )
 def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted (probability-proportional-to-size)
-    sampling: exactly {_PPS_K} draws per source with inclusion
+    sampling: exactly 5 draws per source with inclusion
     multiplicity ∝ token weight, via systematic sampling over the
     md5-ordered cumulative weight line — the particle-filter /
     PPS-survey technique, done ENTIRELY in integer arithmetic (sample
@@ -1210,11 +1205,7 @@ def sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("bs", zero, step)["est"].alias("_est"),
         "n",
     )
-    return walked.select(
-        "q",
-        (F.floor(F.col("_est") * 1_000_000.0) / 1_000_000.0).alias("est"),
-        "n",
-    )
+    return walked.select("q", trunc6(F.col("_est")).alias("est"), "n")
 
 
 @query(
@@ -1371,8 +1362,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ev = load_table(spark, sf_dir, "events")
 
-    def t6(col):
-        return F.floor(col * 1_000_000.0) / 1_000_000.0
+    t6 = trunc6  # the module-wide rounding rule, one definition
 
     def report_rows(agg_df, rows):
         structs = [
@@ -1419,7 +1409,11 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     la = li.agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct("l_orderkey", "l_linenumber").alias("nd"),
+        # struct key: a tuple with a NULL part must COUNT as a distinct
+        # key (DuckDB count(DISTINCT (a,b)) semantics) — bare
+        # countDistinct(a, b) silently drops NULL-bearing rows, which
+        # is exactly the dirty data a PK audit exists to catch
+        F.countDistinct(F.struct("l_orderkey", "l_linenumber")).alias("nd"),
         F.sum(
             F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
             .otherwise(0)

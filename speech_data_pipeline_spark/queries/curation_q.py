@@ -31,7 +31,7 @@ PACK_BUDGET = 2048
     WITH lines AS (
       SELECT doc_id, length(text) AS n_chars,
              list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls,
-             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
+             list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), t -> t <> '') AS t
       FROM documents
     ), base AS (
       SELECT doc_id, n_chars,
@@ -147,7 +147,7 @@ def split_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy next-fit sequence packing under a {PACK_BUDGET}-token
+    """Greedy next-fit sequence packing under a 2048-token
     budget, per source (operators/packing.py kernel; oracle replays the
     recurrence as a recursive CTE)."""
     d = load_table(spark, sf_dir, "documents").select(
@@ -277,24 +277,30 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDC_W = 8
 _CDC_B = 31
 _CDC_M = 64
-_CDC_POWS = [_CDC_B ** (_CDC_W - 1 - j) for j in range(_CDC_W)]
+#: Ascending powers B^0..B^(w-1). Convention (MUST match the kernel,
+#: operators/text.py cdc_anchor_chunks: ``sliding_window @ pows``):
+#: the FIRST (oldest) char of the window carries B^0, the last
+#: B^(w-1). (For THESE constants B=31, mod=64 the reversed orientation
+#: happens to have the identical zero set — 31² ≡ 1 mod 64 — which is
+#: exactly why an orientation mix-up would pass the gate silently; the
+#: explicit convention note is the guard.)
+_CDC_POWS = [_CDC_B ** j for j in range(_CDC_W)]
 
 
-def _cdc_pred(dialect: str) -> str:
-    """Anchor predicate: polynomial hash of the trailing 8-char window
-    ≡ 0 (mod 64), over a precomputed per-row codepoint array ``codes``
-    (O(1) element lookups — ``substr(text, i, 1)`` inside the position
-    lambda would be an O(i) UTF-8 scan, turning the whole predicate
-    O(n²·w) per document). Same integer arithmetic in both dialects
-    (exact in 64-bit: 255·31^7·8 < 2^63)."""
-    idx = (
-        (lambda off: f"element_at(codes, i - {off})")
-        if dialect == "spark"
-        else (lambda off: f"codes[i - {off}]")
-    )
+def _cdc_pred_sql() -> str:
+    """DuckDB anchor predicate: polynomial hash of the trailing 8-char
+    window ≡ 0 (mod 64), over a precomputed per-row codepoint array
+    ``codes`` (O(1) element lookups — ``substr(text, i, 1)`` inside the
+    position lambda would be an O(i) UTF-8 scan, turning the whole
+    predicate O(n²·w) per document). Exact in 64-bit:
+    255·31^7·8 < 2^63. (The Spark side runs the vectorized Arrow
+    kernel, operators/text.py cdc_anchor_chunks — no SQL dialect twin
+    to keep in sync.)"""
     terms = " + ".join(
-        f"CAST({idx(_CDC_W - 1 - j)} AS BIGINT) * CAST({p} AS BIGINT)"
-        for j, p in enumerate(reversed(_CDC_POWS))
+        # window at boundary i spans codes[i-w+1 .. i]; term j is the
+        # j-th-oldest char times B^j (kernel orientation)
+        f"CAST(codes[i - {_CDC_W - 1 - j}] AS BIGINT) * CAST({p} AS BIGINT)"
+        for j, p in enumerate(_CDC_POWS)
     )
     return f"(({terms}) % {_CDC_M}) = 0"
 
@@ -310,7 +316,7 @@ def _cdc_pred(dialect: str) -> str:
       SELECT doc_id, n, text,
              list_sort(list_distinct(
                [0] || list_filter(range({_CDC_W}, n + 1),
-                                  i -> {_cdc_pred("duck")})
+                                  i -> {_cdc_pred_sql()})
                    || [n]
              )) AS bs
       FROM coded
@@ -345,7 +351,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     because boundaries realign after an edit — the CDC property).
 
     Stateless anchor form (boundary wherever the trailing-window
-    polynomial hash ≡ 0 mod {_CDC_M}; expected chunk ≈ {_CDC_M} chars):
+    polynomial hash ≡ 0 mod 64; expected chunk ≈ 64 chars):
     every position is decided independently. The boundary scan runs as
     the vectorized Arrow-batch kernel
     (operators/text.py `cdc_anchor_chunks` — one sliding-window matmul
@@ -390,7 +396,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, n_chars,
              md5(text) AS digest,
              min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
-             len(list_filter(string_split_regex(trim(text), '\\s+'),
+             len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+'),
                  t -> t <> '')) AS n_tokens
       FROM documents
     ), kept AS (

@@ -32,7 +32,7 @@ _Q = float(1 << 20)
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, lang,
-             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+             unnest(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+'),
                                 t -> t <> '')) AS tok
       FROM documents
     ),

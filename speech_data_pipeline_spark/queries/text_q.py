@@ -30,7 +30,7 @@ _SUBWORD_PAT = r"[A-Za-z0-9_]+|[^ \t\n\rA-Za-z0-9_]"
     "text_token_count",
     oracle=f"""
     SELECT doc_id,
-           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))
+           len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+'), t -> t <> ''))
              AS n_tokens,
            len(regexp_extract_all(text, '{_SUBWORD_PAT}'))
              AS n_subwords,
@@ -58,7 +58,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH feat AS (
       SELECT doc_id,
              length(text) AS n_chars,
-             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks,
+             list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), t -> t <> '') AS toks,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
              length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
              length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
@@ -291,7 +291,7 @@ def _simhash_oracle(bits: int = 60) -> str:
     return f"""
     WITH tok AS (
       SELECT doc_id AS id, unnest(list_distinct(
-               list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')))
+               list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+'), t -> t <> '')))
                AS token
       FROM documents
     ), h AS (
@@ -880,7 +880,7 @@ _QUALITY_CTE = r"""
     feat AS (
       SELECT doc_id, source,
              length(text) AS n_chars,
-             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks,
+             list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), t -> t <> '') AS toks,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
              length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
              length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
@@ -958,7 +958,7 @@ def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
+             list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), t -> t <> '') AS t
       FROM documents
     ),
     bg AS (
