@@ -105,11 +105,9 @@ def split_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only projection with zero shuffle.
     """
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
-        .cast("long")
-        % 100
-    )
+    from speech_data_pipeline_spark.queries.corpus_q import _bucket
+
+    bucket = _bucket("doc_id")  # ONE split-defining hash (corpus_q._bucket)
     return d.select(
         "doc_id",
         bucket.alias("bucket"),
@@ -438,11 +436,9 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "canonical_id", F.min("doc_id").over(Window.partitionBy("dig"))
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
-        .cast("long")
-        % 100
-    )
+    from speech_data_pipeline_spark.queries.corpus_q import _bucket
+
+    bucket = _bucket("doc_id")  # ONE split-defining hash (corpus_q._bucket)
     kept = canon.where(
         (F.col("doc_id") == F.col("canonical_id")) & (F.col("n_tokens") >= 20)
     ).withColumn("bucket", bucket)
