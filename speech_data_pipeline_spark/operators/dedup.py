@@ -191,39 +191,10 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(
         _ensure_parallelism(df), id_col, text_col, k, shingle_len
     ).persist()
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    # banding + bucket self-join: ONE definition (lsh_candidate_pairs)
+    # shared with the standalone candidate generator
+    pairs = lsh_candidate_pairs(sigs, bands, rows_per_band).select(
+        "id_a", "id_b"
     )
     est = (
         F.size(
@@ -259,6 +230,10 @@ def simhash64(
     of the fingerprint is 1 iff more token hashes have bit ``j`` set
     than unset. Map-reduce shape: explode(token) × explode(bit) →
     groupBy(doc, bit) → sum(sign) → re-assemble.
+
+    Contract: documents with NO tokens (empty/whitespace text) emit no
+    row — consumers that must keep every document left-join this table
+    and treat a missing fingerprint as "no content to compare".
     """
     from speech_data_pipeline_spark.operators.text import tokens
 

@@ -268,6 +268,13 @@ def embedding_neardup_pairs(
 
     if dim is None:
         sample = df.select(vec_col).first()
+        if sample is None or sample[0] is None:
+            # empty input / NULL first vector: empty pair table, not a
+            # TypeError from len(None)
+            id_type = df.schema[id_col].dataType.simpleString()
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {id_type}, id_b {id_type}, cos_sim double"
+            )
         dim = len(sample[0])
     planes = hyperplanes(dim, n_planes, seed)
     b = rp_lsh_bucket(df, planes, vec_col).select(
@@ -647,6 +654,12 @@ def pq_topk(
     from speech_data_pipeline_spark.functions import trunc6
 
     dim = len(query_vec)
+    if dim % m_sub != 0:
+        raise ValueError(
+            f"pq_topk: dim {dim} not divisible by m_sub {m_sub} — trailing"
+            " dimensions would silently drop out of the codes and the ADC"
+            " ranking; pad the vectors or choose a divisor"
+        )
     sub = dim // m_sub
     scale = float(1 << quant_bits)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -781,6 +794,11 @@ def pca_power_topk(
         f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}D)"
         " AS BIGINT)) AS gq",
     ).persist()
+    # NOTE: this cache is reused by every power-iteration round AND by
+    # the returned (lazy) projection, so it cannot be unpersisted here;
+    # callers running many pca_power_topk calls in one session should
+    # spark.catalog.clearCache() between them (registry queries are
+    # one-shot per session, so the single retained cache is bounded).
 
     s_arr = ",".join(f"sum(gq[{i}])" for i in range(dim))
     mu_row = base.agg(

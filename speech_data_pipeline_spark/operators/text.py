@@ -30,6 +30,13 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+#: BPE-ish subword pieces: word-char runs plus single non-word,
+#: non-whitespace characters. ONE definition — the text_q oracle and
+#: this operator must count identical pieces (the old lookaround-split
+#: form counted tab/newline pieces because F.trim strips spaces only).
+SUBWORD_PAT = r"[A-Za-z0-9_]+|[^ \t\n\rA-Za-z0-9_]"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization → array<string> (empty array for blank
     text). The separator is an EXPLICIT class rather than ``\\s`` —
@@ -51,7 +58,7 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumn("n_tokens", F.size(tokens(t))).withColumn(
         "n_subwords",
-        F.size(F.filter(F.split(t, r"(?<=\W)|(?=\W)"), lambda s: F.trim(s) != "")),
+        F.size(F.regexp_extract_all(t, F.lit(SUBWORD_PAT), 0)),
     ).withColumn("n_tokens_approx", (F.length(t) / F.lit(4.0)).cast("long"))
 
 
@@ -93,6 +100,18 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _marker_pattern(lang: str, markers: tuple[str, ...]) -> str:
+    """Marker regex shared with the DuckDB oracle. Latin languages use
+    \\b word boundaries; zh does NOT — regex \\b is defined on ASCII
+    word chars, so ``\\b的\\b`` can never match inside unspaced CJK
+    text and the zh path would be functionally dead (classifying
+    Chinese as 'und'). CJK markers are single logographs, so plain
+    occurrence counting is the correct boundary-free form.
+    """
+    body = "(" + "|".join(markers) + ")"
+    return body if lang == "zh" else r"\b" + body + r"\b"
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language-ID heuristic.
 
@@ -104,7 +123,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     scores = []
     out = df
     for lang, markers in sorted(LANG_MARKERS.items()):
-        pattern = r"\b(" + "|".join(markers) + r")\b"
+        pattern = _marker_pattern(lang, markers)
         col = F.size(F.regexp_extract_all(t, F.lit(pattern), 1))
         out = out.withColumn(f"score_{lang}", col)
         scores.append((lang, F.col(f"score_{lang}")))
@@ -294,6 +313,8 @@ def cdc_chunks_bounded(
     )
 
     def chunk_one(text: str) -> list[tuple[int, int, str]]:
+        if text is None:  # NULL text: no chunks, never a task crash
+            return []
         n = len(text)
         if n == 0:
             return []
@@ -435,13 +456,27 @@ def bpe_train(
             .groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("c"))
         )
-        top = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1)
-        outs.append(top.select(
-            F.lit(rnd).alias("round"),
-            F.col("a").alias("left"),
-            F.col("b").alias("right"),
-            F.col("c").alias("pair_count"),
-        ))
+        # sentinel row (c=-1, NUL symbols): when a round finds NO pairs
+        # (fully merged / single-char corpus) the argmax survives as the
+        # sentinel, whose replace() pattern cannot occur — the round is
+        # a no-op instead of crossJoining an EMPTY table and silently
+        # wiping the vocab. Any real pair (c >= 1) outranks it.
+        sentinel = df.sparkSession.createDataFrame(
+            [("\x00", "\x00", -1)], "a string, b string, c long"
+        )
+        top = (
+            pairs.unionByName(sentinel)
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+        )
+        outs.append(
+            top.where(F.col("c") > 0).select(
+                F.lit(rnd).alias("round"),
+                F.col("a").alias("left"),
+                F.col("b").alias("right"),
+                F.col("c").alias("pair_count"),
+            )
+        )
         vocab = vocab.crossJoin(F.broadcast(top)).select(
             "word",
             "freq",
@@ -453,6 +488,9 @@ def bpe_train(
     vocab.count()  # eager: materialize the chain before dropping it
     for prev in kept:
         prev.unpersist(blocking=False)
+    if not outs:  # n_merges=0: empty merge table, untouched vocab
+        schema = "round int, left string, right string, pair_count long"
+        return df.sparkSession.createDataFrame([], schema), vocab
     merges = outs[0]
     for o in outs[1:]:
         merges = merges.unionByName(o)
@@ -643,15 +681,18 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     counts and the redacted text.
 
     Map-only column algebra (three ``regexp_replace`` passes + three
-    ``regexp_extract_all`` counts) — zero shuffle at any scale; the
-    patterns are mutually non-overlapping so replacement order does not
-    change the result.
+    ``regexp_extract_all`` counts) — zero shuffle at any scale. Each
+    pattern is COUNTED on the text after the previous patterns were
+    redacted, so every count corresponds to an actual replacement in
+    the output: a phone/IP shape embedded inside an email local part
+    ("555-123-4567@mail.com") counts once as an email, not again as a
+    phone.
     """
     out = df
     red = F.col(text_col)
     for name, pat, repl in PII_PATTERNS:
         out = out.withColumn(
-            f"n_{name}", F.size(F.regexp_extract_all(text_col, F.lit(pat), 0))
+            f"n_{name}", F.size(F.regexp_extract_all(red, F.lit(pat), 0))
         )
         red = F.regexp_replace(red, F.lit(pat), F.lit(repl))
     return out.withColumn("redacted", red)

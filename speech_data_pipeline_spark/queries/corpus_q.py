@@ -134,8 +134,13 @@ def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
       len(regexp_extract_all(t2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
         AS n_email,
-      len(regexp_extract_all(t2, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ip,
-      len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+      len(regexp_extract_all(regexp_replace(t2,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ip,
+      len(regexp_extract_all(regexp_replace(regexp_replace(t2,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+            '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
       md5(regexp_replace(regexp_replace(regexp_replace(t2,
             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
             '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),

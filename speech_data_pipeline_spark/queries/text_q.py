@@ -23,7 +23,7 @@ from speech_data_pipeline_spark.operators import text as tx
 from speech_data_pipeline_spark.queries.registry import query
 from speech_data_pipeline_spark.sources.catalog import load_table
 
-_SUBWORD_PAT = r"[A-Za-z0-9_]+|[^ \t\n\rA-Za-z0-9_]"
+_SUBWORD_PAT = tx.SUBWORD_PAT  # one definition, shared with the operator
 
 
 @query(
@@ -92,7 +92,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _langid_oracle() -> str:
     score_cols = []
     for lang, markers in sorted(tx.LANG_MARKERS.items()):
-        pattern = r"\b(" + "|".join(markers) + r")\b"
+        pattern = tx._marker_pattern(lang, markers)
         score_cols.append(
             f"len(regexp_extract_all(lower(text), '{pattern}', 1)) AS score_{lang}"
         )
