@@ -742,6 +742,289 @@ def pq_topk(
     )
 
 
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    n_pq: int = 4,
+    rerank_n: int = 0,
+    quant_bits: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ composed index with residual codes and per-cell ADC —
+    the production billion-vector shape (FAISS ``IVFx,PQy``): coarse
+    IVF cells route the query to ``nprobe`` cells, PQ codebooks trained
+    on the RESIDUAL ``v - centroid[cell]`` compress each vector to
+    ``m_sub`` codes, and the probed cells are scanned over CODES via an
+    asymmetric distance table — never over raw vectors.
+
+    Composition of :func:`ivf_topk`'s coarse quantizer and
+    :func:`pq_topk`'s subspace encoding, with the three pieces that
+    make it the real index:
+
+    - **residual encoding**: after the in-row coarse argmin, the
+      residual is computed in-row (``zip_with(v, my_c, -)``), so the
+      PQ bits are spent on within-cell variation.
+    - **sampled-init + one-Lloyd-round codebooks**: residuals are
+      near-zero-mean, so a partition init (means of random subsets, as
+      the raw-vector :func:`pq_topk` uses) collapses every codeword to
+      ≈0 and the codes carry no signal. Instead the ``n_pq`` lowest-id
+      rows' residuals seed the codebook (genuinely distinct codewords),
+      every row takes an in-row argmin code, and ONE grouped
+      quantized-grid mean per ``(subspace, code)`` refines them — the
+      standard sample-then-Lloyd PQ training, fully relational.
+    - **per-cell distance tables**: the query's residual differs per
+      coarse cell (``q - centroid[cell]``), so the ADC sum is computed
+      against the row's own cell centroid — in-row from broadcast
+      one-row arrays, the classic nprobe-many distance tables without
+      materializing any of them.
+    - **exact rerank of the ADC shortlist** (``rerank_n > 0``, FAISS's
+      refine stage): codes order candidates, the top ``rerank_n`` get
+      an exact cosine against the query, and the final top-k comes
+      from that. ADC error then only costs recall when a true
+      neighbor falls outside the shortlist — the shape that makes
+      lossy 4-bit codes usable. ``rerank_n = 0`` returns the raw ADC
+      ranking (the code-only scan).
+
+    Plan shape at 100 TB: THREE corpus-sized aggregates build the index
+    (coarse centroid sums; the seed TakeOrdered; the (j, code)
+    refinement sums over the ``m_sub``-exploded residual slices — same
+    total bytes as the corpus); assignment and encoding are in-row over
+    broadcast single-row arrays (zero shuffle, zero row blowup); the
+    query filters to ``nprobe/n_cells`` of the data — with the code
+    table written partitioned by ``cell``, partition pruning — and cuts
+    with TakeOrderedAndProject. The residual frame is persisted once
+    because codebook training and encoding both read it.
+
+    Deterministic cross-engine (chained-CTE DuckDB replay in
+    ``sim_ivfpq_topk``): quantized-grid integer sums, fixed fold order,
+    (distance, code-id) tie-breaks, final (adc, id) ordering.
+
+    Returns ``(id, cell, codes, adc_dist)`` for the approximate top-k.
+    """
+    dim = len(query_vec)
+    if dim % m_sub != 0:
+        raise ValueError(
+            f"ivfpq_topk: dim {dim} not divisible by m_sub {m_sub} — trailing"
+            " dimensions would silently drop out of the codes; pad the"
+            " vectors or choose a divisor"
+        )
+    sub = dim // m_sub
+    scale = float(1 << quant_bits)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    # --- coarse quantizer: one k-means step, id%n_cells init (= ivf_topk)
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.pmod(F.col(id_col), F.lit(n_cells)).alias("init_cid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+        ).alias("gq"),
+    )
+    sums = g.groupBy("init_cid").agg(
+        *[F.sum(F.col("gq")[i]).alias(f"s{i}") for i in range(dim)],
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = sums.select(
+        F.col("init_cid").alias("cell"),
+        F.array(
+            *[F.col(f"s{i}") / (F.col("n") * F.lit(scale)) for i in range(dim)]
+        ).alias("c"),
+    )
+    coarse1 = cent.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cell"), F.col("c")))).alias(
+            "coarse"
+        )
+    )
+
+    my_c = F.element_at(
+        F.filter(F.col("coarse"), lambda s: s["cell"] == F.col("cell")), 1
+    )["c"]
+    # assignment + in-row residual; persisted: seed sampling, codebook
+    # refinement, and encoding all read this frame (same materialize-
+    # once rule as _kmeans_state).
+    res = (
+        g.crossJoin(F.broadcast(coarse1))
+        .withColumn("cell", argmin_cell(F.col("v"), F.col("coarse"), _sqd))
+        .withColumn("r", F.zip_with(F.col("v"), my_c, lambda x, c: x - c))
+        .withColumn(
+            "rq",
+            F.transform(
+                F.col("r"), lambda x: F.floor(x * F.lit(scale)).cast("long")
+            ),
+        )
+        .select("id", "cell", "v", "r", "rq")
+        .persist()
+    )
+
+    def dsub(vec: Column, cvec: Column, j: int, sub_rel: bool) -> Column:
+        """Σ_i (vec[j*sub+i] - cvec[idx])² over subspace j, fixed order.
+        ``sub_rel``: cvec is subspace-local (length ``sub``) vs full-dim."""
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(sub)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (
+                F.element_at(vec, (i + F.lit(j * sub)).cast("int"))
+                - F.element_at(
+                    cvec, i.cast("int") if sub_rel else (i + F.lit(j * sub)).cast("int")
+                )
+            )
+            * (
+                F.element_at(vec, (i + F.lit(j * sub)).cast("int"))
+                - F.element_at(
+                    cvec, i.cast("int") if sub_rel else (i + F.lit(j * sub)).cast("int")
+                )
+            ),
+        )
+
+    # --- PQ codebooks: sampled init (n_pq lowest-id residuals as
+    # codewords, one-row broadcast array ordered by id so position =
+    # code id) + one Lloyd refinement per (subspace, code).
+    sv1 = (
+        res.orderBy("id")
+        .limit(n_pq)
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("id"), F.col("r")))).alias("sv"))
+    )
+
+    def code0_expr(jj: int) -> Column:
+        # index lambda: position in sv IS the init code id
+        return F.array_min(
+            F.zip_with(
+                F.col("sv"),
+                F.sequence(F.lit(0), F.size(F.col("sv")) - 1),
+                lambda s, p: F.struct(
+                    dsub(F.col("r"), s["r"], jj, sub_rel=False).alias("d"),
+                    p.alias("pcell"),
+                ),
+            )
+        )["pcell"]
+
+    ex = (
+        res.crossJoin(F.broadcast(sv1))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            code0_expr(j).alias("code"),
+                            F.slice(F.col("rq"), j * sub + 1, sub).alias("sq"),
+                        )
+                        for j in range(m_sub)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("e.j", "e.code", "e.sq")
+    )
+    ref = ex.groupBy("j", "code").agg(
+        *[F.sum(F.col("sq")[i]).alias(f"s{i}") for i in range(sub)],
+        F.count(F.lit(1)).alias("n"),
+    )
+    pcent = ref.select(
+        "j",
+        F.col("code").alias("pcell"),
+        F.array(
+            *[F.col(f"s{i}") / (F.col("n") * F.lit(scale)) for i in range(sub)]
+        ).alias("c"),
+    )
+    pq1 = pcent.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("j"), F.col("pcell"), F.col("c")))
+        ).alias("pq")
+    )
+
+    def code_expr(jj: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.filter(F.col("pq"), lambda s: s["j"] == jj),
+                lambda s: F.struct(
+                    dsub(F.col("r"), s["c"], jj, sub_rel=True).alias("d"),
+                    s["pcell"].alias("pcell"),
+                ),
+            )
+        )["pcell"]
+
+    def pq_c(jj: int) -> Column:
+        return F.element_at(
+            F.filter(
+                F.col("pq"),
+                lambda s: (s["j"] == jj) & (s["pcell"] == F.col(f"code{jj}")),
+            ),
+            1,
+        )["c"]
+
+    # query residual per coarse cell (in-row against the broadcast array)
+    q_res = F.zip_with(qlit, my_c, lambda x, c: x - c)
+
+    probeset = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("coarse"),
+                    lambda s: F.struct(
+                        _sqd(qlit, s["c"]).alias("qd"), s["cell"].alias("cell")
+                    ),
+                )
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: s["cell"],
+    )
+
+    enc = (
+        res.crossJoin(F.broadcast(coarse1))
+        .where(F.array_contains(probeset, F.col("cell")))
+        .crossJoin(F.broadcast(pq1))
+        .withColumn("qr", q_res)
+    )
+    dist_total = None
+    code_cols = []
+    for j in range(m_sub):
+        enc = enc.withColumn(f"code{j}", code_expr(j))
+        dj = dsub(F.col("qr"), pq_c(j), j, sub_rel=True)
+        dist_total = dj if dist_total is None else dist_total + dj
+        code_cols.append(f"code{j}")
+    codes_str = F.concat_ws(
+        "-", *[F.col(c).cast("string") for c in code_cols]
+    ).alias("codes")
+    scored = enc.withColumn("adc_raw", dist_total)
+    if rerank_n and rerank_n > 0:
+        short = scored.orderBy("adc_raw", "id").limit(rerank_n)
+        return (
+            short.select(
+                "id",
+                "cell",
+                codes_str,
+                trunc6(F.col("adc_raw")).alias("adc_dist"),
+                trunc6(cosine(F.col("v"), qlit)).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("id"))
+            .limit(k)
+        )
+    return (
+        scored.orderBy("adc_raw", "id")
+        .limit(k)
+        .select(
+            "id",
+            "cell",
+            codes_str,
+            trunc6(F.col("adc_raw")).alias("adc_dist"),
+        )
+    )
+
+
 def pca_power_topk(
     df: DataFrame,
     dim: int,

@@ -58,6 +58,9 @@ SCALAR_CROSS_WHITELIST = {
     "text_bpe_merges",  # winning-pair argmax: 1 row per merge round
     "text_bpe_encode",  # same trained-vocab chain under the encode join
     "sim_pq_topk",  # codebook table: m_sub*n_cells=16 centroids, 1 row
+    "sim_ivfpq_topk",  # coarse (8) + seed (8) + PQ codebook (<=32) tables,
+    # each collapsed to ONE broadcast row before the cross — the
+    # composed index attaches three bounded quantizer states per row
     "sketch_histogram_quantile",  # min/max/n scalar: 1 row; bin array: ≤128
     "graph_triangle_count",  # n_vertices/n_edges count scalars: 1 row each
     "mix_temperature_domains",  # total-tokens / total-weight scalars: 1 row
