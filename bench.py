@@ -74,10 +74,11 @@ def main() -> None:
     # would still overflow — only the slowest entries (the sub-0.3s tail
     # carries no perf signal). The complete 3-decimal map always lands in
     # BENCH_FULL.json beside this script.
-    with open(
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-        "w",
-    ) as f:
+    )
+    with open(out_path, "w") as f:
         json.dump(
             {"metric": "total_query_wall_clock", "value": round(total, 3),
              "unit": "sec", "queries": timings, "sf": sf},

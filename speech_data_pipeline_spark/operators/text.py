@@ -402,12 +402,48 @@ def bpe_train_merges(
     count and the merge — would otherwise re-evaluate the chain
     2^rounds times, the same checkpoint rule as the Lloyd loop).
 
+    The pair-count table is maintained INCREMENTALLY (the classic
+    delta trick every fast BPE trainer uses): after merging (a, b),
+    only words whose symbol string contains `` a  b `` change, so each
+    round subtracts the affected words' old pairs, adds their new
+    pairs, and folds the delta into the standing count table — instead
+    of re-exploding every word's pairs every round. Identical counts
+    by construction (unaffected words contribute unchanged), so the
+    greedy trajectory — and the chained-CTE oracle that replays a full
+    recount per round — is unchanged; only the per-round cost drops
+    from O(corpus vocab) to O(affected words).
+
     Returns ``(round, left, right, pair_count)`` — the merge table a
     tokenizer ships. :func:`bpe_train` additionally returns the
     trained word table for encoding.
     """
     merges, _ = bpe_train(df, n_merges, text_col)
     return merges
+
+
+def _pair_counts(frame: DataFrame, weight_col: str = "freq") -> DataFrame:
+    """Adjacent-symbol pair counts of a ``(freq, w)`` word table,
+    weighted by ``weight_col`` (negative weights = retraction rows for
+    the delta update). ``w`` is the double-space symbol string."""
+    syms = F.filter(F.split("w", " "), lambda x: x != "")
+    n = F.size(syms)
+    return (
+        frame.select(
+            F.col(weight_col).alias("_wt"),
+            F.explode(
+                F.when(
+                    n >= 2,
+                    F.zip_with(
+                        F.slice(syms, 1, n - 1),
+                        F.slice(syms, 2, n - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p"),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("_wt").alias("c"))
+    )
 
 
 def bpe_train(
@@ -434,38 +470,27 @@ def bpe_train(
     )
     outs = []
     kept = []
+    # standing pair-count table, delta-maintained across rounds (see
+    # bpe_train_merges docstring): ONE full count up front, then each
+    # round touches only the words containing the merged pair.
+    pc = None
+    # sentinel row (c=-1, NUL symbols): when a round finds NO pairs
+    # (fully merged / single-char corpus) the argmax survives as the
+    # sentinel, whose replace() pattern cannot occur — the round is
+    # a no-op instead of crossJoining an EMPTY table and silently
+    # wiping the vocab. Any real pair (c >= 1) outranks it.
+    sentinel = df.sparkSession.createDataFrame(
+        [("\x00", "\x00", -1)], "a string, b string, c long"
+    )
     for rnd in range(1, n_merges + 1):
         vocab = vocab.persist()
         kept.append(vocab)
-        syms = F.filter(F.split("w", " "), lambda x: x != "")
-        n = F.size(syms)
-        pairs = (
-            vocab.select(
-                "freq",
-                F.explode(
-                    F.when(
-                        n >= 2,
-                        F.zip_with(
-                            F.slice(syms, 1, n - 1),
-                            F.slice(syms, 2, n - 1),
-                            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-                        ),
-                    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-                ).alias("p"),
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("c"))
-        )
-        # sentinel row (c=-1, NUL symbols): when a round finds NO pairs
-        # (fully merged / single-char corpus) the argmax survives as the
-        # sentinel, whose replace() pattern cannot occur — the round is
-        # a no-op instead of crossJoining an EMPTY table and silently
-        # wiping the vocab. Any real pair (c >= 1) outranks it.
-        sentinel = df.sparkSession.createDataFrame(
-            [("\x00", "\x00", -1)], "a string, b string, c long"
-        )
+        if pc is None:
+            pc = _pair_counts(vocab)
+        pc = pc.persist()
+        kept.append(pc)
         top = (
-            pairs.unionByName(sentinel)
+            pc.unionByName(sentinel)
             .orderBy(F.col("c").desc(), "a", "b")
             .limit(1)
         )
@@ -476,6 +501,34 @@ def bpe_train(
                 F.col("b").alias("right"),
                 F.col("c").alias("pair_count"),
             )
+        )
+        # delta update: affected words' old pairs retracted (-freq),
+        # their post-merge pairs added (+freq); everything else keeps
+        # its standing count. Zero-count pairs drop out of the table
+        # (they can never win the argmax, and keeping them would grow
+        # the table with dead rows).
+        aff = (
+            vocab.crossJoin(F.broadcast(top))
+            .where(F.expr("contains(w, ' ' || a || '  ' || b || ' ')"))
+            .select(
+                "word",
+                "freq",
+                "w",
+                F.expr(
+                    "replace(w, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')"
+                ).alias("w_new"),
+            )
+            .persist()
+        )
+        kept.append(aff)
+        old_neg = _pair_counts(aff.select((-F.col("freq")).alias("freq"), "w"))
+        new_pos = _pair_counts(aff.select("freq", F.col("w_new").alias("w")))
+        pc = (
+            pc.unionByName(old_neg)
+            .unionByName(new_pos)
+            .groupBy("a", "b")
+            .agg(F.sum("c").alias("c"))
+            .where(F.col("c") > 0)
         )
         vocab = vocab.crossJoin(F.broadcast(top)).select(
             "word",

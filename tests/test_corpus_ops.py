@@ -439,3 +439,61 @@ def test_bpe_overlapping_same_symbol_pairs(spark):
     assert got[0] == (1, "a", "a", 4)  # 2 adjacent pairs x 2 words
     # after 'aaa' -> 'aa a': pairs are (aa, a) x2
     assert got[1] == (2, "aa", "a", 2)
+
+
+def _bpe_reference(word_freqs, n_merges):
+    """Pure-Python greedy BPE on a word-frequency dict — independent
+    replay of the trained trajectory (count desc, left asc, right asc
+    ties; greedy leftmost non-overlapping merge within a word)."""
+    from collections import Counter
+
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        counts = Counter()
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            i = 0
+            while i < len(syms) - 1:
+                counts[(syms[i], syms[i + 1])] += f
+                i += 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), c = best
+        merges.append((rnd, a, b, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_delta_counts_match_reference_deep_trajectory(spark):
+    """8-round trajectory on the real sf0.001 documents table ==
+    an independent pure-Python greedy BPE on the same word counts.
+    This pins the DELTA-maintained pair-count table (only words
+    containing the merged pair are re-counted each round) to the
+    from-scratch recount semantics across a merge depth where a
+    single stale count would diverge the greedy choice."""
+    import re as _re
+
+    from speech_data_pipeline_spark.operators.text import bpe_train_merges
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(docs, n_merges=8).orderBy("round").collect()
+    ]
+    freqs = {}
+    for (text,) in docs.select("text").collect():
+        for w in _re.findall(r"[a-z]+", text.lower()):
+            freqs[w] = freqs.get(w, 0) + 1
+    assert got == _bpe_reference(freqs, 8)
