@@ -397,21 +397,20 @@ def bpe_train_merges(
     whole trajectory replays as chained CTEs.
 
     Fully declarative: the winning pair is a broadcast one-row argmax
-    (``orderBy().limit(1)``), never a driver round-trip; each round's
-    vocab is persisted (two downstream branches per round — the pair
-    count and the merge — would otherwise re-evaluate the chain
-    2^rounds times, the same checkpoint rule as the Lloyd loop).
+    (``orderBy().limit(1)``), never a driver round-trip.
 
-    The pair-count table is maintained INCREMENTALLY (the classic
-    delta trick every fast BPE trainer uses): after merging (a, b),
-    only words whose symbol string contains `` a  b `` change, so each
-    round subtracts the affected words' old pairs, adds their new
-    pairs, and folds the delta into the standing count table — instead
-    of re-exploding every word's pairs every round. Identical counts
-    by construction (unaffected words contribute unchanged), so the
-    greedy trajectory — and the chained-CTE oracle that replays a full
-    recount per round — is unchanged; only the per-round cost drops
-    from O(corpus vocab) to O(affected words).
+    Per-round cost is BOUNDED by eager lineage truncation: each
+    round's vocab (and the one-row winning pair) is
+    ``localCheckpoint(eager=True)``-ed, so round N's plan always reads
+    a materialized vocab-sized table — never a chain of N crossJoins —
+    and the wall time is linear in ``n_merges``. (A delta-maintained
+    pair-count table — the classic single-machine BPE trick — is a
+    pessimization here: locating the affected words still scans the
+    whole vocab, exactly what the recount costs, while tripling the
+    per-round shuffles; measured 22× slower at sf0.1.) Recounting from
+    the checkpointed vocab is one map-side explode + one vocab-sized
+    groupBy per round, and the corpus-sized work remains the single
+    up-front word count.
 
     Returns ``(round, left, right, pair_count)`` — the merge table a
     tokenizer ships. :func:`bpe_train` additionally returns the
@@ -469,11 +468,6 @@ def bpe_train(
         ).alias("w"),
     )
     outs = []
-    kept = []
-    # standing pair-count table, delta-maintained across rounds (see
-    # bpe_train_merges docstring): ONE full count up front, then each
-    # round touches only the words containing the merged pair.
-    pc = None
     # sentinel row (c=-1, NUL symbols): when a round finds NO pairs
     # (fully merged / single-char corpus) the argmax survives as the
     # sentinel, whose replace() pattern cannot occur — the round is
@@ -482,17 +476,21 @@ def bpe_train(
     sentinel = df.sparkSession.createDataFrame(
         [("\x00", "\x00", -1)], "a string, b string, c long"
     )
+    # eager localCheckpoint per round: the iterate is materialized to
+    # block storage and its lineage CUT, so round N's plan is always
+    # "scan one vocab-sized table", not an N-deep crossJoin chain —
+    # the standard fixed-point-iteration rule (same as the Lloyd
+    # loop). Dropped iterates are reclaimed by the ContextCleaner when
+    # the Python references go out of scope; the table is
+    # distinct-word-sized (bounded by Heaps' law), not corpus-sized.
+    vocab = vocab.localCheckpoint(eager=True)
     for rnd in range(1, n_merges + 1):
-        vocab = vocab.persist()
-        kept.append(vocab)
-        if pc is None:
-            pc = _pair_counts(vocab)
-        pc = pc.persist()
-        kept.append(pc)
         top = (
-            pc.unionByName(sentinel)
+            _pair_counts(vocab)
+            .unionByName(sentinel)
             .orderBy(F.col("c").desc(), "a", "b")
             .limit(1)
+            .localCheckpoint(eager=True)  # 1 row; reused by 2 branches
         )
         outs.append(
             top.where(F.col("c") > 0).select(
@@ -502,45 +500,17 @@ def bpe_train(
                 F.col("c").alias("pair_count"),
             )
         )
-        # delta update: affected words' old pairs retracted (-freq),
-        # their post-merge pairs added (+freq); everything else keeps
-        # its standing count. Zero-count pairs drop out of the table
-        # (they can never win the argmax, and keeping them would grow
-        # the table with dead rows).
-        aff = (
+        vocab = (
             vocab.crossJoin(F.broadcast(top))
-            .where(F.expr("contains(w, ' ' || a || '  ' || b || ' ')"))
             .select(
                 "word",
                 "freq",
-                "w",
                 F.expr(
                     "replace(w, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')"
-                ).alias("w_new"),
+                ).alias("w"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        kept.append(aff)
-        old_neg = _pair_counts(aff.select((-F.col("freq")).alias("freq"), "w"))
-        new_pos = _pair_counts(aff.select("freq", F.col("w_new").alias("w")))
-        pc = (
-            pc.unionByName(old_neg)
-            .unionByName(new_pos)
-            .groupBy("a", "b")
-            .agg(F.sum("c").alias("c"))
-            .where(F.col("c") > 0)
-        )
-        vocab = vocab.crossJoin(F.broadcast(top)).select(
-            "word",
-            "freq",
-            F.expr(
-                "replace(w, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')"
-            ).alias("w"),
-        )
-    vocab = vocab.persist()
-    vocab.count()  # eager: materialize the chain before dropping it
-    for prev in kept:
-        prev.unpersist(blocking=False)
     if not outs:  # n_merges=0: empty merge table, untouched vocab
         schema = "round int, left string, right string, pair_count long"
         return df.sparkSession.createDataFrame([], schema), vocab
