@@ -340,6 +340,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def _span_token_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, t, n_toks)`` word-token table shared by the substring-span
+    operators: lowercase ``[a-z]+`` runs, exactly the tokenizer the
+    DuckDB oracles replay."""
+    t = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1)
+    return df.select(F.col(id_col).alias("id"), t.alias("t")).select(
+        "id", "t", F.size("t").alias("n_toks")
+    )
+
+
+def _dup_gram_positions(base: DataFrame, n: int, min_count: int) -> DataFrame:
+    """``(id, pos)`` of every word ``n``-gram start whose gram occurs
+    ``min_count``+ times corpus-wide (1-based ``pos``). Grams are
+    hashed IN-ROW to 60-bit md5-prefix bigints before the explode, so
+    the one gram-key shuffle carries bigints, never gram strings; the
+    occurrence count is a window over that same key (no second scan)."""
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                # sequence(1, 0) would run DESCENDING in Spark — guard
+                # short docs to an explicit empty start list.
+                F.when(
+                    F.size("t") >= n,
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, n))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("p0", "gh"),
+    ).select("id", (F.col("p0") + 1).alias("pos"), "gh")
+    w_g = Window.partitionBy("gh")
+    return (
+        grams.withColumn("_c", F.count(F.lit(1)).over(w_g))
+        .where(F.col("_c") >= min_count)
+        .select("id", "pos")
+    )
+
+
 def duplicated_span_stats(
     df: DataFrame,
     n: int = 5,
@@ -380,39 +424,8 @@ def duplicated_span_stats(
     via nibble folding), all arithmetic integer, final fraction
     trunc6.
     """
-    t = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1)
-    base = df.select(F.col(id_col).alias("id"), t.alias("t")).select(
-        "id", "t", F.size("t").alias("n_toks")
-    )
-    grams = base.select(
-        "id",
-        "n_toks",
-        F.posexplode(
-            F.transform(
-                # sequence(1, 0) would run DESCENDING in Spark — guard
-                # short docs to an explicit empty start list.
-                F.when(
-                    F.size("t") >= n,
-                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
-                ).otherwise(F.array().cast("array<int>")),
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, n))), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-            )
-        ).alias("p0", "gh"),
-    ).select("id", "n_toks", (F.col("p0") + 1).alias("pos"), "gh")
-    # occurrences per gram hash as a window count over the hash key:
-    # one shuffle serves both the count and the filter-back.
-    w_g = Window.partitionBy("gh")
-    dup = (
-        grams.withColumn("_c", F.count(F.lit(1)).over(w_g))
-        .where(F.col("_c") >= min_count)
-        .select("id", "pos")
-    )
+    base = _span_token_base(df, id_col, text_col)
+    dup = _dup_gram_positions(base, n, min_count)
     w_d = Window.partitionBy("id").orderBy("pos")
     spans = (
         dup.withColumn("prev", F.lag("pos").over(w_d))
@@ -451,5 +464,85 @@ def duplicated_span_stats(
                     F.coalesce(F.col("_cov"), F.lit(0)) / F.col("n_toks"),
                 ).otherwise(F.lit(0.0))
             ).alias("dup_tok_frac"),
+        )
+    )
+
+
+def duplicated_span_clean(
+    df: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-span EXCISION (the production half of Lee et
+    al. 2021: :func:`duplicated_span_stats` measures, this one
+    removes). Every token covered by a duplicated merged span is cut
+    and the survivors re-joined with single spaces.
+
+    Output: ``(id_col, n_toks, n_removed, clean_text)`` — one row per
+    input document; ``n_removed`` is the covered-token count (so
+    cleaned length = ``n_toks - n_removed``).
+
+    Plan shape (scales): shares :func:`_dup_gram_positions`' two
+    shuffles (gram hash, then doc id). Span merging is the same lag
+    window; covered indexes come from exploding each merged span's
+    ``sequence(start, end)`` — spans are disjoint by construction
+    (merge rule gap > ``n`` ⇒ next start ≥ prev end + 2), so the
+    explode emits every removed index exactly once, Σ ≤ corpus
+    tokens. The per-document removal set is re-collected as a MAP and
+    each token probes it O(1) (an ``array_contains`` per token would
+    be O(removed) per token — quadratic on a fully-duplicated doc).
+    Collected arrays are per-document-sized, the same row-width
+    contract as the source text column itself.
+    """
+    base = _span_token_base(df, id_col, text_col)
+    dup = _dup_gram_positions(base, n, min_count)
+    w_d = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        dup.withColumn("prev", F.lag("pos").over(w_d))
+        .withColumn(
+            "is_start",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > n),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("sid", F.sum("is_start").over(w_d))
+        .groupBy("id", "sid")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + (n - 1)).alias("e"),
+        )
+    )
+    rm = (
+        spans.select("id", F.explode(F.sequence("s", "e")).alias("idx"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_removed"),
+            F.map_from_arrays(
+                F.collect_list("idx"),
+                F.transform(F.collect_list("idx"), lambda _: F.lit(True)),
+            ).alias("rmm"),
+        )
+    )
+    return (
+        base.join(rm, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_toks",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    "t",
+                    lambda x, i: F.element_at(
+                        F.coalesce(
+                            F.col("rmm"), F.expr("map()").cast("map<int,boolean>")
+                        ),
+                        i + 1,
+                    ).isNull(),
+                ),
+            ).alias("clean_text"),
         )
     )

@@ -88,6 +88,80 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicated_span_stats(d, n=_SPAN_N, min_count=2)
 
 
+@query(
+    "dedup_substring_clean",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS n_toks FROM toks
+    ), grams AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(t) - {_SPAN_N - 1}, 0) + 1)) AS pos,
+             t
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id, pos,
+             {_hex15_sql(
+                 "md5(array_to_string(list_slice(t, CAST(pos AS INTEGER), "
+                 f"CAST(pos AS INTEGER) + {_SPAN_N - 1}), ' '))"
+             )} AS gh
+      FROM grams
+    ), dup AS (
+      SELECT doc_id, pos
+      FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS c
+            FROM hashed)
+      WHERE c >= 2
+    ), marks AS (
+      SELECT doc_id, pos,
+             CASE WHEN prev IS NULL OR pos - prev > {_SPAN_N}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM dup)
+    ), spanid AS (
+      SELECT doc_id, pos,
+             sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      FROM marks
+    ), spans AS (
+      SELECT doc_id, sid, min(pos) AS s, max(pos) + {_SPAN_N - 1} AS e
+      FROM spanid GROUP BY doc_id, sid
+    ), rm AS (
+      SELECT doc_id, unnest(range(s, e + 1)) AS idx FROM spans
+    ), tokpos AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(range(1, len(t) + 1)) AS idx
+      FROM toks
+    ), cleaned AS (
+      SELECT p.doc_id,
+             count(r.idx) AS n_removed,
+             coalesce(array_to_string(
+                 list(p.tok ORDER BY p.idx) FILTER (WHERE r.idx IS NULL),
+                 ' '), '') AS clean_text
+      FROM tokpos p LEFT JOIN rm r
+        ON p.doc_id = r.doc_id AND p.idx = r.idx
+      GROUP BY p.doc_id
+    )
+    SELECT b.doc_id,
+           b.n_toks,
+           CAST(coalesce(c.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(c.clean_text, '') AS clean_text
+    FROM base b LEFT JOIN cleaned c USING (doc_id)
+    """,
+)
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-span EXCISION (Lee et al. 2021's actual dedup step):
+    cut every token covered by a duplicated merged span and emit the
+    cleaned text — the production operator whose statistics
+    ``dedup_substring_spans`` reports. The oracle replays gram
+    hashing, span merge, index expansion, and an ordered
+    filtered-list re-join, so the cleaned STRINGS hash-match, not
+    just the counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.duplicated_span_clean(d, n=_SPAN_N, min_count=2)
+
+
 #: Hash-embedding geometry + the literal search query.
 _HE_DIM = 64
 _HE_QUERY = "fast hash join over sorted columns"
