@@ -517,6 +517,56 @@ def j_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j_asof_null_payload",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'click'
+    ), views AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN count(*) % 2 = 0 THEN NULL ELSE max(value) END AS v1,
+             min(event_id) AS v2
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, epoch_us(ts)
+    )
+    SELECT c.event_id, c.user_id, c.ts_us,
+           v.v1 AS asof_v1, v.v2 AS asof_v2
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
+    """,
+)
+def j_asof_null_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with NULLABLE multi-column right payloads — pins the
+    round-3 fix (operators/intervals.py asof_join): all payload
+    columns ride ONE carried struct, so a matched row whose payload
+    field is NULL yields that NULL, instead of ``last(ignorenulls)``
+    silently substituting the field from an OLDER row (mixed-payload
+    rows). Half the view rows carry a NULL v1 next to a non-NULL v2 —
+    exactly the shape that exposed the defect — and the oracle is
+    DuckDB's native ASOF LEFT JOIN, which always returns both fields
+    from the single matched row."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.expr("ts div 1000").alias("ts_us"))
+        .agg(
+            F.when(F.count(F.lit(1)) % 2 == 0, F.lit(None).cast("double"))
+            .otherwise(F.max("value"))
+            .alias("v1"),
+            F.min("event_id").alias("v2"),
+        )
+    )
+    out = iv_ops.asof_join(
+        clicks, views, key="user_id", left_ts="ts_us", right_ts="ts_us",
+        payload_cols=("v1", "v2"),
+    )
+    return out.select("event_id", "user_id", "ts_us", "asof_v1", "asof_v2")
+
+
+@query(
     "w3_sweepline_counts",
     oracle=f"""
     {_IV}, ev AS (
