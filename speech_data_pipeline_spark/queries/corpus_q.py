@@ -36,10 +36,21 @@ _CW_W = 32
 _CW_S = 24
 
 
-def _shard_expr() -> "F.Column":
+def _shard_expr(n_shards: int | None = None) -> "F.Column":
     """Seeded-md5 shard key (shared by shuffle_shard_manifest and the
     governed-mix capstone — ONE definition so the shard convention
-    cannot silently fork)."""
+    cannot silently fork).
+
+    CONTRACT (requirement, not a note): ``n_shards`` must scale with
+    the CLUSTER (≥ executor count), never stay fixed as the corpus
+    grows — each shard is sorted by one task, so at a fixed shard
+    count the per-shard sort grows linearly with the corpus and the
+    manifest's only anti-pattern (shards ≪ executors) appears. The
+    permutation SEMANTICS are shard-count-independent (see
+    ``shard_permutation``): within-shard order is always the global
+    ``(posk, doc_id)`` order restricted to the shard, so re-sharding a
+    grown corpus with a bigger count preserves every co-sharded pair's
+    relative order (pinned by tests/test_corpus_ops.py)."""
     return (
         F.conv(
             F.substring(
@@ -50,8 +61,25 @@ def _shard_expr() -> "F.Column":
             16,
             10,
         ).cast("long")
-        % _SHUF_SHARDS
+        % (n_shards if n_shards is not None else _SHUF_SHARDS)
     )
+
+
+def shard_permutation(d: DataFrame, n_shards: int | None = None) -> DataFrame:
+    """``(doc_id, n_tokens, shard, pos)`` — the deterministic global
+    training shuffle underlying shuffle_shard_manifest, at any shard
+    count: shard = seeded-md5 bucket, pos = row_number over a SECOND
+    seeded md5 within the shard. Ordering is defined globally by
+    ``(posk, doc_id)`` and sharding only partitions it, so the
+    permutation is reproducible and shard-count-stable."""
+    sharded = d.select(
+        "doc_id",
+        (F.floor(F.col("n_chars") / F.lit(4.0)).cast("long") + 1).alias("n_tokens"),
+        _shard_expr(n_shards).alias("shard"),
+        F.md5(F.concat(F.lit("pos:"), F.col("doc_id").cast("string"))).alias("posk"),
+    )
+    w = Window.partitionBy("shard").orderBy("posk", "doc_id")
+    return sharded.withColumn("pos", F.row_number().over(w))
 
 
 def _bucket(col_sql: str = "doc_id") -> F.Column:
@@ -229,17 +257,16 @@ def shuffle_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each shard orders independently (per-shard window), so the
     plan parallelizes across shards at any scale — the manifest
     checksum (Σ doc_id·pos) pins the exact within-shard order
-    cross-engine without materializing it."""
+    cross-engine without materializing it.
+
+    REQUIRED: the shard count scales with the cluster, not the corpus
+    (see ``_shard_expr``'s contract) — at a fixed count the per-shard
+    sort is the plan's only unbounded partition. Re-sharding with a
+    bigger count is order-safe: co-sharded pairs keep their relative
+    order at every count."""
     d = load_table(spark, sf_dir, "documents")
-    sharded = d.select(
-        "doc_id",
-        (F.floor(F.col("n_chars") / F.lit(4.0)).cast("long") + 1).alias("n_tokens"),
-        _shard_expr().alias("shard"),
-        F.md5(F.concat(F.lit("pos:"), F.col("doc_id").cast("string"))).alias("posk"),
-    )
-    w = Window.partitionBy("shard").orderBy("posk", "doc_id")
     return (
-        sharded.withColumn("pos", F.row_number().over(w))
+        shard_permutation(d)
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -475,13 +475,12 @@ def _bpe_reference(word_freqs, n_merges):
     return merges
 
 
-def test_bpe_delta_counts_match_reference_deep_trajectory(spark):
+def test_bpe_counts_match_reference_deep_trajectory(spark):
     """8-round trajectory on the real sf0.001 documents table ==
-    an independent pure-Python greedy BPE on the same word counts.
-    This pins the DELTA-maintained pair-count table (only words
-    containing the merged pair are re-counted each round) to the
-    from-scratch recount semantics across a merge depth where a
-    single stale count would diverge the greedy choice."""
+    an independent pure-Python greedy BPE on the same word counts —
+    a merge depth where a single wrong count would diverge the
+    greedy choice (also exercises the per-round localCheckpoint
+    lineage truncation past the oracle's 5 rounds)."""
     import re as _re
 
     from speech_data_pipeline_spark.operators.text import bpe_train_merges
@@ -497,3 +496,53 @@ def test_bpe_delta_counts_match_reference_deep_trajectory(spark):
         for w in _re.findall(r"[a-z]+", text.lower()):
             freqs[w] = freqs.get(w, 0) + 1
     assert got == _bpe_reference(freqs, 8)
+
+
+def test_shard_permutation_stable_across_shard_counts(spark):
+    """The training-shuffle contract behind shuffle_shard_manifest
+    (VERDICT r3 #9): within-shard order is the GLOBAL (posk, doc_id)
+    order restricted to the shard, at ANY shard count — so growing the
+    shard count with the cluster re-shards without changing any
+    co-sharded pair's relative order."""
+    from speech_data_pipeline_spark.queries.corpus_q import shard_permutation
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # global reference order, independent of sharding
+    ref = [
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id",
+            F.md5(F.concat(F.lit("pos:"), F.col("doc_id").cast("string"))).alias(
+                "posk"
+            ),
+        )
+        .orderBy("posk", "doc_id")
+        .collect()
+    ]
+    rank = {d: i for i, d in enumerate(ref)}
+    orders = {}
+    for n_shards in (8, 32):
+        rows = shard_permutation(docs, n_shards).collect()
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append((r["pos"], r["doc_id"]))
+        assert len(by_shard) == n_shards
+        for shard, lst in by_shard.items():
+            seq = [d for _, d in sorted(lst)]
+            # per-shard order == global order restricted to the shard
+            assert seq == sorted(seq, key=rank.__getitem__)
+        orders[n_shards] = {
+            r["doc_id"]: (r["shard"], r["pos"]) for r in rows
+        }
+    # co-sharded pairs keep relative order across the two counts
+    o8, o32 = orders[8], orders[32]
+    checked = 0
+    for a in ref[:200]:
+        for b in ref[:200]:
+            if a >= b:
+                continue
+            if o8[a][0] == o8[b][0] and o32[a][0] == o32[b][0]:
+                assert (o8[a][1] < o8[b][1]) == (o32[a][1] < o32[b][1])
+                checked += 1
+    assert checked > 100
