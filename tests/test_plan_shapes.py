@@ -77,6 +77,10 @@ SCALAR_CROSS_WHITELIST = {
     "chisq_type_by_day",  # grand-total scalar: 1 row
     "rfm_customer_segments",  # now + quartile-threshold scalars: 1 row each
     "text_pmi_collocations",  # corpus word/pair totals: 1 row each
+    "text_language_trigram",  # 5-row language list crossed onto ≤k
+    # doc-profile rows — bounded ×|langs| fanout, never corpus×corpus
+    "layout_zorder_pruned_read",  # bucket-count scalars (≤64-row
+    # manifest aggregates) attached to the 1-row result
 }
 
 

