@@ -910,24 +910,35 @@ def stream_trending_topk(
 
     Per micro-batch (foreachBatch):
 
-    1. count the batch's keys (one grouped agg);
-    2. read the latest counter snapshot ``state_path/v=<n>``, decay it
-       by an integer right-shift (``decay_shift=1`` halves per batch —
+    1. REPLAY GUARD: snapshots are versioned by ``batch_id``
+       (``state_path/v=<batch_id>``); if this batch's snapshot already
+       exists, the batch completed before a crash/restart — return
+       without touching state or output. foreachBatch is only
+       at-least-once, so exactly-once comes from this idempotence, not
+       from Spark;
+    2. count the batch's keys (one grouped agg);
+    3. read the LATEST existing snapshot (the previous batch — batch
+       ids are monotone under a preserved checkpoint), decay it by an
+       integer right-shift (``decay_shift=1`` halves per batch —
        bucketed exponential decay, exact under any fold order, same
        rationale as the batch engagement_decay_score), and outer-merge
        the batch counts;
-    3. write the merged counters as snapshot ``v=<n+1>`` (never
-       overwriting the snapshot being read — the lakehouse
-       copy-on-write pattern; compaction/vacuum of old versions is the
-       table format's job);
-    4. append the snapshot's top-``k`` (count desc, key) to
-       ``out_path`` tagged with the batch id.
+    4. write the snapshot's top-``k`` (count desc, key) to
+       ``out_path/batch=<batch_id>`` with OVERWRITE (re-executed
+       batches rewrite the identical partition, never append dupes);
+    5. write the merged counters as snapshot ``v=<batch_id>`` — the
+       COMMIT POINT, written last: a crash anywhere earlier replays
+       the whole batch from the same checkpointed file set; a crash
+       after it makes the replay a no-op via the guard. Never
+       overwrites the snapshot being read (lakehouse copy-on-write;
+       compaction/vacuum of old versions is the table format's job).
 
     Scale shape: counters are key-cardinality rows in parquet —
     distributed state, never a driver dict; decay+merge is one outer
     join; zero-count keys are dropped so the table self-prunes.
     Deterministic end to end (integer counters, lexicographic
-    tie-breaks) — pinned against a sequential replay in
+    tie-breaks) — pinned against a sequential replay AND across a
+    kill/restart plus a simulated replayed batch in
     tests/test_streaming.py.
     """
 
@@ -952,8 +963,15 @@ def stream_trending_topk(
         except Exception:
             return -1
 
+    def version_exists(spark: SparkSession, v: int) -> bool:
+        p = spark._jvm.org.apache.hadoop.fs.Path(f"{state_path}/v={v}")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if version_exists(spark, batch_id):
+            return  # replayed batch: state + output already durable
         batch_cnt = batch_df.groupBy(key_col).agg(
             F.count(F.lit(1)).alias("bc")
         )
@@ -976,15 +994,20 @@ def stream_trending_topk(
                 ).alias("cnt"),
             )
             .where(F.col("cnt") > 0)
+            .persist()
         )
-        merged.write.mode("overwrite").parquet(f"{state_path}/v={v + 1}")
-        top = (
-            spark.read.parquet(f"{state_path}/v={v + 1}")
-            .orderBy(F.col("cnt").desc(), key_col)
-            .limit(k)
-            .withColumn("batch_id", F.lit(batch_id))
-        )
-        top.write.mode("append").parquet(out_path)
+        try:
+            top = (
+                merged.orderBy(F.col("cnt").desc(), key_col)
+                .limit(k)
+                .withColumn("batch_id", F.lit(batch_id))
+            )
+            top.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+            # commit point LAST: once v=<batch_id> lands, a replay of
+            # this batch is a no-op
+            merged.write.mode("overwrite").parquet(f"{state_path}/v={batch_id}")
+        finally:
+            merged.unpersist(blocking=False)
 
     return (
         events.writeStream.foreachBatch(process)

@@ -754,3 +754,170 @@ def test_stream_trending_topk_matches_replay(spark):
     for b in expect:
         assert sorted(got[b]) == sorted(expect[b]), (b, got[b], expect[b])
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_trending_topk_restart_and_replay_exactly_once(spark):
+    """Kill/restart recovery for the versioned side-table state
+    (VERDICT r3 #6): (a) a restart from the checkpoint processes only
+    NEW files and the final counters equal one sequential replay; (b)
+    a re-executed batch (foreachBatch is at-least-once) is a NO-OP —
+    state versions are keyed by batch_id and guarded, outputs are
+    overwrite-partitioned — so state is exactly-once end to end."""
+    import os
+    import time
+    from collections import Counter
+
+    from speech_data_pipeline_spark.streaming.ingest import stream_trending_topk
+
+    batches = [
+        ["a"] * 8 + ["b"] * 4 + ["c"] * 2,
+        ["b"] * 10 + ["c"] * 1,
+        ["c"] * 6,
+    ]
+    tmp = tempfile.mkdtemp()
+    landing = f"{tmp}/stream"
+    os.makedirs(landing)
+
+    def land(i, keys):
+        spark.createDataFrame(
+            [(j, kk) for j, kk in enumerate(keys)],
+            "event_id long, event_type string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/land/b{i}")
+        src = [
+            f for f in os.listdir(f"{tmp}/land/b{i}") if f.endswith(".parquet")
+        ][0]
+        shutil.copy(f"{tmp}/land/b{i}/{src}", f"{landing}/{i:03d}.parquet")
+
+    def run():
+        sdf = spark.readStream.schema(
+            "event_id long, event_type string"
+        ).parquet(landing)
+        q = stream_trending_topk(
+            sdf, f"{tmp}/out", f"{tmp}/state", f"{tmp}/ck", k=2
+        )
+        q.awaitTermination(180)
+        time.sleep(0.2)
+
+    # first life of the query: batch 0 only, then the process "dies"
+    land(0, batches[0])
+    run()
+    v_after_first = sorted(os.listdir(f"{tmp}/state"))
+    assert v_after_first == ["v=0"]
+
+    # two more lives of the query, each restarting from the same
+    # checkpoint with one new file landed
+    land(1, batches[1])
+    run()
+    land(2, batches[2])
+    run()
+    versions = sorted(os.listdir(f"{tmp}/state"))
+    # exactly one snapshot per processed batch, no duplicates/gaps —
+    # earlier files were NOT reprocessed after either restart
+    assert versions == ["v=0", "v=1", "v=2"]
+
+    # final counters equal one uninterrupted sequential replay
+    state: Counter = Counter()
+    for keys in batches:
+        decayed = Counter(
+            {kk: c >> 1 for kk, c in state.items() if c >> 1 > 0}
+        )
+        for kk in keys:
+            decayed[kk] += 1
+        state = Counter({kk: c for kk, c in decayed.items() if c > 0})
+    got_state = {
+        r["event_type"]: r["cnt"]
+        for r in spark.read.parquet(f"{tmp}/state/v=2").collect()
+    }
+    assert got_state == dict(state)
+
+    # (b) simulated at-least-once re-execution: re-run batch 2's
+    # content against the committed state — the guard must no-op
+    before = sorted(
+        (r["batch_id"], r["event_type"], r["cnt"])
+        for r in spark.read.parquet(f"{tmp}/out").collect()
+    )
+    shutil.rmtree(f"{tmp}/ck")  # lose the checkpoint entirely
+    run()  # all 3 files replay as batch 0 -> v=0 exists -> no-op
+    assert sorted(os.listdir(f"{tmp}/state")) == versions
+    after = sorted(
+        (r["batch_id"], r["event_type"], r["cnt"])
+        for r in spark.read.parquet(f"{tmp}/out").collect()
+    )
+    assert after == before
+    assert got_state == {
+        r["event_type"]: r["cnt"]
+        for r in spark.read.parquet(f"{tmp}/state/v=2").collect()
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_bloom_dedup_recovery_and_fp_bound(spark):
+    """Bloom-dedup restart recovery (VERDICT r3 #6): the carried bit
+    array round-trips through DISK between query lives (the documented
+    persist-beside-the-checkpoint contract), the kept set across the
+    restart equals one sequential replay (no duplicate survives the
+    crash), and the recovered filter's measured false-positive rate
+    stays under the analytic (1-e^{-kn/m})^k bound with margin."""
+    import json
+    import math
+    import os
+
+    from speech_data_pipeline_spark.operators.sketches import bloom_probe
+    from speech_data_pipeline_spark.streaming.ingest import stream_bloom_dedup
+
+    m, k = 4096, 3
+    tmp = tempfile.mkdtemp()
+    out = f"{tmp}/out"
+    landing = f"{tmp}/stream"
+    os.makedirs(landing)
+    state_file = f"{tmp}/bloom_state.json"
+
+    def land(i, rows_):
+        spark.createDataFrame(
+            [(kk, tt, f"p{kk}") for kk, tt in rows_],
+            "event_id long, ts long, payload string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/land/b{i}")
+        src = [
+            f for f in os.listdir(f"{tmp}/land/b{i}") if f.endswith(".parquet")
+        ][0]
+        shutil.copy(f"{tmp}/land/b{i}/{src}", f"{landing}/{i:03d}.parquet")
+
+    def run(state):
+        sdf = spark.readStream.schema(
+            "event_id long, ts long, payload string"
+        ).parquet(landing)
+        q = stream_bloom_dedup(
+            sdf, out, f"{tmp}/ck", key_col="event_id", m=m, k=k, state=state
+        )
+        q.awaitTermination(180)
+
+    # life 1: 300 keys, then persist the bits beside the checkpoint
+    land(0, [(i, 1000 + i) for i in range(300)])
+    st: dict = {}
+    run(st)
+    with open(state_file, "w") as f:
+        json.dump(st, f)
+
+    # crash; life 2 reloads the bits from disk, sees 150 dups + 100 new
+    st2 = json.load(open(state_file))
+    land(1, [(i, 2000 + i) for i in range(150, 400)])
+    run(st2)
+
+    kept = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert len(kept) == len(set(kept))  # nothing survives twice
+    # every re-sighted key (150..299) was dropped in life 2
+    assert sum(1 for x in kept if 150 <= x < 300) == sum(
+        1 for x in set(kept) if 150 <= x < 300
+    )
+    # recovered-filter FP rate on 2000 fresh keys vs analytic bound
+    n = len(kept)  # distinct keys folded into the filter
+    bound = (1.0 - math.exp(-k * n / m)) ** k
+    bits_df = spark.createDataFrame([(st2["bits"],)], "bits array<long>")
+    fresh = spark.range(10_000, 12_000).withColumnRenamed("id", "event_id")
+    fp = (
+        bloom_probe(fresh, bits_df, "event_id", m, k)
+        .where(F.col("bloom_member"))
+        .count()
+    )
+    assert fp / 2000 <= max(2.5 * bound, 0.02), (fp / 2000, bound)
+    shutil.rmtree(tmp, ignore_errors=True)
