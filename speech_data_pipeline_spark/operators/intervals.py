@@ -105,6 +105,27 @@ def suppress_non_monotonic(
     )
 
 
+#: Default time-band width for the skew-resilient interval joins: 4
+#: hours in microseconds. A hot key (one user/file carrying a large
+#: fraction of all rows) makes a pure key-equi interval join quadratic
+#: WITHIN the key — banding splits the key across (key, band) buckets
+#: so per-partition work is density×band, and AQE can split the
+#: residual hot buckets because the join stays equi. Width ≈ the mean
+#: interval span: narrower bands shrink per-bucket populations but
+#: inflate the span/band explode factor (1 h measured 2.5× overhead on
+#: uniform data; 4 h is ~1.8× there while still cutting the 20%-hot-key
+#: stress case j1 23.3→1.8 s and j3 23.6→2.5 s — BENCH_SCALE.md).
+BAND_US = 14_400_000_000
+
+
+def _bucket_span(start, end, band_us: int):
+    """All band buckets an interval [start, end] overlaps (ascending;
+    degenerate/inverted intervals clamp to the start bucket)."""
+    sb = F.floor(start / F.lit(band_us)).cast("long")
+    eb = F.floor(end / F.lit(band_us)).cast("long")
+    return F.sequence(sb, F.greatest(sb, eb))
+
+
 def containment_join(
     inner: DataFrame,
     outer: DataFrame,
@@ -114,18 +135,25 @@ def containment_join(
     outer_start: str = "start_us",
     outer_end: str = "end_us",
     how: str = "inner",
+    band_us: int | None = BAND_US,
 ) -> DataFrame:
     """Join each ``inner`` segment to every ``outer`` segment containing it (J1/J2).
 
-    Equi-join on the partition key plus range predicates. Catalyst plans
-    this as a sort-merge (or broadcast-hash when one side is small) on
-    the key with the range predicates as post-join filters — per-key
-    cardinality is bounded (segments per file ~1e2-1e4), so the within-key
-    quadratic term is fine and nothing is driver-side.
+    Equi-join on (key, time-band) plus range predicates. Each outer
+    interval explodes into every band it spans (span/band + 1 rows);
+    each inner interval lands in exactly ONE band — the band of its
+    start. A containing outer necessarily spans the inner's start, so
+    every matched pair is discovered exactly once, no dedup needed,
+    and unmatched inner rows survive a ``how="left"`` once. Per-band
+    population is rate×band, so a hot key stays linear instead of
+    quadratic-in-key; ``band_us=None`` recovers the pure key join
+    (also used automatically for ``how`` other than inner/left, where
+    exploded outer rows would duplicate).
 
     The column-name collision is avoided by aliasing both sides; the
     caller gets ``i_*`` and ``o_*`` prefixed bound columns.
     """
+    banded = band_us is not None and how in ("inner", "left")
     i = inner.select(
         F.col(key).alias("_k"),
         F.col(inner_start).alias("i_start"),
@@ -138,14 +166,29 @@ def containment_join(
         F.col(outer_end).alias("o_end"),
         *[c for c in outer.columns if c not in (key, outer_start, outer_end)],
     )
-    joined = i.join(
-        o,
-        (i["_k"] == o["_k"])
-        & (F.col("i_start") >= F.col("o_start"))
-        & (F.col("i_end") <= F.col("o_end")),
-        how,
-    )
-    return joined.drop(o["_k"]).withColumnRenamed("_k", key)
+    if banded:
+        i = i.withColumn(
+            "_b", F.floor(F.col("i_start") / F.lit(band_us)).cast("long")
+        )
+        o = o.withColumn(
+            "_b", F.explode(_bucket_span(F.col("o_start"), F.col("o_end"), band_us))
+        )
+        cond = (
+            (i["_k"] == o["_k"])
+            & (i["_b"] == o["_b"])
+            & (F.col("i_start") >= F.col("o_start"))
+            & (F.col("i_end") <= F.col("o_end"))
+        )
+        joined = i.join(o, cond, how).drop(o["_k"]).drop(i["_b"]).drop(o["_b"])
+    else:
+        joined = i.join(
+            o,
+            (i["_k"] == o["_k"])
+            & (F.col("i_start") >= F.col("o_start"))
+            & (F.col("i_end") <= F.col("o_end")),
+            how,
+        ).drop(o["_k"])
+    return joined.withColumnRenamed("_k", key)
 
 
 def max_overlap_join(
@@ -163,6 +206,13 @@ def max_overlap_join(
     Overlap predicate join then ``max_by(tag, overlap)`` per left row —
     the reference's find_overlap_global_speaker as one shuffle-grouped
     aggregate instead of a nested loop.
+
+    Skew-resilient banding (same rationale as ``containment_join``):
+    both sides explode into the time bands they span and the join is
+    equi on (key, band); an overlapping pair shares the band of its
+    OVERLAP START — ``greatest(l_start, r_start)`` — and the residual
+    keeps the pair only in that band, so each pair feeds the max
+    aggregate exactly once.
     """
     l = left.select(
         F.col(key).alias("_k"),
@@ -175,17 +225,28 @@ def max_overlap_join(
         F.col(right_end).alias("r_end"),
         F.col(right_tag).alias("r_tag"),
     )
+    l = l.withColumn(
+        "_b", F.explode(_bucket_span(F.col("l_start"), F.col("l_end"), BAND_US))
+    )
+    r = r.withColumn(
+        "_b2", F.explode(_bucket_span(F.col("r_start"), F.col("r_end"), BAND_US))
+    )
     ov = overlap_length(
         F.col("l_start"), F.col("l_end"), F.col("r_start"), F.col("r_end")
     )
+    own = F.floor(
+        F.greatest(F.col("l_start"), F.col("r_start")) / F.lit(BAND_US)
+    ).cast("long")
     return (
         l.join(
             r,
             (F.col("_k") == F.col("_k2"))
+            & (F.col("_b") == F.col("_b2"))
             & (F.col("l_start") < F.col("r_end"))
             & (F.col("r_start") < F.col("l_end")),
             "inner",
         )
+        .where(F.col("_b") == own)
         .withColumn("_ov", ov)
         .groupBy(F.col("_k").alias(key), "l_start", "l_end")
         .agg(

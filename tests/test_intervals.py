@@ -111,3 +111,65 @@ def test_asof_join_null_payload_from_matched_row(spark):
     # event 100 matches ts=9 (value NULL, tag NULL): both NULL, no mixing
     # with the ts=5 row's (1.0, 'a').
     assert got == {100: (None, None), 101: (None, "c")}
+
+
+def test_banded_interval_joins_equal_unbanded(spark):
+    """The (key, time-band) bucketing is invisible to semantics: on a
+    dense hot-key fixture whose intervals span many bands, the banded
+    containment join equals the pure key-equi join (band_us=None) and
+    the banded max-overlap join equals a driver-side nested-loop
+    argmax — single-bucket attribution emits every pair exactly once."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(7)
+    BAND = 14_400_000_000  # operator default
+    rows_ = []
+    for i in range(400):
+        u = 1 if i % 5 else 2  # hot key 1 at 80%
+        s = rnd.randrange(0, 30 * BAND)
+        ln = rnd.randrange(1, 3 * BAND)  # spans 0-3 bands
+        rows_.append((i, u, s, s + ln))
+    df = spark.createDataFrame(
+        rows_, "event_id long, user_id long, start_us long, end_us long"
+    )
+    inner = df.where(F.col("event_id") % 2 == 0)
+    outer = df.where(F.col("event_id") % 2 == 1).withColumnRenamed(
+        "event_id", "o_id"
+    )
+
+    banded = rows(
+        containment_join(inner, outer), "event_id", "o_id", "user_id"
+    )
+    plain = rows(
+        containment_join(inner, outer, band_us=None),
+        "event_id",
+        "o_id",
+        "user_id",
+    )
+    assert sorted(banded) == sorted(plain)
+    assert len(banded) == len(set(banded))  # no pair emitted twice
+
+    right = outer.select(
+        "user_id", "start_us", "end_us", F.col("o_id").cast("string").alias("tag")
+    )
+    got = {
+        (r["user_id"], r["l_start"], r["l_end"]): (r["best_tag"], r["best_overlap"])
+        for r in max_overlap_join(inner, right).collect()
+    }
+    # driver replay: max over (overlap, tag) per left interval
+    rights = [(u, s, e, str(o)) for o, u, s, e in
+              [(r[0], r[1], r[2], r[3]) for r in rows_ if r[0] % 2 == 1]]
+    expect = {}
+    for eid, u, s, e in [r for r in rows_ if r[0] % 2 == 0]:
+        best = None
+        for ru, rs, re_, tag in rights:
+            if ru == u and s < re_ and rs < e:
+                ov = max(0, min(e, re_) - max(s, rs))
+                kk = (ov, tag)
+                if best is None or kk > best:
+                    best = kk
+        if best:
+            expect[(u, s, e)] = (best[1], best[0])
+    assert got == expect
