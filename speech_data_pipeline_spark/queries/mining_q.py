@@ -569,10 +569,17 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t", "kind")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry-BACK as a running window over the REVERSED sort: a
+    # [currentRow, unboundedFollowing) frame looks symmetric but Spark
+    # re-evaluates it from scratch per row — O(n²) in the partition,
+    # 33 s on the stress set's hot user vs ~1 s for this form. (t,
+    # kind) is unique per user, so the reversed order is exactly the
+    # reversed sequence and `last` here == `first` over the
+    # forward-looking frame, equal-t ties included.
     w_f = (
         Window.partitionBy("user_id")
-        .orderBy("t", "kind")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("t").desc(), F.col("kind").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_t = F.when(F.col("kind") == 0, F.col("t"))
     obs_v = F.when(F.col("kind") == 0, F.col("v"))
@@ -582,8 +589,8 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         F.last(obs_t, ignorenulls=True).over(w_p).alias("pt"),
         F.last(obs_v, ignorenulls=True).over(w_p).alias("pv"),
-        F.first(obs_t, ignorenulls=True).over(w_f).alias("nt"),
-        F.first(obs_v, ignorenulls=True).over(w_f).alias("nv"),
+        F.last(obs_t, ignorenulls=True).over(w_f).alias("nt"),
+        F.last(obs_v, ignorenulls=True).over(w_f).alias("nv"),
     )
     lerp = F.when(
         F.col("nt") > F.col("pt"),
