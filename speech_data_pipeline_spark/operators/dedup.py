@@ -220,6 +220,49 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_dedup_pairs_collapsed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **mh_kwargs,
+) -> DataFrame:
+    """:func:`minhash_dedup_pairs` behind an EXACT-duplicate collapse —
+    the production composition for corpora with mega-clusters of
+    byte-identical documents (boilerplate, mirrored pages): a C-member
+    identical-text cluster would land in one LSH bucket and emit C²/2
+    pairs (the 20%-hot-cluster stress set put 9 781 copies on one seed
+    → ~48 M pairs feeding connected components). Here each digest
+    group collapses to its min-id representative first, MinHash runs
+    on representatives only, and members link to their representative
+    with one edge each — pairs are linear in the corpus again.
+
+    Returns ``(id_a, id_b)``. CLOSURE-EQUIVALENT to the uncollapsed
+    pair list by construction: identical texts have identical
+    signatures, so (a) every within-group pair was a candidate with
+    est_jaccard 1 — the member→rep star closes the same component —
+    and (b) any cross-group candidate pair (a, b) has the same bands
+    and estimate as (rep_a, rep_b), which is emitted instead. The
+    dedup_resolve oracle (full uncollapsed replay + recursive closure)
+    stays green on top of this operator.
+    """
+    digests = df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_dg")
+    )
+    groups = digests.groupBy("_dg").agg(F.min("id").alias("rep"))
+    reps = df.join(
+        groups.select(F.col("rep").alias(id_col)).distinct(), id_col, "inner"
+    )
+    rep_pairs = minhash_dedup_pairs(reps, id_col, text_col, **mh_kwargs).select(
+        "id_a", "id_b"
+    )
+    links = (
+        digests.join(groups, "_dg")
+        .where(F.col("id") != F.col("rep"))
+        .select(F.col("id").alias("id_a"), F.col("rep").alias("id_b"))
+    )
+    return rep_pairs.unionByName(links)
+
+
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:

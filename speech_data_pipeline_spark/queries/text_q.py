@@ -1084,7 +1084,11 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from speech_data_pipeline_spark.operators import graph as gr
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_dedup_pairs(d, k=16, shingle_len=5, bands=4, threshold=0.5)
+    # exact-collapse composition: closure-identical pairs, linear (not
+    # C² per identical-text cluster) — see minhash_dedup_pairs_collapsed
+    pairs = dd.minhash_dedup_pairs_collapsed(
+        d, k=16, shingle_len=5, bands=4, threshold=0.5
+    )
     return gr.resolve_duplicates(d, pairs).select(
         "doc_id",
         "component",
@@ -1149,7 +1153,9 @@ def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     q = tx.quality_score(d)
-    pairs = dd.minhash_dedup_pairs(d, k=16, shingle_len=5, bands=4, threshold=0.5)
+    pairs = dd.minhash_dedup_pairs_collapsed(
+        d, k=16, shingle_len=5, bands=4, threshold=0.5
+    )
     r = gr.resolve_duplicates(q, pairs)
     kept = (F.col("quality") >= 0.80) & (F.col("doc_id") == F.col("component"))
     return (

@@ -75,3 +75,44 @@ def test_simhash_identical_docs_equal_and_near_docs_close(spark):
     ham_near = bin(out[4] ^ out[5]).count("1")
     ham_far = bin(out[1] ^ out[4]).count("1")
     assert ham_near < ham_far
+
+
+def test_minhash_collapsed_closure_equals_uncollapsed(spark):
+    """Exact-collapse + MinHash-on-representatives yields the SAME
+    duplicate components as MinHash over every document — the
+    closure-equivalence contract that lets dedup_resolve run linear in
+    mega-clusters of identical text (stress set: 9781-copy cluster,
+    ~48M pairs -> 1 edge per member)."""
+    from pyspark.sql import functions as F
+
+    from speech_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_dedup_pairs_collapsed,
+    )
+    from speech_data_pipeline_spark.operators.graph import connected_components
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " extra"
+    rows_ = []
+    for i in range(30):  # mega exact-dup cluster on one text
+        rows_.append((i, base))
+    rows_.append((100, near))  # near-dup of the cluster
+    rows_.append((200, "totally different words nothing shared here at all"))
+    for i in range(300, 306):  # second exact group
+        rows_.append((i, "one two three four five six seven eight nine ten"))
+    df = spark.createDataFrame(rows_, "doc_id long, text string")
+    kw = dict(k=16, shingle_len=5, bands=4, threshold=0.5)
+
+    def comps(pairs):
+        return {
+            (r["id"], r["component"])
+            for r in connected_components(pairs, "id_a", "id_b").collect()
+        }
+
+    full = comps(minhash_dedup_pairs(df, **kw).select("id_a", "id_b"))
+    collapsed_pairs = minhash_dedup_pairs_collapsed(df, **kw)
+    assert comps(collapsed_pairs) == full
+    # and the pair list is LINEAR: 29 member links + rep-level pairs,
+    # never the 30*29/2 within-cluster quadratic
+    n_pairs = collapsed_pairs.count()
+    assert n_pairs < 29 + 5 + 10
