@@ -333,3 +333,74 @@ def layout_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_buckets_total", "n_buckets_scanned", "n_rows_match", "sum_qty")
     )
+
+
+#: Perceptron gate config: integer features, label rule, rounds.
+_PCT_ITERS = 3
+
+
+def _perceptron_oracle(iters: int = _PCT_ITERS) -> str:
+    """Chained-CTE replay of the batch-perceptron trajectory: w_t is a
+    one-row CTE, each round's update one aggregate over feat × w_{t-1}
+    — the exact SQL form of ml/linear.py's integer loop."""
+    toks = (
+        r"list_filter(string_split_regex(trim(text), "
+        r"'[ \t\n\r\f\x0b]+'), t -> t <> '')"
+    )
+    margin = "y * (w0*x0 + w1*x1 + w2*x2 + b)"
+    parts = [
+        f"""
+    WITH feat AS (
+      SELECT CAST(len({toks}) AS BIGINT) AS x0,
+             CAST(len(list_distinct({toks})) AS BIGINT) AS x1,
+             CAST(length(text) AS BIGINT) AS x2,
+             CASE WHEN length(text) >= 200 THEN 1 ELSE -1 END AS y
+      FROM documents
+    ), s0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                     CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS b)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", u{t} AS (
+      SELECT CAST(sum(CASE WHEN {margin} <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN {margin} <= 0 THEN y*x0 ELSE 0 END) AS BIGINT) AS d0,
+             CAST(sum(CASE WHEN {margin} <= 0 THEN y*x1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN {margin} <= 0 THEN y*x2 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(sum(CASE WHEN {margin} <= 0 THEN y ELSE 0 END) AS BIGINT) AS db
+      FROM feat CROSS JOIN s{t - 1}
+    ), s{t} AS (
+      SELECT s.w0 + u.d0 AS w0, s.w1 + u.d1 AS w1, s.w2 + u.d2 AS w2,
+             s.b + u.db AS b
+      FROM s{t - 1} s CROSS JOIN u{t} u
+    )"""
+        )
+    rounds = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({t} AS INTEGER) AS round, u{t}.n AS n_miscl, "
+        f"s{t}.b, s{t}.w0 AS w_n_tokens, s{t}.w1 AS w_n_distinct, "
+        f"s{t}.w2 AS w_n_chars FROM s{t} CROSS JOIN u{t}"
+        for t in range(1, iters + 1)
+    )
+    return "".join(parts) + "\n    " + rounds
+
+
+@query("ml_perceptron_quality", oracle=_perceptron_oracle())
+def ml_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model-based quality-classifier TRAINING (the
+    FineWeb-style step after rule filters): a batch perceptron over
+    integer text features (token count, distinct tokens, char length)
+    learning the length rule ``n_chars >= 200``. One corpus aggregate
+    per round, model state a broadcast row, exact bigint arithmetic —
+    the trajectory replays as chained CTEs (ml/linear.py)."""
+    from speech_data_pipeline_spark.ml.linear import perceptron_train
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    feats = d.select(
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars"),
+        F.when(F.length("text") >= 200, 1).otherwise(-1).alias("y"),
+    )
+    return perceptron_train(
+        feats, ["n_tokens", "n_distinct", "n_chars"], "y", iters=_PCT_ITERS
+    )
