@@ -103,6 +103,12 @@ def perceptron_train(
             )
         )
         w_row = w_row.drop("_n_prev")
+    if not outs:  # iters=0: empty trajectory, not an IndexError
+        schema = ", ".join(
+            ["round int", "n_miscl long", "b long"]
+            + [f"w_{c} long" for c in feat_cols]
+        )
+        return spark.createDataFrame([], schema)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

@@ -245,10 +245,14 @@ def minhash_dedup_pairs_collapsed(
     dedup_resolve oracle (full uncollapsed replay + recursive closure)
     stays green on top of this operator.
     """
+    # persisted: the full-text md5 pass feeds BOTH the group table and
+    # the member links — without the persist each subtree re-scans the
+    # corpus and re-hashes every document (same rule as the sigs
+    # persist in minhash_dedup_pairs)
     digests = df.select(
         F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_dg")
-    )
-    groups = digests.groupBy("_dg").agg(F.min("id").alias("rep"))
+    ).persist()
+    groups = digests.groupBy("_dg").agg(F.min("id").alias("rep")).persist()
     reps = df.join(
         groups.select(F.col("rep").alias(id_col)).distinct(), id_col, "inner"
     )

@@ -118,12 +118,29 @@ def suppress_non_monotonic(
 BAND_US = 14_400_000_000
 
 
+#: An interval spanning more than this many bands is WIDE: it skips
+#: the explode (which would build a span/band-element array — an
+#: open-end sentinel like Long.MAX would ask for ~6.4e8 elements and
+#: OOM the executor) and routes through a plain key-equi branch
+#: instead. Wide rows are rare by construction (64 bands ≈ 10.7 days
+#: at the 4 h default), so that branch stays small.
+CAP_BANDS = 64
+
+
 def _bucket_span(start, end, band_us: int):
     """All band buckets an interval [start, end] overlaps (ascending;
-    degenerate/inverted intervals clamp to the start bucket)."""
+    degenerate/inverted intervals clamp to the start bucket). Callers
+    must pre-filter WIDE intervals (``_is_wide``) — this sequence is
+    unbounded in the span."""
     sb = F.floor(start / F.lit(band_us)).cast("long")
     eb = F.floor(end / F.lit(band_us)).cast("long")
     return F.sequence(sb, F.greatest(sb, eb))
+
+
+def _is_wide(start, end, band_us: int):
+    sb = F.floor(start / F.lit(band_us)).cast("long")
+    eb = F.floor(end / F.lit(band_us)).cast("long")
+    return (eb - sb) > CAP_BANDS
 
 
 def containment_join(
@@ -143,17 +160,20 @@ def containment_join(
     interval explodes into every band it spans (span/band + 1 rows);
     each inner interval lands in exactly ONE band — the band of its
     start. A containing outer necessarily spans the inner's start, so
-    every matched pair is discovered exactly once, no dedup needed,
-    and unmatched inner rows survive a ``how="left"`` once. Per-band
-    population is rate×band, so a hot key stays linear instead of
-    quadratic-in-key; ``band_us=None`` recovers the pure key join
-    (also used automatically for ``how`` other than inner/left, where
-    exploded outer rows would duplicate).
+    every matched pair is discovered exactly once, no dedup needed.
+    Outers spanning more than ``CAP_BANDS`` bands (open-end sentinels,
+    corrupt timestamps) skip the explode and join by key alone — rare
+    by construction, so that branch stays small and a single bad row
+    cannot materialize a span-sized array. Per-band population is
+    rate×band, so a hot key stays linear instead of quadratic-in-key;
+    ``band_us=None`` recovers the pure key join (also used
+    automatically for ``how`` other than inner — the two-branch union
+    can't null-extend unmatched inner rows exactly once).
 
     The column-name collision is avoided by aliasing both sides; the
     caller gets ``i_*`` and ``o_*`` prefixed bound columns.
     """
-    banded = band_us is not None and how in ("inner", "left")
+    banded = band_us is not None and how == "inner"
     i = inner.select(
         F.col(key).alias("_k"),
         F.col(inner_start).alias("i_start"),
@@ -166,28 +186,34 @@ def containment_join(
         F.col(outer_end).alias("o_end"),
         *[c for c in outer.columns if c not in (key, outer_start, outer_end)],
     )
+    contain = (F.col("i_start") >= F.col("o_start")) & (
+        F.col("i_end") <= F.col("o_end")
+    )
     if banded:
-        i = i.withColumn(
+        wide = _is_wide(F.col("o_start"), F.col("o_end"), band_us)
+        ib = i.withColumn(
             "_b", F.floor(F.col("i_start") / F.lit(band_us)).cast("long")
         )
-        o = o.withColumn(
+        on = o.where(~wide).withColumn(
             "_b", F.explode(_bucket_span(F.col("o_start"), F.col("o_end"), band_us))
         )
-        cond = (
-            (i["_k"] == o["_k"])
-            & (i["_b"] == o["_b"])
-            & (F.col("i_start") >= F.col("o_start"))
-            & (F.col("i_end") <= F.col("o_end"))
+        ow = o.where(wide)
+        narrow = (
+            ib.join(
+                on,
+                (ib["_k"] == on["_k"]) & (ib["_b"] == on["_b"]) & contain,
+                "inner",
+            )
+            .drop(on["_k"])
+            .drop(ib["_b"])
+            .drop(on["_b"])
         )
-        joined = i.join(o, cond, how).drop(o["_k"]).drop(i["_b"]).drop(o["_b"])
+        wide_j = i.join(ow, (i["_k"] == ow["_k"]) & contain, "inner").drop(
+            ow["_k"]
+        )
+        joined = narrow.unionByName(wide_j)
     else:
-        joined = i.join(
-            o,
-            (i["_k"] == o["_k"])
-            & (F.col("i_start") >= F.col("o_start"))
-            & (F.col("i_end") <= F.col("o_end")),
-            how,
-        ).drop(o["_k"])
+        joined = i.join(o, (i["_k"] == o["_k"]) & contain, how).drop(o["_k"])
     return joined.withColumnRenamed("_k", key)
 
 
@@ -210,9 +236,13 @@ def max_overlap_join(
     Skew-resilient banding (same rationale as ``containment_join``):
     both sides explode into the time bands they span and the join is
     equi on (key, band); an overlapping pair shares the band of its
-    OVERLAP START — ``greatest(l_start, r_start)`` — and the residual
-    keeps the pair only in that band, so each pair feeds the max
-    aggregate exactly once.
+    OVERLAP START — ``greatest(l_start, r_start)`` (which lies inside
+    both intervals) — and the residual keeps the pair only in that
+    band, so each pair feeds the max aggregate exactly once. WIDE
+    intervals (> ``CAP_BANDS`` bands — open-end sentinels, corrupt
+    rows) skip the explode: pairs touching a wide row go through two
+    small key-equi branches (wide-left × all-right, narrow-left ×
+    wide-right), preserving the exactly-once pair stream.
     """
     l = left.select(
         F.col(key).alias("_k"),
@@ -225,28 +255,44 @@ def max_overlap_join(
         F.col(right_end).alias("r_end"),
         F.col(right_tag).alias("r_tag"),
     )
-    l = l.withColumn(
+    l_wide = _is_wide(F.col("l_start"), F.col("l_end"), BAND_US)
+    r_wide = _is_wide(F.col("r_start"), F.col("r_end"), BAND_US)
+    ln, lw = l.where(~l_wide), l.where(l_wide)
+    rn, rw = r.where(~r_wide), r.where(r_wide)
+    lb = ln.withColumn(
         "_b", F.explode(_bucket_span(F.col("l_start"), F.col("l_end"), BAND_US))
     )
-    r = r.withColumn(
+    rb = rn.withColumn(
         "_b2", F.explode(_bucket_span(F.col("r_start"), F.col("r_end"), BAND_US))
     )
     ov = overlap_length(
         F.col("l_start"), F.col("l_end"), F.col("r_start"), F.col("r_end")
     )
+    overlaps = (F.col("l_start") < F.col("r_end")) & (
+        F.col("r_start") < F.col("l_end")
+    )
     own = F.floor(
         F.greatest(F.col("l_start"), F.col("r_start")) / F.lit(BAND_US)
     ).cast("long")
-    return (
-        l.join(
-            r,
-            (F.col("_k") == F.col("_k2"))
-            & (F.col("_b") == F.col("_b2"))
-            & (F.col("l_start") < F.col("r_end"))
-            & (F.col("r_start") < F.col("l_end")),
+    cols = ["_k", "l_start", "l_end", "r_start", "r_end", "r_tag"]
+    narrow = (
+        lb.join(
+            rb,
+            (F.col("_k") == F.col("_k2")) & (F.col("_b") == F.col("_b2")) & overlaps,
             "inner",
         )
         .where(F.col("_b") == own)
+        .select(*cols)
+    )
+    wide_l = lw.join(
+        r, (F.col("_k") == F.col("_k2")) & overlaps, "inner"
+    ).select(*cols)
+    wide_r = ln.join(
+        rw, (F.col("_k") == F.col("_k2")) & overlaps, "inner"
+    ).select(*cols)
+    return (
+        narrow.unionByName(wide_l)
+        .unionByName(wide_r)
         .withColumn("_ov", ov)
         .groupBy(F.col("_k").alias(key), "l_start", "l_end")
         .agg(

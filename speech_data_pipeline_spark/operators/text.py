@@ -249,13 +249,17 @@ def language_id_trigram(
     text_col: str = "text",
     k: int = CT_K,
     k_prof: int = CT_K_PROF,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Cavnar–Trenkle character-trigram language ID (N-Gram-Based Text
     Categorization, 1994) — the profile method fastText-less systems
     ship: rank a document's top-``k`` character 1-/2-/3-grams, compare
     to each language's seeded profile by out-of-place distance
-    (missing gram costs ``k``), predict the argmin (ties: lang asc),
-    abstain to 'und' when the text has no grams.
+    (a gram missing from the profile costs ``k_prof``, the profile
+    depth — NOT ``k``), predict the argmin (ties: lang asc), abstain
+    to 'und' when the text has no grams. Output columns ``pred_lang``
+    / ``best_dist`` overwrite same-named input columns (re-running or
+    stacking classifiers is idempotent, never ambiguous).
 
     Plan shape (scales): grams are built IN-ROW (transform over a
     sequence of offsets) and exploded to (doc, tri) counts — one doc-id
@@ -276,7 +280,7 @@ def language_id_trigram(
 
     t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), CT_NORM_PAT, " "))
     s = F.when(t != "", F.concat(F.lit(" "), t, F.lit(" "))).otherwise(F.lit(""))
-    base = df.select(F.col("doc_id").alias("id"), s.alias("s"))
+    base = df.select(F.col(id_col).alias("id"), s.alias("s"))
     def _gram_expr(n: int):
         # NOTE: the transform lambda must stay single-argument — a
         # second Python parameter (even a default like ``n=n``) makes
@@ -316,17 +320,20 @@ def language_id_trigram(
     best = (
         dists.withColumn("rn", F.row_number().over(w_best))
         .where(F.col("rn") == 1)
-        .select("id", F.col("lang").alias("pred_lang"), F.col("dist").alias("best_dist"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("lang").alias("_ct_pred"),
+            F.col("dist").alias("_ct_dist"),
+        )
     )
+    # drop (no-op when absent) so re-classification overwrites instead
+    # of raising an ambiguous-reference AnalysisException
     return (
-        df.select("*")
-        .join(
-            best.withColumnRenamed("id", "doc_id"), "doc_id", "left"
-        )
-        .withColumn("pred_lang", F.coalesce("pred_lang", F.lit("und")))
-        .withColumn(
-            "best_dist", F.coalesce("best_dist", F.lit(0)).cast("long")
-        )
+        df.drop("pred_lang", "best_dist")
+        .join(best, id_col, "left")
+        .withColumn("pred_lang", F.coalesce("_ct_pred", F.lit("und")))
+        .withColumn("best_dist", F.coalesce("_ct_dist", F.lit(0)).cast("long"))
+        .drop("_ct_pred", "_ct_dist")
     )
 
 

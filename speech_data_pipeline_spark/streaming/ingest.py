@@ -911,11 +911,17 @@ def stream_trending_topk(
     Per micro-batch (foreachBatch):
 
     1. REPLAY GUARD: snapshots are versioned by ``batch_id``
-       (``state_path/v=<batch_id>``); if this batch's snapshot already
-       exists, the batch completed before a crash/restart — return
-       without touching state or output. foreachBatch is only
-       at-least-once, so exactly-once comes from this idempotence, not
-       from Spark;
+       (``state_path/v=<batch_id>``, committed = the parquet job's
+       ``_SUCCESS`` marker — bare directory existence is NOT a commit,
+       a crash mid-write leaves a partial dir). A re-announced HEAD
+       batch (id == committed max) completed before a crash/restart —
+       return without touching state or output; foreachBatch is only
+       at-least-once, so exactly-once comes from this idempotence. A
+       re-announced id BELOW the head means the checkpoint was reset
+       while state survived (ids restarted) — RAISE instead of
+       silently dropping whatever new data reuses the id; checkpoint
+       and state_path live and die together, Spark's own
+       stateful-operator rule;
     2. count the batch's keys (one grouped agg);
     3. read the LATEST existing snapshot (the previous batch — batch
        ids are monotone under a preserved checkpoint), decay it by an
@@ -938,15 +944,16 @@ def stream_trending_topk(
     join; zero-count keys are dropped so the table self-prunes.
     Deterministic end to end (integer counters, lexicographic
     tie-breaks) — pinned against a sequential replay AND across a
-    kill/restart plus a simulated replayed batch in
-    tests/test_streaming.py.
+    kill/restart, an idempotent head-batch replay, and a fail-safe
+    abort on checkpoint/state mismatch in tests/test_streaming.py.
     """
 
     def latest_version(spark: SparkSession) -> int:
+        # only COMMITTED snapshots count — a crash mid-write leaves the
+        # v=<n> directory without its _SUCCESS marker, and reading a
+        # partial snapshot would corrupt every later merge
         try:
             import re
-
-            from py4j.protocol import Py4JJavaError  # noqa: F401
 
             vs = []
             jvm_path = spark._jvm.org.apache.hadoop.fs.Path(state_path)
@@ -957,25 +964,50 @@ def stream_trending_topk(
                 return -1
             for st in fs.listStatus(jvm_path):
                 m = re.fullmatch(r"v=(\d+)", st.getPath().getName())
-                if m:
+                if m and fs.exists(
+                    spark._jvm.org.apache.hadoop.fs.Path(
+                        f"{state_path}/v={m.group(1)}/_SUCCESS"
+                    )
+                ):
                     vs.append(int(m.group(1)))
             return max(vs) if vs else -1
         except Exception:
             return -1
 
     def version_exists(spark: SparkSession, v: int) -> bool:
-        p = spark._jvm.org.apache.hadoop.fs.Path(f"{state_path}/v={v}")
+        # bare directory existence is NOT a commit: the parquet job
+        # creates the dir before committing. _SUCCESS is the marker.
+        p = spark._jvm.org.apache.hadoop.fs.Path(f"{state_path}/v={v}/_SUCCESS")
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         return bool(fs.exists(p))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        latest = latest_version(spark)
         if version_exists(spark, batch_id):
-            return  # replayed batch: state + output already durable
+            if batch_id < latest:
+                # A batch id BELOW the committed head is not a normal
+                # crash replay (that replays only the head batch) — it
+                # means the CHECKPOINT was reset/relocated while
+                # state_path survived, and batch ids restarted. A
+                # silent skip would drop any genuinely new data hiding
+                # under the reused id; fail safe instead. The operator
+                # contract: checkpoint and state_path live and die
+                # TOGETHER (exactly Spark's own stateful-operator
+                # rule).
+                raise ValueError(
+                    f"trending-topk state/checkpoint mismatch: batch "
+                    f"{batch_id} re-announced while state is at "
+                    f"v={latest}. The checkpoint was reset without "
+                    f"resetting {state_path}; reconcile them (restore "
+                    f"the checkpoint, or archive the state dir) before "
+                    f"restarting."
+                )
+            return  # crash replay of the head batch: already durable
         batch_cnt = batch_df.groupBy(key_col).agg(
             F.count(F.lit(1)).alias("bc")
         )
-        v = latest_version(spark)
+        v = latest
         if v >= 0:
             prior = spark.read.parquet(f"{state_path}/v={v}").select(
                 key_col, F.shiftright("cnt", decay_shift).alias("pc")

@@ -131,6 +131,11 @@ def test_banded_interval_joins_equal_unbanded(spark):
         s = rnd.randrange(0, 30 * BAND)
         ln = rnd.randrange(1, 3 * BAND)  # spans 0-3 bands
         rows_.append((i, u, s, s + ln))
+    # WIDE rows: an open-end sentinel and a months-long interval — must
+    # route through the key-equi branch, not a span-sized explode
+    rows_.append((1001, 1, 5 * BAND, (1 << 62)))
+    rows_.append((1002, 1, 0, 500 * BAND))
+    rows_.append((1003, 2, 2 * BAND, (1 << 62)))
     df = spark.createDataFrame(
         rows_, "event_id long, user_id long, start_us long, end_us long"
     )

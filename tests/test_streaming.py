@@ -830,20 +830,37 @@ def test_stream_trending_topk_restart_and_replay_exactly_once(spark):
     }
     assert got_state == dict(state)
 
-    # (b) simulated at-least-once re-execution: re-run batch 2's
-    # content against the committed state — the guard must no-op
+    # (b) restart with NO new data: pure no-op (idempotent head replay
+    # is allowed; nothing to process, nothing written)
     before = sorted(
         (r["batch_id"], r["event_type"], r["cnt"])
         for r in spark.read.parquet(f"{tmp}/out").collect()
     )
-    shutil.rmtree(f"{tmp}/ck")  # lose the checkpoint entirely
-    run()  # all 3 files replay as batch 0 -> v=0 exists -> no-op
+    run()
     assert sorted(os.listdir(f"{tmp}/state")) == versions
-    after = sorted(
+    assert before == sorted(
         (r["batch_id"], r["event_type"], r["cnt"])
         for r in spark.read.parquet(f"{tmp}/out").collect()
     )
-    assert after == before
+
+    # (c) checkpoint reset while state survives: batch ids restart at
+    # 0 below the committed head — the guard must FAIL SAFE (raise),
+    # never silently skip (new data could hide under the reused id),
+    # and must leave state untouched
+    shutil.rmtree(f"{tmp}/ck")  # lose the checkpoint entirely
+    sdf = spark.readStream.schema("event_id long, event_type string").parquet(
+        landing
+    )
+    q = stream_trending_topk(
+        sdf, f"{tmp}/out", f"{tmp}/state", f"{tmp}/ck", k=2
+    )
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.StreamingQueryException) as ei:
+        q.awaitTermination(180)
+        raise q.exception()
+    assert "state/checkpoint mismatch" in str(ei.value)
+    assert sorted(os.listdir(f"{tmp}/state")) == versions
     assert got_state == {
         r["event_type"]: r["cnt"]
         for r in spark.read.parquet(f"{tmp}/state/v=2").collect()
