@@ -1034,6 +1034,7 @@ def pca_power_topk(
     contrib_bits: int = 24,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """First principal component by MATRIX-FREE power iteration, and
     the top-k projections onto it — distributed PCA without ever
@@ -1078,10 +1079,14 @@ def pca_power_topk(
         " AS BIGINT)) AS gq",
     ).persist()
     # NOTE: this cache is reused by every power-iteration round AND by
-    # the returned (lazy) projection, so it cannot be unpersisted here;
-    # callers running many pca_power_topk calls in one session should
-    # spark.catalog.clearCache() between them (registry queries are
-    # one-shot per session, so the single retained cache is bounded).
+    # the returned (lazy) projection, so it cannot be unpersisted here.
+    # Long-lived sessions running many pca_power_topk calls pass
+    # ``cache_handle=[]`` and unpersist the appended frame once the
+    # result is consumed (or spark.catalog.clearCache()); registry
+    # queries are one-shot per session, so a single retained cache is
+    # bounded.
+    if cache_handle is not None:
+        cache_handle.append(base)
 
     s_arr = ",".join(f"sum(gq[{i}])" for i in range(dim))
     mu_row = base.agg(

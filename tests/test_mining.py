@@ -286,3 +286,22 @@ def test_mining_ops_on_degenerate_input(spark):
     # single-row PCA: centered data is all-zero, projections are 0
     rows = pca_power_topk(one_vec, dim=2, iters=2, k=5).collect()
     assert [(r["vec_id"], r["pc1"]) for r in rows] == [(1, 0.0)]
+
+
+def test_pca_cache_handle_allows_unpersist(spark):
+    """pca_power_topk exposes its one retained cache through
+    cache_handle so long-lived sessions can release it (VERDICT r3
+    nit #3)."""
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0, 0.5]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    handle: list = []
+    out = pca_power_topk(
+        df, dim=4, iters=2, k=5, cache_handle=handle
+    ).collect()
+    assert len(out) == 5
+    assert len(handle) == 1
+    assert handle[0].is_cached
+    handle[0].unpersist(blocking=True)
+    assert not handle[0].is_cached
