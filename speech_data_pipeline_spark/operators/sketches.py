@@ -26,7 +26,7 @@ fill, which is what matters when m grows with the build side.)
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Default geometry: m bits, k hash rows.
@@ -205,4 +205,41 @@ def hll_estimate(regs: DataFrame, group_cols: list[str] | None = None) -> DataFr
         F.col("n_regs"),
         denom.alias("denom_scaled"),
         (F.floor(est * 1_000_000.0) / 1_000_000.0).alias("hll_distinct"),
+    )
+
+
+#: KMV ("theta") sketch depth: the k smallest distinct hash values.
+KMV_K = 64
+
+
+def kmv_sketches(
+    df: DataFrame, key_col: str, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group KMV / theta sketch (Beyer et al. 2007, "On Synopses
+    for Distinct-Value Estimation"; the Apache DataSketches theta
+    family): the ``k`` smallest DISTINCT 60-bit hashes of ``key_col``,
+    one sorted-array row per group.
+
+    Why KMV beside HLL: HLL registers union cheaply but can only
+    estimate INTERSECTIONS via inclusion-exclusion (variance blows up
+    for small overlaps); a KMV sketch carries actual hash samples, so
+    set algebra (∩, ∖) works directly on the sketches — the sketch
+    the "audience overlap" class of queries needs.
+
+    Plan shape: one (group, hash) DISTINCT shuffle (map-side
+    combinable), then a per-group top-k rank — never a collect of the
+    key universe; per-group state is capped at k rows no matter how
+    many distinct keys exist. Estimates derived downstream are pure
+    functions of these arrays — engine-portable because the hash is
+    the registry's md5 prefix.
+    """
+    h = _hex15(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        df.select(F.col(group_col), h.alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy(group_col)
+        .agg(F.array_sort(F.collect_list("h")).alias("sk"))
     )

@@ -516,3 +516,209 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"))
     )
+
+
+#: Multi-touch attribution channels (the credited touchpoints) and the
+#: conversion event. Epochs are "since the user's previous conversion".
+_ATTR_TOUCHES = ("view", "click")
+_ATTR_CONV = "purchase"
+
+
+@query(
+    "attr_multi_touch",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+             coalesce(sum(CASE WHEN event_type = '{_ATTR_CONV}'
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS epoch
+      FROM events
+      WHERE event_type IN ('view', 'click', '{_ATTR_CONV}')
+    ), conv AS (
+      SELECT user_id, epoch FROM e WHERE event_type = '{_ATTR_CONV}'
+    ), tch AS (
+      SELECT user_id, epoch, event_type AS channel, t_us, event_id,
+             count(*) OVER (PARTITION BY user_id, epoch) AS n_in_epoch,
+             row_number() OVER (PARTITION BY user_id, epoch
+                                ORDER BY t_us DESC, event_id DESC) AS rd
+      FROM e WHERE event_type IN ('view', 'click')
+    ), credited AS (
+      SELECT t.channel, t.n_in_epoch, t.rd
+      FROM tch t JOIN conv c
+        ON c.user_id = t.user_id AND c.epoch = t.epoch
+    )
+    SELECT channel,
+           count(*) AS n_touches,
+           CAST(sum(1000000 // n_in_epoch) AS BIGINT) AS linear_ppm,
+           floor(CAST(sum(1000000 // n_in_epoch) AS DOUBLE) / 1000000.0
+                 * 1000000.0) / 1000000.0 AS linear_credit,
+           CAST(sum(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch_wins
+    FROM credited
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def attr_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: each conversion credits the
+    view/click touches of its epoch (the stretch since the user's
+    previous conversion) — linear credit 1/n per touch, last-touch
+    credit to the latest touch.
+
+    Plan shape: ONE user_id window sort assigns epochs (running count
+    of strictly-preceding conversions — an epoch therefore holds at
+    most one conversion, so conversion matching is a plain semi-join
+    on (user, epoch), never a range join); per-epoch size and
+    last-touch rank ride the same (user, epoch) partitioning; the
+    final per-channel rollup is a |channels|-row aggregate. Linear
+    credits are quantized to integer ppm (1000000 div n) BEFORE the
+    cross-shuffle sum — the total is an exact BIGINT under any
+    partitioning, floated only for display.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(
+        F.col("event_type").isin(*_ATTR_TOUCHES, _ATTR_CONV)
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("t_us"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = e.withColumn(
+        "epoch",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == _ATTR_CONV, 1).otherwise(0)
+            ).over(w_run),
+            F.lit(0),
+        ),
+    )
+    conv = e.where(F.col("event_type") == _ATTR_CONV).select(
+        "user_id", "epoch"
+    )
+    w_epoch = Window.partitionBy("user_id", "epoch")
+    w_last = Window.partitionBy("user_id", "epoch").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    tch = (
+        e.where(F.col("event_type").isin(*_ATTR_TOUCHES))
+        .select(
+            "user_id",
+            "epoch",
+            F.col("event_type").alias("channel"),
+            "t_us",
+            "event_id",
+        )
+        .withColumn("n_in_epoch", F.count(F.lit(1)).over(w_epoch))
+        .withColumn("rd", F.row_number().over(w_last))
+    )
+    credited = tch.join(conv, ["user_id", "epoch"], "semi")
+    ppm = F.expr("1000000 div n_in_epoch")
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(ppm).alias("linear_ppm"),
+            trunc6(
+                F.sum(ppm).cast("double") / F.lit(1000000.0)
+            ).alias("linear_credit"),
+            F.sum(F.when(F.col("rd") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("last_touch_wins"),
+        )
+        .orderBy("channel")
+    )
+
+
+#: OHLC bar width in microseconds (1 hour).
+_BAR_US = 3_600_000_000
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS t_us, event_id,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS mv
+      FROM events
+    ), r AS (
+      SELECT event_type, t_us // {_BAR_US} AS bar, mv,
+             row_number() OVER (PARTITION BY event_type, t_us // {_BAR_US}
+                                ORDER BY t_us, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type, t_us // {_BAR_US})
+               AS cnt
+      FROM e
+    )
+    SELECT event_type, bar,
+           count(*) AS n_events,
+           floor(CAST(max(CASE WHEN rn = 1 THEN mv END) AS DOUBLE)
+                 / 1000.0 * 1000000.0) / 1000000.0 AS open,
+           floor(CAST(max(mv) AS DOUBLE) / 1000.0 * 1000000.0)
+             / 1000000.0 AS high,
+           floor(CAST(min(mv) AS DOUBLE) / 1000.0 * 1000000.0)
+             / 1000000.0 AS low,
+           floor(CAST(max(CASE WHEN rn = cnt THEN mv END) AS DOUBLE)
+                 / 1000.0 * 1000000.0) / 1000000.0 AS close,
+           CAST(sum(mv) AS BIGINT) AS sum_mv
+    FROM r
+    GROUP BY event_type, bar
+    ORDER BY event_type, bar
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time bars — the hypertable/financial rollup primitive: per
+    (event_type, hour) the opening, highest, lowest and closing value
+    plus count and exact integer sum.
+
+    Plan shape: ONE (type, bar) window sort yields both endpoints
+    (rn = 1 opens, rn = cnt closes — the descending twin rides the
+    same sort via the partition count), then one grouped aggregate on
+    the identical keys — Spark plans window + groupBy on one exchange.
+    Values are quantized to integer milli-units at the boundary; every
+    extreme/sum crosses the shuffle as BIGINT; the /1000.0 display
+    floats are single IEEE ops under trunc6 — bit-equal on any engine.
+    Open/close tie-break on (t_us, event_id): deterministic even with
+    duplicate timestamps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr("ts div 1000").alias("t_us"),
+        "event_id",
+        F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("mv"),
+    ).withColumn("bar", F.expr(f"t_us div {_BAR_US}"))
+    w = Window.partitionBy("event_type", "bar").orderBy("t_us", "event_id")
+    w_all = Window.partitionBy("event_type", "bar")
+    r = e.select(
+        "event_type",
+        "bar",
+        "mv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+    )
+    milli = lambda c: trunc6(c.cast("double") / F.lit(1000.0))  # noqa: E731
+    return (
+        r.groupBy("event_type", "bar")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            milli(F.max(F.when(F.col("rn") == 1, F.col("mv")))).alias(
+                "open"
+            ),
+            milli(F.max("mv")).alias("high"),
+            milli(F.min("mv")).alias("low"),
+            milli(
+                F.max(F.when(F.col("rn") == F.col("cnt"), F.col("mv")))
+            ).alias("close"),
+            F.sum("mv").alias("sum_mv"),
+        )
+        .orderBy("event_type", "bar")
+    )

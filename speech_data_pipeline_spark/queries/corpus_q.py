@@ -1625,3 +1625,110 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_fp").desc(), "word")
         .limit(20)
     )
+
+
+#: KMV/theta sketch depth and the exact-double scale (k-1)·2^60 for
+#: the union estimate (63·2^60 has a 6-bit mantissa — exactly
+#: representable, so both engines multiply nothing and divide once).
+_KMV_K = 64
+_KMV_SCALE = float((_KMV_K - 1) * (1 << 60))
+
+
+@query(
+    "sketch_theta_intersection",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {_HLL_H_SQL} AS h FROM events
+    ), r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ), sk AS (
+      SELECT event_type, list_sort(list(h)) AS s
+      FROM r WHERE rn <= {_KMV_K} GROUP BY event_type
+    ), p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.s AS sa, b.s AS sb
+      FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ), u AS (
+      SELECT type_a, type_b, sa, sb,
+             list_sort(list_distinct(list_concat(sa, sb)))[1:{_KMV_K}] AS mu
+      FROM p
+    ), m AS (
+      SELECT type_a, type_b,
+             len(mu) AS ku,
+             mu[len(mu)] AS theta,
+             len(list_filter(mu, v -> list_contains(sa, v)
+                                  AND list_contains(sb, v))) AS matches
+      FROM u
+    )
+    SELECT type_a, type_b,
+           CAST(ku AS BIGINT) AS ku,
+           CAST(matches AS BIGINT) AS matches,
+           floor((CASE WHEN ku < {_KMV_K} THEN CAST(ku AS DOUBLE)
+                       ELSE {_KMV_SCALE!r} / CAST(theta AS DOUBLE) END)
+                 * 1000000.0) / 1000000.0 AS est_union,
+           floor((CAST(matches AS DOUBLE) / ku) * 1000000.0) / 1000000.0
+             AS est_jaccard,
+           floor(((CAST(matches AS DOUBLE) / ku)
+                  * (CASE WHEN ku < {_KMV_K} THEN CAST(ku AS DOUBLE)
+                          ELSE {_KMV_SCALE!r} / CAST(theta AS DOUBLE) END))
+                 * 1000000.0) / 1000000.0 AS est_intersection
+    FROM m
+    ORDER BY type_a, type_b
+    """,
+)
+def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user OVERLAP between event types from KMV /
+    theta sketches (operators/sketches.py kmv_sketches) — the set-
+    algebra sketch HLL can't provide: the merged k-smallest sample of
+    A∪B gives θ (the k-th minimum), the union estimate (k−1)·2^60/θ,
+    and the Jaccard estimate (matching sample fraction), hence the
+    intersection estimate — all WITHOUT rescanning either set.
+
+    Plan shape: one (type, hash) DISTINCT shuffle builds all sketches
+    (per-type state capped at k=64 rows); the |types|²/2 pair table is
+    a broadcast self-join of 5 single-array rows; every estimate is
+    in-row array algebra over ≤2k-element arrays. At 100 TB the
+    sketches are built per shard and merged associatively (the same
+    DISTINCT + top-k), and audience-overlap queries never touch the
+    raw corpus again. Exact doubles: the only float ops are the final
+    divisions of exactly-representable integers, identical in any
+    IEEE engine.
+    """
+    from speech_data_pipeline_spark.operators.sketches import kmv_sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketches(ev, "user_id", "event_type", _KMV_K)
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sa"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sb"))
+    p = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    mu = F.slice(F.array_sort(F.array_union("sa", "sb")), 1, _KMV_K)
+    m = (
+        p.withColumn("mu", mu)
+        .withColumn("ku", F.size("mu"))
+        .withColumn("theta", F.element_at("mu", F.col("ku")))
+        .withColumn(
+            "matches",
+            F.size(
+                F.filter(
+                    "mu",
+                    lambda v: F.array_contains("sa", v)
+                    & F.array_contains("sb", v),
+                )
+            ),
+        )
+    )
+    est_union = F.when(
+        F.col("ku") < _KMV_K, F.col("ku").cast("double")
+    ).otherwise(F.lit(_KMV_SCALE) / F.col("theta").cast("double"))
+    est_j = F.col("matches").cast("double") / F.col("ku")
+    return m.select(
+        "type_a",
+        "type_b",
+        F.col("ku").cast("long").alias("ku"),
+        F.col("matches").cast("long").alias("matches"),
+        trunc6(est_union).alias("est_union"),
+        trunc6(est_j).alias("est_jaccard"),
+        trunc6(est_j * est_union).alias("est_intersection"),
+    ).orderBy("type_a", "type_b")

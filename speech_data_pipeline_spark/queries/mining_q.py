@@ -1296,3 +1296,118 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "l", "r").limit(_PMI_K)
+
+
+@query(
+    "search_phrase_positions",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '([a-z]+)', 1) AS w
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS b
+      FROM t WHERE len(w) >= 2
+    ), top AS (
+      SELECT b AS phrase,
+             split_part(b, ' ', 1) AS w1,
+             split_part(b, ' ', 2) AS w2
+      FROM (SELECT b, count(*) AS c FROM bg GROUP BY b
+            ORDER BY c DESC, b LIMIT 1)
+    ), post AS (
+      SELECT doc_id, w[i] AS word, i AS pos
+      FROM t, unnest(range(1, len(w) + 1)) AS u(i)
+    ), occ AS (
+      SELECT p1.doc_id, count(*) AS n_occ
+      FROM post p1
+      JOIN top ON p1.word = top.w1
+      JOIN post p2 ON p2.doc_id = p1.doc_id
+                  AND p2.pos = p1.pos + 1 AND p2.word = top.w2
+      GROUP BY p1.doc_id
+    )
+    SELECT o.doc_id, top.phrase, CAST(o.n_occ AS BIGINT) AS n_occ
+    FROM occ o CROSS JOIN top
+    ORDER BY n_occ DESC, doc_id
+    LIMIT 20
+    """,
+)
+def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search over a positional inverted index — the
+    retrieval primitive boolean term matching can't express: find the
+    documents containing the corpus' most frequent word bigram as an
+    adjacent pair, ranked by occurrence count.
+
+    Plan shape: the query phrase is discovered from an IN-ROW bigram
+    stream (transform over offsets — no position shuffle) collapsed by
+    one grouped count + TakeOrderedAndProject top-1; the match phase
+    is the real positional-index shape — posting lists (doc, word,
+    pos) filtered to the two phrase words (filter pushes into the
+    scan-side explode, so only matching postings shuffle), then the
+    adjacency EQUI-join on (doc_id, pos+1 = pos). At 100 TB the
+    postings for two words are a vanishing corpus fraction and the
+    adjacency join is hash-partitioned on doc_id — never a positional
+    cross product. The 1-row phrase scalar rides a broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr(
+            "regexp_extract_all(lower(text), '([a-z]+)', 1)"
+        ).alias("w"),
+    )
+    bg = t.where(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("w"), i),
+                    F.element_at(F.col("w"), i + 1),
+                ),
+            )
+        ).alias("b"),
+    )
+    top = (
+        bg.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "b")
+        .limit(1)
+        .select(
+            F.col("b").alias("phrase"),
+            F.split("b", " ").getItem(0).alias("w1"),
+            F.split("b", " ").getItem(1).alias("w2"),
+        )
+    )
+    post = t.select(
+        "doc_id",
+        F.posexplode("w").alias("pos0", "word"),
+    ).select("doc_id", "word", (F.col("pos0") + 1).alias("pos"))
+    # BOTH posting sides pre-filter to their phrase word via the 1-row
+    # broadcast BEFORE any exchange — only the two words' postings ever
+    # shuffle into the adjacency join.
+    p1 = post.join(F.broadcast(top), post["word"] == F.col("w1")).select(
+        "doc_id", "pos", "phrase"
+    )
+    p2 = post.join(
+        F.broadcast(top.select(F.col("w2").alias("w2k"))),
+        post["word"] == F.col("w2k"),
+    ).select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
+    )
+    occ = (
+        p1.join(
+            p2,
+            (F.col("doc_id2") == F.col("doc_id"))
+            & (F.col("pos2") == F.col("pos") + 1),
+        )
+        .groupBy("doc_id", "phrase")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    return (
+        occ.select("doc_id", "phrase", "n_occ")
+        .orderBy(F.col("n_occ").desc(), "doc_id")
+        .limit(20)
+    )

@@ -20,7 +20,7 @@ BIGINTs under any shuffle order and the top-k tie-breaks on doc_id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from speech_data_pipeline_spark.queries.registry import query
@@ -280,3 +280,169 @@ def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_q").desc(), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "select_pareto_front",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN len(w) = 0 THEN 0
+                  ELSE CAST((1000000 * len(list_distinct(w))) // len(w)
+                            AS BIGINT) END AS distinct_ppm
+      FROM (SELECT doc_id, n_chars,
+                   regexp_extract_all(lower(text), '([a-z]+)', 1) AS w
+            FROM documents)
+    )
+    SELECT doc_id, n_chars, distinct_ppm
+    FROM m a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m b
+      WHERE b.n_chars >= a.n_chars AND b.distinct_ppm >= a.distinct_ppm
+        AND (b.n_chars > a.n_chars OR b.distinct_ppm > a.distinct_ppm)
+    )
+    ORDER BY n_chars DESC, doc_id
+    """,
+)
+def select_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto (skyline) selection — multi-objective curation's
+    primitive: keep every document no other document dominates on
+    (length, lexical diversity), i.e. ≥ on both axes and > on one.
+
+    Plan shape: the O(n²) dominance test (the DuckDB oracle's NOT
+    EXISTS — fine at sf0.01, impossible at 100 TB) collapses to the
+    sort-sweep identity: a point survives iff its y equals its
+    x-group's max AND strictly exceeds every max-y of larger-x groups.
+    So: one per-x grouped max (corpus' only shuffle; the group table
+    is bounded by DISTINCT document lengths, not corpus size), one
+    running max over that bounded table ordered x desc (partition-less
+    window — whitelisted, input is the ≤|distinct lengths| group
+    table), and one broadcast equi-join back. Diversity is integer ppm
+    (1000000·distinct div total) — exact on any engine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CASE WHEN size(regexp_extract_all(lower(text), '([a-z]+)', 1)) = 0"
+            " THEN 0L ELSE 1000000L"
+            " * size(array_distinct(regexp_extract_all(lower(text), '([a-z]+)', 1)))"
+            " div size(regexp_extract_all(lower(text), '([a-z]+)', 1)) END"
+        ).alias("distinct_ppm"),
+    )
+    per_x = m.groupBy("n_chars").agg(F.max("distinct_ppm").alias("maxy"))
+    w_run = (
+        Window.orderBy(F.col("n_chars").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    front_x = per_x.select(
+        "n_chars",
+        "maxy",
+        F.max("maxy").over(w_run).alias("runprev"),
+    ).where(F.col("runprev").isNull() | (F.col("maxy") > F.col("runprev")))
+    return (
+        m.join(F.broadcast(front_x), "n_chars")
+        .where(F.col("distinct_ppm") == F.col("maxy"))
+        .select("doc_id", "n_chars", "distinct_ppm")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+    )
+
+
+@query(
+    "score_quantile_normalize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, source, n_chars AS score FROM documents
+    ), r AS (
+      SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM m
+    ), pr AS (
+      SELECT doc_id, source, score,
+             CASE WHEN cnt > 1
+                  THEN (1000000 * (rn - 1)) // (cnt - 1)
+                  ELSE 0 END AS pr_ppm
+      FROM r
+    ), vc AS (
+      SELECT score AS v, count(*) AS c FROM m GROUP BY score
+    ), cd AS (
+      SELECT v,
+             (1000000 * sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW))
+               // (SELECT count(*) FROM m) AS cdf
+      FROM vc
+    ), arr AS (
+      SELECT list(v ORDER BY v) AS vals, list(cdf ORDER BY v) AS cdfs
+      FROM cd
+    )
+    SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+           CAST(pr_ppm AS BIGINT) AS pr_ppm,
+           CAST(vals[len(list_filter(cdfs, c -> c < pr_ppm)) + 1]
+                AS BIGINT) AS norm_score
+    FROM pr CROSS JOIN arr
+    ORDER BY doc_id
+    """,
+)
+def score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-document score against the
+    POOLED corpus distribution — the cross-source calibration step
+    before mixing scores from different classifier versions: a doc's
+    within-source percent rank is mapped through the pooled empirical
+    CDF's inverse (smallest pooled value whose CDF reaches the rank).
+
+    Plan shape: within-source ranks are one source-partitioned window;
+    the pooled CDF lives on the DISTINCT-value table (bounded by the
+    score's value domain, not the corpus), whose running sum is a
+    partition-less window over that bounded table (whitelisted); the
+    inverse-CDF lookup broadcasts the two aligned arrays as ONE scalar
+    row and evaluates in-row (filter + element_at — no join fanout).
+    Ranks and CDF are integer ppm (div, never float) — exact on any
+    engine, ties broken on doc_id.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select("doc_id", "source", F.col("n_chars").alias("score"))
+    w_rn = Window.partitionBy("source").orderBy("score", "doc_id")
+    w_cnt = Window.partitionBy("source")
+    pr = (
+        m.withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
+        .withColumn(
+            "pr_ppm",
+            F.when(
+                F.col("cnt") > 1,
+                F.expr("(1000000 * (rn - 1)) div (cnt - 1)"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    vc = m.groupBy(F.col("score").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    cd = vc.select(
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("total"),
+    ).select("v", F.expr("(1000000 * cum) div total").alias("cdf"))
+    arr = cd.agg(
+        F.array_sort(F.collect_list(F.struct("v", "cdf"))).alias("vc")
+    ).select(
+        F.transform("vc", lambda x: x["v"]).alias("vals"),
+        F.transform("vc", lambda x: x["cdf"]).alias("cdfs"),
+    )
+    out = pr.crossJoin(F.broadcast(arr)).withColumn(
+        "idx",
+        F.size(F.filter("cdfs", lambda c: c < F.col("pr_ppm"))) + 1,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("score").cast("long").alias("score"),
+        F.col("pr_ppm").cast("long").alias("pr_ppm"),
+        F.element_at("vals", F.col("idx")).cast("long").alias("norm_score"),
+    ).orderBy("doc_id")

@@ -222,3 +222,89 @@ def test_path_trigrams_consistent_with_markov(spark):
     )
     expect = sum(max(r["count"] - 2, 0) for r in sizes)
     assert total == expect
+
+
+def _load_events(spark, sf=SF):
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    return load_table(spark, sf, "events")
+
+
+def test_attr_multi_touch_matches_bruteforce(spark):
+    """Python replay of epoch assignment + credit math on real data."""
+    from collections import defaultdict
+
+    from speech_data_pipeline_spark.queries.behavior_q import attr_multi_touch
+
+    ev = [
+        (r["user_id"], r["ts"] // 1000, r["event_id"], r["event_type"])
+        for r in _load_events(spark)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+        if r["event_type"] in ("view", "click", "purchase")
+    ]
+    per_user = defaultdict(list)
+    for u, t, eid, ty in ev:
+        per_user[u].append((t, eid, ty))
+    stats = {c: [0, 0, 0] for c in ("view", "click")}  # n, ppm, last
+    for u, rows_u in per_user.items():
+        rows_u.sort()
+        epoch, touches = 0, defaultdict(list)
+        epoch_of = {}
+        for t, eid, ty in rows_u:
+            if ty == "purchase":
+                epoch_of[epoch] = True
+                epoch += 1
+            else:
+                touches[epoch].append((t, eid, ty))
+        for ep, ts_l in touches.items():
+            if ep not in epoch_of:
+                continue
+            n = len(ts_l)
+            last = max(ts_l)
+            for t, eid, ty in ts_l:
+                stats[ty][0] += 1
+                stats[ty][1] += 1_000_000 // n
+                if (t, eid, ty) == last:
+                    stats[ty][2] += 1
+    got = {
+        r["channel"]: (r["n_touches"], r["linear_ppm"], r["last_touch_wins"])
+        for r in attr_multi_touch(spark, SF).collect()
+    }
+    exp = {c: tuple(v) for c, v in stats.items() if v[0] > 0}
+    assert got == exp
+
+
+def test_ohlc_bars_match_bruteforce(spark):
+    from collections import defaultdict
+
+    from speech_data_pipeline_spark.queries.behavior_q import ts_ohlc_bars
+
+    bars = defaultdict(list)
+    for r in (
+        _load_events(spark)
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    ):
+        t_us = r["ts"] // 1000
+        mv = int(r["value"] * 1000.0 + 0.5)  # floor(x+0.5) for x>=0
+        bars[(r["event_type"], t_us // 3_600_000_000)].append(
+            (t_us, r["event_id"], mv)
+        )
+    out = ts_ohlc_bars(spark, SF).collect()
+    assert len(out) == len(bars)
+    for r in out:
+        seq = sorted(bars[(r["event_type"], r["bar"])])
+        mvs = [m for _, _, m in seq]
+        assert r["n_events"] == len(seq)
+        assert r["open"] == _t6(seq[0][2] / 1000.0)
+        assert r["close"] == _t6(seq[-1][2] / 1000.0)
+        assert r["high"] == _t6(max(mvs) / 1000.0)
+        assert r["low"] == _t6(min(mvs) / 1000.0)
+        assert r["sum_mv"] == sum(mvs)
+
+
+def _t6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1_000_000.0) / 1_000_000.0

@@ -305,3 +305,41 @@ def test_pca_cache_handle_allows_unpersist(spark):
     assert handle[0].is_cached
     handle[0].unpersist(blocking=True)
     assert not handle[0].is_cached
+
+
+def test_phrase_search_matches_bruteforce(spark):
+    """Python replay: top bigram by (count desc, bigram asc), then
+    adjacent-pair occurrence counts, top-20 by (n desc, doc_id)."""
+    import re
+
+    SF = "/root/testdata/sf0.001"
+    from collections import Counter
+
+    from speech_data_pipeline_spark.queries.mining_q import (
+        search_phrase_positions,
+    )
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    docs = {
+        r["doc_id"]: re.findall(r"[a-z]+", r["text"].lower())
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    cnt = Counter()
+    for w in docs.values():
+        cnt.update(f"{a} {b}" for a, b in zip(w, w[1:]))
+    top = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    occ = {
+        d: sum(1 for a, b in zip(w, w[1:]) if f"{a} {b}" == top)
+        for d, w in docs.items()
+    }
+    exp = sorted(
+        ((d, top, n) for d, n in occ.items() if n > 0),
+        key=lambda x: (-x[2], x[0]),
+    )[:20]
+    got = [
+        (r["doc_id"], r["phrase"], r["n_occ"])
+        for r in search_phrase_positions(spark, SF).collect()
+    ]
+    assert got == exp

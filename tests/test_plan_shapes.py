@@ -77,8 +77,9 @@ SCALAR_CROSS_WHITELIST = {
     "chisq_type_by_day",  # grand-total scalar: 1 row
     "rfm_customer_segments",  # now + quartile-threshold scalars: 1 row each
     "text_pmi_collocations",  # corpus word/pair totals: 1 row each
-    "text_language_trigram",  # 5-row language list crossed onto ≤k
-    # doc-profile rows — bounded ×|langs| fanout, never corpus×corpus
+    "score_quantile_normalize",  # pooled-CDF arrays: 1 row (two
+    # aligned ≤|value-domain| arrays) attached for the in-row
+    # inverse-CDF lookup
     "layout_zorder_pruned_read",  # bucket-count scalars (≤64-row
     # manifest aggregates) attached to the 1-row result
 }
@@ -110,6 +111,10 @@ def test_no_row_at_a_time_python_udfs(plans):
 #: single task the global sort implies is O(1), not O(corpus).
 GLOBAL_WINDOW_WHITELIST: set[str] = {
     "sim_rrf_fusion",  # rank windows run over two LIMIT-20 relations
+    "select_pareto_front",  # running max over the per-x GROUP table,
+    # bounded by distinct document lengths, never corpus rows
+    "score_quantile_normalize",  # CDF running sum over the DISTINCT
+    # score-value table, bounded by the value domain
     "drift_psi_value",  # total window over the ≤10-row bin table
     "chisq_type_by_day",  # total window over the |types|×7 cell table
 }

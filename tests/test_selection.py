@@ -99,3 +99,93 @@ def test_dsir_deterministic_across_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_pareto_front_matches_bruteforce(spark):
+    """O(n²) dominance replay over (n_chars, distinct_ppm)."""
+    import re
+
+    from speech_data_pipeline_spark.queries.selection_q import (
+        select_pareto_front,
+    )
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    pts = []
+    for r in (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "n_chars", "text")
+        .collect()
+    ):
+        w = re.findall(r"[a-z]+", r["text"].lower())
+        ppm = (1_000_000 * len(set(w))) // len(w) if w else 0
+        pts.append((r["doc_id"], r["n_chars"], ppm))
+    exp = sorted(
+        (
+            (d, x, y)
+            for d, x, y in pts
+            if not any(
+                bx >= x and by >= y and (bx > x or by > y)
+                for _, bx, by in pts
+            )
+        ),
+        key=lambda p: (-p[1], p[0]),
+    )
+    got = [
+        (r["doc_id"], r["n_chars"], r["distinct_ppm"])
+        for r in select_pareto_front(spark, SF).collect()
+    ]
+    assert got == exp
+    # Front is a proper anti-chain: strictly decreasing y along
+    # decreasing x groups.
+    seen_x = {}
+    for _, x, y in got:
+        seen_x.setdefault(x, y)
+        assert seen_x[x] == y  # same-x survivors share the group max
+
+
+def test_quantile_normalize_matches_bruteforce(spark):
+    from speech_data_pipeline_spark.queries.selection_q import (
+        score_quantile_normalize,
+    )
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    rows_in = [
+        (r["doc_id"], r["source"], r["n_chars"])
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    ]
+    n = len(rows_in)
+    # pooled CDF in ppm over distinct values
+    from collections import Counter
+
+    vc = Counter(s for _, _, s in rows_in)
+    vals = sorted(vc)
+    cum, cdf = 0, {}
+    for v in vals:
+        cum += vc[v]
+        cdf[v] = (1_000_000 * cum) // n
+    # within-source percent ranks
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for d, src, s in rows_in:
+        by_src[src].append((s, d))
+    exp = {}
+    for src, lst in by_src.items():
+        lst.sort()
+        c = len(lst)
+        for i, (s, d) in enumerate(lst):
+            pr = (1_000_000 * i) // (c - 1) if c > 1 else 0
+            norm = next(v for v in vals if cdf[v] >= pr)
+            exp[d] = (src, s, pr, norm)
+    got = {
+        r["doc_id"]: (r["source"], r["score"], r["pr_ppm"], r["norm_score"])
+        for r in score_quantile_normalize(spark, SF).collect()
+    }
+    assert got == exp
+    # Monotone within source: higher rank never maps lower.
+    for src, lst in by_src.items():
+        lst.sort()
+        norms = [exp[d][3] for _, d in lst]
+        assert norms == sorted(norms)

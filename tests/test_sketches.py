@@ -127,3 +127,62 @@ def test_histogram_quantile_accuracy(spark):
     got = {r.q: r.est for r in sketch_histogram_quantile(spark, SF_DIR).collect()}
     for q, e in exact.items():
         assert abs(got[q] - e) <= width, (q, got[q], e, width)
+
+
+def test_kmv_sketch_is_k_smallest_distinct_hashes(spark):
+    """Sketch contents = exactly the k smallest distinct hashes."""
+    from pyspark.sql import functions as F
+
+    from speech_data_pipeline_spark.operators.sketches import (
+        _hex15,
+        kmv_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 40, "g%d" % (i % 2)) for i in range(400)], "k long, g string"
+    )
+    got = {
+        r["g"]: r["sk"]
+        for r in kmv_sketches(df, "k", "g", k=8).collect()
+    }
+    hashes = df.select(
+        "g", _hex15(F.col("k").cast("string")).alias("h")
+    ).distinct()
+    for g in ("g0", "g1"):
+        exp = sorted(
+            r["h"] for r in hashes.where(F.col("g") == g).collect()
+        )[:8]
+        assert got[g] == exp
+
+
+def test_theta_intersection_exact_when_k_covers_universe(spark):
+    """With k ≥ |A∪B| the KMV estimates collapse to the exact sets:
+    est_union = |A∪B|, matches = |A∩B|, est_intersection = |A∩B|."""
+    from speech_data_pipeline_spark.queries.corpus_q import (
+        sketch_theta_intersection,
+        _KMV_K,
+    )
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    users = {
+        t: {
+            r["user_id"]
+            for r in ev.where(ev.event_type == t)
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        for t in ("click", "error", "purchase", "signup", "view")
+    }
+    # the fixture's user universe must fit the sketch for exactness
+    assert all(len(u) <= _KMV_K for u in users.values())
+    out = sketch_theta_intersection(spark, sf).collect()
+    assert len(out) == 10
+    for r in out:
+        a, b = users[r["type_a"]], users[r["type_b"]]
+        assert r["ku"] == len(a | b)
+        assert r["matches"] == len(a & b)
+        assert r["est_union"] == float(len(a | b))
+        assert abs(r["est_intersection"] - len(a & b)) < 1e-6
