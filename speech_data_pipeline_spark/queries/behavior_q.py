@@ -522,6 +522,7 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: conversion event. Epochs are "since the user's previous conversion".
 _ATTR_TOUCHES = ("view", "click")
 _ATTR_CONV = "purchase"
+_ATTR_T_SQL = ", ".join(f"'{t}'" for t in _ATTR_TOUCHES)
 
 
 @query(
@@ -535,7 +536,7 @@ _ATTR_CONV = "purchase"
                             ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND 1 PRECEDING), 0) AS epoch
       FROM events
-      WHERE event_type IN ('view', 'click', '{_ATTR_CONV}')
+      WHERE event_type IN ({_ATTR_T_SQL}, '{_ATTR_CONV}')
     ), conv AS (
       SELECT user_id, epoch FROM e WHERE event_type = '{_ATTR_CONV}'
     ), tch AS (
@@ -543,7 +544,7 @@ _ATTR_CONV = "purchase"
              count(*) OVER (PARTITION BY user_id, epoch) AS n_in_epoch,
              row_number() OVER (PARTITION BY user_id, epoch
                                 ORDER BY t_us DESC, event_id DESC) AS rd
-      FROM e WHERE event_type IN ('view', 'click')
+      FROM e WHERE event_type IN ({_ATTR_T_SQL})
     ), credited AS (
       SELECT t.channel, t.n_in_epoch, t.rd
       FROM tch t JOIN conv c

@@ -325,10 +325,14 @@ def select_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         F.expr(
-            "CASE WHEN size(regexp_extract_all(lower(text), '([a-z]+)', 1)) = 0"
-            " THEN 0L ELSE 1000000L"
-            " * size(array_distinct(regexp_extract_all(lower(text), '([a-z]+)', 1)))"
-            " div size(regexp_extract_all(lower(text), '([a-z]+)', 1)) END"
+            "regexp_extract_all(lower(text), '([a-z]+)', 1)"
+        ).alias("w"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CASE WHEN size(w) = 0 THEN 0L"
+            " ELSE 1000000L * size(array_distinct(w)) div size(w) END"
         ).alias("distinct_ppm"),
     )
     per_x = m.groupBy("n_chars").agg(F.max("distinct_ppm").alias("maxy"))
@@ -413,7 +417,7 @@ def score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pr_ppm",
             F.when(
                 F.col("cnt") > 1,
-                F.expr("(1000000 * (rn - 1)) div (cnt - 1)"),
+                F.expr("(1000000L * (rn - 1)) div (cnt - 1)"),
             ).otherwise(F.lit(0).cast("long")),
         )
     )
@@ -428,7 +432,7 @@ def score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.sum("c").over(w_cum).alias("cum"),
         F.sum("c").over(w_tot).alias("total"),
-    ).select("v", F.expr("(1000000 * cum) div total").alias("cdf"))
+    ).select("v", F.expr("(1000000L * cum) div total").alias("cdf"))
     arr = cd.agg(
         F.array_sort(F.collect_list(F.struct("v", "cdf"))).alias("vc")
     ).select(

@@ -276,6 +276,7 @@ def test_attr_multi_touch_matches_bruteforce(spark):
 
 
 def test_ohlc_bars_match_bruteforce(spark):
+    import math
     from collections import defaultdict
 
     from speech_data_pipeline_spark.queries.behavior_q import ts_ohlc_bars
@@ -287,7 +288,7 @@ def test_ohlc_bars_match_bruteforce(spark):
         .collect()
     ):
         t_us = r["ts"] // 1000
-        mv = int(r["value"] * 1000.0 + 0.5)  # floor(x+0.5) for x>=0
+        mv = math.floor(r["value"] * 1000.0 + 0.5)
         bars[(r["event_type"], t_us // 3_600_000_000)].append(
             (t_us, r["event_id"], mv)
         )

@@ -176,8 +176,14 @@ def test_theta_intersection_exact_when_k_covers_universe(spark):
         }
         for t in ("click", "error", "purchase", "signup", "view")
     }
-    # the fixture's user universe must fit the sketch for exactness
-    assert all(len(u) <= _KMV_K for u in users.values())
+    # exactness needs every PAIR's union strictly under k (ku == k
+    # flips to the (k-1)*2^60/theta estimator branch)
+    types = sorted(users)
+    assert all(
+        len(users[a] | users[b]) < _KMV_K
+        for i, a in enumerate(types)
+        for b in types[i + 1 :]
+    )
     out = sketch_theta_intersection(spark, sf).collect()
     assert len(out) == 10
     for r in out:
