@@ -13,7 +13,7 @@ Oracle-parity design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from speech_data_pipeline_spark.functions import trunc6
@@ -1353,4 +1353,378 @@ def cluster_label_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("long").alias("n_occ"),
         )
         .orderBy("cell", "rnk")
+    )
+
+
+#: Hard-negative mining knobs: LSH candidate planes (fewer than the
+#: near-dup blocker so buckets stay candidate-rich), near-dup ceiling.
+_HN_PLANES = 6
+_HN_DUP_CEIL = 0.95
+
+
+def _hn_oracle(n_planes: int = _HN_PLANES, dim: int = 64) -> str:
+    import numpy as np  # noqa: F401
+
+    from speech_data_pipeline_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed=42)
+
+    def dot_sql(plane, e: str) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({e}[i] AS DOUBLE) * ({lit})[i]))"
+        )
+
+    bucket = " || ".join(
+        f"(CASE WHEN {dot_sql(p, 'embedding')} >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    cos = f"""
+        list_sum(list_transform(range(1, {dim} + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+    return f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings
+    ), cand AS (
+      SELECT a.vec_id AS anchor_id, a.label AS label_a,
+             c.vec_id AS neg_id, c.label AS label_n,
+             ({cos}) AS cos_raw
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+       AND a.label <> c.label
+    ), ranked AS (
+      SELECT anchor_id, label_a, neg_id, label_n, cos_raw,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cos_raw DESC, neg_id) AS rn
+      FROM cand WHERE cos_raw < {_HN_DUP_CEIL}
+    )
+    SELECT anchor_id, label_a, neg_id, label_n,
+           floor(cos_raw * 1000000.0) / 1000000.0 AS cos_sim
+    FROM ranked WHERE rn = 1
+    ORDER BY anchor_id
+    """
+
+
+@query("mine_hard_negatives", oracle=_hn_oracle())
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    anchor, the most-similar vector of a DIFFERENT label (the
+    gradient-richest negative), with a near-dup ceiling so mislabeled
+    twins are never served as negatives.
+
+    Plan shape: candidates come from the SAME deterministic
+    random-hyperplane LSH blocking as sim_embedding_neardup (seeded
+    literal planes, one bucket equi-join) — never an all-pairs score;
+    fewer planes than the near-dup blocker so buckets stay candidate-
+    rich. Exact cosine reranks within buckets; the per-anchor argmax
+    is one row_number over the candidate list. At 100 TB: buckets
+    bound the join, hot buckets stay AQE-splittable, and the mined
+    pair table is anchor-sized. Ranking compares raw doubles (ties on
+    neg_id); trunc6 only on output.
+    """
+    from speech_data_pipeline_spark.operators import similarity as sim
+    from speech_data_pipeline_spark.operators.similarity import (
+        hyperplanes,
+        rp_lsh_bucket,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b = rp_lsh_bucket(e, hyperplanes(64, _HN_PLANES, seed=42))
+    a = b.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("va"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("label_n"),
+        F.col("embedding").alias("vc"),
+        "bucket",
+    )
+    cand = (
+        a.join(c, "bucket")
+        .where(
+            (F.col("anchor_id") != F.col("neg_id"))
+            & (F.col("label_a") != F.col("label_n"))
+        )
+        .withColumn("cos_raw", sim.cosine(F.col("va"), F.col("vc")))
+        .where(F.col("cos_raw") < _HN_DUP_CEIL)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_raw").desc(), "neg_id"
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            "label_a",
+            "neg_id",
+            "label_n",
+            trunc6(F.col("cos_raw")).alias("cos_sim"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+#: Centroid quantization grid: float32 components land exactly on a
+#: 2^-20 integer lattice in BOTH engines (floor after a single double
+#: multiply), so per-label sums are exact BIGINTs. Cosine is scale-
+#: invariant, so the SUM vector stands in for the mean — no division
+#: ever happens.
+_CENT_Q = 1048576.0
+
+
+@query(
+    "embed_label_centroids",
+    oracle=f"""
+    WITH q AS (
+      SELECT label, CAST(i AS INTEGER) AS i,
+             CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * {_CENT_Q!r}) AS BIGINT) AS qx
+      FROM embeddings, unnest(range(1, 65)) t(i)
+    ), s AS (
+      SELECT label, i, CAST(sum(qx) AS BIGINT) AS sv
+      FROM q GROUP BY label, i
+    ), n AS (
+      SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+    ), arr AS (
+      SELECT label, list(sv ORDER BY i) AS c FROM s GROUP BY label
+    ), pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             a.c AS ca, b.c AS cb
+      FROM arr a JOIN arr b ON a.label < b.label
+    )
+    SELECT label_a, label_b,
+           na.n_vecs AS n_a, nb.n_vecs AS n_b,
+           floor((list_sum(list_transform(range(1, 65),
+                    i -> CAST(ca[i] AS DOUBLE) * CAST(cb[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(ca,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(cb,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+                 * 1000000.0) / 1000000.0 AS centroid_cos
+    FROM pairs
+    JOIN n na ON na.label = label_a
+    JOIN n nb ON nb.label = label_b
+    ORDER BY label_a, label_b
+    """,
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid similarity matrix — the training-mix
+    diagnostic that tells you which classes/sources have collapsing
+    (or drifting) embedding distributions.
+
+    Plan shape: components quantize onto a 2^-20 integer lattice
+    in-row, ONE (label, dim) grouped sum builds all centroids
+    (map-side combinable, ≤ labels×64 rows cross the shuffle), arrays
+    reassemble per label, and the |labels|²/2 pair matrix is a
+    broadcast self-join of 10 rows. Cosine's scale-invariance lets the
+    exact integer SUM vector stand in for the mean — determinism
+    without a single float crossing a shuffle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * F.lit(_CENT_Q))
+        .cast("long")
+        .alias("qx"),
+    )
+    arr = (
+        q.groupBy("label", "pos")
+        .agg(F.sum("qx").alias("sv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sv"))),
+                lambda st: st["sv"],
+            ).alias("c")
+        )
+    )
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    a = arr.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
+    b = arr.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    from speech_data_pipeline_spark.operators import similarity as sim
+
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("label").alias("label_a"),
+                    F.col("n_vecs").alias("n_a"),
+                )
+            ),
+            "label_a",
+        )
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("label").alias("label_b"),
+                    F.col("n_vecs").alias("n_b"),
+                )
+            ),
+            "label_b",
+        )
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            trunc6(sim.cosine(F.col("ca"), F.col("cb"))).alias(
+                "centroid_cos"
+            ),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+#: NDCG@k geometry: integer-ppm discount table 1/log2(rank+1) and its
+#: prefix sums, precomputed once driver-side — both engines index the
+#: SAME literal list, so no libm log2 ever runs inside a plan.
+_NDCG_K = 10
+_NDCG_ANCHORS = 20
+_NDCG_DISC = [
+    round(1_000_000 / __import__("math").log2(i + 1))
+    for i in range(1, _NDCG_K + 1)
+]
+_NDCG_PREFIX = [
+    sum(_NDCG_DISC[: i + 1]) for i in range(_NDCG_K)
+]
+
+
+@query(
+    "eval_ndcg_at_k",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS label_a, embedding AS va
+      FROM embeddings WHERE vec_id < {_NDCG_ANCHORS}
+    ), cand AS (
+      SELECT a.anchor_id, a.label_a,
+             CASE WHEN c.label = a.label_a THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY list_sum(list_transform(range(1, 65),
+                   i -> CAST(va[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(va,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+                 c.vec_id) AS rn
+      FROM a JOIN embeddings c ON c.vec_id <> a.anchor_id
+    ), agg AS (
+      SELECT anchor_id, label_a,
+             CAST(sum(rel) AS BIGINT) AS n_rel,
+             CAST(sum(CASE WHEN rn <= {_NDCG_K}
+                      THEN rel * ({_NDCG_DISC})[rn] ELSE 0 END)
+                  AS BIGINT) AS dcg_ppm
+      FROM cand GROUP BY anchor_id, label_a
+    )
+    SELECT anchor_id, label_a, n_rel, dcg_ppm,
+           CAST(CASE WHEN n_rel = 0 THEN 0
+                ELSE ({_NDCG_PREFIX})[least(n_rel, {_NDCG_K})] END
+                AS BIGINT) AS idcg_ppm,
+           CASE WHEN n_rel = 0 THEN 0.0
+                ELSE floor(CAST(dcg_ppm AS DOUBLE)
+                           / ({_NDCG_PREFIX})[least(n_rel, {_NDCG_K})]
+                           * 1000000.0) / 1000000.0 END AS ndcg
+    FROM agg
+    ORDER BY anchor_id
+    """,
+)
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 retrieval-quality evaluation of the embedding space
+    against its own labels — the eval primitive a training pipeline
+    runs after every embedding refresh: for each anchor, rank ALL
+    other vectors by exact cosine, mark same-label hits relevant, and
+    score the top-10 with log-discounted gain normalized by the ideal
+    ranking.
+
+    Plan shape: the anchor set is a bounded LIMIT-style slice
+    broadcast against the corpus (the sim_ann_batch shape — candidate
+    volume is anchors×corpus, linear in corpus for a fixed eval set);
+    one per-anchor rank window; one grouped aggregate. The discount
+    table and its prefix sums are integer-ppm literals indexed by
+    rank — dcg/idcg cross the shuffle as exact BIGINTs and the single
+    float division happens at output. Ties: raw-double cosine desc,
+    then vec_id.
+    """
+    from speech_data_pipeline_spark.operators import similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.where(F.col("vec_id") < _NDCG_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("va"),
+    )
+    cand = (
+        F.broadcast(a)
+        .join(
+            e.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("label").alias("label_c"),
+                F.col("embedding").alias("vc"),
+            ),
+            F.col("cand_id") != F.col("anchor_id"),
+        )
+        .select(
+            "anchor_id",
+            "label_a",
+            "cand_id",
+            F.when(F.col("label_c") == F.col("label_a"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            sim.cosine(F.col("va"), F.col("vc")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_raw").desc(), "cand_id"
+    )
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    prefix = F.array(*[F.lit(p) for p in _NDCG_PREFIX])
+    agg = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .groupBy("anchor_id", "label_a")
+        .agg(
+            F.sum("rel").alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("rn") <= _NDCG_K,
+                    F.col("rel") * F.element_at(disc, F.col("rn")),
+                ).otherwise(0)
+            ).alias("dcg_ppm"),
+        )
+    )
+    idcg = F.when(F.col("n_rel") == 0, F.lit(0).cast("long")).otherwise(
+        F.element_at(
+            prefix, F.least(F.col("n_rel"), F.lit(_NDCG_K)).cast("int")
+        )
+    )
+    return (
+        agg.withColumn("idcg_ppm", idcg.cast("long"))
+        .select(
+            "anchor_id",
+            "label_a",
+            F.col("n_rel").cast("long").alias("n_rel"),
+            F.col("dcg_ppm").cast("long").alias("dcg_ppm"),
+            "idcg_ppm",
+            F.when(F.col("n_rel") == 0, F.lit(0.0))
+            .otherwise(
+                trunc6(
+                    F.col("dcg_ppm").cast("double") / F.col("idcg_ppm")
+                )
+            )
+            .alias("ndcg"),
+        )
+        .orderBy("anchor_id")
     )

@@ -473,3 +473,127 @@ def test_ct_profiles_deterministic_and_padded(spark):
             assert 1 <= len(g) <= 3
             assert re.fullmatch(r"[a-z一-龥 ]+", g)
     assert ct_profiles() == profs
+
+
+def _emb_rows(spark, sf="/root/testdata/sf0.001"):
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    return [
+        (r["vec_id"], r["label"], [float(x) for x in r["embedding"]])
+        for r in load_table(spark, sf, "embeddings").collect()
+    ]
+
+
+def test_hard_negatives_match_bruteforce(spark):
+    """NumPy replay of bucket → candidate → argmax on sf0.001."""
+    import numpy as np
+
+    from speech_data_pipeline_spark.operators.similarity import hyperplanes
+    from speech_data_pipeline_spark.queries.text_q import (
+        _HN_DUP_CEIL,
+        _HN_PLANES,
+        mine_hard_negatives,
+    )
+
+    rows = _emb_rows(spark)
+    planes = hyperplanes(64, _HN_PLANES, seed=42)
+    emb = {i: np.asarray(v) for i, l, v in rows}
+    lab = {i: l for i, l, v in rows}
+    buck = {
+        i: "".join(
+            "1" if float(np.dot(p, emb[i])) >= 0 else "0" for p in planes
+        )
+        for i in emb
+    }
+    exp = {}
+    for i in emb:
+        best = None
+        for j in emb:
+            if j == i or lab[j] == lab[i] or buck[j] != buck[i]:
+                continue
+            c = float(
+                np.dot(emb[i], emb[j])
+                / (np.linalg.norm(emb[i]) * np.linalg.norm(emb[j]))
+            )
+            if c >= _HN_DUP_CEIL:
+                continue
+            if best is None or (-c, j) < best:
+                best = (-c, j)
+        if best is not None:
+            exp[i] = best[1]
+    got = {
+        r["anchor_id"]: r["neg_id"]
+        for r in mine_hard_negatives(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == exp
+    assert exp  # fixture must actually exercise the path
+
+
+def test_label_centroids_match_bruteforce(spark):
+    import math
+
+    import numpy as np
+
+    from speech_data_pipeline_spark.queries.text_q import (
+        _CENT_Q,
+        embed_label_centroids,
+    )
+
+    rows = _emb_rows(spark)
+    sums, counts = {}, {}
+    for i, l, v in rows:
+        q = np.array([math.floor(x * _CENT_Q) for x in v], dtype=np.int64)
+        sums[l] = sums.get(l, np.zeros(64, dtype=np.int64)) + q
+        counts[l] = counts.get(l, 0) + 1
+    out = embed_label_centroids(spark, "/root/testdata/sf0.001").collect()
+    labels = sorted(sums)
+    assert len(out) == len(labels) * (len(labels) - 1) // 2
+    for r in out:
+        ca, cb = sums[r["label_a"]].astype(float), sums[r["label_b"]].astype(float)
+        exp = float(np.dot(ca, cb) / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+        assert abs(r["centroid_cos"] - exp) < 2e-6
+        assert r["n_a"] == counts[r["label_a"]]
+        assert r["n_b"] == counts[r["label_b"]]
+
+
+def test_ndcg_matches_bruteforce(spark):
+    import numpy as np
+
+    from speech_data_pipeline_spark.queries.text_q import (
+        _NDCG_ANCHORS,
+        _NDCG_DISC,
+        _NDCG_K,
+        _NDCG_PREFIX,
+        eval_ndcg_at_k,
+    )
+
+    rows = _emb_rows(spark)
+    emb = {i: np.asarray(v) for i, l, v in rows}
+    lab = {i: l for i, l, v in rows}
+    got = {
+        r["anchor_id"]: (r["n_rel"], r["dcg_ppm"], r["idcg_ppm"])
+        for r in eval_ndcg_at_k(spark, "/root/testdata/sf0.001").collect()
+    }
+    for a in [i for i in emb if i < _NDCG_ANCHORS]:
+        cands = sorted(
+            (
+                (
+                    -float(
+                        np.dot(emb[a], emb[j])
+                        / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[j]))
+                    ),
+                    j,
+                )
+                for j in emb
+                if j != a
+            ),
+        )
+        rels = [1 if lab[j] == lab[a] else 0 for _, j in cands]
+        n_rel = sum(rels)
+        dcg = sum(
+            r * d for r, d in zip(rels[:_NDCG_K], _NDCG_DISC)
+        )
+        idcg = _NDCG_PREFIX[min(n_rel, _NDCG_K) - 1] if n_rel else 0
+        assert got[a] == (n_rel, dcg, idcg)
