@@ -1728,3 +1728,86 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+@query(
+    "eval_calibration_bins",
+    oracle=r"""
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), t -> t <> '') AS toks,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             CAST(floor(((least(len(toks) / 50.0, 1.0)
+                  + (1.0 - least(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0))
+                  + (1.0 - least(n_upper / CAST(greatest(n_alpha, 1) AS DOUBLE) * 2.0, 1.0))
+                  + CASE WHEN len(toks) > 0
+                         THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                         ELSE 0.0 END) / 4.0) * 1000000.0) AS BIGINT) AS q_ppm,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS pos
+      FROM feat
+    ), binned AS (
+      SELECT least(9, q_ppm // 100000) AS bin, q_ppm, pos FROM scored
+    )
+    SELECT bin,
+           count(*) AS n_docs,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(q_ppm) // count(*) AS BIGINT) AS mean_pred_ppm,
+           CAST((1000000 * sum(pos)) // count(*) AS BIGINT) AS obs_ppm,
+           CAST(abs(sum(q_ppm) // count(*)
+                    - (1000000 * sum(pos)) // count(*)) AS BIGINT)
+             AS gap_ppm
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration curve) of the composite quality
+    score against the weak length label the perceptron trains on —
+    the model-eval step a curation pipeline runs before trusting a
+    score as a keep-probability: fixed-width probability bins, each
+    reporting mean predicted vs observed positive rate and the gap.
+
+    Plan shape: scoring is the in-row quality_score algebra; binning
+    is a value-based projection (NO global rank/ntile — equal-width
+    probability bins are the standard reliability-diagram form AND the
+    scale-safe one; an equal-count decile version would need a global
+    sort); one ≤10-group aggregate ends the plan. The score is lifted
+    back to its exact ppm integer (round of trunc6·1e6 — within 1e-10
+    of the integer, exact in both engines), so every per-bin statistic
+    crosses the shuffle as a BIGINT.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = tx.quality_score(d).select(
+        F.round(F.col("quality") * F.lit(1000000.0))
+        .cast("long")
+        .alias("q_ppm"),
+        F.when(F.length("text") >= 200, 1).otherwise(0).alias("pos"),
+    )
+    binned = scored.select(
+        F.least(F.lit(9).cast("long"), F.expr("q_ppm div 100000")).alias(
+            "bin"
+        ),
+        "q_ppm",
+        "pos",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.expr("sum(q_ppm) div count(*)").alias("mean_pred_ppm"),
+            F.expr("(1000000 * sum(pos)) div count(*)").alias("obs_ppm"),
+            F.expr(
+                "abs(sum(q_ppm) div count(*)"
+                " - (1000000 * sum(pos)) div count(*))"
+            ).alias("gap_ppm"),
+        )
+        .orderBy("bin")
+    )

@@ -597,3 +597,40 @@ def test_ndcg_matches_bruteforce(spark):
         )
         idcg = _NDCG_PREFIX[min(n_rel, _NDCG_K) - 1] if n_rel else 0
         assert got[a] == (n_rel, dcg, idcg)
+
+
+def test_calibration_bins_match_bruteforce(spark):
+    """Replay bins from the already-gated quality scores."""
+    from collections import defaultdict
+
+    from speech_data_pipeline_spark.operators import text as tx
+    from speech_data_pipeline_spark.queries.text_q import (
+        eval_calibration_bins,
+    )
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    rows = (
+        tx.quality_score(d)
+        .selectExpr(
+            "CAST(round(quality * 1000000.0) AS LONG) AS q_ppm",
+            "CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS pos",
+        )
+        .collect()
+    )
+    bins = defaultdict(list)
+    for r in rows:
+        bins[min(9, r["q_ppm"] // 100000)].append((r["q_ppm"], r["pos"]))
+    got = {r["bin"]: r for r in eval_calibration_bins(spark, sf).collect()}
+    assert set(got) == set(bins)
+    for b, lst in bins.items():
+        n = len(lst)
+        spm = sum(q for q, _ in lst) // n
+        opm = (1_000_000 * sum(p for _, p in lst)) // n
+        r = got[b]
+        assert (r["n_docs"], r["mean_pred_ppm"], r["obs_ppm"], r["gap_ppm"]) == (
+            n, spm, opm, abs(spm - opm),
+        )
+    # the tiny fixture still has to populate more than one bin
+    assert len(bins) >= 2
