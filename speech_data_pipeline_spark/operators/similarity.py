@@ -1141,3 +1141,105 @@ def pca_power_topk(
         .orderBy(F.col("pc1").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def hard_negatives_in_buckets(
+    df: DataFrame,
+    n_planes: int = 6,
+    seed: int = 42,
+    dup_ceiling: float = 0.95,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-anchor hardest different-label neighbor within its LSH
+    bucket — contrastive-training negative mining as a per-bucket
+    vectorized kernel (the :func:`embedding_neardup_pairs` shape:
+    bucketing JVM-side, the within-bucket quadratic as ONE
+    ``applyInPandas`` kernel, NO candidate pair rows ever materialized;
+    a join-based formulation would emit O(bucket²) rows and evaluate
+    the cosine fold inside the join condition).
+
+    Argmax semantics match the SQL spec: raw-double cosine descending,
+    ``neg_id`` ascending on ties, candidates restricted to a DIFFERENT
+    label with raw cosine strictly under ``dup_ceiling``; output cosine
+    is trunc6. Floats accumulate strictly left-to-right over dims —
+    bit-identical to the ``F.aggregate`` fold and DuckDB ``list_sum``.
+
+    At scale per-bucket work is O(bucket²) kernel flops and O(bucket²)
+    kernel memory; ``n_planes`` is the knob that bounds bucket
+    population (grow it ~log n with the corpus, exactly as for the
+    near-dup blocker). A hot bucket is the same skew exposure
+    ``embedding_neardup_pairs`` documents.
+    """
+    import pandas as pd
+
+    planes = hyperplanes(dim, n_planes, seed)
+    b = rp_lsh_bucket(df, planes, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lab"),
+        F.col(vec_col).alias("v"),
+        "bucket",
+    )
+    id_type = b.schema["id"].dataType.simpleString()
+    lab_type = b.schema["lab"].dataType.simpleString()
+    out_schema = (
+        f"anchor_id {id_type}, label_a {lab_type}, "
+        f"neg_id {id_type}, label_n {lab_type}, cos_sim double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "anchor_id": pdf["id"][:0],
+                "label_a": pdf["lab"][:0],
+                "neg_id": pdf["id"][:0],
+                "label_n": pdf["lab"][:0],
+                "cos_sim": np.zeros(0),
+            }
+        )
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        labs = pdf["lab"].to_numpy()[order]
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["v"].to_numpy()[order]]
+        )
+        d_ = X.shape[1]
+        norm_acc = np.zeros(n)
+        for d in range(d_):  # left-to-right: bit-identical to the fold
+            norm_acc = norm_acc + X[:, d] * X[:, d]
+        norms = np.sqrt(norm_acc)
+        dot_acc = np.zeros((n, n))
+        for d in range(d_):
+            dot_acc = dot_acc + X[:, d][:, None] * X[:, d][None, :]
+        cos = dot_acc / (norms[:, None] * norms[None, :])
+        mask = (
+            (labs[:, None] != labs[None, :])
+            & (cos < dup_ceiling)
+            & ~np.eye(n, dtype=bool)
+        )
+        val = np.where(mask, cos, -np.inf)
+        # argmax returns the FIRST max — ids are sorted ascending, so
+        # ties resolve to the smallest neg_id, matching the SQL spec
+        best = val.argmax(axis=1)
+        has = np.isfinite(val[np.arange(n), best])
+        if not has.any():
+            return empty
+        sel = np.flatnonzero(has)
+        bj = best[sel]
+        c6 = np.floor(cos[sel, bj] * 1_000_000.0) / 1_000_000.0
+        return pd.DataFrame(
+            {
+                "anchor_id": ids[sel],
+                "label_a": labs[sel],
+                "neg_id": ids[bj],
+                "label_n": labs[bj],
+                "cos_sim": c6,
+            }
+        )
+
+    return b.groupBy("bucket").applyInPandas(kernel, schema=out_schema)

@@ -13,6 +13,8 @@ Oracle-parity design notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -52,17 +54,31 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_quality_score",
-    oracle=r"""
-    WITH feat AS (
-      SELECT doc_id,
+#: Quality-score SQL fragments — ONE definition of the feature CTE and
+#: the raw [0,1] composite, shared by every oracle that replays
+#: operators/text.py quality_score (the score itself and the
+#: calibration diagram over it).
+_QUALITY_FEAT_SQL = r"""SELECT doc_id,
              length(text) AS n_chars,
              list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), t -> t <> '') AS toks,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
              length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
              length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
-      FROM documents
+      FROM documents"""
+
+_QUALITY_RAW01_SQL = """((least(len(toks) / 50.0, 1.0)
+                  + (1.0 - least(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0))
+                  + (1.0 - least(n_upper / CAST(greatest(n_alpha, 1) AS DOUBLE) * 2.0, 1.0))
+                  + CASE WHEN len(toks) > 0
+                         THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                         ELSE 0.0 END) / 4.0)"""
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH feat AS (
+      {_QUALITY_FEAT_SQL}
     )
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -72,12 +88,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((CASE WHEN len(toks) > 0
                       THEN n_alpha / CAST(len(toks) AS DOUBLE)
                       ELSE 0.0 END) * 1000000.0) / 1000000.0 AS mean_word_len,
-           floor(((least(len(toks) / 50.0, 1.0)
-                  + (1.0 - least(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0))
-                  + (1.0 - least(n_upper / CAST(greatest(n_alpha, 1) AS DOUBLE) * 2.0, 1.0))
-                  + CASE WHEN len(toks) > 0
-                         THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
-                         ELSE 0.0 END) / 4.0) * 1000000.0) / 1000000.0 AS quality
+           floor({_QUALITY_RAW01_SQL} * 1000000.0) / 1000000.0 AS quality
     FROM feat
     """,
 )
@@ -463,32 +474,45 @@ def a5_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_dot_sql(vec, e: str, dim: int = 64) -> str:
+    """DuckDB dot of a column list with a literal vector, left-to-right
+    (the fold every oracle in this family must share)."""
+    lit = "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+    return (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> CAST({e}[i] AS DOUBLE) * ({lit})[i]))"
+    )
+
+
+def _bucket_sql(planes, e: str = "embedding", dim: int = 64) -> str:
+    """Sign-bit LSH bucket key — ONE definition for every oracle that
+    must replay operators/similarity.py rp_lsh_bucket."""
+    return " || ".join(
+        f"(CASE WHEN {_plane_dot_sql(p, e, dim)} >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+
+
+def _cos_pair_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB raw cosine between two list columns, fold-order-exact."""
+    return f"""
+        list_sum(list_transform(range(1, {dim} + 1),
+            i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform({a},
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform({b},
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+
+
 def _neardup_oracle(n_planes: int = 8, dim: int = 64, threshold: float = 0.3) -> str:
     import numpy as np
 
     from speech_data_pipeline_spark.operators.similarity import hyperplanes
 
     planes = hyperplanes(dim, n_planes, seed=42)
-
-    def dot_sql(plane: "np.ndarray", e: str) -> str:
-        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
-        return (
-            f"list_sum(list_transform(range(1, {dim} + 1), "
-            f"i -> CAST({e}[i] AS DOUBLE) * ({lit})[i]))"
-        )
-
-    bucket = " || ".join(
-        f"(CASE WHEN {dot_sql(p, 'embedding')} >= 0 THEN '1' ELSE '0' END)"
-        for p in planes
-    )
-    cos = """
-        list_sum(list_transform(range(1, 65),
-            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-        / (sqrt(list_sum(list_transform(a.embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * sqrt(list_sum(list_transform(c.embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-    """
+    bucket = _bucket_sql(planes, "embedding", dim)
+    cos = _cos_pair_sql("a.embedding", "c.embedding", dim)
     return f"""
     WITH b AS (
       SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
@@ -519,20 +543,10 @@ def _multiprobe_oracle(n_planes: int = 6, dim: int = 64, n_probes: int = 5) -> s
     qv = _mp_query_vec(dim)
     probes = probe_buckets(qv, planes, n_probes)
 
-    def dot_sql(vec, e: str) -> str:
-        lit = "[" + ", ".join(repr(float(x)) for x in vec) + "]"
-        return (
-            f"list_sum(list_transform(range(1, {dim} + 1), "
-            f"i -> CAST({e}[i] AS DOUBLE) * ({lit})[i]))"
-        )
-
-    bucket = " || ".join(
-        f"(CASE WHEN {dot_sql(p, 'embedding')} >= 0 THEN '1' ELSE '0' END)"
-        for p in planes
-    )
+    bucket = _bucket_sql(planes, "embedding", dim)
     qlit = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
     cos = f"""
-        {dot_sql(qv, "embedding")}
+        {_plane_dot_sql(qv, "embedding", dim)}
         / (sqrt(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
            * sqrt(list_sum(list_transform({qlit}::DOUBLE[],
@@ -583,17 +597,7 @@ def _ann_batch_oracle(
     planes = hyperplanes(dim, n_planes, seed=42)
     qvs = _batch_query_vecs(dim=dim)
 
-    def dot_sql(vec, e: str) -> str:
-        lit = "[" + ", ".join(repr(float(x)) for x in vec) + "]"
-        return (
-            f"list_sum(list_transform(range(1, {dim} + 1), "
-            f"i -> CAST({e}[i] AS DOUBLE) * ({lit})[i]))"
-        )
-
-    bucket = " || ".join(
-        f"(CASE WHEN {dot_sql(p, 'embedding')} >= 0 THEN '1' ELSE '0' END)"
-        for p in planes
-    )
+    bucket = _bucket_sql(planes, "embedding", dim)
     probe_vals = ", ".join(
         f"({qid}, '{b}')"
         for qid, qv in enumerate(qvs)
@@ -1363,31 +1367,11 @@ _HN_DUP_CEIL = 0.95
 
 
 def _hn_oracle(n_planes: int = _HN_PLANES, dim: int = 64) -> str:
-    import numpy as np  # noqa: F401
-
     from speech_data_pipeline_spark.operators.similarity import hyperplanes
 
     planes = hyperplanes(dim, n_planes, seed=42)
-
-    def dot_sql(plane, e: str) -> str:
-        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
-        return (
-            f"list_sum(list_transform(range(1, {dim} + 1), "
-            f"i -> CAST({e}[i] AS DOUBLE) * ({lit})[i]))"
-        )
-
-    bucket = " || ".join(
-        f"(CASE WHEN {dot_sql(p, 'embedding')} >= 0 THEN '1' ELSE '0' END)"
-        for p in planes
-    )
-    cos = f"""
-        list_sum(list_transform(range(1, {dim} + 1),
-            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-        / (sqrt(list_sum(list_transform(a.embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * sqrt(list_sum(list_transform(c.embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-    """
+    bucket = _bucket_sql(planes, "embedding", dim)
+    cos = _cos_pair_sql("a.embedding", "c.embedding", dim)
     return f"""
     WITH b AS (
       SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings
@@ -1419,59 +1403,27 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins are never served as negatives.
 
     Plan shape: candidates come from the SAME deterministic
-    random-hyperplane LSH blocking as sim_embedding_neardup (seeded
-    literal planes, one bucket equi-join) — never an all-pairs score;
-    fewer planes than the near-dup blocker so buckets stay candidate-
-    rich. Exact cosine reranks within buckets; the per-anchor argmax
-    is one row_number over the candidate list. At 100 TB: buckets
-    bound the join, hot buckets stay AQE-splittable, and the mined
-    pair table is anchor-sized. Ranking compares raw doubles (ties on
-    neg_id); trunc6 only on output.
+    random-hyperplane LSH blocking as sim_embedding_neardup; the
+    within-bucket quadratic runs as the per-bucket vectorized
+    ``applyInPandas`` kernel (operators/similarity.py
+    hard_negatives_in_buckets) — one shuffle on the bucket key, NO
+    candidate pair rows materialized (a join formulation would emit
+    O(bucket²) rows and evaluate the cosine fold inside the join
+    condition — the anti-pattern embedding_neardup_pairs' docstring
+    measures at ~4× redundant work). Each vector lives in exactly one
+    bucket, so the kernel's per-anchor argmax IS the final answer —
+    no second aggregate. ``n_planes`` bounds bucket population (grow
+    ~log n with the corpus); the DuckDB oracle replays the identical
+    planes, candidate rule, raw-double ranking and neg_id tie-break.
     """
-    from speech_data_pipeline_spark.operators import similarity as sim
     from speech_data_pipeline_spark.operators.similarity import (
-        hyperplanes,
-        rp_lsh_bucket,
+        hard_negatives_in_buckets,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    b = rp_lsh_bucket(e, hyperplanes(64, _HN_PLANES, seed=42))
-    a = b.select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("label_a"),
-        F.col("embedding").alias("va"),
-        "bucket",
-    )
-    c = b.select(
-        F.col("vec_id").alias("neg_id"),
-        F.col("label").alias("label_n"),
-        F.col("embedding").alias("vc"),
-        "bucket",
-    )
-    cand = (
-        a.join(c, "bucket")
-        .where(
-            (F.col("anchor_id") != F.col("neg_id"))
-            & (F.col("label_a") != F.col("label_n"))
-        )
-        .withColumn("cos_raw", sim.cosine(F.col("va"), F.col("vc")))
-        .where(F.col("cos_raw") < _HN_DUP_CEIL)
-    )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.col("cos_raw").desc(), "neg_id"
-    )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "anchor_id",
-            "label_a",
-            "neg_id",
-            "label_n",
-            trunc6(F.col("cos_raw")).alias("cos_sim"),
-        )
-        .orderBy("anchor_id")
-    )
+    return hard_negatives_in_buckets(
+        e, n_planes=_HN_PLANES, seed=42, dup_ceiling=_HN_DUP_CEIL, dim=64
+    ).orderBy("anchor_id")
 
 
 #: Centroid quantization grid: float32 components land exactly on a
@@ -1554,8 +1506,6 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
     a = arr.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
     b = arr.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
-    from speech_data_pipeline_spark.operators import similarity as sim
-
     return (
         a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
         .join(
@@ -1595,8 +1545,7 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NDCG_K = 10
 _NDCG_ANCHORS = 20
 _NDCG_DISC = [
-    round(1_000_000 / __import__("math").log2(i + 1))
-    for i in range(1, _NDCG_K + 1)
+    round(1_000_000 / math.log2(i + 1)) for i in range(1, _NDCG_K + 1)
 ]
 _NDCG_PREFIX = [
     sum(_NDCG_DISC[: i + 1]) for i in range(_NDCG_K)
@@ -1659,8 +1608,6 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     float division happens at output. Ties: raw-double cosine desc,
     then vec_id.
     """
-    from speech_data_pipeline_spark.operators import similarity as sim
-
     e = load_table(spark, sf_dir, "embeddings")
     a = e.where(F.col("vec_id") < _NDCG_ANCHORS).select(
         F.col("vec_id").alias("anchor_id"),
@@ -1692,18 +1639,25 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
     prefix = F.array(*[F.lit(p) for p in _NDCG_PREFIX])
+    # rank-filter FIRST (compiles to WindowGroupLimit: per-map-partition
+    # top-k before the shuffle, so no anchor partition ever holds the
+    # corpus); n_rel needs no window at all — it is label_count − 1
+    # (candidates are everyone but the anchor), a broadcast-tiny join.
+    top = cand.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _NDCG_K
+    )
+    lc = e.groupBy(F.col("label").alias("label_a")).agg(
+        F.count(F.lit(1)).alias("n_lab")
+    )
     agg = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .groupBy("anchor_id", "label_a")
+        top.groupBy("anchor_id", "label_a")
         .agg(
-            F.sum("rel").alias("n_rel"),
             F.sum(
-                F.when(
-                    F.col("rn") <= _NDCG_K,
-                    F.col("rel") * F.element_at(disc, F.col("rn")),
-                ).otherwise(0)
+                F.col("rel") * F.element_at(disc, F.col("rn"))
             ).alias("dcg_ppm"),
         )
+        .join(F.broadcast(lc), "label_a")
+        .withColumn("n_rel", F.col("n_lab") - 1)
     )
     idcg = F.when(F.col("n_rel") == 0, F.lit(0).cast("long")).otherwise(
         F.element_at(
@@ -1732,23 +1686,12 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "eval_calibration_bins",
-    oracle=r"""
+    oracle=f"""
     WITH feat AS (
-      SELECT doc_id,
-             length(text) AS n_chars,
-             list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), t -> t <> '') AS toks,
-             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-             length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
-      FROM documents
+      {_QUALITY_FEAT_SQL}
     ), scored AS (
       SELECT doc_id,
-             CAST(floor(((least(len(toks) / 50.0, 1.0)
-                  + (1.0 - least(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0))
-                  + (1.0 - least(n_upper / CAST(greatest(n_alpha, 1) AS DOUBLE) * 2.0, 1.0))
-                  + CASE WHEN len(toks) > 0
-                         THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
-                         ELSE 0.0 END) / 4.0) * 1000000.0) AS BIGINT) AS q_ppm,
+             CAST(floor({_QUALITY_RAW01_SQL} * 1000000.0) AS BIGINT) AS q_ppm,
              CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS pos
       FROM feat
     ), binned AS (

@@ -475,6 +475,24 @@ def test_ct_profiles_deterministic_and_padded(spark):
     assert ct_profiles() == profs
 
 
+def _fold_dot(a, b):
+    """Strict left-to-right fold — bit-identical to F.aggregate /
+    DuckDB list_sum (np.dot/BLAS would reassociate and can flip
+    values sitting within an ulp of a tie or a bucket-sign boundary)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _fold_cos(a, b):
+    import math
+
+    return _fold_dot(a, b) / (
+        math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b))
+    )
+
+
 def _emb_rows(spark, sf="/root/testdata/sf0.001"):
     from speech_data_pipeline_spark.sources.catalog import load_table
 
@@ -485,9 +503,7 @@ def _emb_rows(spark, sf="/root/testdata/sf0.001"):
 
 
 def test_hard_negatives_match_bruteforce(spark):
-    """NumPy replay of bucket → candidate → argmax on sf0.001."""
-    import numpy as np
-
+    """Fold-exact replay of bucket → candidate → argmax on sf0.001."""
     from speech_data_pipeline_spark.operators.similarity import hyperplanes
     from speech_data_pipeline_spark.queries.text_q import (
         _HN_DUP_CEIL,
@@ -497,11 +513,11 @@ def test_hard_negatives_match_bruteforce(spark):
 
     rows = _emb_rows(spark)
     planes = hyperplanes(64, _HN_PLANES, seed=42)
-    emb = {i: np.asarray(v) for i, l, v in rows}
+    emb = {i: v for i, l, v in rows}
     lab = {i: l for i, l, v in rows}
     buck = {
         i: "".join(
-            "1" if float(np.dot(p, emb[i])) >= 0 else "0" for p in planes
+            "1" if _fold_dot(p, emb[i]) >= 0 else "0" for p in planes
         )
         for i in emb
     }
@@ -511,10 +527,7 @@ def test_hard_negatives_match_bruteforce(spark):
         for j in emb:
             if j == i or lab[j] == lab[i] or buck[j] != buck[i]:
                 continue
-            c = float(
-                np.dot(emb[i], emb[j])
-                / (np.linalg.norm(emb[i]) * np.linalg.norm(emb[j]))
-            )
+            c = _fold_cos(emb[i], emb[j])
             if c >= _HN_DUP_CEIL:
                 continue
             if best is None or (-c, j) < best:
@@ -569,26 +582,21 @@ def test_ndcg_matches_bruteforce(spark):
         eval_ndcg_at_k,
     )
 
+    import math
+
     rows = _emb_rows(spark)
-    emb = {i: np.asarray(v) for i, l, v in rows}
+    emb = {i: v for i, l, v in rows}
     lab = {i: l for i, l, v in rows}
+    out = eval_ndcg_at_k(spark, "/root/testdata/sf0.001").collect()
     got = {
-        r["anchor_id"]: (r["n_rel"], r["dcg_ppm"], r["idcg_ppm"])
-        for r in eval_ndcg_at_k(spark, "/root/testdata/sf0.001").collect()
+        r["anchor_id"]: (r["n_rel"], r["dcg_ppm"], r["idcg_ppm"], r["ndcg"])
+        for r in out
     }
-    for a in [i for i in emb if i < _NDCG_ANCHORS]:
+    anchors = [i for i in emb if i < _NDCG_ANCHORS]
+    assert sorted(got) == sorted(anchors)  # exactly one row per anchor
+    for a in anchors:
         cands = sorted(
-            (
-                (
-                    -float(
-                        np.dot(emb[a], emb[j])
-                        / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[j]))
-                    ),
-                    j,
-                )
-                for j in emb
-                if j != a
-            ),
+            ((-_fold_cos(emb[a], emb[j]), j) for j in emb if j != a),
         )
         rels = [1 if lab[j] == lab[a] else 0 for _, j in cands]
         n_rel = sum(rels)
@@ -596,7 +604,12 @@ def test_ndcg_matches_bruteforce(spark):
             r * d for r, d in zip(rels[:_NDCG_K], _NDCG_DISC)
         )
         idcg = _NDCG_PREFIX[min(n_rel, _NDCG_K) - 1] if n_rel else 0
-        assert got[a] == (n_rel, dcg, idcg)
+        ndcg = (
+            math.floor(dcg / idcg * 1_000_000.0) / 1_000_000.0
+            if n_rel
+            else 0.0
+        )
+        assert got[a] == (n_rel, dcg, idcg, ndcg)
 
 
 def test_calibration_bins_match_bruteforce(spark):
