@@ -1047,3 +1047,51 @@ def stream_trending_topk(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_ohlc_bars(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming OHLC time bars — the live form of the batch
+    ``ts_ohlc_bars`` query: per (event_type, tumbling window) the
+    opening/highest/lowest/closing value plus count and exact integer
+    sum, emitted incrementally with late-data watermarking.
+
+    Everything is a plain declarative aggregate, so Spark maintains
+    O(1) state per open (type, window) group: open/close are
+    ``min_by``/``max_by`` over the (ts, event_id) struct (lexicographic
+    struct ordering = the batch query's deterministic tie-break — no
+    rank window, which streaming couldn't run anyway), extremes are
+    min/max, and values are quantized to integer milli-units at the
+    boundary so merge order never changes a result. Identical rows to
+    the batch query on the same landed data (pinned by test).
+    """
+    from speech_data_pipeline_spark.functions import trunc6
+
+    mv = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    k = F.struct(F.col("ts_ts").alias("t"), F.col("event_id").alias("e"))
+    milli = lambda c: trunc6(c.cast("double") / F.lit(1000.0))  # noqa: E731
+    return (
+        events.withColumn("mv", mv)
+        .withColumn("k", k)
+        .withWatermark("ts_ts", watermark)
+        .groupBy(F.window("ts_ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            milli(F.min_by("mv", "k")).alias("open"),
+            milli(F.max("mv")).alias("high"),
+            milli(F.min("mv")).alias("low"),
+            milli(F.max_by("mv", "k")).alias("close"),
+            F.sum("mv").alias("sum_mv"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+            "sum_mv",
+        )
+    )

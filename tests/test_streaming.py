@@ -938,3 +938,32 @@ def test_stream_bloom_dedup_recovery_and_fp_bound(spark):
     )
     assert fp / 2000 <= max(2.5 * bound, 0.02), (fp / 2000, bound)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_ohlc_bars_match_batch_query(spark, landing):
+    """The streaming OHLC bars equal the batch ts_ohlc_bars rows on
+    the same landed data (bar index ↔ window start)."""
+    from speech_data_pipeline_spark.queries.behavior_q import (
+        _BAR_US,
+        ts_ohlc_bars,
+    )
+    from speech_data_pipeline_spark.streaming.ingest import (
+        streaming_ohlc_bars,
+    )
+
+    stream = streaming_ohlc_bars(read_event_stream(spark, landing))
+    got = run_stream(spark, stream, "ohlc_bars")
+    batch = ts_ohlc_bars(spark, landing).select(
+        F.timestamp_micros(F.expr(f"bar * {_BAR_US}")).alias("window_start"),
+        "event_type",
+        "n_events",
+        "open",
+        "high",
+        "low",
+        "close",
+        "sum_mv",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    assert got.count() > 0
