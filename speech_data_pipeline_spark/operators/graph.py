@@ -448,3 +448,61 @@ def bfs_hops(
         visited = visited.unionByName(nxt).persist()
         frontier = nxt.select("node")
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    a: str = "u",
+    b: str = "v",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for
+    community detection, fully deterministic: labels start as node
+    ids; each round every node adopts the most frequent label among
+    its NEIGHBORS, ties to the smallest label — the argmax is
+    ``min(struct(-count, label))`` so no ordering ever depends on
+    shuffle layout. A fixed ``iters`` keeps the trajectory replayable
+    as chained CTEs (the bit-replayable contract pagerank and k-means
+    follow; open-ended convergence would need a driver loop like
+    connected_components).
+
+    Beside connected components (dedup resolution — min-label spread,
+    finds CONNECTIVITY) this finds DENSITY: communities inside one
+    component, the "which near-dup cluster is actually several topics"
+    signal.
+
+    Plan shape per round: one (edge ⋈ labels) hash join on the dst key
+    + one (node, label) grouped count + one per-node grouped argmin —
+    all map-side combinable, state is the n-node label table,
+    persisted between rounds (lazy chaining across iterations
+    re-evaluates exponentially). Output: (node, label) after
+    ``iters`` rounds.
+    """
+    und = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionByName(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    ).distinct()
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lab")).persist()
+    labels.count()
+    for _ in range(iters):
+        nxt = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("lab").alias("nlab")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), F.col("nlab"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), F.col("nlab").alias("l")))[
+                    "l"
+                ].alias("lab")
+            )
+            .persist()
+        )
+        nxt.count()
+        labels.unpersist()
+        labels = nxt
+    return labels

@@ -1732,3 +1732,75 @@ def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(est_j).alias("est_jaccard"),
         trunc6(est_j * est_union).alias("est_intersection"),
     ).orderBy("type_a", "type_b")
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    """Chained-CTE replay of the fixed-round synchronous label
+    propagation (operators/graph.py label_propagation) over the part
+    co-purchase graph — same edges as graph_triangle_count."""
+    prev = "l0"
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(
+            f"""c{t} AS (
+      SELECT u.s AS node, {prev}.lab AS nlab, count(*) AS c
+      FROM und u JOIN {prev} ON {prev}.node = u.d
+      GROUP BY u.s, {prev}.lab
+    ), l{t} AS (
+      SELECT node, nlab AS lab FROM (
+        SELECT node, nlab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, nlab) AS rn
+        FROM c{t})
+      WHERE rn = 1
+    )"""
+        )
+        prev = f"l{t}"
+    return f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e0 AS (
+      SELECT DISTINCT a.p AS x, b.p AS y
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ), und AS (
+      SELECT x AS s, y AS d FROM e0 UNION SELECT y, x FROM e0
+    ), l0 AS (
+      SELECT DISTINCT s AS node, s AS lab FROM und
+    ), {", ".join(rounds)}
+    SELECT node AS part_id, lab AS community FROM {prev}
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    part co-purchase graph — the DENSITY companion to the
+    connectivity algorithms (dedup_resolve's connected components
+    finds what touches; this finds what clusters): 3 deterministic
+    rounds, neighbor-majority labels, ties to the smallest label.
+
+    Plan shape per round (operators/graph.py label_propagation): one
+    hash join of the edge list against the n-node label table, one
+    (node, label) grouped count, one per-node grouped argmin on
+    struct(-count, label) — no windows over the corpus, state
+    persisted between rounds. The oracle replays the full 3-round
+    trajectory as chained CTEs (the pagerank/k-means contract).
+    """
+    from speech_data_pipeline_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("u"))
+    b_ = op.select("o", F.col("p").alias("v"))
+    edges = (
+        a.join(b_, "o")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    out = label_propagation(edges, iters=3)
+    return out.select(
+        F.col("node").alias("part_id"), F.col("lab").alias("community")
+    )

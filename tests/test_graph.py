@@ -185,3 +185,45 @@ def test_bfs_hops_on_path_graph(spark):
         r["node"]: r["hop"] for r in bfs_hops(edges, "a", max_hops=2).collect()
     }
     assert trunc == {"a": 0, "b": 1, "c": 2}
+
+
+def test_label_propagation_separates_cliques(spark):
+    """Two 5-cliques joined by one bridge edge: after 3 rounds each
+    clique converges to its own min-id label; the bridge does not
+    merge them."""
+    from speech_data_pipeline_spark.operators.graph import label_propagation
+
+    c1 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    c2 = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 10)], "u long, v long")
+    out = {r["node"]: r["lab"] for r in label_propagation(edges, iters=3).collect()}
+    assert set(out) == set(range(5)) | set(range(10, 15))
+    assert len({out[i] for i in range(5)}) == 1
+    assert len({out[i] for i in range(10, 15)}) == 1
+    assert out[0] != out[10]
+
+
+def test_label_propagation_matches_python_replay(spark):
+    """Exact 3-round synchronous replay on a small random graph."""
+    import random
+    from collections import Counter
+
+    from speech_data_pipeline_spark.operators.graph import label_propagation
+
+    rng = random.Random(7)
+    raw = {(rng.randrange(30), rng.randrange(30)) for _ in range(60)}
+    ed = [(u, v) for u, v in raw if u != v]
+    edges = spark.createDataFrame(ed, "u long, v long")
+    adj = {}
+    for u, v in ed:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lab = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(lab[m] for m in nbrs)
+            nxt[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = nxt
+    got = {r["node"]: r["lab"] for r in label_propagation(edges, iters=3).collect()}
+    assert got == lab
