@@ -101,7 +101,11 @@ def main() -> None:
 
     compact = {k: round(v, 2) for k, v in timings.items()}
     out = line(compact)
-    budget = 2200  # stay under the driver's observed ~2.7k tail window
+    # The driver keeps exactly the LAST 2000 chars of stdout (measured:
+    # BENCH_r04.json tail len == 2000, line head cut, parsed=null two
+    # rounds running). The whole line must fit inside that window with
+    # headroom for the trailing newline and any same-window noise.
+    budget = 1800
     if len(out) > budget:
         slowest = sorted(compact, key=lambda k: -compact[k])
         while len(out) > budget and len(slowest) > 10:
