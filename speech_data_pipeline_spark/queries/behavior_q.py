@@ -723,3 +723,142 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential recurrences: EWMA smoothing and CUSUM change detection
+# ---------------------------------------------------------------------------
+
+#: CUSUM constants in milli-units of ``events.value`` (mean ≈ 49 630):
+#: target ≈ the global mean, slack k = half a sigma, decision band h.
+_CUSUM_TARGET = 50_000
+_CUSUM_SLACK = 25_000
+_CUSUM_H = 200_000
+
+_EVENTS_MV_SQL = """
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS mv,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+"""
+
+
+@query(
+    "ts_ewma_smooth",
+    oracle=f"""
+    WITH RECURSIVE numbered AS ({_EVENTS_MV_SQL}
+    ), walk AS (
+      SELECT user_id, rn, event_id, t_us, CAST(mv AS DOUBLE) AS y
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.rn, n.event_id, n.t_us,
+             0.75 * w.y + 0.25 * CAST(n.mv AS DOUBLE)
+      FROM walk w JOIN numbered n
+        ON n.user_id = w.user_id AND n.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, t_us,
+           floor((y / 1000.0) * 1000000.0) / 1000000.0 AS ewma
+    FROM walk
+    """,
+)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α = 1/4) of the event value — the smoothing
+    primitive behind drift monitors and adaptive baselines.
+
+    A running EWMA is a non-associative scan (no window frame computes
+    it), so it runs as the engine's sequential-kernel shape
+    (operators/recurrence.py ewma_smooth): one hash shuffle on
+    user_id, partition-local sort, one mapInPandas walk. Float parity
+    is exact, not approximate: α dyadic, input integers, identical op
+    order in the kernel and the oracle's recursive CTE (module
+    docstring spells out the IEEE argument).
+    """
+    from speech_data_pipeline_spark.operators.recurrence import ewma_smooth
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("t_us"),
+        F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("mv"),
+    )
+    out = ewma_smooth(base, "user_id", ["t_us", "event_id"], "mv")
+    return out.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        trunc6(F.col("ewma") / F.lit(1000.0)).alias("ewma"),
+    )
+
+
+@query(
+    "ts_cusum_alarms",
+    oracle=f"""
+    WITH RECURSIVE numbered AS ({_EVENTS_MV_SQL}
+    ), walk AS (
+      SELECT user_id, rn, event_id, t_us,
+             greatest(CAST(0 AS BIGINT),
+                      mv - {_CUSUM_TARGET} - {_CUSUM_SLACK}) AS s_raw,
+             greatest(CAST(0 AS BIGINT),
+                      {_CUSUM_TARGET} - mv - {_CUSUM_SLACK}) AS t_raw
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.rn, n.event_id, n.t_us,
+             greatest(CAST(0 AS BIGINT),
+                      (CASE WHEN w.s_raw > {_CUSUM_H} THEN 0
+                            ELSE w.s_raw END)
+                      + n.mv - {_CUSUM_TARGET} - {_CUSUM_SLACK}),
+             greatest(CAST(0 AS BIGINT),
+                      (CASE WHEN w.t_raw > {_CUSUM_H} THEN 0
+                            ELSE w.t_raw END)
+                      + {_CUSUM_TARGET} - n.mv - {_CUSUM_SLACK})
+      FROM walk w JOIN numbered n
+        ON n.user_id = w.user_id AND n.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, t_us, 'high' AS side, s_raw AS stat,
+           row_number() OVER (PARTITION BY user_id ORDER BY rn)
+             AS alarm_no
+    FROM walk WHERE s_raw > {_CUSUM_H}
+    UNION ALL
+    SELECT user_id, event_id, t_us, 'low' AS side, t_raw AS stat,
+           row_number() OVER (PARTITION BY user_id ORDER BY rn)
+             AS alarm_no
+    FROM walk WHERE t_raw > {_CUSUM_H}
+    """,
+)
+def ts_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM over per-user event values: alarms when
+    the clamped cumulative drift from target exceeds the decision band,
+    then restarts — mean-shift detection that a rolling z-score
+    (ts_anomaly_zscore) structurally misses (small persistent shifts
+    never clear a point-wise z threshold; they accumulate here).
+
+    The clamp-at-zero + alarm-reset recursion is state-machine shaped
+    → sequential kernel (operators/recurrence.py cusum_alarms), all
+    BIGINT state so parity is exact arithmetic, not float luck. The
+    oracle replays the recursion one event per step, carrying both
+    sides' post-reset state through the recursive CTE.
+    """
+    from speech_data_pipeline_spark.operators.recurrence import cusum_alarms
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("t_us"),
+        F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("mv"),
+    )
+    return cusum_alarms(
+        base,
+        "user_id",
+        ["t_us", "event_id"],
+        "mv",
+        target=_CUSUM_TARGET,
+        slack=_CUSUM_SLACK,
+        threshold=_CUSUM_H,
+    ).select("user_id", "event_id", "t_us", "side", "stat", "alarm_no")
