@@ -18,3 +18,4 @@ from speech_data_pipeline_spark.queries import selection_q  # noqa: F401,E402
 from speech_data_pipeline_spark.queries import behavior_q  # noqa: F401,E402
 from speech_data_pipeline_spark.queries import stats_q  # noqa: F401,E402
 from speech_data_pipeline_spark.queries import market_q  # noqa: F401,E402
+from speech_data_pipeline_spark.queries import eval_q  # noqa: F401,E402

@@ -1,0 +1,279 @@
+"""Model-evaluation analytics: ROC AUC, per-class confusion/F1, and
+inter-rater agreement (Cohen's κ) — the metrics a curation pipeline
+computes before trusting a classifier or score as a filter.
+
+All three follow the registry's exact-arithmetic contract: counts and
+rank sums cross every shuffle as integers (DECIMAL(38,0) where a
+product of corpus-scale counts can exceed BIGINT — n² at 10¹² rows
+needs 80 bits), and each metric is formed from the exact sums with a
+single float divide, truncated to 6 places. AUC uses the Mann-Whitney
+rank-sum identity with midrank tie handling, kept integral by carrying
+2·Σranks; F1 uses the harmonic identity ``2·tp / (n_pred + n_true)``
+(algebraically 2PR/(P+R), but one exact divide instead of three).
+
+Reference parity: none (the reference has no evaluation surface);
+beyond-reference analytics per SURVEY.md north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.functions import trunc6
+from speech_data_pipeline_spark.operators import text as tx
+from speech_data_pipeline_spark.queries.registry import query
+from speech_data_pipeline_spark.queries.text_q import (
+    _QUALITY_FEAT_SQL,
+    _QUALITY_RAW01_SQL,
+    langid_pred_expr,
+    langid_scored_sql,
+)
+from speech_data_pipeline_spark.sources.catalog import load_table
+
+#: Binary labels for score evals: positive = English documents (the
+#: dominant-but-not-majority class, 218/500 at sf0.01 — both AUC
+#: marginals stay far from degenerate at every SF).
+_POS_LANG = "en"
+
+#: Cohen's-κ raters: A = composite quality ≥ 0.5, B = length ≥ 300
+#: chars (the corpus median) — two cheap keep/drop filters whose
+#: agreement beyond chance is exactly what κ measures.
+_KAPPA_Q_PPM = 500_000
+_KAPPA_LEN = 300
+
+
+@query(
+    "eval_roc_auc",
+    oracle=f"""
+    WITH feat AS (
+      {_QUALITY_FEAT_SQL}
+    ), scored AS (
+      SELECT f.doc_id,
+             CAST(floor({_QUALITY_RAW01_SQL} * 1000000.0) AS BIGINT) AS s,
+             CASE WHEN d.lang = '{_POS_LANG}' THEN 1 ELSE 0 END AS pos
+      FROM feat f JOIN (SELECT doc_id, lang FROM documents) d
+        ON d.doc_id = f.doc_id
+    ), byscore AS (
+      SELECT s, count(*) AS n_tot, sum(pos) AS n_pos
+      FROM scored GROUP BY s
+    ), ranked AS (
+      SELECT s, n_tot, n_pos,
+             1 + coalesce(sum(n_tot) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS min_rank
+      FROM byscore
+    ), tot AS (
+      SELECT CAST(sum(n_pos) AS HUGEINT) AS np,
+             CAST(sum(n_tot) - sum(n_pos) AS HUGEINT) AS nn,
+             CAST(sum(n_pos * (2 * min_rank + n_tot - 1)) AS HUGEINT)
+               AS two_sum_rpos
+      FROM ranked
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           floor(CAST(two_sum_rpos - np * (np + 1) AS DOUBLE)
+                 / CAST(2 * np * nn AS DOUBLE) * 1000000.0)
+             / 1000000.0 AS auc
+    FROM tot
+    """,
+)
+def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the composite quality score against the
+    is-English label, via the Mann-Whitney rank-sum identity
+    ``AUC = (Σr₊ − n₊(n₊+1)/2) / (n₊·n₋)`` with midranks for ties.
+
+    Plan shape: one (score → n, n_pos) grouped count collapses the
+    corpus to the DISTINCT ppm-score table (≤ 1e6+1 rows — bounded by
+    the VALUE DOMAIN, not the corpus, the score_quantile_normalize
+    contract); min-ranks come from ONE running sum over that bounded
+    table (whitelisted partition-less window); the rank-sum folds to a
+    1-row aggregate. 2·Σr₊ stays integral (midrank ·2), products of
+    corpus-scale counts ride DECIMAL(38,0)/HUGEINT, and the only float
+    op is the final divide.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = tx.quality_score(d).select(
+        F.round(F.col("quality") * F.lit(1000000.0)).cast("long").alias("s"),
+        F.when(F.col("lang") == _POS_LANG, 1).otherwise(0).alias("pos"),
+    )
+    byscore = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_tot"), F.sum("pos").alias("n_pos")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byscore.withColumn(
+        "min_rank", F.lit(1) + F.coalesce(F.sum("n_tot").over(w), F.lit(0))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = ranked.agg(
+        dec(F.sum("n_pos")).alias("np"),
+        dec(F.sum("n_tot") - F.sum("n_pos")).alias("nn"),
+        dec(
+            F.sum(
+                F.col("n_pos")
+                * (F.lit(2) * F.col("min_rank") + F.col("n_tot") - F.lit(1))
+            )
+        ).alias("two_sum_rpos"),
+    )
+    num = (
+        F.col("two_sum_rpos") - F.col("np") * (F.col("np") + F.lit(1))
+    ).cast("double")
+    den = (F.lit(2) * F.col("np") * F.col("nn")).cast("double")
+    return tot.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        trunc6(num / den).alias("auc"),
+    )
+
+
+@query(
+    "eval_confusion_f1",
+    oracle=f"""
+    WITH scored AS ({langid_scored_sql()}
+    ), pred AS (
+      SELECT doc_id, lang, {langid_pred_expr()} AS pred_lang FROM scored
+    ), t AS (
+      SELECT lang, count(*) AS n_true,
+             sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS tp
+      FROM pred GROUP BY lang
+    ), p AS (
+      SELECT pred_lang, count(*) AS n_pred FROM pred GROUP BY pred_lang
+    )
+    SELECT t.lang, CAST(t.n_true AS BIGINT) AS n_true,
+           CAST(t.tp AS BIGINT) AS tp,
+           CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+           CASE WHEN coalesce(p.n_pred, 0) = 0 THEN 0.0
+                ELSE floor(CAST(t.tp AS DOUBLE) / CAST(p.n_pred AS DOUBLE)
+                           * 1000000.0) / 1000000.0 END AS precis,
+           floor(CAST(t.tp AS DOUBLE) / CAST(t.n_true AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS recall,
+           floor(CAST(2 * t.tp AS DOUBLE)
+                 / CAST(coalesce(p.n_pred, 0) + t.n_true AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS f1
+    FROM t LEFT JOIN p ON p.pred_lang = t.lang
+    """,
+)
+def eval_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the marker-lexicon language
+    classifier against the corpus's true ``lang`` column.
+
+    Plan shape: scoring is in-row regex algebra (text_language_id's
+    plan); TWO |classes|-row grouped counts (true-class marginal with
+    its diagonal, predicted-class marginal) joined by broadcast — the
+    full n×n confusion matrix is never materialized because the class
+    metrics only need the diagonal and the two marginals. F1 uses the
+    harmonic identity 2·tp/(n_pred+n_true): one exact divide, zero
+    intermediate float state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pred = tx.language_id(d).select("lang", "pred_lang")
+    t = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(
+            F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+        ).alias("tp"),
+    )
+    p = pred.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    j = t.join(F.broadcast(p), "lang", "left").withColumn(
+        "n_pred", F.coalesce(F.col("n_pred"), F.lit(0))
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return j.select(
+        "lang",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.when(F.col("n_pred") == 0, F.lit(0.0))
+        .otherwise(trunc6(dbl("tp") / dbl("n_pred")))
+        .alias("precis"),
+        trunc6(dbl("tp") / dbl("n_true")).alias("recall"),
+        trunc6(
+            (F.lit(2) * F.col("tp")).cast("double")
+            / (F.col("n_pred") + F.col("n_true")).cast("double")
+        ).alias("f1"),
+    )
+
+
+@query(
+    "eval_cohens_kappa",
+    oracle=f"""
+    WITH feat AS (
+      {_QUALITY_FEAT_SQL}
+    ), r AS (
+      SELECT CASE WHEN CAST(floor({_QUALITY_RAW01_SQL} * 1000000.0)
+                        AS BIGINT) >= {_KAPPA_Q_PPM}
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN n_chars >= {_KAPPA_LEN} THEN 1 ELSE 0 END AS b
+      FROM feat
+    ), c AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(a * b) AS HUGEINT) AS tp,
+             CAST(sum(a * (1 - b)) AS HUGEINT) AS fp,
+             CAST(sum((1 - a) * b) AS HUGEINT) AS fn,
+             CAST(sum((1 - a) * (1 - b)) AS HUGEINT) AS tn
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(tp AS BIGINT) AS both_pos,
+           CAST(tn AS BIGINT) AS both_neg,
+           floor(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS po,
+           floor(CAST(n * (tp + tn)
+                      - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
+                      AS DOUBLE)
+                 / CAST(n * n
+                        - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
+                        AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS kappa
+    FROM c
+    """,
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between two keep/drop raters (quality ≥ 0.5 vs length
+    ≥ median): chance-corrected agreement,
+    ``κ = (n·agree − Σ marginal products) / (n² − Σ marginal
+    products)`` — the all-integer clearing of (pₒ−pₑ)/(1−pₑ).
+
+    Plan shape: in-row quality algebra → ONE 1-row aggregate of four
+    2×2 cell counts (map-side combinable); every product of counts is
+    DECIMAL(38,0) (n² overflows BIGINT past ~3·10⁹ rows), and κ is a
+    single float divide of two exact integers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = tx.quality_score(d).select(
+        F.when(
+            F.round(F.col("quality") * F.lit(1000000.0)).cast("long")
+            >= _KAPPA_Q_PPM,
+            1,
+        )
+        .otherwise(0)
+        .alias("a"),
+        F.when(F.length("text") >= _KAPPA_LEN, 1).otherwise(0).alias("b"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    c = scored.agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        dec(F.sum(F.col("a") * F.col("b"))).alias("tp"),
+        dec(F.sum(F.col("a") * (F.lit(1) - F.col("b")))).alias("fp"),
+        dec(F.sum((F.lit(1) - F.col("a")) * F.col("b"))).alias("fn"),
+        dec(
+            F.sum((F.lit(1) - F.col("a")) * (F.lit(1) - F.col("b")))
+        ).alias("tn"),
+    )
+    pe_num = (F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn")) + (
+        F.col("tn") + F.col("fn")
+    ) * (F.col("tn") + F.col("fp"))
+    return c.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("tp").cast("long").alias("both_pos"),
+        F.col("tn").cast("long").alias("both_neg"),
+        trunc6(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("po"),
+        trunc6(
+            (F.col("n") * (F.col("tp") + F.col("tn")) - pe_num).cast("double")
+            / (F.col("n") * F.col("n") - pe_num).cast("double")
+        ).alias("kappa"),
+    )

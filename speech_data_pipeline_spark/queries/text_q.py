@@ -101,12 +101,28 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_oracle() -> str:
+    cols = ", ".join(f"score_{l}" for l in sorted(tx.LANG_MARKERS))
+    return f"""
+    WITH scored AS ({langid_scored_sql()})
+    SELECT doc_id, lang, {cols}, {langid_pred_expr()} AS pred_lang FROM scored
+    """
+
+
+def langid_scored_sql() -> str:
+    """Shared oracle fragment: the per-language marker-count CTE body
+    (one definition for the langid query and every eval over it)."""
     score_cols = []
     for lang, markers in sorted(tx.LANG_MARKERS.items()):
         pattern = tx._marker_pattern(lang, markers)
         score_cols.append(
             f"len(regexp_extract_all(lower(text), '{pattern}', 1)) AS score_{lang}"
         )
+    return f"SELECT doc_id, lang, {', '.join(score_cols)} FROM documents"
+
+
+def langid_pred_expr() -> str:
+    """Shared oracle fragment: argmax-with-smallest-lang-tie-break over
+    the ``score_*`` columns of :func:`langid_scored_sql`."""
     langs = sorted(tx.LANG_MARKERS)
     best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
     pred = "'und'"
@@ -115,11 +131,7 @@ def _langid_oracle() -> str:
             f"CASE WHEN score_{lang} = {best} AND {best} > 0 "
             f"THEN '{lang}' ELSE {pred} END"
         )
-    cols = ", ".join(f"score_{l}" for l in langs)
-    return f"""
-    WITH scored AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM documents)
-    SELECT doc_id, lang, {cols}, {pred} AS pred_lang FROM scored
-    """
+    return pred
 
 
 @query("text_language_id", oracle=_langid_oracle())

@@ -117,6 +117,8 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     # score-value table, bounded by the value domain
     "drift_psi_value",  # total window over the ≤10-row bin table
     "chisq_type_by_day",  # total window over the |types|×7 cell table
+    "eval_roc_auc",  # min-rank running sum over the DISTINCT ppm-score
+    # table, bounded by the value domain (≤ 1e6+1 rows), never corpus
 }
 
 
