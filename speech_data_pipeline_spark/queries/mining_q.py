@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from speech_data_pipeline_spark.functions import trunc6
 from speech_data_pipeline_spark.operators import dedup as dd
 from speech_data_pipeline_spark.queries.registry import query
 from speech_data_pipeline_spark.sources.catalog import load_table
@@ -1410,4 +1411,146 @@ def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         occ.select("doc_id", "phrase", "n_occ")
         .orderBy(F.col("n_occ").desc(), "doc_id")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+#: BM25 query terms (corpus-vocabulary words with distinct document
+#: frequencies) and standard Robertson parameters.
+_BM25_TERMS = ("hash", "window", "spark")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    tfs = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    parts = []
+    for i in range(len(_BM25_TERMS)):
+        idf = (
+            f"ln((CAST(n_docs - df{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+        )
+        norm = (
+            f"(CAST(tf{i} AS DOUBLE) * ({_BM25_K1} + 1.0))"
+            f" / (CAST(tf{i} AS DOUBLE) + {_BM25_K1}"
+            f" * (1.0 - {_BM25_B} + {_BM25_B}"
+            f" * (CAST(dl AS DOUBLE) / {avgdl})))"
+        )
+        parts.append(
+            f"(CASE WHEN tf{i} > 0 THEN {idf} * {norm} ELSE 0.0 END)"
+        )
+    score = " + ".join(parts)
+    tf_out = ", ".join(
+        f"CAST(tf{i} AS BIGINT) AS tf{i}" for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS w
+      FROM documents
+    ), per AS (
+      SELECT doc_id, len(w) AS dl, {tfs} FROM t
+    ), scal AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_dl, {dfs} FROM per
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl, {tf_out},
+           floor(score * 1000000.0) / 1000000.0 AS score
+    FROM (
+      SELECT per.*, {score} AS score FROM per CROSS JOIN scal
+    ) WHERE score > 0.0
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """
+
+
+@query("search_bm25_topk", oracle=_bm25_oracle())
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked retrieval for a literal query over the corpus —
+    the idf/length-normalized upgrade of search_boolean_retrieval
+    (Robertson k1=1.2, b=0.75, Lucene's +1 idf floor so scores stay
+    positive at any document frequency).
+
+    ZERO-shuffle scoring: per-term tf and dl are in-row array folds
+    over the tokenized document (the query is baked into the plan —
+    the broadcast-postings shape of a distributed inverted index); the
+    corpus statistics (N, Σdl, per-term df) are ONE 1-row aggregate
+    attached back by broadcast; top-10 is TakeOrderedAndProject
+    (per-partition heap, never a global sort). Parity: the score is a
+    single literal expression tree — identical IEEE op sequence on
+    both engines (the text_tfidf_topk ln contract) — ranked on raw
+    doubles, truncated only on output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+
+    def term_eq(term):
+        # NB: must stay single-parameter — a second (defaulted) lambda
+        # param makes PySpark bind the ARRAY INDEX to it.
+        return lambda x: x == F.lit(term)
+
+    per = d.select(
+        "doc_id",
+        F.size(w).alias("dl"),
+        *[
+            F.size(F.filter(w, term_eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    scal = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(
+                f"df{i}"
+            )
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = per.crossJoin(F.broadcast(scal))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf = F.col(f"tf{i}")
+        dfc = F.col(f"df{i}")
+        idf = F.log(
+            ((F.col("n_docs") - dfc).cast("double") + F.lit(0.5))
+            / (dfc.cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        norm = (tf.cast("double") * (F.lit(_BM25_K1) + F.lit(1.0))) / (
+            tf.cast("double")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0)
+                - F.lit(_BM25_B)
+                + F.lit(_BM25_B) * (F.col("dl").cast("double") / avgdl)
+            )
+        )
+        part = F.when(tf > 0, idf * norm).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    ranked = (
+        j.withColumn("_score", score)
+        .where(F.col("_score") > 0.0)
+        .orderBy(F.col("_score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("dl").cast("long").alias("dl"),
+        *[
+            F.col(f"tf{i}").cast("long").alias(f"tf{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+        trunc6(F.col("_score")).alias("score"),
     )
