@@ -1243,3 +1243,75 @@ def hard_negatives_in_buckets(
         )
 
     return b.groupBy("bucket").applyInPandas(kernel, schema=out_schema)
+
+
+def knn_in_buckets(
+    df: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector top-k cosine neighbor lists within LSH buckets — the
+    kNN-graph construction step (mutual-kNN graphs, diffusion maps,
+    graph-based label propagation over embeddings).
+
+    Same engine shape as :func:`hard_negatives_in_buckets`: bucketing
+    JVM-side, within-bucket quadratic as ONE vectorized per-bucket
+    ``applyInPandas`` kernel emitting only n·k edge rows (never the n²
+    candidate pairs). Ranking is raw-double cosine descending with
+    dst-id ascending tie-break (ids sorted ascending + stable argsort
+    = the SQL row_number contract); ``cos_raw`` is emitted untruncated
+    so consumers can re-rank/filter before display-truncating.
+
+    Scale: per-bucket cost O(bucket²) flops / memory; ``n_planes``
+    bounds bucket population (grow ~log n with the corpus — the
+    embedding_neardup_pairs contract, same skew exposure on hot
+    buckets).
+    """
+    import pandas as pd
+
+    planes = hyperplanes(dim, n_planes, seed)
+    b = rp_lsh_bucket(df, planes, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    id_type = b.schema["id"].dataType.simpleString()
+    out_schema = f"src {id_type}, dst {id_type}, cos_raw double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"src": pdf["id"][:0], "dst": pdf["id"][:0],
+             "cos_raw": np.zeros(0)}
+        )
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["v"].to_numpy()[order]]
+        )
+        d_ = X.shape[1]
+        norm_acc = np.zeros(n)
+        for d in range(d_):  # left-to-right: bit-identical to the fold
+            norm_acc = norm_acc + X[:, d] * X[:, d]
+        norms = np.sqrt(norm_acc)
+        dot_acc = np.zeros((n, n))
+        for d in range(d_):
+            dot_acc = dot_acc + X[:, d][:, None] * X[:, d][None, :]
+        cos = dot_acc / (norms[:, None] * norms[None, :])
+        val = np.where(np.eye(n, dtype=bool), -np.inf, cos)
+        kk = min(k, n - 1)
+        # stable sort on -cos: ties resolve to the smaller index, and
+        # ids are ascending, so ties go to the smaller dst id
+        nbr = np.argsort(-val, axis=1, kind="stable")[:, :kk]
+        src = np.repeat(ids, kk)
+        dst = ids[nbr.ravel()]
+        return pd.DataFrame(
+            {"src": src, "dst": dst,
+             "cos_raw": cos[np.repeat(np.arange(n), kk), nbr.ravel()]}
+        )
+
+    return b.groupBy("bucket").applyInPandas(kernel, schema=out_schema)

@@ -20,3 +20,4 @@ from speech_data_pipeline_spark.queries import stats_q  # noqa: F401,E402
 from speech_data_pipeline_spark.queries import market_q  # noqa: F401,E402
 from speech_data_pipeline_spark.queries import eval_q  # noqa: F401,E402
 from speech_data_pipeline_spark.queries import feature_q  # noqa: F401,E402
+from speech_data_pipeline_spark.queries import privacy_q  # noqa: F401,E402

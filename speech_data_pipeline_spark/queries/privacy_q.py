@@ -1,0 +1,139 @@
+"""Privacy/governance analytics: k-anonymity audit over
+quasi-identifiers and deterministic differentially-private count
+release — the checks a data-governance pipeline runs before exporting
+aggregates from a 100 TB corpus.
+
+The DP noise is the exact inverse-CDF Laplace transform of a
+HASH-derived uniform (not an RNG): ``u`` comes from a 20-bit slice of
+``md5(key)``, so the release is reproducible across engines and runs —
+the property the oracle gate needs. (A production release would use a
+keyed secret hash; the transform and plumbing are identical.) Float
+parity: both engines evaluate the same literal ``-b·sign(u−½)·
+ln(1−2|u−½|)`` tree over the same exactly-representable ``u``.
+
+Reference parity: none (the reference has no governance surface);
+beyond-reference analytics per SURVEY.md north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.functions import trunc6
+from speech_data_pipeline_spark.queries.registry import query
+from speech_data_pipeline_spark.sources.catalog import load_table
+
+#: k-anonymity threshold and the quasi-identifier coarsening: market
+#: segment × nation × 2000-dollar balance band (cents-integer bands).
+_KANON_K = 5
+_BAND_LO_CENTS = -100_000
+_BAND_WIDTH_CENTS = 200_000
+
+#: Laplace scale b = sensitivity/ε = 1/1.0 for count release.
+_DP_B = 1.0
+#: 20-bit uniform grid: u = (m + 0.5) / 2^20, m = md5-hash mod 2^20 —
+#: exactly representable, never 0 or 1 (the ln argument stays finite).
+_DP_MOD = 1 << 20
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_mktsegment, c_nationkey,
+             (CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+              - {_BAND_LO_CENTS}) // {_BAND_WIDTH_CENTS} AS bal_band
+      FROM customer
+    ), g AS (
+      SELECT c_mktsegment, c_nationkey, bal_band, count(*) AS n
+      FROM qi GROUP BY c_mktsegment, c_nationkey, bal_band
+    )
+    SELECT c_mktsegment, CAST(c_nationkey AS INTEGER) AS c_nationkey,
+           CAST(bal_band AS BIGINT) AS bal_band, CAST(n AS BIGINT) AS n
+    FROM g WHERE n < {_KANON_K}
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: every quasi-identifier group (segment ×
+    nation × balance band) with fewer than k=5 members — the rows a
+    release would have to suppress or generalize further.
+
+    Plan shape: value-based integer banding in-row, ONE grouped count
+    (map-side combinable; result bounded by the QI domain, not the
+    corpus), a literal filter. At 100 TB this is the cheapest query in
+    the registry — and the one that gates every other export.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.expr(
+            f"(cast(floor(c_acctbal * 100.0 + 0.5) as bigint)"
+            f" - {_BAND_LO_CENTS}) div {_BAND_WIDTH_CENTS}"
+        ).alias("bal_band"),
+    )
+    return (
+        qi.groupBy("c_mktsegment", "c_nationkey", "bal_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") < _KANON_K)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            F.col("bal_band").cast("long").alias("bal_band"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+def _dp_counts_oracle() -> str:
+    from speech_data_pipeline_spark.queries.mining_q import _hex15_sql
+
+    h = _hex15_sql("md5(event_type)")
+    return f"""
+    WITH g AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ), u AS (
+      SELECT event_type, n,
+             (CAST({h} % {_DP_MOD} AS DOUBLE) + 0.5) / {_DP_MOD}.0 AS u
+      FROM g
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           floor((CAST(n AS DOUBLE)
+                  + (-{_DP_B}) * sign(u - 0.5)
+                    * ln(1.0 - 2.0 * abs(u - 0.5)))
+                 * 1000000.0) / 1000000.0 AS noisy_count
+    FROM u
+    """
+
+
+@query("privacy_dp_counts", oracle=_dp_counts_oracle())
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 differentially-private event-type counts via the inverse-CDF
+    Laplace mechanism over a hash-derived 20-bit uniform (reproducible
+    noise — see module docstring; a real release keys the hash with a
+    secret and drops the true count column).
+
+    Plan shape: ONE grouped count (map-side combinable, |types| result
+    rows); the noise transform is in-row scalar algebra over the tiny
+    group table. Noise adds per GROUP, not per row — cost is
+    independent of corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 15), 16, 10)
+        .cast("long")
+        % _DP_MOD
+    )
+    u = (m.cast("double") + F.lit(0.5)) / F.lit(float(_DP_MOD))
+    noise = (
+        F.lit(-_DP_B)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        trunc6(F.col("n").cast("double") + noise).alias("noisy_count"),
+    )

@@ -1766,3 +1766,72 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+#: Mutual-kNN graph knobs: neighbor-list depth and the candidate
+#: blocking planes (shared with hard-negative mining so both reuse the
+#: same bucket geometry argument).
+_MKNN_K = 5
+_MKNN_PLANES = 6
+
+
+def _mknn_oracle(k: int = _MKNN_K, n_planes: int = _MKNN_PLANES,
+                 dim: int = 64) -> str:
+    from speech_data_pipeline_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed=42)
+    bucket = _bucket_sql(planes, "embedding", dim)
+    cos = _cos_pair_sql("a.embedding", "c.embedding", dim)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ), cand AS (
+      SELECT a.vec_id AS src, c.vec_id AS dst, ({cos}) AS cos_raw
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT src, dst, cos_raw,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos_raw DESC, dst) AS rn
+      FROM cand
+    ), knn AS (
+      SELECT src, dst, cos_raw FROM ranked WHERE rn <= {k}
+    )
+    SELECT x.src AS id_a, x.dst AS id_b,
+           floor(x.cos_raw * 1000000.0) / 1000000.0 AS cos_sim
+    FROM knn x JOIN knn y ON y.src = x.dst AND y.dst = x.src
+    WHERE x.src < x.dst
+    """
+
+
+@query("embed_mutual_knn", oracle=_mknn_oracle())
+def embed_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph over the embedding corpus: an undirected edge
+    (a, b) survives only if b is in a's top-k cosine neighbors AND a
+    is in b's — the standard noise-robust graph for manifold methods
+    and graph-clustering over embeddings (one-sided kNN edges from
+    hub vectors are exactly what mutuality prunes).
+
+    Plan shape: neighbor lists come from the per-bucket kernel
+    (operators/similarity.py knn_in_buckets — n·k edge rows out, the
+    n² candidates never leave the kernel); mutuality is ONE self-join
+    of the edge table on the reversed pair key (hash-partitioned on
+    n·k rows, not on the corpus); src < dst keeps each undirected
+    edge once. Cosines ride raw until the final trunc6.
+    """
+    from speech_data_pipeline_spark.operators.similarity import knn_in_buckets
+
+    e = load_table(spark, sf_dir, "embeddings")
+    knn = knn_in_buckets(e, k=_MKNN_K, n_planes=_MKNN_PLANES, dim=64)
+    rev = knn.select(
+        F.col("src").alias("dst"), F.col("dst").alias("src")
+    )
+    return (
+        knn.join(rev, ["src", "dst"])
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            trunc6(F.col("cos_raw")).alias("cos_sim"),
+        )
+    )
