@@ -154,3 +154,63 @@ def cusum_alarms(
         .sortWithinPartitions(key, *order)
         .mapInPandas(run, schema=schema)
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + trend), with
+    dyadic α=1/4, β=1/8 so every blend constant is an exact binary
+    float (the :func:`ewma_smooth` parity contract).
+
+    Recurrence (evaluated in EXACTLY this op order — the oracle's
+    recursive CTE replays the same tree):
+
+        l ← 0.25·x + 0.75·(l₋₁ + b₋₁)
+        b ← 0.125·(l − l₋₁) + 0.875·b₋₁
+
+    seeded l₁ = x₁, b₁ = 0. Output adds ``level``, ``trend`` and the
+    one-step-ahead forecast ``fc = l + b`` as raw float64.
+    """
+    dtypes = dict(df.dtypes)
+    out_cols = [key, *order, value_col, "level", "trend", "fc"]
+    schema = ", ".join(
+        [f"{key} {dtypes[key]}"]
+        + [f"{c} {dtypes[c]}" for c in order]
+        + [f"{value_col} {dtypes[value_col]}",
+           "level double", "trend double", "fc double"]
+    )
+
+    def run(batches):
+        cur_key = None
+        l = b = 0.0
+        rows = []
+        for pdf in batches:
+            keys = pdf[key].to_numpy()
+            vals = pdf[value_col].to_numpy()
+            ords = [pdf[c].to_numpy() for c in order]
+            for i in range(len(pdf)):
+                k = keys[i]
+                x = float(vals[i])
+                if k != cur_key:
+                    cur_key, l, b = k, x, 0.0
+                else:
+                    lp = l
+                    l = 0.25 * x + 0.75 * (lp + b)
+                    b = 0.125 * (l - lp) + 0.875 * b
+                rows.append(
+                    (k, *(o[i] for o in ords), vals[i], l, b, l + b)
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+                rows = []
+
+    return (
+        df.select(key, *order, value_col)
+        .repartition(key)
+        .sortWithinPartitions(key, *order)
+        .mapInPandas(run, schema=schema)
+    )

@@ -862,3 +862,133 @@ def ts_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         slack=_CUSUM_SLACK,
         threshold=_CUSUM_H,
     ).select("user_id", "event_id", "t_us", "side", "stat", "alarm_no")
+
+
+@query(
+    "ts_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE numbered AS ({_EVENTS_MV_SQL}
+    ), walk AS (
+      SELECT user_id, rn, event_id, t_us,
+             CAST(mv AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.rn, n.event_id, n.t_us,
+             0.25 * CAST(n.mv AS DOUBLE) + 0.75 * (w.l + w.b),
+             0.125 * ((0.25 * CAST(n.mv AS DOUBLE)
+                       + 0.75 * (w.l + w.b)) - w.l)
+               + 0.875 * w.b
+      FROM walk w JOIN numbered n
+        ON n.user_id = w.user_id AND n.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, t_us,
+           floor((l / 1000.0) * 1000000.0) / 1000000.0 AS level,
+           floor((b / 1000.0) * 1000000.0) / 1000000.0 AS trend,
+           floor(((l + b) / 1000.0) * 1000000.0) / 1000000.0 AS fc
+    FROM walk
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double exponential smoothing (level + trend,
+    α=1/4, β=1/8) with the one-step-ahead forecast — the trend-aware
+    upgrade of ts_ewma_smooth, same sequential-kernel shape
+    (operators/recurrence.py holt_linear) and the same bit-exact
+    dyadic-constant parity argument; the oracle's recursive CTE
+    replays the identical two-op-per-step tree (the trend step
+    recomputes the new level expression — same doubles, deterministic).
+    """
+    from speech_data_pipeline_spark.operators.recurrence import holt_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("t_us"),
+        F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("mv"),
+    )
+    out = holt_linear(base, "user_id", ["t_us", "event_id"], "mv")
+    k = F.lit(1000.0)
+    return out.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        trunc6(F.col("level") / k).alias("level"),
+        trunc6(F.col("trend") / k).alias("trend"),
+        trunc6(F.col("fc") / k).alias("fc"),
+    )
+
+
+#: Seasonal profile: hourly buckets, 24-phase day cycle.
+_SEAS_BUCKET_US = 3_600_000_000
+_SEAS_PHASES = 24
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // {_SEAS_BUCKET_US} AS bucket,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS mv
+      FROM events
+    ), hb AS (
+      SELECT event_type, bucket, bucket % {_SEAS_PHASES} AS phase,
+             sum(mv) AS tot
+      FROM e GROUP BY event_type, bucket
+    ), ph AS (
+      SELECT event_type, phase, count(*) AS n_buckets,
+             sum(tot) AS s
+      FROM hb GROUP BY event_type, phase
+    ), ty AS (
+      SELECT event_type, sum(n_buckets) AS n_all, sum(s) AS s_all
+      FROM ph GROUP BY event_type
+    )
+    SELECT ph.event_type, CAST(ph.phase AS BIGINT) AS phase,
+           CAST(ph.n_buckets AS BIGINT) AS n_buckets,
+           CAST(ph.s // ph.n_buckets AS BIGINT) AS mean_milli,
+           floor((CAST(ph.s AS DOUBLE) / CAST(ph.n_buckets AS DOUBLE)
+                  - CAST(ty.s_all AS DOUBLE) / CAST(ty.n_all AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS seasonal_milli
+    FROM ph JOIN ty USING (event_type)
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal decomposition of the event stream: per
+    (type, phase∈0..23) the mean hourly total and its deviation from
+    the type's all-hours mean — the additive-seasonality profile an
+    anomaly detector subtracts before thresholding (STL-lite: the
+    seasonal component without the loess machinery).
+
+    Plan shape: TWO map-side-combinable grouped integer sums (corpus →
+    hourly buckets → 24-phase cells); the per-type baseline is a
+    grouped rollup of the bounded cell table joined back (|types| rows
+    broadcast). Means leave integers only at the final two divides.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr(f"(ts div 1000) div {_SEAS_BUCKET_US}").alias("bucket"),
+        F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("mv"),
+    )
+    hb = e.groupBy("event_type", "bucket").agg(F.sum("mv").alias("tot"))
+    ph = hb.withColumn("phase", F.col("bucket") % _SEAS_PHASES).groupBy(
+        "event_type", "phase"
+    ).agg(F.count(F.lit(1)).alias("n_buckets"), F.sum("tot").alias("s"))
+    ty = ph.groupBy("event_type").agg(
+        F.sum("n_buckets").alias("n_all"), F.sum("s").alias("s_all")
+    )
+    j = ph.join(F.broadcast(ty), "event_type")
+    seasonal = (
+        F.col("s").cast("double") / F.col("n_buckets").cast("double")
+        - F.col("s_all").cast("double") / F.col("n_all").cast("double")
+    )
+    return j.select(
+        "event_type",
+        F.col("phase").cast("long").alias("phase"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.expr("s div n_buckets").alias("mean_milli"),
+        trunc6(seasonal).alias("seasonal_milli"),
+    )

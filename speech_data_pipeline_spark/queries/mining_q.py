@@ -1554,3 +1554,115 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         trunc6(F.col("_score")).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+#: Zipf fit depth: the head of the frequency-ranked vocabulary.
+_ZIPF_TOP = 100
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, count(*) AS c FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1))
+          AS term
+        FROM documents
+      ) GROUP BY term
+    ), top AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r
+      FROM (SELECT term, c FROM tf ORDER BY c DESC, term LIMIT {_ZIPF_TOP})
+    ), q AS (
+      SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS x,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS y
+      FROM top
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS slope,
+           floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS r2
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary head: OLS slope of
+    ln(frequency) on ln(rank) for the top-100 terms, with r² — the
+    corpus-health diagnostic (natural text sits near slope −1;
+    synthetic/templated corpora flatten) a curation pipeline tracks
+    per source and per snapshot.
+
+    Plan shape: one (term) grouped count; the head is
+    TakeOrderedAndProject (per-partition heap — the vocabulary is
+    never globally sorted); ranks come from a row_number over the
+    LIMIT-100 relation (bounded input, whitelisted). The regression
+    is the registry's integer-moment contract: ln values quantized to
+    ppm BEFORE the moment sums (float Σ over rows would be
+    fold-order-dependent), slope/r² formed from exact integer moments
+    with one divide each.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("([a-z]+)"), 1
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = tf.orderBy(F.col("c").desc(), "term").limit(_ZIPF_TOP)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("c").desc(), "term"))
+    )
+    q = ranked.select(
+        F.floor(F.log(F.col("r").cast("double")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = q.agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        dec(F.sum("x")).alias("sx"),
+        dec(F.sum("y")).alias("sy"),
+        dec(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        dec(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        dec(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        trunc6(cov / vx).alias("slope"),
+        trunc6((cov * cov) / (vx * vy)).alias("r2"),
+    )

@@ -122,6 +122,7 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     "chisq_type_by_day",  # total window over the |types|×7 cell table
     "eval_roc_auc",  # min-rank running sum over the DISTINCT ppm-score
     # table, bounded by the value domain (≤ 1e6+1 rows), never corpus
+    "text_zipf_slope",  # rank window over the LIMIT-100 vocabulary head
 }
 
 

@@ -1,0 +1,99 @@
+"""Holt smoothing, seasonal profile, and Zipf fit: replay tests with
+the kernels' exact fold (never numpy vector forms — the parity rule is
+identical op order, not mathematical equivalence)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from speech_data_pipeline_spark.operators.recurrence import holt_linear
+from speech_data_pipeline_spark.queries.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_holt_matches_sequential_replay(spark):
+    series = {1: [1000, 1200, 1400, 1600, 1800], 2: [500, 400, 600]}
+    rows = [
+        (uid, i, i * 1_000_000, v)
+        for uid, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, t_us long, mv long"
+    )
+    got = {
+        (r["user_id"], r["event_id"]): (r["level"], r["trend"], r["fc"])
+        for r in holt_linear(
+            df, "user_id", ["t_us", "event_id"], "mv"
+        ).collect()
+    }
+    for uid, vals in series.items():
+        l = b = None
+        for i, x in enumerate(vals):
+            if l is None:
+                l, b = float(x), 0.0
+            else:
+                lp = l
+                l = 0.25 * float(x) + 0.75 * (lp + b)
+                b = 0.125 * (l - lp) + 0.875 * b
+            assert got[(uid, i)] == (l, b, l + b)  # bit-exact
+
+
+def test_holt_tracks_linear_ramp(spark):
+    # On a pure linear ramp the trend estimate converges toward the
+    # true slope; forecasts converge toward the next value.
+    vals = [1000 * (i + 1) for i in range(60)]
+    df = spark.createDataFrame(
+        [(1, i, i, v) for i, v in enumerate(vals)],
+        "user_id long, event_id long, t_us long, mv long",
+    )
+    out = (
+        holt_linear(df, "user_id", ["t_us", "event_id"], "mv")
+        .orderBy("event_id")
+        .collect()
+    )
+    assert abs(out[-1]["trend"] - 1000.0) / 1000.0 < 0.15
+    assert abs(out[-1]["fc"] - (vals[-1] + 1000)) / vals[-1] < 0.05
+
+
+def test_seasonal_profile_sums_and_recovery(spark):
+    # Deviations weighted by bucket counts must sum to ~0 per type
+    # (additive decomposition identity), on the registered query.
+    rows = QUERIES["ts_seasonal_profile"](spark, SF).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    for t, rs in by_type.items():
+        total_dev = sum(r["seasonal_milli"] * r["n_buckets"] for r in rs)
+        n_all = sum(r["n_buckets"] for r in rs)
+        assert abs(total_dev / n_all) < 0.01  # trunc6 dust only
+
+
+def test_zipf_slope_is_negative_and_r2_bounded(spark):
+    r = QUERIES["text_zipf_slope"](spark, SF).collect()[0]
+    assert r["n_terms"] > 10
+    assert r["slope"] < 0.0  # frequency falls with rank, always
+    assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_zipf_moments_match_python_ols(spark):
+    from speech_data_pipeline_spark.sources.catalog import load_table
+    import re
+    from collections import Counter
+
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    cnt = Counter()
+    for r in docs:
+        cnt.update(re.findall(r"[a-z]+", r["text"].lower()))
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    xs = [math.floor(math.log(i + 1) * 1e6) for i in range(len(top))]
+    ys = [math.floor(math.log(c) * 1e6) for _t, c in top]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    got = QUERIES["text_zipf_slope"](spark, SF).collect()[0]["slope"]
+    assert abs(got - want) < 2e-6
