@@ -1095,3 +1095,131 @@ def streaming_ohlc_bars(
             "sum_mv",
         )
     )
+
+
+CUSUM_STATE_SCHEMA = (
+    "s long, t long, n_hi long, n_lo long, "
+    "buf_ts array<long>, buf_eid array<long>, buf_mv array<long>"
+)
+CUSUM_OUT_SCHEMA = (
+    "user_id long, event_id long, t_us long, side string, "
+    "stat long, alarm_no long"
+)
+
+
+def streaming_cusum_alarms(
+    events: DataFrame,
+    target: int = 50_000,
+    slack: int = 25_000,
+    threshold: int = 200_000,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming two-sided CUSUM — the live form of the batch
+    ``operators/recurrence.py cusum_alarms`` kernel, exact across
+    micro-batches including out-of-order arrivals inside the watermark
+    horizon (the buffer-until-watermark construction of
+    :func:`streaming_stateful_sessions`).
+
+    Exactness argument: CUSUM is order-dependent, so an event may only
+    enter the recursion once NO future event can sort before it.
+    Future events have ``ts ≥ watermark``; buffered events with
+    ``ts < watermark`` are therefore order-final — they are sorted by
+    (ts, event_id), folded through the integer recursion from the
+    carried (s, t, alarm counters) state, and their alarms emitted
+    exactly once. The suffix at/above the watermark stays buffered.
+    All state is BIGINT — identical rows to the batch kernel on the
+    same landed data (pinned by test).
+
+    Scale shape: per-user carried state is two counters + the events
+    inside the watermark horizon (rate-bounded, never stream-lifetime),
+    partitioned by the groupBy hash.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            s, t, n_hi, n_lo, buf_ts, buf_eid, buf_mv = state.get
+            buf_ts, buf_eid, buf_mv = list(buf_ts), list(buf_eid), list(buf_mv)
+        else:
+            s = t = n_hi = n_lo = 0
+            buf_ts, buf_eid, buf_mv = [], [], []
+        if not state.hasTimedOut:
+            import math
+
+            for pdf in pdfs:
+                ts_us = (pdf["ts_ts"].astype("int64") // 1000).tolist()
+                # same IEEE quantization as the batch scan:
+                # floor(value * 1000.0 + 0.5)
+                mv = [
+                    int(math.floor(float(v) * 1000.0 + 0.5))
+                    for v in pdf["value"]
+                ]
+                buf_ts.extend(int(x) for x in ts_us)
+                buf_eid.extend(int(x) for x in pdf["event_id"])
+                buf_mv.extend(mv)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        order = sorted(range(len(buf_ts)), key=lambda i: (buf_ts[i], buf_eid[i]))
+        emitted = []
+        keep = []
+        for i in order:
+            if buf_ts[i] >= wm_us:
+                keep.append(i)
+                continue
+            x = buf_mv[i]
+            s = max(0, s + (x - target - slack))
+            t = max(0, t + (target - x - slack))
+            if s > threshold:
+                n_hi += 1
+                emitted.append(
+                    (user_id, buf_eid[i], buf_ts[i], "high", s, n_hi)
+                )
+                s = 0
+            if t > threshold:
+                n_lo += 1
+                emitted.append(
+                    (user_id, buf_eid[i], buf_ts[i], "low", t, n_lo)
+                )
+                t = 0
+
+        if keep or s or t or n_hi or n_lo:
+            state.update(
+                (
+                    s, t, n_hi, n_lo,
+                    [buf_ts[i] for i in keep],
+                    [buf_eid[i] for i in keep],
+                    [buf_mv[i] for i in keep],
+                )
+            )
+            if keep:
+                # wake when the watermark passes the earliest buffered
+                # event so it finalizes even with no further input
+                state.setTimeoutTimestamp(
+                    max(
+                        min(buf_ts[i] for i in keep) // 1000 + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        else:
+            state.remove()
+
+        if emitted:
+            yield pd.DataFrame(
+                emitted,
+                columns=[
+                    "user_id", "event_id", "t_us", "side", "stat", "alarm_no",
+                ],
+            )
+
+    return (
+        events.withWatermark("ts_ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            CUSUM_OUT_SCHEMA,
+            CUSUM_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -967,3 +967,101 @@ def test_streaming_ohlc_bars_match_batch_query(spark, landing):
         map(tuple, batch.collect())
     )
     assert got.count() > 0
+
+
+def test_streaming_cusum_matches_batch_kernel(spark):
+    """Streaming CUSUM across micro-batches: with the watermark driven
+    past every real event by sentinel files, the emitted alarms are
+    ROW-EQUAL to the batch kernel on the same landed data."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from speech_data_pipeline_spark.operators.recurrence import cusum_alarms
+    from speech_data_pipeline_spark.streaming.ingest import (
+        read_event_stream,
+        streaming_cusum_alarms,
+    )
+
+    target, slack, h = 100_000, 20_000, 250_000
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("ts")
+        .toPandas()
+    )
+    max_ts = int(ev["ts"].max())
+    sentinels = [
+        pd.DataFrame(
+            {
+                "event_id": [10**12 + i],
+                "ts": [max_ts + (i + 1) * 3_600_000_000_000],
+                "user_id": [999_999_999],
+                "event_type": ["sentinel"],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        )
+        for i in range(2)
+    ]
+    tmp = tempfile.mkdtemp()
+    old_ts_type = spark.conf.get("spark.sql.timestampType")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    try:
+        parts = [
+            ev.iloc[: len(ev) // 3],
+            ev.iloc[len(ev) // 3 : 2 * len(ev) // 3],
+            ev.iloc[2 * len(ev) // 3 :],
+            *sentinels,
+        ]
+        for i, part in enumerate(parts):
+            part = part.assign(ts=pd.to_datetime(part["ts"]))
+            spark.createDataFrame(part).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/stage{i}")
+            src = [
+                f for f in os.listdir(f"{tmp}/stage{i}")
+                if f.endswith(".parquet")
+            ][0]
+            os.rename(f"{tmp}/stage{i}/{src}", f"{tmp}/events_{i}.parquet")
+            time.sleep(1.1)  # distinct mtimes keep file-source ordering
+    finally:
+        spark.conf.set("spark.sql.timestampType", old_ts_type)
+
+    stream = streaming_cusum_alarms(
+        read_event_stream(spark, tmp),
+        target=target, slack=slack, threshold=h, watermark="0 seconds",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cusum_alarms")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("maxFilesPerTrigger", "1")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.user_id, r.event_id, r.t_us, r.side, r.stat, r.alarm_no)
+        for r in spark.table("cusum_alarms").collect()
+        if r.user_id != 999_999_999
+    )
+    assert len(got) > 0
+
+    base = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr(
+            "user_id", "event_id", "ts div 1000 as t_us",
+            "cast(floor(value * 1000.0 + 0.5) as bigint) as mv",
+        )
+    )
+    want = sorted(
+        (r.user_id, r.event_id, r.t_us, r.side, r.stat, r.alarm_no)
+        for r in cusum_alarms(
+            base, "user_id", ["t_us", "event_id"], "mv",
+            target=target, slack=slack, threshold=h,
+        ).collect()
+    )
+    assert got == want
