@@ -126,6 +126,95 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eval_pr_auc",
+    oracle=f"""
+    WITH feat AS (
+      {_QUALITY_FEAT_SQL}
+    ), scored AS (
+      SELECT f.doc_id,
+             CAST(floor({_QUALITY_RAW01_SQL} * 1000000.0) AS BIGINT) AS s,
+             CASE WHEN d.lang = '{_POS_LANG}' THEN 1 ELSE 0 END AS pos
+      FROM feat f JOIN (SELECT doc_id, lang FROM documents) d
+        ON d.doc_id = f.doc_id
+    ), byscore AS (
+      SELECT s, count(*) AS n_tot, sum(pos) AS n_pos
+      FROM scored GROUP BY s
+    ), ranked AS (
+      SELECT s, n_tot, n_pos,
+             sum(n_pos) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pos,
+             sum(n_tot) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tot
+      FROM byscore
+    ), terms AS (
+      SELECT n_pos,
+             (1000000::HUGEINT * cum_pos) // cum_tot AS prec_ppm
+      FROM ranked
+    ), tot AS (
+      SELECT CAST(sum(n_pos) AS HUGEINT) AS np,
+             CAST(sum(n_pos * prec_ppm) AS HUGEINT) AS ap_num
+      FROM terms
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos,
+           floor(CAST(ap_num AS DOUBLE)
+                 / (1000000.0 * CAST(np AS DOUBLE)) * 1000000.0)
+             / 1000000.0 AS avg_precision
+    FROM tot
+    """,
+)
+def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC) of the composite quality score
+    against the is-English label: ``AP = (1/P)·Σ_blocks n₊(b) ·
+    precision(b)`` where blocks are DISTINCT score values descending
+    and precision(b) is cumulative-positives / cumulative-total
+    through the block (ties collapse at block granularity — every row
+    sharing a score gets the block's trailing precision).
+
+    Plan shape: same skeleton as eval_roc_auc — ONE grouped count
+    collapses the corpus to the ≤1e6+1-row distinct ppm-score table
+    (bounded by the value domain, not the corpus); two running sums
+    over that bounded table (whitelisted partition-less window); each
+    block's precision is quantized to ppm by INTEGER floor-division
+    before the cross-block sum, so the aggregate crosses the shuffle
+    as an exact integer and the only float op is the final divide.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = tx.quality_score(d).select(
+        F.round(F.col("quality") * F.lit(1000000.0)).cast("long").alias("s"),
+        F.when(F.col("lang") == _POS_LANG, 1).otherwise(0).alias("pos"),
+    )
+    byscore = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_tot"), F.sum("pos").alias("n_pos")
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = byscore.select(
+        "n_pos",
+        F.sum("n_pos").over(w).alias("cum_pos"),
+        F.sum("n_tot").over(w).alias("cum_tot"),
+    )
+    terms = ranked.select(
+        "n_pos",
+        F.expr("(1000000L * cum_pos) div cum_tot").alias("prec_ppm"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = terms.agg(
+        dec(F.sum("n_pos")).alias("np"),
+        dec(F.sum(F.col("n_pos") * F.col("prec_ppm"))).alias("ap_num"),
+    )
+    return tot.select(
+        F.col("np").cast("long").alias("n_pos"),
+        trunc6(
+            F.col("ap_num").cast("double")
+            / (F.lit(1000000.0) * F.col("np").cast("double"))
+        ).alias("avg_precision"),
+    )
+
+
+@query(
     "eval_confusion_f1",
     oracle=f"""
     WITH scored AS ({langid_scored_sql()}

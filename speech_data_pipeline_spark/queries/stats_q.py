@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from speech_data_pipeline_spark.functions import trunc6
 from speech_data_pipeline_spark.queries.registry import query
+from speech_data_pipeline_spark.queries.text_q import _hex7_to_int_sql
 from speech_data_pipeline_spark.sources.catalog import load_table
 
 #: Correlation-matrix measures (all quantized ×100 → exact integers:
@@ -479,4 +480,163 @@ def chisq_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("chi2_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+#: Number of bootstrap replicates.
+_BOOT_B = 200
+
+#: Poisson(1) inverse-CDF thresholds in ppm: a uniform u ∈ [0, 1e6)
+#: maps to weight w = #{t in _POIS_PPM : u >= t}. Truncated at w = 9
+#: (P ≈ 1e-6·10⁻¹ beyond — identical truncation on both engines).
+_POIS_PPM = (367879, 735758, 919698, 981011, 996340, 999405, 999916,
+             999989, 999998)
+
+#: 1-based positions of the 2.5% / 97.5% bounds in the ascending
+#: B=200 replicate-mean list: floor(0.025·B)+1 and ceil(0.975·B).
+_BOOT_LO_POS = 6
+_BOOT_HI_POS = 195
+
+
+def _pois_case_sql(u_sql: str) -> str:
+    """CASE ladder mapping a ppm uniform to a Poisson(1) weight —
+    shared text for the DuckDB oracle."""
+    arms = " ".join(
+        f"WHEN {u_sql} < {t} THEN {k}" for k, t in enumerate(_POIS_PPM)
+    )
+    return f"CASE {arms} ELSE {len(_POIS_PPM)} END"
+
+
+@query(
+    "eval_bootstrap_ci",
+    oracle=f"""
+    WITH w AS (
+      SELECT b,
+             {_pois_case_sql(
+                 _hex7_to_int_sql(
+                     "md5('boot:' || CAST(b AS VARCHAR) || ':' "
+                     "|| CAST(o_orderkey AS VARCHAR))"
+                 ) + " % 1000000"
+             )} AS wt,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+      CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b)
+    ), reps AS (
+      SELECT b, CAST(sum(wt) AS BIGINT) AS nw,
+             CAST(sum(wt * cents) AS HUGEINT) AS sw
+      FROM w GROUP BY b
+    ), means AS (
+      SELECT (1000000::HUGEINT * sw) // nw AS mean_ucents FROM reps
+      WHERE nw > 0
+    ), sorted AS (
+      SELECT list_sort(list(CAST(mean_ucents AS BIGINT))) AS l,
+             count(*) AS nb
+      FROM means
+    ), fullagg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS HUGEINT) AS s
+      FROM orders
+    )
+    SELECT fullagg.n AS n_orders, CAST(sorted.nb AS BIGINT) AS n_boot,
+           floor(CAST(fullagg.s AS DOUBLE) / CAST(fullagg.n AS DOUBLE)
+                 / 100.0 * 1000000.0) / 1000000.0 AS mean_price,
+           floor(CAST(sorted.l[{_BOOT_LO_POS}] AS DOUBLE) / 100000000.0
+                 * 1000000.0) / 1000000.0 AS ci_lo,
+           floor(CAST(sorted.l[{_BOOT_HI_POS}] AS DOUBLE) / 100000000.0
+                 * 1000000.0) / 1000000.0 AS ci_hi
+    FROM sorted CROSS JOIN fullagg
+    """,
+)
+def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% CI for the mean order price via the POISSON BOOTSTRAP —
+    the standard single-pass distributed resampling scheme (each row's
+    multiplicity in replicate b is an independent Poisson(1) draw, so
+    no replicate ever needs a global sample-with-replacement pass).
+
+    Determinism: the draw is a seeded md5 uniform mapped through the
+    Poisson(1) inverse-CDF ppm ladder — identical on any engine and
+    any partitioning. Replicate means are quantized to integer
+    micro-cents by floor-division BEFORE the percentile pick, and the
+    bounds are fixed 1-based positions in the ascending B-list.
+
+    Plan shape: explode ×B is pipelined (never materialized) and
+    collapses map-side into ≤B groups per task (partial aggregation),
+    so the shuffle carries O(B · n_partitions) rows regardless of
+    corpus size; the percentile pick sorts a bounded B-element array
+    on the driver side of a 1-row aggregate. At 100 TB the only real
+    cost is B md5 evaluations per row — map-parallel CPU, no extra
+    shuffle volume.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    rep = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    wt = F.lit(len(_POIS_PPM))
+    for k in range(len(_POIS_PPM) - 1, -1, -1):
+        wt = F.when(u < _POIS_PPM[k], k).otherwise(wt)
+    reps = (
+        rep.select("b", "cents", wt.alias("wt"))
+        .groupBy("b")
+        .agg(
+            F.sum("wt").cast("long").alias("nw"),
+            F.sum(F.col("wt") * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("sw"),
+        )
+        .where(F.col("nw") > 0)
+    )
+    means = reps.select(
+        F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * sw) div nw AS LONG)")
+        .alias("mean_ucents")
+    )
+    sorted_ = means.agg(
+        F.array_sort(F.collect_list("mean_ucents")).alias("l"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    full = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+    )
+    return sorted_.crossJoin(F.broadcast(full)).select(
+        F.col("n").alias("n_orders"),
+        F.col("nb").cast("long").alias("n_boot"),
+        trunc6(F.col("s").cast("double") / F.col("n").cast("double")
+               / F.lit(100.0)).alias("mean_price"),
+        trunc6(
+            F.element_at("l", _BOOT_LO_POS).cast("double") / F.lit(1e8)
+        ).alias("ci_lo"),
+        trunc6(
+            F.element_at("l", _BOOT_HI_POS).cast("double") / F.lit(1e8)
+        ).alias("ci_hi"),
     )

@@ -53,6 +53,62 @@ def test_rank_sum_auc_identity_on_crafted_scores(spark):
     assert abs(auc - _brute_auc(pairs)) < 1e-12
 
 
+def _brute_ap(pairs):
+    """Block-tie average precision: distinct scores descending, each
+    block contributes n_pos(block) * trailing-precision(block)."""
+    from collections import Counter
+
+    tot = Counter()
+    pos = Counter()
+    for s, y in pairs:
+        tot[s] += 1
+        pos[s] += y
+    cp = ct = 0
+    num = 0.0
+    for s in sorted(tot, reverse=True):
+        cp += pos[s]
+        ct += tot[s]
+        num += pos[s] * (cp / ct)
+    return num / cp
+
+
+def test_pr_auc_block_identity_on_crafted_scores(spark):
+    # Replicates the query's block pipeline on a crafted tied frame and
+    # checks it matches the brute definition within ppm quantization.
+    from pyspark.sql import Window
+
+    pairs = [
+        (10, 1), (10, 0), (10, 1), (7, 0), (7, 0), (12, 1), (3, 0),
+        (3, 1), (3, 0), (15, 1), (1, 0), (12, 0), (12, 1), (10, 0),
+    ]
+    df = spark.createDataFrame(pairs, "s long, pos int")
+    byscore = df.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_tot"), F.sum("pos").alias("n_pos")
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    terms = byscore.select(
+        "n_pos",
+        F.sum("n_pos").over(w).alias("cum_pos"),
+        F.sum("n_tot").over(w).alias("cum_tot"),
+    ).select(
+        "n_pos", F.expr("(1000000L * cum_pos) div cum_tot").alias("ppm")
+    )
+    tot = terms.agg(
+        F.sum("n_pos").alias("np"),
+        F.sum(F.col("n_pos") * F.col("ppm")).alias("num"),
+    ).collect()[0]
+    ap = tot["num"] / (1e6 * tot["np"])
+    assert abs(ap - _brute_ap(pairs)) < 1e-5
+
+
+def test_pr_auc_bounds_on_fixture(spark):
+    row = QUERIES["eval_pr_auc"](spark, SF).collect()[0]
+    assert row["n_pos"] > 0
+    assert 0.0 <= row["avg_precision"] <= 1.0
+
+
 def test_auc_bounds_and_marginals_on_fixture(spark):
     row = QUERIES["eval_roc_auc"](spark, SF).collect()[0]
     assert row["n_pos"] > 0 and row["n_neg"] > 0

@@ -85,6 +85,8 @@ SCALAR_CROSS_WHITELIST = {
     "search_bm25_topk",  # corpus-stats scalar (N, Σdl, per-term df): 1 row
     "feat_target_encode_oof",  # global-prior scalar: 1 row onto K·|cats| cells
     "feat_woe_iv",  # good/bad-total scalar: 1 row onto ≤10 bins
+    "eval_bootstrap_ci",  # sorted replicate-mean array (1 row, B=200
+    # elements) attached to the 1-row full-sample aggregate
 }
 
 
@@ -122,6 +124,8 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     "chisq_type_by_day",  # total window over the |types|×7 cell table
     "eval_roc_auc",  # min-rank running sum over the DISTINCT ppm-score
     # table, bounded by the value domain (≤ 1e6+1 rows), never corpus
+    "eval_pr_auc",  # same DISTINCT ppm-score table as eval_roc_auc:
+    # two running sums over ≤ 1e6+1 rows, never corpus
     "text_zipf_slope",  # rank window over the LIMIT-100 vocabulary head
 }
 

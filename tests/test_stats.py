@@ -221,3 +221,26 @@ def test_psi_one_arm_bins_still_counted(spark, tmp_path):
     total = out[0]["psi_total"]
     assert total == out[9]["psi_total"]
     assert total > 1.0  # far past the 0.25 "significant shift" bar
+
+
+class TestBootstrapCI:
+    def test_poisson_ladder_mean_is_one(self, spark):
+        # The ppm inverse-CDF ladder must reproduce Poisson(1)'s mean
+        # over the full uniform domain (exact expectation of the
+        # truncated ladder: sum of (1 - cdf) tail masses in ppm).
+        from speech_data_pipeline_spark.queries.stats_q import _POIS_PPM
+
+        # E[w] = Σ_k P(w > k) = Σ_k (1e6 - t_k)/1e6 over ladder rungs.
+        ew = sum((1_000_000 - t) / 1_000_000 for t in _POIS_PPM)
+        assert abs(ew - 1.0) < 2e-3  # truncation at w=9 costs ~1e-4
+
+    def test_ci_brackets_mean_on_fixture(self, spark):
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        row = QUERIES["eval_bootstrap_ci"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        assert row["n_boot"] == 200
+        assert row["ci_lo"] <= row["mean_price"] <= row["ci_hi"]
+        # A 95% CI at n≈1.5k orders should be tight around the mean.
+        assert row["ci_hi"] - row["ci_lo"] < row["mean_price"]
