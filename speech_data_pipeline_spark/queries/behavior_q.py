@@ -992,3 +992,142 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("s div n_buckets").alias("mean_milli"),
         trunc6(seasonal).alias("seasonal_milli"),
     )
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
+                      END) AS p_t
+      FROM events GROUP BY user_id
+    ), mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+    durs AS (
+      SELECT CASE WHEN p_t IS NOT NULL
+                  THEN (p_t - t0) // 86400000000
+                  ELSE (tmax - t0) // 86400000000 END AS dur_days,
+             CASE WHEN p_t IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM t CROSS JOIN mx
+    ), byday AS (
+      SELECT dur_days, CAST(sum(ev) AS BIGINT) AS n_event,
+             CAST(sum(1 - ev) AS BIGINT) AS n_cens
+      FROM durs GROUP BY dur_days
+    ), risk AS (
+      SELECT dur_days, n_event, n_cens,
+             sum(n_event + n_cens) OVER () AS n_total,
+             coalesce(sum(n_event + n_cens) OVER (ORDER BY dur_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM byday
+    ), terms AS (
+      SELECT dur_days, n_event, n_cens,
+             n_total - cum_prev AS at_risk,
+             CASE WHEN n_event = 0 THEN 0
+                  WHEN n_event >= n_total - cum_prev
+                    THEN -100000000000
+                  ELSE CAST(floor(ln(
+                         CAST(n_total - cum_prev - n_event AS DOUBLE)
+                         / CAST(n_total - cum_prev AS DOUBLE)) * 1e9)
+                       AS BIGINT) END AS lnq
+      FROM risk
+    )
+    SELECT dur_days, n_event, n_cens,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           floor(exp(CAST(sum(lnq) OVER (ORDER BY dur_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / 1e9) * 1000000.0) / 1000000.0 AS survival
+    FROM terms
+    QUALIFY n_event > 0
+    ORDER BY dur_days
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase, right-
+    censored at the corpus horizon (max event time): ``S(d) =
+    Π_{d'≤d} (1 − e_{d'} / r_{d'})`` over whole-day durations.
+
+    Exactness: the per-day hazard factors multiply as a RUNNING SUM of
+    nano-nat INTEGER log terms (each ln quantized by floor to 1e-9
+    before the cumulative sum), so the cross-row accumulation is exact
+    integer arithmetic in any engine / any window implementation
+    (DuckDB's segment-tree float sums would otherwise reorder adds);
+    the only float ops are one ln and one exp per OUTPUT row. A day
+    that exhausts the risk set gets the −100 ln sentinel (exp → 0
+    below the 1e-6 output grid).
+
+    Plan shape: one per-user grouped min pair collapses the corpus to
+    users; the horizon is a 1-row broadcast scalar (whitelisted); the
+    KM table itself is bounded by the OBSERVATION-WINDOW DAY COUNT,
+    not the corpus, so its running sums are whitelisted partition-less
+    windows over a tiny relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.expr("ts div 1000")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(t_us).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", t_us)
+        ).alias("p_t"),
+    )
+    mx = ev.agg(F.max(t_us).alias("tmax"))
+    durs = per_user.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("p_t").isNotNull(),
+            F.expr("(p_t - t0) div 86400000000"),
+        )
+        .otherwise(F.expr("(tmax - t0) div 86400000000"))
+        .alias("dur_days"),
+        F.when(F.col("p_t").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    byday = durs.groupBy("dur_days").agg(
+        F.sum("ev").cast("long").alias("n_event"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("n_cens"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = byday.select(
+        "dur_days",
+        "n_event",
+        "n_cens",
+        (
+            F.sum(F.col("n_event") + F.col("n_cens")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("n_event") + F.col("n_cens")).over(w_prev),
+                F.lit(0),
+            )
+        ).alias("at_risk"),
+    )
+    lnq = (
+        F.when(F.col("n_event") == 0, F.lit(0).cast("long"))
+        .when(
+            F.col("n_event") >= F.col("at_risk"),
+            F.lit(-100000000000).cast("long"),
+        )
+        .otherwise(
+            F.floor(
+                F.log(
+                    (F.col("at_risk") - F.col("n_event")).cast("double")
+                    / F.col("at_risk").cast("double")
+                )
+                * F.lit(1e9)
+            ).cast("long")
+        )
+    )
+    w_run = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = risk.withColumn("lnq", lnq).select(
+        "dur_days",
+        "n_event",
+        "n_cens",
+        F.col("at_risk").cast("long").alias("at_risk"),
+        trunc6(
+            F.exp(F.sum("lnq").over(w_run).cast("double") / F.lit(1e9))
+        ).alias("survival"),
+    )
+    return out.where(F.col("n_event") > 0)

@@ -309,3 +309,79 @@ def _t6(x: float) -> float:
     import math
 
     return math.floor(x * 1_000_000.0) / 1_000_000.0
+
+
+class TestKaplanMeier:
+    def test_km_matches_hand_computation(self, spark):
+        # Crafted cohort: 10 subjects, events at days 1 (x2), 3 (x1),
+        # censored at day 2 (x1), 5 (rest). Classic KM hand result:
+        # S(1) = 1 - 2/10 = 0.8 ; S(3) = 0.8 * (1 - 1/7).
+        import math
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        rows = []
+        eid = 0
+
+        def add(uid, t0_day, p_day=None):
+            nonlocal eid
+            base = 1_700_000_000_000_000_000  # epoch nanos
+            day = 86_400_000_000_000
+            rows.append((eid, base + t0_day * day, uid, "view", 1.0, "{}"))
+            eid += 1
+            if p_day is not None:
+                rows.append(
+                    (eid, base + p_day * day, uid, "purchase", 1.0, "{}")
+                )
+                eid += 1
+
+        # horizon anchor: one user far out so tmax = day 5 exactly
+        add(1, 0, 1)
+        add(2, 0, 1)
+        add(3, 0, 3)
+        add(4, 0)  # censored at horizon... day 5
+        for uid in range(5, 11):
+            add(uid, 0)
+        # censor-at-2 subject: entered day 3, horizon day 5 => dur 2
+        add(11, 3)
+        # horizon definition: max ts overall = day 5
+        rows.append((eid, 1_700_000_000_000_000_000 + 5 * 86_400_000_000_000,
+                     99, "view", 1.0, "{}"))
+        import pandas as pd
+
+        df = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        )
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            out = {
+                r["dur_days"]: r
+                for r in QUERIES["survival_kaplan_meier"](spark, d).collect()
+            }
+        # 12 subjects total (incl. uid 99 anchor, censored dur 0).
+        # dur=1 events: uid 1,2 ; dur=3 event: uid 3 ;
+        # censored: uid 99 at 0, uid 11 at 2, uids 4..10 at 5.
+        assert out[1]["n_event"] == 2
+        assert out[1]["at_risk"] == 11  # uid99 censored day 0 leaves 11
+        s1 = 1 - 2 / 11
+        assert abs(out[1]["survival"] - s1) < 1e-5
+        assert out[3]["n_event"] == 1
+        # after day-1 events (2) + day-2 censor (1): 11-3 = 8 at risk
+        assert out[3]["at_risk"] == 8
+        assert abs(out[3]["survival"] - s1 * (1 - 1 / 8)) < 1e-5
+
+    def test_km_monotone_on_fixture(self, spark):
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        rows = (
+            QUERIES["survival_kaplan_meier"](spark, "/root/testdata/sf0.001")
+            .orderBy("dur_days")
+            .collect()
+        )
+        surv = [r["survival"] for r in rows]
+        assert all(a >= b for a, b in zip(surv, surv[1:]))
+        assert all(0.0 <= s <= 1.0 for s in surv)

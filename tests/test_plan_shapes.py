@@ -85,6 +85,7 @@ SCALAR_CROSS_WHITELIST = {
     "search_bm25_topk",  # corpus-stats scalar (N, Σdl, per-term df): 1 row
     "feat_target_encode_oof",  # global-prior scalar: 1 row onto K·|cats| cells
     "feat_woe_iv",  # good/bad-total scalar: 1 row onto ≤10 bins
+    "survival_kaplan_meier",  # corpus max-ts horizon scalar: 1 row
     "eval_bootstrap_ci",  # sorted replicate-mean array (1 row, B=200
     # elements) attached to the 1-row full-sample aggregate
 }
@@ -126,6 +127,8 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     # table, bounded by the value domain (≤ 1e6+1 rows), never corpus
     "eval_pr_auc",  # same DISTINCT ppm-score table as eval_roc_auc:
     # two running sums over ≤ 1e6+1 rows, never corpus
+    "survival_kaplan_meier",  # KM running sums over the per-DAY
+    # life table, bounded by the observation window, never corpus
     "text_zipf_slope",  # rank window over the LIMIT-100 vocabulary head
 }
 
