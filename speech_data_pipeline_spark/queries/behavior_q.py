@@ -1131,3 +1131,141 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("survival"),
     )
     return out.where(F.col("n_event") > 0)
+
+
+#: ACF lags reported by ts_acf_lags.
+_ACF_LAGS = (1, 2, 3, 4, 5)
+
+
+def _acf_oracle() -> str:
+    """DuckDB replay of the dense-grid integer-moment ACF."""
+    leads = ", ".join(
+        f"lead(x, {k}) OVER (PARTITION BY event_type ORDER BY day) AS l{k}"
+        for k in _ACF_LAGS
+    )
+    moments = ", ".join(
+        f"CAST(sum(x * l{k}) AS HUGEINT) AS p{k}, "
+        f"CAST(sum(CASE WHEN l{k} IS NOT NULL THEN x END) AS HUGEINT)"
+        f" AS a{k}, "
+        f"CAST(sum(l{k}) AS HUGEINT) AS b{k}"
+        for k in _ACF_LAGS
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT event_type, {k} AS lag, CAST(n AS BIGINT) AS n,"
+        f" floor(CAST(n*n*p{k} - n*s1*(a{k}+b{k}) + (n-{k})*s1*s1"
+        f" AS DOUBLE) / CAST(n*n*s2 - n*s1*s1 AS DOUBLE)"
+        f" * 1000000.0) / 1000000.0 AS acf"
+        f" FROM m WHERE n > {k} AND n*s2 > s1*s1"
+        for k in _ACF_LAGS
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sx
+      FROM events GROUP BY event_type, day
+    ), span AS (
+      SELECT event_type, min(day) AS mn, max(day) AS mx
+      FROM daily GROUP BY event_type
+    ), grid AS (
+      SELECT event_type, unnest(range(mn, mx + 1)) AS day FROM span
+    ), series AS (
+      SELECT g.event_type, g.day, coalesce(d.sx, 0) AS x
+      FROM grid g LEFT JOIN daily d
+        ON d.event_type = g.event_type AND d.day = g.day
+    ), led AS (
+      SELECT event_type, x, {leads} FROM series
+    ), m AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s1,
+             CAST(sum(x * x) AS HUGEINT) AS s2,
+             {moments}
+      FROM led GROUP BY event_type
+    )
+    {arms}
+    """
+
+
+@query("ts_acf_lags", oracle=_acf_oracle())
+def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of each event type's DAILY value series
+    at lags 1–5, on a dense zero-filled day grid: ``r_k =
+    Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²`` cleared to pure
+    integers — ``(n²P_k − nS₁(A_k+B_k) + (n−k)S₁²) / (n²S₂ − nS₁²)``
+    over milli-quantized sums, one float divide per output row.
+
+    Plan shape: one grouped daily sum collapses the corpus to
+    |types|·|days| cells; the dense grid is a per-type sequence explode
+    (observation-window bounded); the lag products are lead() windows
+    PARTITIONED by type (never global); the moment sums ride
+    DECIMAL(38,0) (n²·S₂ of milli daily sums stays under 10³⁸ through
+    ~petabyte-scale daily aggregates — noted here as the contract).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mv = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.expr("(ts div 1000) div 86400000000").alias("day")
+    ).agg(F.sum(mv).alias("sx"))
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day"),
+    )
+    series = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("sx"), F.lit(0)).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    led = series.select(
+        "event_type",
+        "x",
+        *[F.lead("x", k).over(w).alias(f"l{k}") for k in _ACF_LAGS],
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [
+        dec(F.count(F.lit(1))).alias("n"),
+        dec(F.sum("x")).alias("s1"),
+        dec(F.sum(F.col("x") * F.col("x"))).alias("s2"),
+    ]
+    for k in _ACF_LAGS:
+        aggs += [
+            dec(F.sum(F.col("x") * F.col(f"l{k}"))).alias(f"p{k}"),
+            dec(
+                F.sum(F.when(F.col(f"l{k}").isNotNull(), F.col("x")))
+            ).alias(f"a{k}"),
+            dec(F.sum(F.col(f"l{k}"))).alias(f"b{k}"),
+        ]
+    m = led.groupBy("event_type").agg(*aggs)
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col(f"p{k}").alias("p"),
+                F.col(f"a{k}").alias("a"),
+                F.col(f"b{k}").alias("b"),
+            )
+            for k in _ACF_LAGS
+        ]
+    )
+    rows = m.select(
+        "event_type", "n", "s1", "s2", F.explode(arms).alias("t")
+    ).where(
+        (F.col("n") > F.col("t.lag").cast("decimal(38,0)"))
+        & (F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("t.p")
+        - F.col("n") * F.col("s1") * (F.col("t.a") + F.col("t.b"))
+        + (F.col("n") - F.col("t.lag")) * F.col("s1") * F.col("s1")
+    ).cast("double")
+    den = (
+        F.col("n") * F.col("n") * F.col("s2")
+        - F.col("n") * F.col("s1") * F.col("s1")
+    ).cast("double")
+    return rows.select(
+        "event_type",
+        F.col("t.lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        trunc6(num / den).alias("acf"),
+    )

@@ -97,3 +97,50 @@ def test_zipf_moments_match_python_ols(spark):
     want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     got = QUERIES["text_zipf_slope"](spark, SF).collect()[0]["slope"]
     assert abs(got - want) < 2e-6
+
+
+class TestAcfLags:
+    def test_acf_matches_numpy_on_crafted_series(self, spark):
+        # Single dense daily series; compare against the direct
+        # definition with global mean (statsmodels' acf with
+        # adjusted=False numerator convention restricted to n-k terms).
+        import numpy as np
+        import pandas as pd
+        import tempfile, os
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9]
+        base_ns = 1_700_000_000_000_000_000
+        day_ns = 86_400_000_000_000
+        rows = [
+            (i, base_ns + i * day_ns, 1, "view", float(x), "{}")
+            for i, x in enumerate(xs)
+        ]
+        df = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            got = {
+                r["lag"]: r["acf"]
+                for r in QUERIES["ts_acf_lags"](spark, d).collect()
+            }
+        x = np.array(xs, dtype=float) * 1000  # milli grid
+        xc = x - x.mean()
+        den = (xc * xc).sum()
+        for k in range(1, 6):
+            want = (xc[:-k] * xc[k:]).sum() / den
+            assert abs(got[k] - want) < 1e-5, (k, got[k], want)
+
+    def test_acf_bounded_on_fixture(self, spark):
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        rows = QUERIES["ts_acf_lags"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows
+        for r in rows:
+            assert -1.0 - 1e-6 <= r["acf"] <= 1.0 + 1e-6
