@@ -506,3 +506,59 @@ def label_propagation(
         labels.unpersist()
         labels = nxt
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    a: str = "u",
+    b: str = "v",
+) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman 1983 cores; the synchronous
+    peel of Batagelj–Zaveršnik done data-parallel): each round drops
+    every node whose CURRENT degree is below ``k`` and the edges
+    touching it, simultaneously for all nodes. A fixed ``rounds`` keeps
+    the trajectory replayable as chained CTEs (the pagerank / LPA /
+    k-means contract); each round can only shrink the edge set, so the
+    sequence converges monotonically to the true k-core and on
+    moderate-diameter graphs a handful of rounds IS the fixpoint
+    (tests assert stability on the fixture graph).
+
+    Plan shape per round: one grouped degree count + two semi-join
+    filters of the edge table against the surviving-node set — all
+    key-partitioned hash joins, no windows, state persisted between
+    rounds (lazy chaining across iterations re-evaluates
+    exponentially). Output: ``(node, deg)`` — survivors with their
+    post-peel degree.
+    """
+    und = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    und.count()
+    for _ in range(rounds):
+        alive = (
+            und.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= k)
+            .select("src")
+        )
+        nxt = (
+            und.join(alive, "src", "left_semi")
+            .join(
+                alive.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .persist()
+        )
+        nxt.count()
+        und.unpersist()
+        und = nxt
+    out = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    return out

@@ -1804,3 +1804,65 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("part_id"), F.col("lab").alias("community")
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    """Chained-CTE replay of the fixed-round synchronous k-core peel
+    (operators/graph.py k_core) over the part co-purchase graph."""
+    prev = "u0"
+    ctes = []
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""a{t} AS (
+      SELECT s AS node FROM {prev} GROUP BY s HAVING count(*) >= {k}
+    ), u{t} AS (
+      SELECT u.s, u.d FROM {prev} u
+      JOIN a{t} x ON x.node = u.s
+      JOIN a{t} y ON y.node = u.d
+    )"""
+        )
+        prev = f"u{t}"
+    return f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e0 AS (
+      SELECT DISTINCT a.p AS x, b.p AS y
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ), u0 AS (
+      SELECT x AS s, y AS d FROM e0 UNION SELECT y, x FROM e0
+    ), {", ".join(ctes)}
+    SELECT s AS part_id, CAST(count(*) AS BIGINT) AS deg
+    FROM {prev} GROUP BY s
+    """
+
+
+@query("graph_k_core", oracle=_kcore_oracle())
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-purchase graph by 4 synchronous peel
+    rounds — the subgraph where every surviving part co-occurs with
+    ≥3 other survivors (the "stable catalog backbone" used to seed
+    recommendations; connectivity ∈ components, density ∈ LPA, this
+    is COHESION).
+
+    Plan shape per round (operators/graph.py k_core): one grouped
+    degree count + two left-semi filters of the edge table on the
+    survivor set — key-partitioned hash joins only, state persisted
+    between rounds. The oracle replays the identical 4-round peel as
+    chained CTEs.
+    """
+    from speech_data_pipeline_spark.operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("u"))
+    b_ = op.select("o", F.col("p").alias("v"))
+    edges = (
+        a.join(b_, "o")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    out = k_core(edges, k=3, rounds=4)
+    return out.select(F.col("node").alias("part_id"), "deg")

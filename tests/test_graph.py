@@ -227,3 +227,45 @@ def test_label_propagation_matches_python_replay(spark):
         lab = nxt
     got = {r["node"]: r["lab"] for r in label_propagation(edges, iters=3).collect()}
     assert got == lab
+
+
+class TestKCore:
+    def test_kcore_hand_graph(self, spark):
+        from speech_data_pipeline_spark.operators.graph import k_core
+
+        # Triangle {1,2,3} each also tied to 4; plus a tail 5-6-7.
+        # 2-core = {1,2,3,4}? deg(4)=3, triangle degs=3; tail peels off.
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4), (3, 4), (4, 5),
+             (5, 6), (6, 7)],
+            "u long, v long",
+        )
+        out = {r["node"]: r["deg"] for r in k_core(edges, k=3, rounds=4).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        assert all(d >= 3 for d in out.values())
+
+    def test_kcore_fixpoint_on_fixture(self, spark):
+        # One extra peel round must not change the registered query's
+        # survivor set — the fixed-round contract has converged.
+        from speech_data_pipeline_spark.operators.graph import k_core
+        from pyspark.sql import functions as F
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        op = li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+        edges = (
+            op.select("o", F.col("p").alias("u"))
+            .join(op.select("o", F.col("p").alias("v")), "o")
+            .where(F.col("u") < F.col("v"))
+            .select("u", "v")
+            .distinct()
+        )
+        r4 = sorted(
+            (r["node"], r["deg"]) for r in k_core(edges, 3, 4).collect()
+        )
+        r5 = sorted(
+            (r["node"], r["deg"]) for r in k_core(edges, 3, 5).collect()
+        )
+        assert r4 == r5
