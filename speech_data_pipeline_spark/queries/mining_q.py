@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from speech_data_pipeline_spark.functions import trunc6
 from speech_data_pipeline_spark.operators import dedup as dd
+from speech_data_pipeline_spark.operators import text as tx
 from speech_data_pipeline_spark.queries.registry import query
 from speech_data_pipeline_spark.sources.catalog import load_table
 
@@ -1666,3 +1667,125 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(cov / vx).alias("slope"),
         trunc6((cov * cov) / (vx * vy)).alias("r2"),
     )
+
+
+#: Fuzzy-vocab bounds: word length window and minimum corpus frequency
+#: for the symmetric-delete neighborhood (keeps deletion buckets and
+#: the candidate join bounded, and drops hapax noise).
+_FUZZ_MIN_LEN = 4
+_FUZZ_MAX_LEN = 12
+_FUZZ_MIN_FREQ = 2
+
+_FUZZ_TOKS_SQL = r"""
+    toks AS (
+      SELECT list_filter(string_split_regex(trim(text),
+                         '[ \t\n\r\f\x0b]+'), t -> t <> '') AS t
+      FROM documents
+    ), vocab AS (
+      SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(t) AS tok FROM toks)
+      GROUP BY tok
+      HAVING count(*) >= {minf}
+         AND len(tok) BETWEEN {minl} AND {maxl}
+    ), dels AS (
+      SELECT w, freq, CAST(i AS INTEGER) AS idx,
+             substr(w, 1, CAST(i AS INTEGER) - 1)
+               || substr(w, CAST(i AS INTEGER) + 1) AS key
+      FROM (SELECT w, freq, unnest(range(1, len(w) + 1)) AS i FROM vocab)
+    )
+""".format(minf=_FUZZ_MIN_FREQ, minl=_FUZZ_MIN_LEN, maxl=_FUZZ_MAX_LEN)
+
+
+@query(
+    "search_fuzzy_symdelete",
+    oracle=f"""
+    WITH {_FUZZ_TOKS_SQL},
+    subs AS (
+      SELECT a.w AS w1, b.w AS w2, 'sub' AS kind,
+             a.freq AS freq1, b.freq AS freq2
+      FROM dels a JOIN dels b
+        ON a.key = b.key AND a.idx = b.idx AND a.w < b.w
+    ), insdel AS (
+      SELECT DISTINCT least(v.w, d.w) AS w1, greatest(v.w, d.w) AS w2,
+             'ins' AS kind,
+             CASE WHEN v.w < d.w THEN v.freq ELSE d.freq END AS freq1,
+             CASE WHEN v.w < d.w THEN d.freq ELSE v.freq END AS freq2
+      FROM vocab v JOIN dels d ON v.w = d.key AND v.w <> d.w
+    )
+    SELECT * FROM subs UNION ALL SELECT * FROM insdel
+    """,
+)
+def search_fuzzy_symdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 spelling-variant pairs over the corpus
+    vocabulary via SYMMETRIC DELETION blocking (the SymSpell method):
+    a substitution pair collides on the same-index single-deletion
+    key; an insertion/deletion pair collides full-word-to-deletion.
+    No pairwise vocabulary scan ever happens — candidates only meet
+    inside a deletion bucket.
+
+    Plan shape: one token count builds the vocabulary (bounded, Zipf);
+    the neighborhood explode is ≤ word-length per word; both pair
+    generators are EQUI-joins on the deletion string (+ index), so
+    work is Σ bucket² over deletion buckets — bounded by the length
+    window and min-frequency floor, never |vocab|². Output is exact
+    distance-1 pairs (same-index del⇒substitution; full=del⇒ins/del),
+    deduplicated.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .where(
+            (F.col("freq") >= _FUZZ_MIN_FREQ)
+            & F.length("w").between(_FUZZ_MIN_LEN, _FUZZ_MAX_LEN)
+        )
+    )
+    dels = vocab.select(
+        "w",
+        "freq",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(w)), i ->"
+                " concat(substring(w, 1, i - 1),"
+                " substring(w, i + 1, length(w))))"
+            )
+        ).alias("pos0", "key"),
+    ).select(
+        "w", "freq", (F.col("pos0") + 1).cast("int").alias("idx"), "key"
+    )
+    a = dels.select(
+        F.col("key"), F.col("idx"),
+        F.col("w").alias("wa"), F.col("freq").alias("fa"),
+    )
+    b = dels.select(
+        F.col("key"), F.col("idx"),
+        F.col("w").alias("wb"), F.col("freq").alias("fb"),
+    )
+    subs = (
+        a.join(b, ["key", "idx"])
+        .where(F.col("wa") < F.col("wb"))
+        .select(
+            F.col("wa").alias("w1"), F.col("wb").alias("w2"),
+            F.lit("sub").alias("kind"),
+            F.col("fa").alias("freq1"), F.col("fb").alias("freq2"),
+        )
+    )
+    v = vocab.select(F.col("w").alias("vw"), F.col("freq").alias("vf"))
+    insdel = (
+        v.join(dels, v["vw"] == dels["key"])
+        .where(F.col("vw") != F.col("w"))
+        .select(
+            F.least("vw", "w").alias("w1"),
+            F.greatest("vw", "w").alias("w2"),
+            F.lit("ins").alias("kind"),
+            F.when(F.col("vw") < F.col("w"), F.col("vf"))
+            .otherwise(F.col("freq"))
+            .alias("freq1"),
+            F.when(F.col("vw") < F.col("w"), F.col("freq"))
+            .otherwise(F.col("vf"))
+            .alias("freq2"),
+        )
+        .distinct()
+    )
+    return subs.unionByName(insdel)

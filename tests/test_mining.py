@@ -343,3 +343,47 @@ def test_phrase_search_matches_bruteforce(spark):
         for r in search_phrase_positions(spark, SF).collect()
     ]
     assert got == exp
+
+
+class TestFuzzySymdelete:
+    def test_crafted_pairs_and_kinds(self, spark):
+        import os, tempfile
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        # hello~helo (deletion), hello~hellp (substitution at 5),
+        # world distinct from all; every word repeated to clear the
+        # min-freq floor.
+        text = " ".join(["hello"] * 3 + ["helo"] * 2 + ["hellp"] * 2
+                        + ["world"] * 2)
+        df = pd.DataFrame(
+            {"doc_id": [1], "text": [text], "lang": ["en"],
+             "source": ["t"], "n_chars": [len(text)]}
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "documents.parquet"))
+            rows = QUERIES["search_fuzzy_symdelete"](spark, d).collect()
+        got = {(r["w1"], r["w2"]): r["kind"] for r in rows}
+        assert got[("hello", "helo")] == "ins"
+        assert got[("hello", "hellp")] == "sub"
+        assert not any("world" in p for p in got)
+
+    def test_all_pairs_are_distance_one(self, spark):
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        rows = QUERIES["search_fuzzy_symdelete"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        for r in rows:
+            assert lev(r["w1"], r["w2"]) == 1, (r["w1"], r["w2"])
