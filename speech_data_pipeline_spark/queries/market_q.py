@@ -353,3 +353,111 @@ def supplier_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         F.max("lead_days").cast("long").alias("max_days"),
     )
+
+
+#: Minimum triple support for the Apriori level-3 pass.
+_MIN_SUPPORT3 = 2
+
+
+@query(
+    "mine_itemsets_apriori",
+    oracle=f"""
+    WITH inc AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), fp AS (
+      SELECT a.p AS pa, b.p AS pb
+      FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING count(*) >= {_MIN_SUPPORT}
+    ), bp AS (
+      SELECT a.o, a.p AS pa, b.p AS pb
+      FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+      JOIN fp ON fp.pa = a.p AND fp.pb = b.p
+    ), tri AS (
+      SELECT bp.o, bp.pa AS p1, bp.pb AS p2, c.p AS p3
+      FROM bp JOIN inc c ON c.o = bp.o AND c.p > bp.pb
+      JOIN fp f2 ON f2.pa = bp.pb AND f2.pb = c.p
+      JOIN fp f3 ON f3.pa = bp.pa AND f3.pb = c.p
+    ), cnt AS (
+      SELECT p1, p2, p3, CAST(count(*) AS BIGINT) AS support
+      FROM tri GROUP BY p1, p2, p3
+      HAVING count(*) >= {_MIN_SUPPORT3}
+    ), tot AS (SELECT count(DISTINCT o) AS n_orders FROM inc)
+    SELECT p1, p2, p3, support,
+           floor(CAST(support AS DOUBLE) / n_orders * 1000000.0)
+             / 1000000.0 AS support_ratio
+    FROM cnt CROSS JOIN tot
+    """,
+)
+def mine_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets by the Apriori level-wise pass: only
+    candidate triples ALL of whose sub-pairs cleared the pair support
+    floor are ever enumerated (the anti-monotone prune), then counted
+    per basket.
+
+    Plan shape: the frequent-pair table is the pair aggregate with a
+    HAVING floor; per-basket pair enumeration is bounded by basket
+    size² and immediately semi-filtered against frequent pairs (the
+    prune kills the long Zipf tail BEFORE the 3-way extend); the
+    triple extend joins one more incidence item per basket with two
+    further frequent-pair filters, then one grouped count on the
+    triple key. The n_orders denominator is a 1-row broadcast scalar.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    inc = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = inc.alias("a"), inc.alias("b")
+    fp = (
+        a.join(
+            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+        )
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= _MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    bp = (
+        a.join(
+            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+        )
+        .select(
+            F.col("a.o").alias("o"),
+            F.col("a.p").alias("pa"),
+            F.col("b.p").alias("pb"),
+        )
+        .join(fp, ["pa", "pb"], "left_semi")
+    )
+    c = inc.select(F.col("o"), F.col("p").alias("p3"))
+    tri = (
+        bp.join(c, "o")
+        .where(F.col("p3") > F.col("pb"))
+        .join(
+            fp.select(F.col("pa").alias("pb"), F.col("pb").alias("p3")),
+            ["pb", "p3"],
+            "left_semi",
+        )
+        .join(
+            fp.select(F.col("pa"), F.col("pb").alias("p3")),
+            ["pa", "p3"],
+            "left_semi",
+        )
+    )
+    cnt = (
+        tri.groupBy(
+            F.col("pa").alias("p1"),
+            F.col("pb").alias("p2"),
+            F.col("p3"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= _MIN_SUPPORT3)
+    )
+    tot = inc.agg(F.countDistinct("o").alias("n_orders"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "p1",
+        "p2",
+        "p3",
+        "support",
+        trunc6(
+            F.col("support").cast("double") / F.col("n_orders")
+        ).alias("support_ratio"),
+    )

@@ -158,3 +158,41 @@ def test_lead_time_percentiles_ordered(spark):
     for r in rows:
         assert 0 <= r["med_days"] <= r["p90_days"] <= r["max_days"]
         assert r["n_shipments"] >= 1
+
+
+class TestApriori:
+    def test_crafted_triple_mining(self, spark):
+        import os, tempfile
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        # Baskets: {1,2,3} x3 (frequent triple), {1,2,4} once (pair
+        # (1,4),(2,4) infrequent -> no triple), {1,2} once.
+        baskets = [[1, 2, 3], [1, 2, 3], [1, 2, 3], [1, 2, 4], [1, 2]]
+        rows = []
+        for o, items in enumerate(baskets):
+            for p in items:
+                rows.append((o, p, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                             pd.Timestamp("2024-01-02")))
+        df = pd.DataFrame(
+            rows,
+            columns=["l_orderkey", "l_partkey", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax",
+                     "l_returnflag", "l_linestatus", "l_shipdate"],
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "lineitem.parquet"))
+            out = QUERIES["mine_itemsets_apriori"](spark, d).collect()
+        got = {(r["p1"], r["p2"], r["p3"]): r["support"] for r in out}
+        assert got == {(1, 2, 3): 3}
+
+    def test_fixture_triples_satisfy_support(self, spark):
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        rows = QUERIES["mine_itemsets_apriori"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        for r in rows:
+            assert r["support"] >= 2
+            assert r["p1"] < r["p2"] < r["p3"]

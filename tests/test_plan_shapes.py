@@ -86,6 +86,7 @@ SCALAR_CROSS_WHITELIST = {
     "feat_target_encode_oof",  # global-prior scalar: 1 row onto K·|cats| cells
     "feat_woe_iv",  # good/bad-total scalar: 1 row onto ≤10 bins
     "survival_kaplan_meier",  # corpus max-ts horizon scalar: 1 row
+    "mine_itemsets_apriori",  # n_orders denominator scalar: 1 row
     "eval_bootstrap_ci",  # sorted replicate-mean array (1 row, B=200
     # elements) attached to the 1-row full-sample aggregate
 }
