@@ -137,3 +137,85 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         trunc6(F.col("n").cast("double") + noise).alias("noisy_count"),
     )
+
+
+#: l-diversity floor for the sensitive attribute within a QI group.
+_LDIV_L = 3
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment, c.c_nationkey, o.o_orderpriority
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), cell AS (
+      SELECT c_mktsegment, c_nationkey, o_orderpriority,
+             CAST(count(*) AS BIGINT) AS c
+      FROM j GROUP BY c_mktsegment, c_nationkey, o_orderpriority
+    ), g AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS distinct_l,
+             CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                                 * 1e9) AS BIGINT)) AS BIGINT) AS s_nano
+      FROM cell GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, CAST(c_nationkey AS INTEGER) AS c_nationkey,
+           n, distinct_l,
+           floor((ln(CAST(n AS DOUBLE))
+                  - CAST(s_nano AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS entropy,
+           CASE WHEN distinct_l >= {_LDIV_L} THEN 1 ELSE 0 END AS ok_l
+    FROM g
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of order priority (the sensitive attribute)
+    within each (segment × nation) quasi-identifier group: distinct-l
+    plus entropy l-diversity, ``H = ln n − (Σ c·ln c)/n``.
+
+    Exactness: the cross-row entropy accumulation is a sum of
+    per-cell ``c·ln c`` terms each floor-quantized to INTEGER
+    nano-nats first, so the aggregate crosses the shuffle exactly; the
+    only float ops are one ln per cell and the final assembly.
+
+    Plan shape: one key-partitioned join (orders re-keyed on custkey),
+    one (QI, sensitive) grouped count (map-side combinable, bounded by
+    the QI × sensitive domain), one QI-grouped rollup of that bounded
+    cell table. No windows, no broadcasts beyond AQE's own choice.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(
+        c.select("c_custkey", "c_mktsegment", "c_nationkey"),
+        o["o_custkey"] == c["c_custkey"],
+    )
+    cell = j.groupBy(
+        "c_mktsegment", "c_nationkey", "o_orderpriority"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    s_nano = F.sum(
+        F.floor(
+            F.col("c").cast("double")
+            * F.log(F.col("c").cast("double"))
+            * F.lit(1e9)
+        ).cast("long")
+    )
+    g = cell.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("distinct_l"),
+        s_nano.cast("long").alias("s_nano"),
+    )
+    return g.select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        "n",
+        "distinct_l",
+        trunc6(
+            F.log(F.col("n").cast("double"))
+            - F.col("s_nano").cast("double")
+            / F.lit(1e9)
+            / F.col("n").cast("double")
+        ).alias("entropy"),
+        F.when(F.col("distinct_l") >= _LDIV_L, 1).otherwise(0).alias("ok_l"),
+    )

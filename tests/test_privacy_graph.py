@@ -87,3 +87,40 @@ def test_knn_lists_respect_k_and_exclude_self(spark):
     per_src = knn.groupBy("src").count().collect()
     assert all(r["count"] <= 3 for r in per_src)
     assert knn.where(F.col("src") == F.col("dst")).count() == 0
+
+
+class TestLDiversity:
+    def test_entropy_identity_on_fixture(self, spark):
+        # entropy must equal the direct -sum(p ln p) within the nano
+        # quantization error of the cell count terms.
+        import math
+
+        from collections import Counter
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        rows = QUERIES["privacy_l_diversity"](spark, sf).collect()
+        o = load_table(spark, sf, "orders")
+        c = load_table(spark, sf, "customer")
+        j = (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .select("c_mktsegment", "c_nationkey", "o_orderpriority")
+            .collect()
+        )
+        cells = Counter(
+            (r["c_mktsegment"], r["c_nationkey"], r["o_orderpriority"])
+            for r in j
+        )
+        for r in rows:
+            cs = [
+                v
+                for (seg, nat, _), v in cells.items()
+                if seg == r["c_mktsegment"] and nat == r["c_nationkey"]
+            ]
+            n = sum(cs)
+            want = -sum((x / n) * math.log(x / n) for x in cs)
+            assert abs(r["entropy"] - want) < 1e-4
+            assert r["distinct_l"] == len(cs)
+            assert r["ok_l"] == (1 if len(cs) >= 3 else 0)
