@@ -640,3 +640,123 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("l", _BOOT_HI_POS).cast("double") / F.lit(1e8)
         ).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov test
+# ---------------------------------------------------------------------------
+
+_KS_A = "purchase"
+_KS_B = "view"
+
+
+@query(
+    "stats_ks_test",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ), byv AS (
+      SELECT v,
+             sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS c2
+      FROM q GROUP BY v
+    ), run AS (
+      SELECT sum(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc1,
+             sum(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc2,
+             sum(c1) OVER () AS n1,
+             sum(c2) OVER () AS n2
+      FROM byv
+    ), m AS (
+      SELECT CAST(max(abs(cc1 * n2 - cc2 * n1)) AS HUGEINT) AS num,
+             CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+      FROM run
+    )
+    SELECT n1, n2,
+           floor(CAST(num AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS ks,
+           floor(1.36 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                 * 1000000.0) / 1000000.0 AS crit,
+           CASE WHEN floor(CAST(num AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 * 1000000.0)
+                 > floor(1.36 * sqrt((CAST(n1 AS DOUBLE)
+                       + CAST(n2 AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                     * 1000000.0)
+                THEN 1 ELSE 0 END AS reject
+    FROM m
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    `purchase` and `view` value distributions on the cent grid:
+    ``D = max_v |F₁(v) − F₂(v)|`` cleared to integers —
+    ``max |cc₁·n₂ − cc₂·n₁| / (n₁·n₂)`` — with the α=0.05 large-sample
+    critical value ``1.36·√((n₁+n₂)/(n₁n₂))`` and a reject flag
+    compared on the SAME trunc6 ppm grid both engines share.
+
+    Plan shape: one grouped count collapses the corpus to the
+    DISTINCT cent-value table (bounded by the value domain — the
+    eval_roc_auc contract); running ECDF sums over that bounded table
+    (whitelisted partition-less window); one max aggregate. The max
+    numerator is exact integer arithmetic — no float ECDF ever
+    crosses a shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.where(F.col("event_type").isin(_KS_A, _KS_B)).select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    byv = q.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    w_run = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = byv.select(
+        F.sum("c1").over(w_run).alias("cc1"),
+        F.sum("c2").over(w_run).alias("cc2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    m = run.agg(
+        F.max(
+            F.abs(F.col("cc1") * F.col("n2") - F.col("cc2") * F.col("n1"))
+        )
+        .cast("decimal(38,0)")
+        .alias("num"),
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    ks_ppm = F.floor(
+        F.col("num").cast("double") / (dbl("n1") * dbl("n2")) * F.lit(1e6)
+    )
+    crit_ppm = F.floor(
+        F.lit(1.36)
+        * F.sqrt((dbl("n1") + dbl("n2")) / (dbl("n1") * dbl("n2")))
+        * F.lit(1e6)
+    )
+    return m.select(
+        "n1",
+        "n2",
+        (ks_ppm / F.lit(1e6)).alias("ks"),
+        (crit_ppm / F.lit(1e6)).alias("crit"),
+        F.when(ks_ppm > crit_ppm, 1).otherwise(0).alias("reject"),
+    )

@@ -130,6 +130,8 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     # two running sums over ≤ 1e6+1 rows, never corpus
     "survival_kaplan_meier",  # KM running sums over the per-DAY
     # life table, bounded by the observation window, never corpus
+    "stats_ks_test",  # ECDF running sums over the DISTINCT cent-value
+    # table, bounded by the value domain, never corpus
     "text_zipf_slope",  # rank window over the LIMIT-100 vocabulary head
 }
 

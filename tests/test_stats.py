@@ -244,3 +244,58 @@ class TestBootstrapCI:
         assert row["ci_lo"] <= row["mean_price"] <= row["ci_hi"]
         # A 95% CI at n≈1.5k orders should be tight around the mean.
         assert row["ci_hi"] - row["ci_lo"] < row["mean_price"]
+
+
+class TestKsTest:
+    def test_ks_matches_scipy_style_definition(self, spark):
+        # Brute ECDF-max replay on the fixture (quantized to cents,
+        # matching the query's grid).
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        row = QUERIES["stats_ks_test"](spark, sf).collect()[0]
+        ev = load_table(spark, sf, "events").collect()
+        a = sorted(
+            round(r["value"] * 100) for r in ev
+            if r["event_type"] == "purchase"
+        )
+        b = sorted(
+            round(r["value"] * 100) for r in ev if r["event_type"] == "view"
+        )
+        grid = sorted(set(a) | set(b))
+        import bisect
+
+        d = max(
+            abs(
+                bisect.bisect_right(a, v) / len(a)
+                - bisect.bisect_right(b, v) / len(b)
+            )
+            for v in grid
+        )
+        assert row["n1"] == len(a) and row["n2"] == len(b)
+        assert abs(row["ks"] - d) < 2e-6
+        assert row["reject"] in (0, 1)
+
+    def test_ks_zero_on_identical_samples(self, spark):
+        import os, tempfile
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        rows = []
+        for i, v in enumerate([1.0, 2.0, 3.0] * 10):
+            rows.append((2 * i, 1_700_000_000_000_000_000 + i, 1,
+                         "purchase", v, "{}"))
+            rows.append((2 * i + 1, 1_700_000_000_000_000_000 + i, 2,
+                         "view", v, "{}"))
+        df = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            row = QUERIES["stats_ks_test"](spark, d).collect()[0]
+        assert row["ks"] == 0.0 and row["reject"] == 0
