@@ -1835,3 +1835,160 @@ def embed_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(F.col("cos_raw")).alias("cos_sim"),
         )
     )
+
+
+#: Held-out perplexity filter (CCNet-style): the reference LM trains
+#: on the English subset only; every document is scored against it
+#: and bucketed into head/middle/tail by corpus xent terciles.
+_PPL_REF_LANG = "en"
+
+
+@query(
+    "quality_perplexity_buckets",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text),
+                         '[ \t\n\r\f\x0b]+'), t -> t <> '') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang, t[CAST(i AS INTEGER)] AS w1,
+             t[CAST(i AS INTEGER) + 1] AS w2
+      FROM (
+        SELECT doc_id, lang, t,
+               unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+        FROM toks
+      )
+    ), rc12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg
+      WHERE lang = '{_PPL_REF_LANG}' GROUP BY w1, w2
+    ), rc1 AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM rc12 GROUP BY w1
+    ), rv AS (
+      SELECT count(DISTINCT tok) AS nv
+      FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = '{_PPL_REF_LANG}')
+    ), terms AS (
+      SELECT bg.doc_id,
+             CAST(floor(ln((coalesce(rc12.c12, 0) + 0.5)
+                           / (coalesce(rc1.c1, 0) + 0.5 * rv.nv)) * 1e9)
+                  AS BIGINT) AS lp
+      FROM bg
+      LEFT JOIN rc12 ON rc12.w1 = bg.w1 AND rc12.w2 = bg.w2
+      LEFT JOIN rc1 ON rc1.w1 = bg.w1
+      CROSS JOIN rv
+    ), scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(floor(CAST(-sum(lp) AS DOUBLE) / 1e9
+                        / count(*) * 1000000.0) AS BIGINT) AS xent_ppm
+      FROM terms GROUP BY doc_id
+    ), cdf AS (
+      SELECT xent_ppm AS s, count(*) AS c FROM scored GROUP BY xent_ppm
+    ), cum AS (
+      SELECT s, sum(c) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             sum(c) OVER () AS n
+      FROM cdf
+    ), th AS (
+      SELECT min(CASE WHEN cc * 3 >= n THEN s END) AS t1,
+             min(CASE WHEN cc * 3 >= 2 * n THEN s END) AS t2
+      FROM cum
+    )
+    SELECT sc.doc_id, sc.n_bigrams,
+           CAST(sc.xent_ppm AS DOUBLE) / 1000000.0 AS xent,
+           CASE WHEN sc.xent_ppm <= th.t1 THEN 'head'
+                WHEN sc.xent_ppm <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored sc CROSS JOIN th
+    """,
+)
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter: an add-0.5 bigram LM trained on
+    the ENGLISH reference subset scores EVERY document (held-out — the
+    self-trained twin is text_bigram_xent), and the corpus is cut into
+    head / middle / tail at the xent terciles, the buckets a pretrain
+    mix weights differently.
+
+    Exactness: each bigram's log-prob is floor-quantized to INTEGER
+    nano-nats before the per-doc sum (exact cross-shuffle); per-doc
+    xent is then floor-quantized to ppm BEFORE the tercile cut, so
+    thresholds and buckets are integer comparisons on both engines.
+
+    Plan shape: reference counts are two grouped aggregates (vocab-
+    sized, Zipf); scoring joins are hash equi-joins on the bigram /
+    unigram key (c1 broadcast — unigram heads are small; c12 hash);
+    OOV handled by left-join coalesce, never a filter; terciles come
+    from a running sum over the DISTINCT ppm-xent table (value-domain
+    bounded, whitelisted) collapsed to a 1-row broadcast threshold
+    scalar.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = tx.tokens(F.col("text"))
+    docs = d.select("doc_id", "lang", t.alias("t"))
+    n = F.greatest(F.size("t") - 1, F.lit(0))
+    bg = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n).alias("w1"), F.slice("t", 2, n).alias("w2")
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    ref = bg.where(F.col("lang") == _PPL_REF_LANG)
+    rc12 = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    rc1 = rc12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    rv = (
+        docs.where(F.col("lang") == _PPL_REF_LANG)
+        .select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok").alias("nv"))
+    )
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(0.5)) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(0.5) * F.col("nv")
+    )
+    terms = (
+        bg.join(rc12, ["w1", "w2"], "left")
+        .join(F.broadcast(rc1), "w1", "left")
+        .crossJoin(F.broadcast(rv))
+        .select(
+            "doc_id",
+            F.floor(F.log(p) * F.lit(1e9)).cast("long").alias("lp"),
+        )
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.floor(
+            (-F.sum("lp")).cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1))
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("xent_ppm"),
+    )
+    cdf = scored.groupBy("xent_ppm").agg(F.count(F.lit(1)).alias("c"))
+    w_run = Window.orderBy("xent_ppm").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cdf.select(
+        F.col("xent_ppm").alias("s"),
+        F.sum("c").over(w_run).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    th = cum.agg(
+        F.min(F.when(F.col("cc") * 3 >= F.col("n"), F.col("s"))).alias("t1"),
+        F.min(
+            F.when(F.col("cc") * 3 >= 2 * F.col("n"), F.col("s"))
+        ).alias("t2"),
+    )
+    return scored.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("xent_ppm").cast("double") / F.lit(1e6)).alias("xent"),
+        F.when(F.col("xent_ppm") <= F.col("t1"), "head")
+        .when(F.col("xent_ppm") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -200,3 +200,38 @@ def test_count_min_never_underestimates(spark):
     assert len(rows) == 20
     assert all(r.cms_est >= r.exact_n for r in rows)
     assert max(r.exact_n for r in rows) > 1  # probes are real heavy hitters
+
+
+class TestPerplexityBuckets:
+    def test_buckets_partition_corpus_in_thirds(self, spark):
+        from collections import Counter
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        rows = QUERIES["quality_perplexity_buckets"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        c = Counter(r["bucket"] for r in rows)
+        n = sum(c.values())
+        assert set(c) <= {"head", "middle", "tail"}
+        # tercile cut: each bucket within a distinct-value-tie of n/3
+        assert c["head"] >= n // 4 and c["tail"] >= n // 4
+
+    def test_english_docs_skew_to_head(self, spark):
+        # The LM trains on English: English docs must have lower mean
+        # xent than the rest (the filter's entire point).
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        scored = {
+            r["doc_id"]: r["xent"]
+            for r in QUERIES["quality_perplexity_buckets"](spark, sf).collect()
+        }
+        langs = {
+            r["doc_id"]: r["lang"]
+            for r in load_table(spark, sf, "documents").collect()
+        }
+        en = [x for d, x in scored.items() if langs[d] == "en"]
+        other = [x for d, x in scored.items() if langs[d] != "en"]
+        assert sum(en) / len(en) < sum(other) / len(other)

@@ -87,6 +87,8 @@ SCALAR_CROSS_WHITELIST = {
     "feat_woe_iv",  # good/bad-total scalar: 1 row onto ≤10 bins
     "survival_kaplan_meier",  # corpus max-ts horizon scalar: 1 row
     "mine_itemsets_apriori",  # n_orders denominator scalar: 1 row
+    "quality_perplexity_buckets",  # ref vocab-size + tercile
+    # threshold scalars: 1 row each
     "eval_bootstrap_ci",  # sorted replicate-mean array (1 row, B=200
     # elements) attached to the 1-row full-sample aggregate
 }
@@ -130,6 +132,8 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     # two running sums over ≤ 1e6+1 rows, never corpus
     "survival_kaplan_meier",  # KM running sums over the per-DAY
     # life table, bounded by the observation window, never corpus
+    "quality_perplexity_buckets",  # tercile running sum over the
+    # DISTINCT ppm-xent table, value-domain bounded
     "stats_ks_test",  # ECDF running sums over the DISTINCT cent-value
     # table, bounded by the value domain, never corpus
     "text_zipf_slope",  # rank window over the LIMIT-100 vocabulary head
