@@ -1144,7 +1144,7 @@ def _acf_oracle() -> str:
         for k in _ACF_LAGS
     )
     moments = ", ".join(
-        f"CAST(sum(x * l{k}) AS HUGEINT) AS p{k}, "
+        f"sum(CAST(x AS HUGEINT) * l{k}) AS p{k}, "
         f"CAST(sum(CASE WHEN l{k} IS NOT NULL THEN x END) AS HUGEINT)"
         f" AS a{k}, "
         f"CAST(sum(l{k}) AS HUGEINT) AS b{k}"
@@ -1178,7 +1178,7 @@ def _acf_oracle() -> str:
     ), m AS (
       SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
              CAST(sum(x) AS HUGEINT) AS s1,
-             CAST(sum(x * x) AS HUGEINT) AS s2,
+             sum(CAST(x AS HUGEINT) * x) AS s2,
              {moments}
       FROM led GROUP BY event_type
     )
@@ -1224,17 +1224,17 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     aggs = [
-        dec(F.count(F.lit(1))).alias("n"),
-        dec(F.sum("x")).alias("s1"),
-        dec(F.sum(F.col("x") * F.col("x"))).alias("s2"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).alias("s1"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("s2"),
     ]
     for k in _ACF_LAGS:
         aggs += [
-            dec(F.sum(F.col("x") * F.col(f"l{k}"))).alias(f"p{k}"),
-            dec(
-                F.sum(F.when(F.col(f"l{k}").isNotNull(), F.col("x")))
+            F.sum(dec(F.col("x")) * dec(F.col(f"l{k}"))).alias(f"p{k}"),
+            F.sum(
+                F.when(F.col(f"l{k}").isNotNull(), dec(F.col("x")))
             ).alias(f"a{k}"),
-            dec(F.sum(F.col(f"l{k}"))).alias(f"b{k}"),
+            F.sum(dec(F.col(f"l{k}"))).alias(f"b{k}"),
         ]
     m = led.groupBy("event_type").agg(*aggs)
     arms = F.array(

@@ -396,8 +396,10 @@ def mine_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the frequent-pair table is the pair aggregate with a
     HAVING floor; per-basket pair enumeration is bounded by basket
-    size² and immediately semi-filtered against frequent pairs (the
-    prune kills the long Zipf tail BEFORE the 3-way extend); the
+    size² and runs ONCE (for the pair counts); the per-basket
+    frequent-pair occurrences re-expand baskets only along frequent
+    pairs (item ⋈ fp + a shares-the-basket semi probe — the prune
+    kills the long Zipf tail BEFORE the 3-way extend); the
     triple extend joins one more incidence item per basket with two
     further frequent-pair filters, then one grouped count on the
     triple key. The n_orders denominator is a 1-row broadcast scalar.
@@ -416,16 +418,18 @@ def mine_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt") >= _MIN_SUPPORT)
         .select("pa", "pb")
     )
+    # Re-derive per-basket frequent-pair occurrences WITHOUT a second
+    # full basket² enumeration: expand baskets only along the frequent
+    # pairs they contain (item ⋈ fp on the leading item, then a semi
+    # probe that the trailing item shares the basket).
     bp = (
-        a.join(
-            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+        inc.select("o", F.col("p").alias("pa"))
+        .join(fp, "pa")
+        .join(
+            inc.select("o", F.col("p").alias("pb")),
+            ["o", "pb"],
+            "left_semi",
         )
-        .select(
-            F.col("a.o").alias("o"),
-            F.col("a.p").alias("pa"),
-            F.col("b.p").alias("pb"),
-        )
-        .join(fp, ["pa", "pb"], "left_semi")
     )
     c = inc.select(F.col("o"), F.col("p").alias("p3"))
     tri = (

@@ -610,9 +610,9 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg(
             F.sum("wt").cast("long").alias("nw"),
-            F.sum(F.col("wt") * F.col("cents"))
-            .cast("decimal(38,0)")
-            .alias("sw"),
+            F.sum(
+                (F.col("wt") * F.col("cents")).cast("decimal(38,0)")
+            ).alias("sw"),
         )
         .where(F.col("nw") > 0)
     )
@@ -626,7 +626,7 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     full = o.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
     )
     return sorted_.crossJoin(F.broadcast(full)).select(
         F.col("n").alias("n_orders"),
@@ -671,7 +671,7 @@ _KS_B = "view"
              sum(c2) OVER () AS n2
       FROM byv
     ), m AS (
-      SELECT CAST(max(abs(cc1 * n2 - cc2 * n1)) AS HUGEINT) AS num,
+      SELECT max(abs(CAST(cc1 AS HUGEINT) * n2 - CAST(cc2 AS HUGEINT) * n1)) AS num,
              CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
       FROM run
     )
@@ -735,12 +735,11 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").over(w_all).alias("n1"),
         F.sum("c2").over(w_all).alias("n2"),
     )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = run.agg(
         F.max(
-            F.abs(F.col("cc1") * F.col("n2") - F.col("cc2") * F.col("n1"))
-        )
-        .cast("decimal(38,0)")
-        .alias("num"),
+            F.abs(d38("cc1") * d38("n2") - d38("cc2") * d38("n1"))
+        ).alias("num"),
         F.max("n1").cast("long").alias("n1"),
         F.max("n2").cast("long").alias("n2"),
     )

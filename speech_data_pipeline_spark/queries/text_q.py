@@ -1893,12 +1893,15 @@ _PPL_REF_LANG = "en"
              min(CASE WHEN cc * 3 >= 2 * n THEN s END) AS t2
       FROM cum
     )
-    SELECT sc.doc_id, sc.n_bigrams,
+    SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
            CAST(sc.xent_ppm AS DOUBLE) / 1000000.0 AS xent,
-           CASE WHEN sc.xent_ppm <= th.t1 THEN 'head'
+           CASE WHEN sc.xent_ppm IS NULL THEN 'tail'
+                WHEN sc.xent_ppm <= th.t1 THEN 'head'
                 WHEN sc.xent_ppm <= th.t2 THEN 'middle'
                 ELSE 'tail' END AS bucket
-    FROM scored sc CROSS JOIN th
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN scored sc ON sc.doc_id = d.doc_id
+    CROSS JOIN th
     """,
 )
 def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1916,7 +1919,9 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: reference counts are two grouped aggregates (vocab-
     sized, Zipf); scoring joins are hash equi-joins on the bigram /
     unigram key (c1 broadcast — unigram heads are small; c12 hash);
-    OOV handled by left-join coalesce, never a filter; terciles come
+    OOV handled by left-join coalesce, never a filter; sub-2-token
+    documents (no bigrams) still get a row — NULL xent, 'tail' bucket
+    — so the mix never silently loses them; terciles come
     from a running sum over the DISTINCT ppm-xent table (value-domain
     bounded, whitelisted) collapsed to a 1-row broadcast threshold
     scalar.
@@ -1947,7 +1952,7 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = (
         bg.join(rc12, ["w1", "w2"], "left")
-        .join(F.broadcast(rc1), "w1", "left")
+        .join(rc1, "w1", "left")
         .crossJoin(F.broadcast(rv))
         .select(
             "doc_id",
@@ -1983,12 +1988,18 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cc") * 3 >= 2 * F.col("n"), F.col("s"))
         ).alias("t2"),
     )
-    return scored.crossJoin(F.broadcast(th)).select(
-        "doc_id",
-        "n_bigrams",
-        (F.col("xent_ppm").cast("double") / F.lit(1e6)).alias("xent"),
-        F.when(F.col("xent_ppm") <= F.col("t1"), "head")
-        .when(F.col("xent_ppm") <= F.col("t2"), "middle")
-        .otherwise("tail")
-        .alias("bucket"),
+    alldocs = d.select("doc_id")
+    return (
+        alldocs.join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(th))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            (F.col("xent_ppm").cast("double") / F.lit(1e6)).alias("xent"),
+            F.when(F.col("xent_ppm").isNull(), "tail")
+            .when(F.col("xent_ppm") <= F.col("t1"), "head")
+            .when(F.col("xent_ppm") <= F.col("t2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
     )
