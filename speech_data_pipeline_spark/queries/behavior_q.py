@@ -1269,3 +1269,153 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         trunc6(num / den).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AR(1) forecast of daily purchase revenue
+# ---------------------------------------------------------------------------
+
+_AR1_H = 7  # forecast horizon, days
+
+
+def _phi_pow_sql(h: int) -> str:
+    """phi^h as an explicit left-assoc multiplication chain (both
+    engines fold identically; pow() ulp behavior differs JVM vs C)."""
+    return " * ".join(["phi"] * h)
+
+
+def _ar1_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT {h} AS h, n_days, floor(phi * 1000000.0) / 1000000.0"
+        f" AS phi,"
+        f" floor((mean + ({_phi_pow_sql(h)}) * (xlast - mean)) / 1000.0"
+        f" * 1000000.0) / 1000000.0 AS forecast"
+        f" FROM ph"
+        for h in range(1, _AR1_H + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sx
+      FROM events WHERE event_type = 'purchase' GROUP BY day
+    ), span AS (
+      SELECT min(day) AS mn, max(day) AS mx FROM daily
+    ), series AS (
+      SELECT g.day, coalesce(d.sx, 0) AS x
+      FROM (SELECT unnest(range(mn, mx + 1)) AS day FROM span) g
+      LEFT JOIN daily d ON d.day = g.day
+    ), led AS (
+      SELECT day, x, lead(x) OVER (ORDER BY day) AS l1 FROM series
+    ), m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s1,
+             sum(CAST(x AS HUGEINT) * x) AS s2,
+             sum(CAST(x AS HUGEINT) * l1) AS p1,
+             CAST(sum(CASE WHEN l1 IS NOT NULL THEN x END) AS HUGEINT)
+               AS a1,
+             CAST(sum(l1) AS HUGEINT) AS b1,
+             max_by(x, day) AS xl
+      FROM led
+    ), ph AS (
+      SELECT CAST(n AS BIGINT) AS n_days,
+             CAST(n*n*p1 - n*s1*(a1+b1) + (n-1)*s1*s1 AS DOUBLE)
+               / CAST(n*n*s2 - n*s1*s1 AS DOUBLE) AS phi,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(xl AS DOUBLE) AS xlast
+      FROM m WHERE n > 1 AND n*s2 > s1*s1
+    )
+    {arms}
+    """
+
+
+@query("ts_ar1_forecast", oracle=_ar1_oracle())
+def ts_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) h-step forecast of daily purchase revenue by the
+    Yule–Walker fit: ``φ = r₁`` (lag-1 autocorrelation), then
+    ``x̂_{T+h} = x̄ + φʰ(x_T − x̄)`` for h = 1..7 — the geometric
+    mean-reversion path a capacity planner projects.
+
+    Parity: φ is the :func:`ts_acf_lags` exact-integer ratio (one
+    float divide from DECIMAL(38,0) moments); φʰ is an EXPLICIT
+    left-assoc multiplication chain — both engines fold identically,
+    where ``pow()`` ulp behavior differs between the JVM and C.
+
+    Plan shape: one grouped daily sum collapses the corpus to the
+    observation-window day grid; one lead() window PARTITION-FREE but
+    over that bounded grid (whitelisted); one 1-row moment aggregate;
+    7 literal forecast arms off the broadcast scalar.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mv = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.expr("(ts div 1000) div 86400000000").alias("day"))
+        .agg(F.sum(mv).alias("sx"))
+    )
+    span = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day")
+    )
+    series = grid.join(daily, ["day"], "left").select(
+        "day", F.coalesce(F.col("sx"), F.lit(0)).alias("x")
+    )
+    w = Window.orderBy("day")
+    led = series.select(
+        "day", "x", F.lead("x").over(w).alias("l1")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = led.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).alias("s1"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("s2"),
+        F.sum(dec(F.col("x")) * dec(F.col("l1"))).alias("p1"),
+        F.sum(F.when(F.col("l1").isNotNull(), dec(F.col("x")))).alias("a1"),
+        F.sum(dec(F.col("l1"))).alias("b1"),
+        F.max(F.struct("day", "x")).getField("x").alias("xl"),
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("p1")
+        - F.col("n") * F.col("s1") * (F.col("a1") + F.col("b1"))
+        + (F.col("n") - 1) * F.col("s1") * F.col("s1")
+    ).cast("double")
+    den = (
+        F.col("n") * F.col("n") * F.col("s2")
+        - F.col("n") * F.col("s1") * F.col("s1")
+    ).cast("double")
+    ph = m.where(
+        (F.col("n") > 1)
+        & (F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
+    ).select(
+        F.col("n").cast("long").alias("n_days"),
+        (num / den).alias("phi"),
+        (F.col("s1").cast("double") / F.col("n").cast("double")).alias(
+            "mean"
+        ),
+        F.col("xl").cast("double").alias("xlast"),
+    )
+    arms = []
+    for h in range(1, _AR1_H + 1):
+        phih = F.col("phi")
+        for _ in range(h - 1):
+            phih = phih * F.col("phi")
+        arms.append(
+            F.struct(
+                F.lit(h).alias("h"),
+                (
+                    (
+                        F.col("mean")
+                        + phih * (F.col("xlast") - F.col("mean"))
+                    )
+                    / F.lit(1000.0)
+                ).alias("fc"),
+            )
+        )
+    return ph.select(
+        "n_days", "phi", F.explode(F.array(*arms)).alias("t")
+    ).select(
+        F.col("t.h").alias("h"),
+        "n_days",
+        trunc6(F.col("phi")).alias("phi"),
+        trunc6(F.col("t.fc")).alias("forecast"),
+    )

@@ -1866,3 +1866,99 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = k_core(edges, k=3, rounds=4)
     return out.select(F.col("node").alias("part_id"), "deg")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ), obs AS (
+      SELECT digit, count(*) AS n_obs FROM d GROUP BY digit
+    ), grid AS (
+      SELECT g.digit, coalesce(o.n_obs, 0) AS n_obs,
+             sum(coalesce(o.n_obs, 0)) OVER () AS n
+      FROM (SELECT unnest(generate_series(1, 9)) AS digit) g
+      LEFT JOIN obs o ON o.digit = g.digit
+    ), terms AS (
+      SELECT digit, n_obs, n,
+             log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS exp_p,
+             pow(CAST(n_obs AS DOUBLE)
+                 - CAST(n AS DOUBLE)
+                   * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
+             / (CAST(n AS DOUBLE)
+                * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS term
+      FROM grid
+    )
+    SELECT digit, n_obs,
+           floor(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS obs_p,
+           floor(exp_p * 1000000.0) / 1000000.0 AS exp_p,
+           floor(sum(term) OVER (ORDER BY digit
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1000000.0) / 1000000.0 AS chi2_run
+    FROM terms
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the classic fabricated-data / unit-mixing detector — with a
+    chi-square goodness-of-fit accumulated in DIGIT ORDER
+    (``chi2_run`` at digit 9 is the statistic; α=0.05 critical value
+    for 8 df is 15.507).
+
+    Cross-engine float rule: the chi-square is a running sum over the
+    9-row digit grid ordered by digit, so both engines fold the same
+    9 terms in the same order — no order-nondeterministic float sum.
+
+    Plan shape: one grouped count collapses the corpus to ≤9 rows; a
+    broadcast-able 9-row literal grid left-join restores absent
+    digits; windows run over that 9-row table (whitelisted).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    obs = (
+        o.where(F.col("o_totalprice") >= 1.0)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    grid = spark.range(1, 10).select(F.col("id").alias("digit"))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_run = Window.orderBy("digit").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / dbl(F.col("digit")))
+    joined = (
+        grid.join(obs, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        )
+        .withColumn("n", F.sum("n_obs").over(w_all))
+    )
+    term = F.pow(
+        dbl(F.col("n_obs")) - dbl(F.col("n")) * exp_p, F.lit(2.0)
+    ) / (dbl(F.col("n")) * exp_p)
+    return joined.select(
+        "digit",
+        "n_obs",
+        trunc6(dbl(F.col("n_obs")) / dbl(F.col("n"))).alias("obs_p"),
+        trunc6(exp_p).alias("exp_p"),
+        trunc6(F.sum(term).over(w_run)).alias("chi2_run"),
+    )

@@ -759,3 +759,204 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (crit_ppm / F.lit(1e6)).alias("crit"),
         F.when(ks_ppm > crit_ppm, 1).otherwise(0).alias("reject"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer revenue
+# ---------------------------------------------------------------------------
+
+#: Gini value grid: customer revenue quantized to whole dollars keeps
+#: the distinct-value table bounded by the value DOMAIN (the
+#: eval_roc_auc contract) at any corpus size.
+_GINI_GRID = 100  # cents per grid unit
+
+
+@query(
+    "stats_gini_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) // {_GINI_GRID} AS v
+      FROM orders GROUP BY o_custkey
+    ), byv AS (
+      SELECT v, count(*) AS c FROM rev GROUP BY v
+    ), ranked AS (
+      SELECT v, c,
+             1 + coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS min_rank
+      FROM byv
+    ), m AS (
+      SELECT CAST(sum(c) AS HUGEINT) AS n,
+             CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS s,
+             CAST(sum(CAST(v AS HUGEINT)
+                      * (2 * CAST(c AS HUGEINT) * min_rank
+                         + CAST(c AS HUGEINT) * (c - 1)))
+                  AS HUGEINT) AS two_t
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           floor(CAST(s AS DOUBLE) * {_GINI_GRID} / CAST(n AS DOUBLE)
+                 / 100.0 * 1000000.0) / 1000000.0 AS mean_revenue,
+           floor((CAST(two_t AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS gini
+    FROM m
+    """,
+)
+def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the concentration
+    audit ("do 1% of customers carry 50% of revenue?") — via the
+    sorted-rank identity ``G = 2Σᵢ i·xᵢ/(nΣx) − (n+1)/n`` with
+    midrank-free EXACT block ranks: customers collapse to the
+    dollar-grid distinct-value table, where a value block's rank sum
+    is ``c·min_rank + c(c−1)/2`` — all integer.
+
+    Plan shape: one per-customer grouped sum, one grouped count onto
+    the bounded distinct-value table, one running sum over it
+    (whitelisted partition-less window), one 1-row aggregate. 2T and
+    n·S ride DECIMAL(38,0)/HUGEINT; the assembly is two float divides.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    rev = o.groupBy("o_custkey").agg(
+        F.expr(f"sum(cast(floor(o_totalprice * 100.0 + 0.5) as bigint))"
+               f" div {_GINI_GRID}").alias("v")
+    )
+    byv = rev.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byv.withColumn(
+        "min_rank", F.lit(1) + F.coalesce(F.sum("c").over(w), F.lit(0))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = ranked.agg(
+        F.sum(d38(F.col("c"))).alias("n"),
+        F.sum(d38(F.col("v")) * d38(F.col("c"))).alias("s"),
+        F.sum(
+            d38(F.col("v"))
+            * (
+                F.lit(2) * d38(F.col("c")) * d38(F.col("min_rank"))
+                + d38(F.col("c")) * d38(F.col("c") - 1)
+            )
+        ).alias("two_t"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        trunc6(
+            dbl("s") * F.lit(float(_GINI_GRID)) / dbl("n") / F.lit(100.0)
+        ).alias("mean_revenue"),
+        trunc6(
+            dbl("two_t") / (dbl("n") * dbl("s"))
+            - (dbl("n") + F.lit(1.0)) / dbl("n")
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact 1-D Wasserstein (earth mover) distance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_wasserstein_1d",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ), byv AS (
+      SELECT v,
+             sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS c2
+      FROM q GROUP BY v
+    ), run AS (
+      SELECT v,
+             coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS dv,
+             sum(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc1,
+             sum(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc2,
+             sum(c1) OVER () AS n1,
+             sum(c2) OVER () AS n2
+      FROM byv
+    ), m AS (
+      SELECT sum(abs(CAST(cc1 AS HUGEINT) * n2 - CAST(cc2 AS HUGEINT) * n1)
+                 * CAST(dv AS HUGEINT)) AS num,
+             CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+      FROM run
+    )
+    SELECT n1, n2,
+           floor(CAST(num AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 100.0
+                 * 1000000.0) / 1000000.0 AS w1
+    FROM m
+    """,
+)
+def stats_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover) distance between the
+    `purchase` and `view` value distributions on the cent grid —
+    ``W₁ = ∫|F₁−F₂|dx = Σᵢ |F₁(vᵢ)−F₂(vᵢ)|·(vᵢ₊₁−vᵢ)`` — cleared to
+    integers as ``Σ |cc₁n₂ − cc₂n₁|·dv / (n₁n₂)`` and reported in
+    value units. The distributional companion to
+    :func:`stats_ks_test`: KS is the sup-norm of the same ECDF gap,
+    W₁ its L1 mass.
+
+    Plan shape (the stats_ks_test contract): one grouped count
+    collapses the corpus to the DISTINCT cent-value table; running
+    ECDF sums plus one lead() over that bounded table (whitelisted
+    partition-less window); one sum aggregate whose terms are exact
+    DECIMAL(38,0) integers — no float ECDF crosses a shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.where(F.col("event_type").isin(_KS_A, _KS_B)).select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    byv = q.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    w_ord = Window.orderBy("v")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = byv.select(
+        F.coalesce(
+            F.lead("v").over(w_ord) - F.col("v"), F.lit(0)
+        ).alias("dv"),
+        F.sum("c1").over(w_run).alias("cc1"),
+        F.sum("c2").over(w_run).alias("cc2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = run.agg(
+        F.sum(
+            F.abs(d38("cc1") * d38("n2") - d38("cc2") * d38("n1"))
+            * d38("dv")
+        ).alias("num"),
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return m.select(
+        "n1",
+        "n2",
+        trunc6(
+            F.col("num").cast("double")
+            / (dbl("n1") * dbl("n2"))
+            / F.lit(100.0)
+        ).alias("w1"),
+    )

@@ -235,3 +235,53 @@ class TestPerplexityBuckets:
         en = [x for d, x in scored.items() if langs[d] == "en"]
         other = [x for d, x in scored.items() if langs[d] != "en"]
         assert sum(en) / len(en) < sum(other) / len(other)
+
+
+class TestBenfordDigits:
+    def test_benford_matches_brute_counts_and_chi2(self, spark):
+        import math
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r["digit"]: r
+                for r in QUERIES["dq_benford_digits"](spark, sf).collect()}
+        obs = {d: 0 for d in range(1, 10)}
+        for r in load_table(spark, sf, "orders").collect():
+            if r["o_totalprice"] >= 1.0:
+                obs[int(str(int(r["o_totalprice"]))[0])] += 1
+        n = sum(obs.values())
+        chi2 = 0.0
+        for d in range(1, 10):
+            p = math.log10(1 + 1 / d)
+            chi2 += (obs[d] - n * p) ** 2 / (n * p)
+            assert rows[d]["n_obs"] == obs[d]
+            assert abs(rows[d]["exp_p"] - p) < 2e-6
+        assert abs(rows[9]["chi2_run"] - chi2) < 1e-4
+        assert len(rows) == 9
+
+    def test_benford_all_digits_present_even_when_absent_in_data(
+        self, spark
+    ):
+        import os, tempfile
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        df = pd.DataFrame(
+            {
+                "o_orderkey": range(30),
+                "o_custkey": [1] * 30,
+                "o_orderstatus": ["F"] * 30,
+                "o_totalprice": [100.0 + i for i in range(30)],
+                "o_orderdate": ["1995-01-01"] * 30,
+                "o_orderpriority": ["1-URGENT"] * 30,
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "orders.parquet"))
+            rows = QUERIES["dq_benford_digits"](spark, d).collect()
+        got = {r["digit"]: r["n_obs"] for r in rows}
+        assert got == {1: 30, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0,
+                       9: 0}

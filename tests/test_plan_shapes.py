@@ -136,6 +136,13 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     # DISTINCT ppm-xent table, value-domain bounded
     "stats_ks_test",  # ECDF running sums over the DISTINCT cent-value
     # table, bounded by the value domain, never corpus
+    "stats_gini_revenue",  # rank running sum over the DISTINCT
+    # dollar-grid revenue table, value-domain bounded, never corpus
+    "stats_wasserstein_1d",  # ECDF running sums + lead over the
+    # DISTINCT cent-value table (stats_ks_test contract), never corpus
+    "dq_benford_digits",  # windows over the 9-row digit grid
+    "ts_ar1_forecast",  # lead over the observation-window day grid,
+    # bounded by the date span, never corpus
     "text_zipf_slope",  # rank window over the LIMIT-100 vocabulary head
 }
 

@@ -299,3 +299,125 @@ class TestKsTest:
             df.to_parquet(os.path.join(d, "events.parquet"))
             row = QUERIES["stats_ks_test"](spark, d).collect()[0]
         assert row["ks"] == 0.0 and row["reject"] == 0
+
+
+class TestGiniRevenue:
+    def test_gini_matches_brute_sorted_rank(self, spark):
+        # Brute replay: per-customer revenue on the same dollar grid,
+        # G = 2*sum(i*x_i)/(n*S) - (n+1)/n over the ascending sort.
+        from collections import defaultdict
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        row = QUERIES["stats_gini_revenue"](spark, sf).collect()[0]
+        rev = defaultdict(int)
+        for r in load_table(spark, sf, "orders").collect():
+            rev[r["o_custkey"]] += round(r["o_totalprice"] * 100)
+        vals = sorted(v // 100 for v in rev.values())
+        n, s = len(vals), sum(vals)
+        g = (
+            2.0 * sum((i + 1) * v for i, v in enumerate(vals)) / (n * s)
+            - (n + 1.0) / n
+        )
+        assert row["n_customers"] == n
+        assert abs(row["gini"] - g) < 2e-6
+        assert 0.0 <= row["gini"] < 1.0
+
+    def test_gini_zero_on_equal_revenues(self, spark):
+        import os, tempfile
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        df = pd.DataFrame(
+            {
+                "o_orderkey": range(60),
+                "o_custkey": [i % 20 for i in range(60)],
+                "o_orderstatus": ["F"] * 60,
+                "o_totalprice": [100.0] * 60,
+                "o_orderdate": ["1995-01-01"] * 60,
+                "o_orderpriority": ["1-URGENT"] * 60,
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "orders.parquet"))
+            row = QUERIES["stats_gini_revenue"](spark, d).collect()[0]
+        assert row["n_customers"] == 20
+        assert row["gini"] == 0.0
+
+
+class TestWasserstein1d:
+    def test_w1_matches_brute_cdf_integral(self, spark):
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        row = QUERIES["stats_wasserstein_1d"](spark, sf).collect()[0]
+        ev = load_table(spark, sf, "events").collect()
+        a = sorted(
+            round(r["value"] * 100) for r in ev
+            if r["event_type"] == "purchase"
+        )
+        b = sorted(
+            round(r["value"] * 100) for r in ev if r["event_type"] == "view"
+        )
+        import bisect
+
+        grid = sorted(set(a) | set(b))
+        w1 = sum(
+            abs(
+                bisect.bisect_right(a, v) / len(a)
+                - bisect.bisect_right(b, v) / len(b)
+            )
+            * (grid[i + 1] - grid[i])
+            for i, v in enumerate(grid[:-1])
+        ) / 100.0
+        assert row["n1"] == len(a) and row["n2"] == len(b)
+        assert abs(row["w1"] - w1) < 2e-6
+
+    def test_w1_zero_on_identical_samples(self, spark):
+        import os, tempfile
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        rows = []
+        for i, v in enumerate([1.0, 5.0, 9.0] * 8):
+            rows.append((2 * i, 1_700_000_000_000_000_000 + i, 1,
+                         "purchase", v, "{}"))
+            rows.append((2 * i + 1, 1_700_000_000_000_000_000 + i, 2,
+                         "view", v, "{}"))
+        df = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            row = QUERIES["stats_wasserstein_1d"](spark, d).collect()[0]
+        assert row["w1"] == 0.0
+
+    def test_w1_equals_mean_shift_on_point_masses(self, spark):
+        # Two point masses delta apart: W1 = the shift.
+        import os, tempfile
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        rows = []
+        for i in range(20):
+            rows.append((2 * i, 1_700_000_000_000_000_000 + i, 1,
+                         "purchase", 10.0, "{}"))
+            rows.append((2 * i + 1, 1_700_000_000_000_000_000 + i, 2,
+                         "view", 17.5, "{}"))
+        df = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            row = QUERIES["stats_wasserstein_1d"](spark, d).collect()[0]
+        assert abs(row["w1"] - 7.5) < 2e-6

@@ -144,3 +144,73 @@ class TestAcfLags:
         assert rows
         for r in rows:
             assert -1.0 - 1e-6 <= r["acf"] <= 1.0 + 1e-6
+
+
+class TestAr1Forecast:
+    def test_ar1_matches_brute_yule_walker(self, spark):
+        from collections import defaultdict
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r["h"]: r
+                for r in QUERIES["ts_ar1_forecast"](spark, sf).collect()}
+        daily = defaultdict(int)
+        for r in load_table(spark, sf, "events").collect():
+            if r["event_type"] == "purchase":
+                daily[(r["ts"] // 1000) // 86_400_000_000] += round(
+                    r["value"] * 1000
+                )
+        days = range(min(daily), max(daily) + 1)
+        x = [daily.get(d, 0) for d in days]
+        n = len(x)
+        mean = sum(x) / n
+        num = sum((x[t] - mean) * (x[t + 1] - mean) for t in range(n - 1))
+        den = sum((v - mean) ** 2 for v in x)
+        phi = num / den
+        assert rows[1]["n_days"] == n
+        assert abs(rows[1]["phi"] - phi) < 2e-6
+        for h in range(1, 8):
+            fc = (mean + phi**h * (x[-1] - mean)) / 1000.0
+            assert abs(rows[h]["forecast"] - fc) < max(
+                2e-6, abs(fc) * 1e-9
+            )
+
+    def test_ar1_pure_geometric_on_crafted_series(self, spark):
+        # AR(1) with x_t = mean + c*phi^t reproduces phi ~ the true
+        # decay and forecasts continue the geometric path.
+        import os, tempfile
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        base_ns = 1_700_000_000_000_000_000
+        day_ns = 86_400_000_000_000
+        rows = []
+        eid = 0
+        for t in range(60):
+            val = 100.0 + 50.0 * (0.5 ** t)
+            rows.append((eid, base_ns + t * day_ns, 1, "purchase", val,
+                         "{}"))
+            eid += 1
+        df = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            out = {r["h"]: r
+                   for r in QUERIES["ts_ar1_forecast"](spark, d).collect()}
+        assert out[1]["n_days"] == 60
+        # The tail is ~constant at 100, so phi is pulled below the
+        # head's 0.5 decay; it must stay in (0, 1) and forecasts must
+        # converge monotonically toward the SERIES MEAN (the AR(1)
+        # fixed point) from the last value.
+        assert 0.0 < out[1]["phi"] < 1.0
+        mean = sum(
+            round((100.0 + 50.0 * 0.5**t) * 1000) for t in range(60)
+        ) / 60_000.0
+        diffs = [abs(out[h]["forecast"] - mean) for h in range(1, 8)]
+        assert all(diffs[i + 1] <= diffs[i] + 1e-9 for i in range(6))
