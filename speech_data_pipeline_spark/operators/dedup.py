@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from speech_data_pipeline_spark.operators.text import char_shingles
+from speech_data_pipeline_spark.operators.text import char_shingles, word_ngrams
 from speech_data_pipeline_spark.functions import trunc6
 
 
@@ -592,4 +592,132 @@ def duplicated_span_clean(
                 ),
             ).alias("clean_text"),
         )
+    )
+
+
+def allpairs_prefix_cosine(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    t2_num: int = 49,
+    t2_den: int = 100,
+    ngram_n: int = 1,
+) -> DataFrame:
+    """All-pairs binary-cosine similarity join with PREFIX FILTERING
+    (Bayardo/Ma/Srikant, WWW'07; prefix bound as in ppjoin): emit
+    every document pair whose distinct feature sets (words, or word
+    ``ngram_n``-grams for a discriminative feature space) satisfy
+    ``cos = |A∩B|/√(|A||B|) ≥ t`` with ``t² = t2_num/t2_den`` —
+    WITHOUT the O(n²) cross product and without MinHash's
+    approximation.
+
+    Completeness argument (exact integers throughout):
+    - size filter: cos ≥ t ⇒ overlap ≥ t√(na·nb) and overlap ≤
+      min(na,nb) ⇒ t²·max ≤ min, enforced as
+      ``t2_num·na ≤ t2_den·nb ∧ t2_num·nb ≤ t2_den·na``;
+    - prefix: under the global (df, token) order, if the pair's FIRST
+      shared token sat beyond either prefix of length
+      ``n − ⌈t²n⌉ + 1`` the remaining suffix (< ⌈t²n⌉ tokens) could
+      not reach the required overlap ≥ ⌈t²n⌉ — so prefixes of both
+      docs contain that same token and the prefix-prefix equi-join is
+      complete. ``⌈t²n⌉`` is computed as the exact integer
+      ``(t2_num·n + t2_den − 1) div t2_den`` (float ceil of 0.49·n
+      can over-round and silently shorten the prefix).
+
+    100 TB shape: candidates meet ONLY through a shared prefix-token
+    equi-join (rarest-first ordering keeps prefix tokens low-df);
+    verification re-joins the candidate ids against the per-doc token
+    arrays (two hash joins on id — the arrays are NOT carried through
+    the prefix explode) and computes the overlap IN-ROW via
+    array_intersect. Nothing quadratic ever materializes beyond the
+    size-filtered candidate set.
+    """
+    features = (
+        word_ngrams(F.col(text_col), ngram_n)
+        if ngram_n > 1
+        else F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1
+        )
+    )
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(features)).alias("token"),
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(dfreq, "token")
+    sets = ranked.groupBy("id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("df", "token"))
+        ).alias("ord"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # exact ceil(t2*n) and prefix length
+    alpha = (F.col("n") * t2_num + F.lit(t2_den - 1)).cast("long") / F.lit(
+        t2_den
+    )
+    alpha = F.floor(alpha).cast("long")
+    plen = (F.col("n") - alpha + 1).cast("int")
+    prefix = sets.select(
+        "id",
+        "n",
+        F.explode(
+            F.transform(
+                F.slice(F.col("ord"), F.lit(1), plen),
+                lambda s: s.getField("token"),
+            )
+        ).alias("token"),
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.n") * t2_num <= F.col("b.n") * t2_den)
+            & (F.col("b.n") * t2_num <= F.col("a.n") * t2_den),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    arrs = sets.select(
+        "id",
+        F.transform(F.col("ord"), lambda s: s.getField("token")).alias(
+            "arr"
+        ),
+        "n",
+    )
+    sa = arrs.select(
+        F.col("id").alias("id_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
+    )
+    sb = arrs.select(
+        F.col("id").alias("id_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("nb"),
+    )
+    ver = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "ov", F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+        )
+        .where(
+            F.col("ov") * F.col("ov") * t2_den
+            >= F.lit(t2_num) * F.col("na") * F.col("nb")
+        )
+    )
+    return ver.select(
+        "id_a",
+        "id_b",
+        F.col("ov").alias("n_overlap"),
+        trunc6(
+            F.col("ov").cast("double")
+            / F.sqrt(
+                F.col("na").cast("double") * F.col("nb").cast("double")
+            )
+        ).alias("cosine"),
     )

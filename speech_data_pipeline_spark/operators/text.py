@@ -976,3 +976,66 @@ def hash_embed_vector(text: str, dim: int = 64) -> dict[int, int]:
         s = 1 if (h >> shift) % 2 == 0 else -1
         vec[b] = vec.get(b, 0) + s
     return {b: v for b, v in vec.items()}
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every ``k``-char shingle,
+    slide a ``w``-hash window, and select each window's MINIMUM hash
+    with the RIGHTMOST tie-break; identical (position, hash)
+    selections collapse. Guarantees every match of length ≥ w+k-1 is
+    caught while keeping ~2/(w+1) of the hashes.
+
+    Returns one row per selected fingerprint: ``(id, pos, fp)`` where
+    ``pos`` is the 1-based shingle index and ``fp`` the 28-bit
+    md5-prefix hash (the engine-portable hash convention).
+
+    100 TB shape: the whole selection is in-row column algebra over
+    per-document arrays (bounded by document length) — no UDF, no
+    shuffle until the caller aggregates the exploded fingerprint rows.
+    The gram and per-window slice arrays are bound as lambda
+    variables (transform-over-1-element-array) so CollapseProject
+    cannot re-inline the md5 scan per window.
+    """
+    text = F.col(text_col)
+    grams_expr = F.transform(
+        char_shingles(text, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+    )
+
+    def per_window(g):
+        nwin = F.greatest(F.size(g) - F.lit(w - 1), F.lit(1))
+
+        def pick(sl):
+            mn = F.array_min(sl)
+            # rightmost occurrence of the window minimum
+            q = F.array_position(F.reverse(sl), mn)
+            return F.struct(
+                (F.size(sl) - q).alias("off"), mn.alias("fp")
+            )
+
+        return F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda j: F.element_at(
+                F.transform(
+                    F.array(F.slice(g, j, w)),
+                    lambda sl: F.struct(
+                        (j + pick(sl).getField("off")).alias("pos"),
+                        pick(sl).getField("fp").alias("fp"),
+                    ),
+                ),
+                1,
+            ),
+        )
+
+    wins = F.element_at(F.transform(F.array(grams_expr), per_window), 1)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(wins)).alias("t"),
+    ).select("id", F.col("t.pos").alias("pos"), F.col("t.fp").alias("fp"))

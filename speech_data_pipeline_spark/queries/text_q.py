@@ -2003,3 +2003,197 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) fingerprints
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+
+def _winnow_cte() -> str:
+    """DuckDB CTE replaying winnowing: k-gram hex7 hashes, w-window
+    rightmost-min selection, distinct (pos, fp) — shared by the
+    fingerprint and pair-score oracles."""
+    k, w = _WINNOW_K, _WINNOW_W
+    h = _hex7_to_int_sql("md5(substr(text, CAST(i AS INTEGER), %d))" % k)
+    sl = "list_slice(grams, CAST(j AS INTEGER), CAST(j + %d AS INTEGER))" % (
+        w - 1
+    )
+    return f"""
+    g AS (
+      SELECT doc_id AS id,
+             list_transform(
+               range(1, greatest(length(text) - {k - 1}, 1) + 1),
+               i -> {h}) AS grams
+      FROM documents
+    ), wins AS (
+      -- (pos, fp) packed into one BIGINT (fp is 28 bits: 7 hex
+      -- nibbles) because DuckDB's list_distinct lacks struct support
+      SELECT id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(grams) - {w - 1}, 1) + 1),
+               j -> (j + len({sl})
+                     - list_position(list_reverse({sl}),
+                                     list_min({sl}))) * 268435456
+                    + list_min({sl})))) AS code
+      FROM g
+    ), fps AS (
+      SELECT id, code // 268435456 AS pos,
+             code % 268435456 AS fp
+      FROM wins
+    )"""
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH {_winnow_cte()}
+    SELECT id, pos, fp FROM fps
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection — every selected
+    ``(doc, shingle-pos, hash)`` — the local document-fingerprint
+    algorithm that guarantees any shared substring of length
+    ≥ w+k−1 = 11 chars yields a shared fingerprint while keeping
+    ~2/(w+1) of the hashes (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+
+    Engine path: pure in-row array algebra per document (see
+    operators/text.py:winnow_fingerprints) — the corpus never
+    shuffles; the exploded selection is the output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return tx.winnow_fingerprints(
+        d, k=_WINNOW_K, w=_WINNOW_W
+    ).select(
+        "id", "pos", F.col("fp").cast("long").alias("fp")
+    )
+
+
+@query(
+    "dedup_winnow_pairs",
+    oracle=f"""
+    WITH {_winnow_cte()}, sets AS (
+      SELECT DISTINCT id, fp FROM fps
+    ), sizes AS (
+      SELECT id, count(*) AS n FROM sets GROUP BY id
+    ), dfreq AS (
+      SELECT fp, count(*) AS df FROM sets GROUP BY fp
+    ), rare AS (
+      SELECT s.id, s.fp FROM sets s JOIN dfreq f ON s.fp = f.fp
+      WHERE f.df <= 20
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+      FROM rare a JOIN rare b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_shared,
+           floor(CAST(n_shared AS DOUBLE)
+                 / CAST(least(sa.n, sb.n) AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS containment
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_shared AS DOUBLE)
+          / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.2
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap report: document pairs sharing winnowing
+    fingerprints, scored by containment ``|A∩B| / min(|A|,|B|)`` —
+    the plagiarism/boilerplate detector built on
+    :func:`text_winnow_fingerprints`.
+
+    100 TB shape: pairs meet ONLY through a shared-fingerprint
+    equi-join; the document-frequency cap (df ≤ 20, the
+    dedup_ngram_jaccard contract) bounds per-fingerprint fanout so a
+    boilerplate fingerprint never goes quadratic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fps = tx.winnow_fingerprints(d, k=_WINNOW_K, w=_WINNOW_W)
+    sets = fps.select("id", "fp").distinct()
+    sizes = sets.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sets.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    rare = (
+        sets.join(dfreq, "fp")
+        .where(F.col("df") <= 20)
+        .select("id", "fp")
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("id").alias("id_a"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        F.col("id").alias("id_b"), F.col("n").alias("nb")
+    )
+    scored = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "c_raw",
+            F.col("n_shared").cast("double")
+            / F.least("na", "nb").cast("double"),
+        )
+        .where(F.col("c_raw") >= 0.2)
+    )
+    return scored.select(
+        "id_a", "id_b", "n_shared", trunc6(F.col("c_raw")).alias("containment")
+    )
+
+
+@query(
+    "sim_allpairs_prefix",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             regexp_extract_all(lower(text), '[a-z]+') AS t
+      FROM documents
+    ), sets AS (
+      SELECT id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS arr
+      FROM toks
+    ), sized AS (
+      SELECT id, arr, len(arr) AS n FROM sets WHERE len(arr) > 0
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             len(list_intersect(a.arr, b.arr)) AS n_overlap,
+             a.n AS na, b.n AS nb
+      FROM sized a JOIN sized b ON a.id < b.id
+    )
+    SELECT id_a, id_b, n_overlap,
+           floor(CAST(n_overlap AS DOUBLE)
+                 / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS cosine
+    FROM pairs
+    WHERE n_overlap * n_overlap * 4 >= na * nb
+    """,
+)
+def sim_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs set-cosine join at t = 0.5 over distinct word
+    3-gram sets via Bayardo prefix filtering (see
+    operators/dedup.py:allpairs_prefix_cosine) — the deterministic
+    complement to MinHash: EVERY qualifying pair, no banding
+    approximation. Word 3-grams (not unigrams) make the feature space
+    discriminative: stopword-sharing pushes every unigram pair above
+    any usable threshold on this corpus. The oracle verifies
+    completeness with the brute O(n²) pairwise form.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return dd.allpairs_prefix_cosine(d, t2_num=1, t2_den=4, ngram_n=3)

@@ -116,3 +116,159 @@ def test_minhash_collapsed_closure_equals_uncollapsed(spark):
     # never the 30*29/2 within-cluster quadratic
     n_pairs = collapsed_pairs.count()
     assert n_pairs < 29 + 5 + 10
+
+
+class TestWinnowFingerprints:
+    def _brute(self, i, t, k=8, w=4):
+        import hashlib
+
+        n = max(len(t) - k + 1, 1)
+        grams = [
+            int(hashlib.md5(t[p:p + k].encode()).hexdigest()[:7], 16)
+            for p in range(n)
+        ]
+        out = set()
+        for j in range(max(len(grams) - w + 1, 1)):
+            sl = grams[j:j + w]
+            mn = min(sl)
+            off = max(q for q, v in enumerate(sl) if v == mn)
+            out.add((i, j + 1 + off, mn))
+        return out
+
+    def test_matches_brute_selection(self, spark):
+        from speech_data_pipeline_spark.operators.text import (
+            winnow_fingerprints,
+        )
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "abcdefghijklmnopqrstuvwxyz" * 3,
+            "aaaaaaaaaaaaaaaaaaaa",  # all-equal hashes: rightmost rule
+            "short",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id"], r["pos"], r["fp"])
+            for r in winnow_fingerprints(df).collect()
+        }
+        exp = set().union(*[self._brute(i, t) for i, t in enumerate(texts)])
+        assert got == exp
+
+    def test_shared_substring_guarantee(self, spark):
+        # Winnowing guarantee: a shared substring of length >= w+k-1
+        # (= 11 here) always yields a shared fingerprint HASH.
+        from speech_data_pipeline_spark.operators.text import (
+            winnow_fingerprints,
+        )
+
+        shared = "XCOMMONSUBSTRINGX"  # 17 chars >= 11
+        df = spark.createDataFrame(
+            [
+                (1, "left padding aaa " + shared + " right tail bbb"),
+                (2, "совсем другой текст " + shared + " and more"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = winnow_fingerprints(df).collect()
+        fps1 = {r["fp"] for r in rows if r["id"] == 1}
+        fps2 = {r["fp"] for r in rows if r["id"] == 2}
+        assert fps1 & fps2
+
+    def test_density_near_two_over_w_plus_one(self, spark):
+        from speech_data_pipeline_spark.operators.text import (
+            winnow_fingerprints,
+        )
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        n_docs = d.count()
+        n_fp = winnow_fingerprints(d).count()
+        n_grams = sum(
+            max(len(r["text"]) - 7, 1) for r in d.collect()
+        )
+        density = n_fp / n_grams
+        # expected 2/(w+1) = 0.4; generous band
+        assert 0.3 < density < 0.5
+        assert n_fp >= n_docs  # every doc fingerprinted
+
+
+class TestAllPairsPrefix:
+    def _brute_pairs(self, texts, t2_num, t2_den, n=3):
+        import re
+
+        def feats(t):
+            w = re.findall(r"[a-z]+", t.lower())
+            return set(
+                " ".join(w[i:i + n]) for i in range(len(w) - n + 1)
+            )
+
+        sets = {i: feats(t) for i, t in enumerate(texts)}
+        out = {}
+        ids = sorted(i for i in sets if sets[i])
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                ov = len(sets[a] & sets[b])
+                na, nb = len(sets[a]), len(sets[b])
+                if ov * ov * t2_den >= t2_num * na * nb:
+                    out[(a, b)] = ov
+        return out
+
+    def test_complete_vs_brute_on_crafted_corpus(self, spark):
+        from speech_data_pipeline_spark.operators.dedup import (
+            allpairs_prefix_cosine,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog while "
+                "seven wizards brew strange potions at midnight")
+        texts = [
+            base,
+            base + " and then everyone went home",   # near-dup of 0
+            base.replace("fox", "cat"),              # near-dup of 0
+            "completely unrelated text about spark query planning "
+            "and distributed shuffle exchange strategies",
+            "completely unrelated text about spark query planning "
+            "and distributed shuffle exchange strategies tonight",
+            "zz",                                     # no 3-grams
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["n_overlap"]
+            for r in allpairs_prefix_cosine(
+                df, t2_num=1, t2_den=4, ngram_n=3
+            ).collect()
+        }
+        exp = self._brute_pairs(texts, 1, 4)
+        assert got == exp
+        assert (0, 1) in got and (3, 4) in got
+        assert not any(3 in p or 4 in p for p in got if p != (3, 4))
+
+    def test_complete_vs_brute_on_fixture(self, spark):
+        from speech_data_pipeline_spark.operators.dedup import (
+            allpairs_prefix_cosine,
+        )
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        texts = {r["doc_id"]: r["text"] for r in d.collect()}
+        ids = sorted(texts)
+        got = {
+            (r["id_a"], r["id_b"]): r["n_overlap"]
+            for r in allpairs_prefix_cosine(
+                d, t2_num=1, t2_den=4, ngram_n=3
+            ).collect()
+        }
+        exp_list = self._brute_pairs(
+            [texts[i] for i in ids], 1, 4
+        )
+        exp = {
+            (ids[a], ids[b]): ov for (a, b), ov in exp_list.items()
+        }
+        assert got == exp
+        assert len(got) > 0
