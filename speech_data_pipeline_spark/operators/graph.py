@@ -562,3 +562,49 @@ def k_core(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
     return out
+
+
+def bellman_ford_sssp(
+    edges: DataFrame,
+    source: str,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Fixed-round Bellman–Ford single-source shortest paths over
+    INTEGER edge weights: after ``rounds`` synchronous relaxations,
+    ``(node, dist)`` holds the exact shortest distance among paths of
+    ≤ ``rounds`` edges (the full algorithm's k-th round invariant —
+    monotone-converging to true SSSP, like the k-core peel and BFS
+    contracts).
+
+    Per round: ONE key-partitioned join of the node-sized distance
+    table onto the edge table + one grouped min — the synchronous
+    Pregel relaxation. Rounds are a driver-known constant so the loop
+    unrolls into a fixed plan, exactly replayable as chained CTEs
+    (the oracle). Integer weights → integer distances; nothing float
+    crosses a shuffle.
+    """
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(w).alias("_w")
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(source, 0)], "node string, dist long"
+    ).persist()
+    for _ in range(rounds):
+        relaxed = (
+            e.join(dist.withColumnRenamed("node", "_s"), "_s")
+            .select(
+                F.col("_d").alias("node"),
+                (F.col("dist") + F.col("_w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+    return dist

@@ -1315,3 +1315,69 @@ def knn_in_buckets(
         )
 
     return b.groupBy("bucket").applyInPandas(kernel, schema=out_schema)
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int, seed: str = "rp") -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss sign matrix, seeded by
+    md5 — the Achlioptas (2003) database-friendly projection. Computed
+    ONCE at plan-build time (the signs are literals in the plan, and
+    the same literals parametrize the SQL oracle), so the projection
+    costs zero per-row hashing."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}_{j}_{i}".encode()).hexdigest()[0], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dims:
+    ``y_j = (Σ_i x_i·s_ij) / √out_dim`` with the seeded ±1 sign matrix
+    of :func:`jl_sign_matrix` — the standard cheap dimensionality
+    reduction that preserves pairwise distances within (1±ε) w.h.p.
+
+    Parity: each output coordinate is ONE left-to-right
+    ``F.aggregate`` fold over the input vector (≡ DuckDB ``list_sum``
+    over ``list_transform`` — the repo-wide fold rule); the 1/√m
+    scale (m a power of two → exact binary fraction) multiplies once
+    at the end.
+
+    100 TB shape: pure per-row column algebra — no shuffle, no UDF,
+    no broadcast state; the sign matrix lives in the plan.
+    """
+    signs = jl_sign_matrix(in_dim, out_dim, seed)
+    scale = 1.0 / float(out_dim) ** 0.5
+    x = F.col(vec_col)
+
+    def coord(j: int) -> Column:
+        s = F.array(*[F.lit(float(v)) for v in signs[j]])
+        return trunc6(
+            F.aggregate(
+                F.zip_with(x, s, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(scale)
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array(*[coord(j) for j in range(out_dim)]).alias("proj"),
+    )

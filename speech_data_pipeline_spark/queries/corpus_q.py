@@ -1962,3 +1962,60 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(exp_p).alias("exp_p"),
         trunc6(F.sum(term).over(w_run)).alias("chi2_run"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (Bellman–Ford)
+# ---------------------------------------------------------------------------
+
+
+def _sssp_oracle(source: str = "t:purchase", rounds: int = 4) -> str:
+    parts = ["""e0 AS (
+      SELECT 'u:' || CAST(user_id AS VARCHAR) AS src,
+             't:' || event_type AS dst,
+             1 + 100 // count(*) AS w
+      FROM events GROUP BY user_id, event_type
+    ),
+    e AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+    v0(node, dist) AS (SELECT '%s', CAST(0 AS BIGINT))""" % source]
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+    v{k} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM v{k - 1}
+        UNION ALL
+        SELECT e.dst AS node, f.dist + e.w AS dist
+        FROM e JOIN v{k - 1} f ON e.src = f.node
+      ) GROUP BY node
+    )""")
+    return (
+        "WITH " + ",".join(parts)
+        + f" SELECT node, dist FROM v{rounds}"
+    )
+
+
+@query("graph_sssp_bellman", oracle=_sssp_oracle())
+def graph_sssp_bellman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths from the `purchase` hub over the
+    user↔event-type interaction graph (the graph_bfs_hops bipartite
+    construction), edge cost ``1 + 100 div count`` — frequent
+    interactions are cheap hops. Four synchronous Bellman–Ford
+    relaxations (see operators/graph.py:bellman_ford_sssp), exactly
+    replayed by the chained-CTE oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e0 = ev.groupBy("user_id", "event_type").agg(
+        (F.lit(1) + F.expr("100 div count(*)")).alias("w")
+    ).select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+        "w",
+    )
+    e = e0.unionByName(
+        e0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    from speech_data_pipeline_spark.operators.graph import bellman_ford_sssp
+
+    return bellman_ford_sssp(e, "t:purchase", rounds=4)

@@ -404,3 +404,161 @@ def ml_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptron_train(
         feats, ["n_tokens", "n_distinct", "n_chars"], "y", iters=_PCT_ITERS
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump (1-level tree) by exact information gain
+# ---------------------------------------------------------------------------
+
+
+def _xlnx_sql(c: str) -> str:
+    """Integer nano-nat c·ln(c) (0 at c=0) — the privacy_l_diversity
+    entropy-quantization convention."""
+    return (
+        f"CASE WHEN {c} > 0 THEN CAST(floor(CAST({c} AS DOUBLE)"
+        f" * ln(CAST({c} AS DOUBLE)) * 1e9) AS BIGINT) ELSE 0 END"
+    )
+
+
+@query(
+    "ml_decision_stump",
+    oracle=f"""
+    WITH lab AS (
+      SELECT epoch_us(l_shipdate) // 86400000000 AS v,
+             CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ), byv AS (
+      SELECT v, sum(y) AS pos, sum(1 - y) AS neg FROM lab GROUP BY v
+    ), run AS (
+      SELECT v,
+             sum(pos) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl,
+             sum(neg) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ql,
+             sum(pos) OVER () AS tp,
+             sum(neg) OVER () AS tq
+      FROM byv
+    ), cand AS (
+      SELECT v, pl, ql, tp - pl AS pr, tq - ql AS qr,
+             ({_xlnx_sql('(pl + ql)')} - {_xlnx_sql('pl')}
+              - {_xlnx_sql('ql')})
+             + ({_xlnx_sql('(tp - pl + tq - ql)')}
+                - {_xlnx_sql('(tp - pl)')} - {_xlnx_sql('(tq - ql)')})
+               AS child_nano
+      FROM run WHERE pl + ql < tp + tq
+    ), best AS (
+      SELECT * FROM cand ORDER BY child_nano ASC, v ASC LIMIT 1
+    )
+    SELECT v AS threshold_day,
+           CAST(pl + ql AS BIGINT) AS n_left,
+           CAST(pr + qr AS BIGINT) AS n_right,
+           floor(CAST(({_xlnx_sql('(pl + ql + pr + qr)')}
+                       - {_xlnx_sql('(pl + pr)')}
+                       - {_xlnx_sql('(ql + qr)')}) - child_nano
+                      AS DOUBLE)
+                 / 1e9 / CAST(pl + ql + pr + qr AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS gain_nats,
+           floor((CAST(greatest(pl, ql) + greatest(pr, qr) AS DOUBLE)
+                  / CAST(pl + ql + pr + qr AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS acc
+    FROM best
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact information-gain decision stump: the best 1-feature
+    threshold split of lineitem by ship day predicting
+    ``l_returnflag = 'N'`` (TPC-H ships returnflag as a date-cutoff
+    function, so the stump recovers a real boundary, not noise).
+
+    The split criterion is the weighted child entropy cleared to
+    INTEGER nano-nats (the privacy_l_diversity ``floor(c·ln c·1e9)``
+    convention): argmin over candidate thresholds is an integer
+    ordering with a min-day tie-break — no float ranking crosses
+    engines. Gain and majority-vote accuracy assemble as one float
+    divide each on the chosen row.
+
+    Plan shape: one grouped count collapses the corpus to the
+    DISTINCT ship-day table (date-domain bounded); running label
+    sums over it (whitelisted partition-less window); TakeOrdered 1.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lab = li.select(
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)"
+            " div 86400000000"
+        ).alias("v"),
+        F.when(F.col("l_returnflag") == "N", 1).otherwise(0).alias("y"),
+    )
+    byv = lab.groupBy("v").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    w_run = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = byv.select(
+        "v",
+        F.sum("pos").over(w_run).alias("pl"),
+        F.sum("neg").over(w_run).alias("ql"),
+        F.sum("pos").over(w_all).alias("tp"),
+        F.sum("neg").over(w_all).alias("tq"),
+    )
+
+    def xlnx(c):
+        return F.when(
+            c > 0,
+            F.floor(
+                c.cast("double") * F.log(c.cast("double")) * F.lit(1e9)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    pl, ql = F.col("pl"), F.col("ql")
+    pr, qr = F.col("tp") - pl, F.col("tq") - ql
+    child = (
+        xlnx(pl + ql) - xlnx(pl) - xlnx(ql)
+        + xlnx(pr + qr) - xlnx(pr) - xlnx(qr)
+    )
+    cand = run.where(pl + ql < F.col("tp") + F.col("tq")).select(
+        "v",
+        pl.alias("pl"),
+        ql.alias("ql"),
+        pr.alias("pr"),
+        qr.alias("qr"),
+        child.alias("child_nano"),
+    )
+    best = cand.orderBy(F.col("child_nano").asc(), F.col("v").asc()).limit(
+        1
+    )
+    n_all = F.col("pl") + F.col("ql") + F.col("pr") + F.col("qr")
+    parent = (
+        xlnx(n_all)
+        - xlnx(F.col("pl") + F.col("pr"))
+        - xlnx(F.col("ql") + F.col("qr"))
+    )
+    return best.select(
+        F.col("v").alias("threshold_day"),
+        (F.col("pl") + F.col("ql")).cast("long").alias("n_left"),
+        (F.col("pr") + F.col("qr")).cast("long").alias("n_right"),
+        F.floor(
+            (parent - F.col("child_nano")).cast("double")
+            / F.lit(1e9)
+            / n_all.cast("double")
+            * F.lit(1e6)
+        ).cast("double").alias("gain_nats_ppm_tmp"),
+        F.floor(
+            (
+                F.greatest("pl", "ql") + F.greatest("pr", "qr")
+            ).cast("double")
+            / n_all.cast("double")
+            * F.lit(1e6)
+        ).cast("double").alias("acc_ppm_tmp"),
+    ).select(
+        "threshold_day",
+        "n_left",
+        "n_right",
+        (F.col("gain_nats_ppm_tmp") / F.lit(1e6)).alias("gain_nats"),
+        (F.col("acc_ppm_tmp") / F.lit(1e6)).alias("acc"),
+    )

@@ -429,8 +429,8 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
 
 
 _COS_ORACLE = """
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    scored AS (
+    WITH q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS MATERIALIZED (
       SELECT e.vec_id,
              floor((
                list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -2197,3 +2197,184 @@ def sim_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     return dd.allpairs_prefix_cosine(d, t2_num=1, t2_den=4, ngram_n=3)
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+
+def _jl_oracle(in_dim: int = 64, out_dim: int = 16) -> str:
+    from speech_data_pipeline_spark.operators.similarity import (
+        jl_sign_matrix,
+    )
+
+    signs = jl_sign_matrix(in_dim, out_dim)
+    scale = 1.0 / float(out_dim) ** 0.5
+    coords = ", ".join(
+        f"floor(list_sum(list_transform(range(1, {in_dim} + 1),"
+        f" i -> CAST(embedding[i] AS DOUBLE)"
+        f" * ([{', '.join(f'{v}.0' for v in signs[j])}])[i]))"
+        f" * {scale!r} * 1000000.0) / 1000000.0"
+        for j in range(out_dim)
+    )
+    return f"""
+    SELECT vec_id AS id, [{coords}] AS proj FROM embeddings
+    """
+
+
+@query("embed_random_projection", oracle=_jl_oracle())
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-d → 16-d Johnson–Lindenstrauss ±1 projection of the corpus
+    embeddings (see operators/similarity.py:random_projection) — the
+    cheap pre-reduction in front of ANN/clustering when PCA's
+    corpus passes are not worth it.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.random_projection(e, in_dim=64, out_dim=16)
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance diverse selection
+# ---------------------------------------------------------------------------
+
+_MMR_M = 20  # candidate pool (top-m by relevance)
+_MMR_K = 6  # selections
+# λ = 0.7 as exact integer weights on the ppm grid: score_e7 =
+# 7·rel_ppm − 3·maxsim_ppm (monotone-equal to 0.7·rel − 0.3·maxsim)
+_MMR_LN, _MMR_LD = 7, 3
+
+
+def _mmr_oracle() -> str:
+    cos_q = _cos_pair_sql("e.embedding", "q.qv")
+    cos_ab = _cos_pair_sql("a.embedding", "b.embedding")
+    parts = [
+        f"""q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             CAST(floor(({cos_q}) * 1000000.0) AS BIGINT) AS rel_ppm
+      FROM embeddings e, q
+    ),
+    cand AS MATERIALIZED (
+      SELECT * FROM scored ORDER BY rel_ppm DESC, vec_id LIMIT {_MMR_M}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(floor(({cos_ab}) * 1000000.0) AS BIGINT) AS s_ppm
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS (
+      SELECT vec_id, rel_ppm, 1 AS rank,
+             {_MMR_LN} * rel_ppm AS score_e7
+      FROM cand ORDER BY rel_ppm DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for t in range(2, _MMR_K + 1):
+        prev = f"sel{t - 1}"
+        parts.append(f"""
+    pick{t} AS (
+      SELECT c.vec_id, c.rel_ppm, {t} AS rank,
+             {_MMR_LN} * c.rel_ppm - {_MMR_LD} * ms.m AS score_e7
+      FROM cand c
+      JOIN (SELECT ia, max(s_ppm) AS m FROM sims
+            WHERE ib IN (SELECT vec_id FROM {prev}) GROUP BY ia) ms
+        ON ms.ia = c.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+      ORDER BY score_e7 DESC, c.vec_id LIMIT 1
+    ),
+    sel{t} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t})""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+           CAST(rel_ppm AS DOUBLE) / 1000000.0 AS rel,
+           CAST(score_e7 AS DOUBLE) / 10000000.0 AS mmr_score
+    FROM sel{_MMR_K}"""
+    )
+
+
+@query("select_mmr_diverse", oracle=_mmr_oracle())
+def select_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell/Goldstein, SIGIR'98)
+    diverse top-k: greedily pick ``argmax λ·rel(c) − (1−λ)·max_{s∈S}
+    sim(c,s)`` from the top-m relevance pool — the standard
+    redundancy-free retrieval / training-data selection head.
+
+    Determinism: relevance and pairwise cosines quantize to ppm
+    integers IMMEDIATELY (the sim_cosine_topk convention), so every
+    greedy comparison is integer with a vec_id tie-break; λ = 0.7
+    becomes exact integer weights 7/3 on the e7 grid. The driver-side
+    pairwise cosine folds per-dimension LEFT-TO-RIGHT — the repo-wide
+    fold rule (≡ F.aggregate ≡ DuckDB list_sum), never numpy BLAS.
+
+    Plan shape: the ONLY corpus-sized work is one TakeOrdered(m=20)
+    relevance pool (per-partition heap, k-row driver merge); the k−1
+    greedy rounds run driver-side over that m-row pool — a documented
+    sketch-sized round-trip (m·k constant, the CMS-collect contract),
+    exactly how a production reranker treats its candidate head.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.array(*[F.lit(x) for x in _query_vec(spark, sf_dir)])
+    scored = e.select(
+        "vec_id",
+        "embedding",
+        F.floor(sim.cosine(F.col("embedding"), qv) * F.lit(1e6))
+        .cast("long")
+        .alias("rel_ppm"),
+    )
+    cand = (
+        scored.orderBy(F.col("rel_ppm").desc(), F.col("vec_id"))
+        .limit(_MMR_M)
+        .collect()
+    )
+
+    def cos_ppm(a, b):
+        # strict left-to-right fold, matching F.aggregate / list_sum
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        import math
+
+        return math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+
+    pool = [
+        (r["vec_id"], r["rel_ppm"], list(r["embedding"])) for r in cand
+    ]
+    sims = {
+        (pa[0], pb[0]): cos_ppm(pa[2], pb[2])
+        for pa in pool
+        for pb in pool
+        if pa[0] != pb[0]
+    }
+    first = max(pool, key=lambda p: (p[1], -p[0]))
+    out = [(1, first[0], first[1], _MMR_LN * first[1])]
+    chosen = {first[0]}
+    for t in range(2, _MMR_K + 1):
+        best = None
+        for vid, rel_ppm, _ in pool:
+            if vid in chosen:
+                continue
+            ms = max(sims[(vid, s)] for s in chosen)
+            score = _MMR_LN * rel_ppm - _MMR_LD * ms
+            key = (score, -vid)
+            if best is None or key > best[0]:
+                best = (key, vid, rel_ppm, score)
+        out.append((t, best[1], best[2], best[3]))
+        chosen.add(best[1])
+    res = spark.createDataFrame(
+        out, "rank int, vec_id long, rel_ppm long, score_e7 long"
+    )
+    return res.select(
+        "rank",
+        "vec_id",
+        (F.col("rel_ppm").cast("double") / F.lit(1e6)).alias("rel"),
+        (F.col("score_e7").cast("double") / F.lit(1e7)).alias(
+            "mmr_score"
+        ),
+    )

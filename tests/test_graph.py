@@ -269,3 +269,82 @@ class TestKCore:
             (r["node"], r["deg"]) for r in k_core(edges, 3, 5).collect()
         )
         assert r4 == r5
+
+
+class TestBellmanFordSssp:
+    def test_picks_cheaper_multihop_path(self, spark):
+        from speech_data_pipeline_spark.operators.graph import (
+            bellman_ford_sssp,
+        )
+
+        # a->d direct costs 10; a->b->c->d costs 3. 4 rounds must find 3.
+        edges = spark.createDataFrame(
+            [
+                ("a", "d", 10),
+                ("a", "b", 1),
+                ("b", "c", 1),
+                ("c", "d", 1),
+                ("d", "e", 1),
+                ("x", "y", 1),  # unreachable component
+            ],
+            "src string, dst string, w long",
+        )
+        got = {
+            r["node"]: r["dist"]
+            for r in bellman_ford_sssp(edges, "a", rounds=4).collect()
+        }
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+
+    def test_round_bound_limits_path_length(self, spark):
+        from speech_data_pipeline_spark.operators.graph import (
+            bellman_ford_sssp,
+        )
+
+        edges = spark.createDataFrame(
+            [("n%d" % i, "n%d" % (i + 1), 1) for i in range(6)],
+            "src string, dst string, w long",
+        )
+        got2 = {
+            r["node"]: r["dist"]
+            for r in bellman_ford_sssp(edges, "n0", rounds=2).collect()
+        }
+        assert got2 == {"n0": 0, "n1": 1, "n2": 2}
+
+    def test_matches_dijkstra_on_fixture_graph(self, spark):
+        import heapq
+        from collections import defaultdict
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r["node"]: r["dist"]
+            for r in QUERIES["graph_sssp_bellman"](spark, sf).collect()
+        }
+        cnt = defaultdict(int)
+        for r in load_table(spark, sf, "events").collect():
+            cnt[(r["user_id"], r["event_type"])] += 1
+        adj = defaultdict(list)
+        for (u, t), c in cnt.items():
+            w = 1 + 100 // c
+            a, b = f"u:{u}", f"t:{t}"
+            adj[a].append((b, w))
+            adj[b].append((a, w))
+        # Dijkstra with a <=4-edge hop bound == 4-round Bellman-Ford
+        best = {("t:purchase", 0): 0}
+        dist4 = {}
+        pq = [(0, "t:purchase", 0)]
+        while pq:
+            d, n, h = heapq.heappop(pq)
+            if d > best.get((n, h), 1 << 60):
+                continue
+            dist4[n] = min(dist4.get(n, 1 << 60), d)
+            if h == 4:
+                continue
+            for m, w in adj[n]:
+                nd = d + w
+                if nd < best.get((m, h + 1), 1 << 60):
+                    best[(m, h + 1)] = nd
+                    heapq.heappush(pq, (nd, m, h + 1))
+        assert got == dist4

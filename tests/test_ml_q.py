@@ -214,3 +214,59 @@ def test_zorder_read_side_partition_pruning(spark, tmp_path):
     assert sorted(rows(pruned.drop("zbucket"))) == sorted(
         rows(full.drop("zbucket"))
     )
+
+
+class TestDecisionStump:
+    def test_stump_recovers_crafted_boundary(self, spark):
+        # returnflag = 'N' iff shipdate >= cutoff: the stump must find
+        # threshold_day = cutoff - 1, perfect accuracy, gain = H(p).
+        import math
+        import os, tempfile
+
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        cutoff = pd.Timestamp("1996-01-01")
+        rows = []
+        for i in range(400):
+            d = pd.Timestamp("1995-01-01") + pd.Timedelta(days=i)
+            rows.append(
+                (i, i, i, 1, 1.0, 1.0, 0.0, 0.0,
+                 "N" if d >= cutoff else "R", "O", d)
+            )
+        df = pd.DataFrame(
+            rows,
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_linenumber", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_tax", "l_returnflag",
+                     "l_linestatus", "l_shipdate"],
+        )
+        with tempfile.TemporaryDirectory() as d:
+            # microsecond timestamps: the real testdata convention
+            # (nanos would surface as BIGINT and break date arithmetic)
+            df.to_parquet(
+                os.path.join(d, "lineitem.parquet"),
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
+            row = QUERIES["ml_decision_stump"](spark, d).collect()[0]
+        cutoff_day = (cutoff - pd.Timestamp("1970-01-01")).days
+        assert row["threshold_day"] == cutoff_day - 1
+        assert row["acc"] == 1.0
+        n_pos = 400 - 365  # days >= cutoff
+        p = n_pos / 400
+        h = -(p * math.log(p) + (1 - p) * math.log(1 - p))
+        assert abs(row["gain_nats"] - h) < 1e-4
+        assert row["n_left"] == 365 and row["n_right"] == 35
+
+    def test_stump_near_zero_gain_on_independent_fixture(self, spark):
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        row = QUERIES["ml_decision_stump"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        # synthetic returnflag is independent of shipdate: the best
+        # split exists but its gain is noise-level
+        assert 0.0 <= row["gain_nats"] < 0.01
+        assert row["n_left"] > 0 and row["n_right"] > 0

@@ -143,6 +143,8 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     "dq_benford_digits",  # windows over the 9-row digit grid
     "ts_ar1_forecast",  # lead over the observation-window day grid,
     # bounded by the date span, never corpus
+    "ml_decision_stump",  # running label sums over the DISTINCT
+    # ship-day table, date-domain bounded, never corpus
     "text_zipf_slope",  # rank window over the LIMIT-100 vocabulary head
 }
 

@@ -647,3 +647,140 @@ def test_calibration_bins_match_bruteforce(spark):
         )
     # the tiny fixture still has to populate more than one bin
     assert len(bins) >= 2
+
+
+class TestRandomProjection:
+    def test_jl_preserves_pairwise_distances(self, spark):
+        # JL lemma sanity: median pairwise-distance distortion of the
+        # 16-d projection vs the 64-d original stays well-bounded.
+        import numpy as np
+
+        from speech_data_pipeline_spark.operators.similarity import (
+            random_projection,
+        )
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        orig = {
+            r["vec_id"]: np.array(r["embedding"], dtype=float)
+            for r in e.limit(60).collect()
+        }
+        proj = {
+            r["id"]: np.array(r["proj"], dtype=float)
+            for r in random_projection(e.limit(60)).collect()
+        }
+        ids = sorted(orig)
+        ratios = []
+        for a in range(0, len(ids), 3):
+            for b in range(a + 1, len(ids), 7):
+                do = np.linalg.norm(orig[ids[a]] - orig[ids[b]])
+                dp = np.linalg.norm(proj[ids[a]] - proj[ids[b]])
+                if do > 1e-9:
+                    ratios.append(dp / do)
+        ratios = np.array(ratios)
+        assert 0.6 < np.median(ratios) < 1.4
+        assert (np.abs(ratios - 1.0) < 0.8).mean() > 0.9
+
+    def test_jl_seed_and_shape_deterministic(self, spark):
+        from speech_data_pipeline_spark.operators.similarity import (
+            jl_sign_matrix,
+            random_projection,
+        )
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        m = jl_sign_matrix(64, 16)
+        assert len(m) == 16 and all(len(r) == 64 for r in m)
+        assert all(v in (1, -1) for r in m for v in r)
+        assert m == jl_sign_matrix(64, 16)  # same seed -> same matrix
+        assert m != jl_sign_matrix(64, 16, seed="other")
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        r1 = random_projection(e.limit(5)).collect()
+        r2 = random_projection(e.limit(5)).collect()
+        assert sorted(map(str, r1)) == sorted(map(str, r2))
+
+
+class TestMmrDiverse:
+    def test_mmr_matches_brute_greedy(self, spark):
+        import math
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        got = sorted(
+            (r["rank"], r["vec_id"])
+            for r in QUERIES["select_mmr_diverse"](spark, sf).collect()
+        )
+        rows = {
+            r["vec_id"]: list(r["embedding"])
+            for r in load_table(spark, sf, "embeddings").collect()
+        }
+
+        def cos_ppm(a, b):
+            dot = na = nb = 0.0
+            for x, y in zip(a, b):
+                dot += float(x) * float(y)
+            for x in a:
+                na += float(x) * float(x)
+            for y in b:
+                nb += float(y) * float(y)
+            return math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+
+        q = rows[0]
+        rel = {v: cos_ppm(e, q) for v, e in rows.items()}
+        pool = sorted(rows, key=lambda v: (-rel[v], v))[:20]
+        chosen = [max(pool, key=lambda v: (rel[v], -v))]
+        for _ in range(5):
+            rest = [v for v in pool if v not in chosen]
+            best = max(
+                rest,
+                key=lambda v: (
+                    7 * rel[v]
+                    - 3 * max(cos_ppm(rows[v], rows[s]) for s in chosen),
+                    -v,
+                ),
+            )
+            chosen.append(best)
+        assert got == sorted((i + 1, v) for i, v in enumerate(chosen))
+
+    def test_mmr_reduces_redundancy_vs_pure_topk(self, spark):
+        import math
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        sel = [
+            r["vec_id"]
+            for r in QUERIES["select_mmr_diverse"](spark, sf).collect()
+        ]
+        rows = {
+            r["vec_id"]: list(r["embedding"])
+            for r in load_table(spark, sf, "embeddings").collect()
+        }
+
+        def cos(a, b):
+            dot = na = nb = 0.0
+            for x, y in zip(a, b):
+                dot += float(x) * float(y)
+            for x in a:
+                na += float(x) * float(x)
+            for y in b:
+                nb += float(y) * float(y)
+            return dot / (math.sqrt(na) * math.sqrt(nb))
+
+        q = rows[0]
+        topk = sorted(
+            rows, key=lambda v: (-cos(rows[v], q), v)
+        )[:len(sel)]
+
+        def mean_pair_sim(ids):
+            s, n = 0.0, 0
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    s += cos(rows[ids[i]], rows[ids[j]])
+                    n += 1
+            return s / n
+
+        assert mean_pair_sim(sel) <= mean_pair_sim(topk) + 1e-9
