@@ -2019,3 +2019,127 @@ def graph_sssp_bellman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from speech_data_pipeline_spark.operators.graph import bellman_ford_sssp
 
     return bellman_ford_sssp(e, "t:purchase", rounds=4)
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) sharding
+# ---------------------------------------------------------------------------
+
+_HRW_SHARDS = 8
+
+
+def _hrw_oracle() -> str:
+    def h(s: int) -> str:
+        return _hex7_to_int_sql(
+            f"md5(CAST(doc_id AS VARCHAR) || '_hrw_{s}')"
+        )
+
+    def argmax(n: int) -> str:
+        m = "greatest(" + ", ".join(f"h{s}" for s in range(n)) + ")"
+        arms = " ".join(
+            f"WHEN h{s} = {m} THEN {s}" for s in range(n)
+        )
+        return f"CASE {arms} END"
+
+    hs = ", ".join(f"{h(s)} AS h{s}" for s in range(_HRW_SHARDS))
+    return f"""
+    WITH hashes AS (
+      SELECT doc_id, {hs} FROM documents
+    ), assign AS (
+      SELECT doc_id,
+             {argmax(_HRW_SHARDS)} AS shard8,
+             {argmax(_HRW_SHARDS - 1)} AS shard7
+      FROM hashes
+    ), grid AS (
+      SELECT unnest(generate_series(0, {_HRW_SHARDS - 1})) AS shard
+    )
+    SELECT g.shard,
+           CAST(coalesce(sum(CASE WHEN a.shard8 = g.shard
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_before,
+           CAST(coalesce(sum(CASE WHEN a.shard7 = g.shard
+                             AND g.shard < {_HRW_SHARDS - 1}
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_after,
+           CAST(coalesce(sum(CASE WHEN a.shard7 = g.shard
+                             AND a.shard8 = {_HRW_SHARDS - 1}
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_moved_in
+    FROM grid g LEFT JOIN assign a ON TRUE
+    GROUP BY g.shard
+    """
+
+
+@query("infra_rendezvous_shards", oracle=_hrw_oracle())
+def infra_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler–Ravishankar
+    1998): each document goes to the shard maximizing
+    ``md5(doc_id ‖ shard)`` — and when shard 7 is REMOVED, only its
+    own documents move (the minimal-disruption property consistent
+    hashing is bought for). The report shows, per shard: assignment
+    under 8 shards, under 7, and how many of shard 7's documents it
+    inherited — ``n_after = n_before + n_moved_in`` everywhere.
+
+    Map-only per-row algebra (8 md5 literals + an argmax CASE with a
+    min-shard tie-break, identical in both engines) + one ≤8-row
+    grouped count. The complement to shuffle_shard_manifest's
+    seeded-permutation sharding: HRW is the assignment you use when
+    shards must be STABLE under membership change.
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def h(s: int):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(f"_hrw_{s}"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def argmax(n: int):
+        m = F.greatest(*[F.col(f"h{s}") for s in range(n)])
+        expr = F.when(F.col("h0") == m, 0)
+        for s in range(1, n):
+            expr = expr.when(F.col(f"h{s}") == m, s)
+        return expr
+
+    hashes = d.select(
+        "doc_id", *[h(s).alias(f"h{s}") for s in range(_HRW_SHARDS)]
+    )
+    assign = hashes.select(
+        "doc_id",
+        argmax(_HRW_SHARDS).alias("shard8"),
+        argmax(_HRW_SHARDS - 1).alias("shard7"),
+    )
+    # aggregate the corpus FIRST (map-side combinable, <=8 groups per
+    # aggregate), then join the 8-row grid — never grid x corpus
+    c_before = assign.groupBy(F.col("shard8").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    c_after = assign.groupBy(F.col("shard7").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    c_moved = (
+        assign.where(F.col("shard8") == _HRW_SHARDS - 1)
+        .groupBy(F.col("shard7").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n_moved_in"))
+    )
+    grid = spark.range(_HRW_SHARDS).select(
+        F.col("id").cast("int").alias("shard")
+    )
+    return (
+        grid.join(c_before, "shard", "left")
+        .join(c_after, "shard", "left")
+        .join(c_moved, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("n_before", F.lit(0)).alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            F.coalesce("n_moved_in", F.lit(0)).alias("n_moved_in"),
+        )
+    )

@@ -960,3 +960,372 @@ def stats_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("w1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U (Wilcoxon rank-sum) test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_mannwhitney_u",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ), byv AS (
+      SELECT v,
+             sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS c2
+      FROM q GROUP BY v
+    ), ranked AS (
+      SELECT v, c1, c2, c1 + c2 AS t,
+             1 + coalesce(sum(c1 + c2) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS min_rank
+      FROM byv
+    ), m AS (
+      SELECT CAST(sum(c1) AS HUGEINT) AS n1,
+             CAST(sum(c2) AS HUGEINT) AS n2,
+             CAST(sum(CAST(c1 AS HUGEINT)
+                      * (2 * min_rank + t - 1)) AS HUGEINT) AS two_r1,
+             CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+               AS tie_cubes
+      FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u,
+           floor(CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+                 / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS auc,
+           floor((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                  - CAST(n1 * n2 AS DOUBLE) / 2.0)
+                 / sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+                        * (CAST(n1 + n2 + 1 AS DOUBLE)
+                           - CAST(tie_cubes AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE)
+                                * CAST(n1 + n2 - 1 AS DOUBLE))))
+                 * 1000000.0) / 1000000.0 AS z,
+           CASE WHEN abs(floor((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+                     / 2.0 - CAST(n1 * n2 AS DOUBLE) / 2.0)
+                 / sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+                        * (CAST(n1 + n2 + 1 AS DOUBLE)
+                           - CAST(tie_cubes AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE)
+                                * CAST(n1 + n2 - 1 AS DOUBLE))))
+                 * 1000000.0)) > 1959963 THEN 1 ELSE 0 END AS reject
+    FROM m
+    """,
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between the `purchase`
+    and `view` value distributions on the cent grid, with midrank tie
+    handling and the tie-corrected normal approximation
+    ``z = (U − n₁n₂/2) / √(n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))))``
+    (no continuity correction), rejecting at α=0.05 on the shared ppm
+    grid (|z_ppm| > 1959963). Completes the two-sample battery:
+    KS (sup-norm), W₁ (L1 mass), Welch (means), U (stochastic order).
+
+    Exactness: ``2R₁ = Σ c₁(2·min_rank + t − 1)`` and the tie term
+    ``Σ(t³−t)`` are pure integers off the same DISTINCT cent-value
+    table as stats_ks_test (whitelisted running rank window); z is
+    one float assembly on the 1-row result.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.where(F.col("event_type").isin(_KS_A, _KS_B)).select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    byv = q.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byv.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("t"),
+        (
+            F.lit(1)
+            + F.coalesce(
+                F.sum(F.col("c1") + F.col("c2")).over(w_prev), F.lit(0)
+            )
+        ).alias("min_rank"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = ranked.agg(
+        F.sum(d38(F.col("c1"))).alias("n1"),
+        F.sum(d38(F.col("c2"))).alias("n2"),
+        F.sum(
+            d38(F.col("c1"))
+            * (2 * d38(F.col("min_rank")) + d38(F.col("t")) - 1)
+        ).alias("two_r1"),
+        F.sum(
+            d38(F.col("t")) * d38(F.col("t")) * d38(F.col("t"))
+            - d38(F.col("t"))
+        ).alias("tie_cubes"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    two_u1 = (
+        F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)
+    ).cast("double")
+    u = two_u1 / F.lit(2.0)
+    sigma = F.sqrt(
+        dbl("n1") * dbl("n2") / F.lit(12.0)
+        * (
+            (dbl("n1") + dbl("n2") + F.lit(1.0))
+            - F.col("tie_cubes").cast("double")
+            / (
+                (dbl("n1") + dbl("n2"))
+                * (dbl("n1") + dbl("n2") - F.lit(1.0))
+            )
+        )
+    )
+    z_ppm = F.floor(
+        (u - dbl("n1") * dbl("n2") / F.lit(2.0)) / sigma * F.lit(1e6)
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        u.alias("u"),
+        trunc6(u / (dbl("n1") * dbl("n2"))).alias("auc"),
+        (z_ppm / F.lit(1e6)).alias("z"),
+        F.when(F.abs(z_ppm) > 1959963, 1).otherwise(0).alias("reject"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median-absolute-deviation robust outlier audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_mad_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), byv AS (
+      SELECT event_type, v, count(*) AS c FROM q GROUP BY event_type, v
+    ), cdf AS (
+      SELECT event_type, v, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM byv
+    ), med AS (
+      SELECT event_type, max(n) AS n,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med
+      FROM cdf GROUP BY event_type
+    ), dev AS (
+      SELECT b.event_type, abs(b.v - m.med) AS d, b.c, b.v, m.med, m.n
+      FROM byv b JOIN med m ON m.event_type = b.event_type
+    ), dcdf AS (
+      SELECT event_type, d, med, n,
+             sum(c) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT event_type, d, med, n, sum(c) AS c
+            FROM dev GROUP BY event_type, d, med, n)
+    ), mad AS (
+      SELECT event_type, max(med) AS med, max(n) AS n,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS mad
+      FROM dcdf GROUP BY event_type
+    ), flg AS (
+      SELECT d.event_type,
+             sum(CASE WHEN 10000 * d.d > 44478 * m.mad
+                      THEN d.c ELSE 0 END) AS n_outliers
+      FROM dev d JOIN mad m ON m.event_type = d.event_type
+      GROUP BY d.event_type
+    )
+    SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+           CAST(m.med AS DOUBLE) / 100.0 AS med,
+           CAST(m.mad AS DOUBLE) / 100.0 AS mad,
+           CAST(f.n_outliers AS BIGINT) AS n_outliers
+    FROM mad m JOIN flg f ON f.event_type = m.event_type
+    """,
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit per event type: lower-median and MAD on
+    the cent grid, flagging ``|x − med| > 3·1.4826·MAD`` (the normal-
+    consistent 3σ-equivalent fence) — immune to the outliers it
+    hunts, unlike the z-score detector (ts_anomaly_zscore).
+
+    Exactness: both medians are order statistics read off per-type
+    CDF windows over the DISTINCT cent-value table (PARTITIONED by
+    type — bounded by |types|×value-domain, never corpus); the fence
+    compares pure integers (10000·dev > 44478·mad).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    byv = q.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    w_cdf = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cdf = byv.select(
+        "event_type",
+        "v",
+        "c",
+        F.sum("c").over(w_cdf).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    med = cdf.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("v"))
+        ).alias("med"),
+    )
+    dev = byv.join(med, "event_type").select(
+        "event_type",
+        F.abs(F.col("v") - F.col("med")).alias("d"),
+        "c",
+        "med",
+        "n",
+    )
+    dgrp = dev.groupBy("event_type", "d", "med", "n").agg(
+        F.sum("c").alias("c")
+    )
+    w_dcdf = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcdf = dgrp.select(
+        "event_type",
+        "d",
+        "med",
+        "n",
+        F.sum("c").over(w_dcdf).alias("cum"),
+    )
+    mad = dcdf.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("d"))
+        ).alias("mad"),
+    )
+    flg = (
+        dev.select("event_type", "d", "c")
+        .join(mad.select("event_type", "mad"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    10000 * F.col("d") > 44478 * F.col("mad"), F.col("c")
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+    return mad.join(flg, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("med").cast("double") / F.lit(100.0)).alias("med"),
+        (F.col("mad").cast("double") / F.lit(100.0)).alias("mad"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend slope
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_theil_sen",
+    oracle="""
+    WITH weekly AS (
+      SELECT epoch_us(ts) // 604800000000 AS wk,
+             CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY wk
+    ), pairs AS (
+      SELECT (1000000 * (b.y - a.y)) // (b.wk - a.wk) AS s_micro
+      FROM weekly a JOIN weekly b ON a.wk < b.wk
+    ), bys AS (
+      SELECT s_micro, count(*) AS c FROM pairs GROUP BY s_micro
+    ), cdf AS (
+      SELECT s_micro,
+             sum(c) OVER (ORDER BY s_micro
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER () AS np
+      FROM bys
+    ), pick AS (
+      SELECT max(np) AS n_pairs,
+             min(CASE WHEN cum >= (np + 1) // 2 THEN s_micro END) AS s_micro
+      FROM cdf
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM weekly) AS n_weeks,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           floor(CAST(s_micro AS DOUBLE) / 1e6 / 1000.0
+                 * 1000000.0) / 1000000.0 AS slope_per_week
+    FROM pick
+    """,
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate of WEEKLY purchase revenue: the
+    (lower) median of all pairwise slopes ``(y_j − y_i)/(j − i)`` —
+    the 29%-breakdown alternative to OLS (stats_linreg) that one
+    corrupted week cannot drag.
+
+    Exactness: slopes quantize to integer micro-milli-units via
+    truncating integer division (``div`` ≡ DuckDB ``//`` for BIGINTs,
+    both truncate toward ZERO: −7÷2 → −3 — verified); the median is an
+    order statistic off the slope-value CDF. The pair table is bounded by
+    weeks² (observation window², never corpus — the corpus collapses
+    to the weekly table first); its running window is whitelisted.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mv = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    weekly = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.expr("(ts div 1000) div 604800000000").alias("wk"))
+        .agg(F.sum(mv).alias("y"))
+    )
+    a = weekly.select(F.col("wk").alias("wa"), F.col("y").alias("ya"))
+    b = weekly.select(F.col("wk").alias("wb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("wa") < F.col("wb")).select(
+        F.expr("(1000000L * (yb - ya)) div (wb - wa)").alias("s_micro")
+    )
+    bys = pairs.groupBy("s_micro").agg(F.count(F.lit(1)).alias("c"))
+    w_run = Window.orderBy("s_micro").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = bys.select(
+        "s_micro",
+        F.sum("c").over(w_run).alias("cum"),
+        F.sum("c").over(w_all).alias("np"),
+    )
+    pick = cdf.agg(
+        F.max("np").alias("n_pairs"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(np + 1) div 2"), F.col("s_micro"))
+        ).alias("s_micro"),
+    )
+    n_weeks = weekly.agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks")
+    )
+    return n_weeks.crossJoin(pick).select(
+        "n_weeks",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        trunc6(
+            F.col("s_micro").cast("double") / F.lit(1e6) / F.lit(1000.0)
+        ).alias("slope_per_week"),
+    )

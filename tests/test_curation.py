@@ -285,3 +285,50 @@ class TestBenfordDigits:
         got = {r["digit"]: r["n_obs"] for r in rows}
         assert got == {1: 30, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0,
                        9: 0}
+
+
+class TestRendezvousShards:
+    def test_minimal_disruption_property(self, spark):
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        rows = QUERIES["infra_rendezvous_shards"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        by = {r["shard"]: r for r in rows}
+        assert sorted(by) == list(range(8))
+        total = sum(r["n_before"] for r in rows)
+        assert total == 500
+        # removing shard 7: every other shard keeps its docs and only
+        # inherits from shard 7
+        for s in range(7):
+            assert (by[s]["n_after"]
+                    == by[s]["n_before"] + by[s]["n_moved_in"])
+        assert by[7]["n_after"] == 0
+        assert sum(r["n_moved_in"] for r in rows) == by[7]["n_before"]
+        # HRW spreads: no shard grossly hot
+        assert max(r["n_before"] for r in rows) < 500 * 0.3
+
+    def test_matches_brute_argmax(self, spark):
+        import hashlib
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r["shard"]: r
+                for r in QUERIES["infra_rendezvous_shards"](
+                    spark, sf).collect()}
+        docs = [r["doc_id"]
+                for r in load_table(spark, sf, "documents").collect()]
+
+        def hrw(doc, n):
+            hs = [int(hashlib.md5(f"{doc}_hrw_{s}".encode())
+                      .hexdigest()[:7], 16) for s in range(n)]
+            m = max(hs)
+            return hs.index(m)
+
+        from collections import Counter
+
+        c8 = Counter(hrw(d, 8) for d in docs)
+        for s in range(8):
+            assert rows[s]["n_before"] == c8.get(s, 0)

@@ -145,6 +145,10 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     # bounded by the date span, never corpus
     "ml_decision_stump",  # running label sums over the DISTINCT
     # ship-day table, date-domain bounded, never corpus
+    "stats_mannwhitney_u",  # rank running sum over the DISTINCT
+    # cent-value table (stats_ks_test contract), never corpus
+    "stats_theil_sen",  # slope-CDF running sum over the pair-slope
+    # value table, bounded by weeks² (observation window), never corpus
     "text_zipf_slope",  # rank window over the LIMIT-100 vocabulary head
 }
 

@@ -421,3 +421,166 @@ class TestWasserstein1d:
             df.to_parquet(os.path.join(d, "events.parquet"))
             row = QUERIES["stats_wasserstein_1d"](spark, d).collect()[0]
         assert abs(row["w1"] - 7.5) < 2e-6
+
+
+class TestMannWhitneyU:
+    def test_u_matches_brute_rank_sum(self, spark):
+        import math
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        row = QUERIES["stats_mannwhitney_u"](spark, sf).collect()[0]
+        ev = load_table(spark, sf, "events").collect()
+        a = [round(r["value"] * 100) for r in ev
+             if r["event_type"] == "purchase"]
+        b = [round(r["value"] * 100) for r in ev
+             if r["event_type"] == "view"]
+        pooled = sorted(a + b)
+        # midranks
+        from collections import Counter, defaultdict
+
+        cnt = Counter(pooled)
+        rank = {}
+        start = 1
+        for v in sorted(cnt):
+            t = cnt[v]
+            rank[v] = start + (t - 1) / 2.0
+            start += t
+        r1 = sum(rank[v] for v in a)
+        u = r1 - len(a) * (len(a) + 1) / 2.0
+        n1, n2, n = len(a), len(b), len(a) + len(b)
+        ties = sum(t**3 - t for t in cnt.values())
+        sigma = math.sqrt(
+            n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+        )
+        z = (u - n1 * n2 / 2.0) / sigma
+        assert row["n1"] == n1 and row["n2"] == n2
+        assert abs(row["u"] - u) < 1e-6
+        assert abs(row["z"] - z) < 2e-6
+        assert abs(row["auc"] - u / (n1 * n2)) < 2e-6
+
+    def test_u_is_half_on_identical_distributions(self, spark):
+        import os, tempfile
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        rows = []
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0] * 10):
+            rows.append((2 * i, 1_700_000_000_000_000_000 + i, 1,
+                         "purchase", v, "{}"))
+            rows.append((2 * i + 1, 1_700_000_000_000_000_000 + i, 2,
+                         "view", v, "{}"))
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type",
+                           "value", "props"])
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            row = QUERIES["stats_mannwhitney_u"](spark, d).collect()[0]
+        assert row["auc"] == 0.5 and row["reject"] == 0
+
+
+class TestMadOutliers:
+    def test_mad_matches_brute_per_type(self, spark):
+        from collections import defaultdict
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        got = {r["event_type"]: r
+               for r in QUERIES["stats_mad_outliers"](spark, sf).collect()}
+        vals = defaultdict(list)
+        for r in load_table(spark, sf, "events").collect():
+            vals[r["event_type"]].append(round(r["value"] * 100))
+
+        def lomed(xs):
+            xs = sorted(xs)
+            return xs[(len(xs) + 1) // 2 - 1]
+
+        for t, xs in vals.items():
+            med = lomed(xs)
+            mad = lomed([abs(x - med) for x in xs])
+            nout = sum(1 for x in xs
+                       if 10000 * abs(x - med) > 44478 * mad)
+            assert got[t]["n"] == len(xs)
+            assert got[t]["med"] == med / 100.0
+            assert got[t]["mad"] == mad / 100.0
+            assert got[t]["n_outliers"] == nout
+
+    def test_mad_robust_to_planted_outliers(self, spark):
+        import os, tempfile
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        vals = [10.0] * 40 + [10.5] * 40 + [9.5] * 40 + [500.0] * 3
+        rows = [(i, 1_700_000_000_000_000_000 + i, 1, "purchase", v, "{}")
+                for i, v in enumerate(vals)]
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type",
+                           "value", "props"])
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            row = QUERIES["stats_mad_outliers"](spark, d).collect()[0]
+        assert row["med"] == 10.0
+        assert row["mad"] == 0.5
+        assert row["n_outliers"] == 3  # exactly the planted spikes
+
+
+class TestTheilSen:
+    def test_matches_brute_pairwise_median(self, spark):
+        from collections import defaultdict
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        row = QUERIES["stats_theil_sen"](spark, sf).collect()[0]
+        weekly = defaultdict(int)
+        for r in load_table(spark, sf, "events").collect():
+            if r["event_type"] == "purchase":
+                weekly[(r["ts"] // 1000) // 604_800_000_000] += round(
+                    r["value"] * 1000
+                )
+        wks = sorted(weekly)
+        slopes = []
+        for i in range(len(wks)):
+            for j in range(i + 1, len(wks)):
+                num = 1_000_000 * (weekly[wks[j]] - weekly[wks[i]])
+                den = wks[j] - wks[i]
+                q = abs(num) // den
+                slopes.append(q if num >= 0 else -q)  # trunc toward 0
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1]
+        assert row["n_weeks"] == len(wks)
+        assert row["n_pairs"] == len(slopes)
+        import math
+
+        exp = math.floor(med / 1e6 / 1000.0 * 1e6) / 1e6
+        assert row["slope_per_week"] == exp
+
+    def test_ignores_single_corrupted_week(self, spark):
+        import os, tempfile
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        week_ns = 604_800_000_000_000
+        rows = []
+        eid = 0
+        for w in range(30):
+            # clean linear trend: 100 + 2*w, one spike at week 15
+            val = 100.0 + 2.0 * w + (100000.0 if w == 15 else 0.0)
+            rows.append((eid, 1_600_000_000_000_000_000 + w * week_ns,
+                         1, "purchase", val, "{}"))
+            eid += 1
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type",
+                           "value", "props"])
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            row = QUERIES["stats_theil_sen"](spark, d).collect()[0]
+        assert abs(row["slope_per_week"] - 2.0) < 0.01
