@@ -214,3 +214,101 @@ def holt_linear(
         .sortWithinPartitions(key, *order)
         .mapInPandas(run, schema=schema)
     )
+
+
+def viterbi_burst(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    gamma_col: str,
+) -> DataFrame:
+    """Per-key two-state burst segmentation by exact Viterbi DP: state
+    0 tracks the base level ``lo``, state 1 the burst level ``hi``;
+    per-step emission cost is the L1 deviation ``|x − level_s|`` and
+    switching costs ``gamma`` (Kleinberg's two-state burst automaton
+    with L1 emissions — all INTEGER, so the optimum is engine-exact).
+
+    Recurrence: ``C_s(t) = |x_t − level_s| + min(C_s(t−1),
+    C_{1−s}(t−1) + γ)``, init ``C_0(1) = |x₁−lo|``,
+    ``C_1(1) = |x₁−hi| + γ``; ties prefer STAYING (strict < to
+    switch), final state ties prefer 0. Backtrack recovers the argmin
+    path. A DuckDB recursive CTE replays both passes exactly.
+
+    Engine shape: the sessions.py kernel contract — one hash shuffle
+    on ``key``, partition-local sort by ``order``, a mapInPandas scan
+    carrying state across Arrow batches. Each key's series is
+    buffered for the backtrack: series length is bounded by the
+    OBSERVATION WINDOW (the caller aggregates the corpus to a per-day
+    grid first), never by corpus rows.
+
+    Output: ``(key, order, value_col, state)`` with state ∈ {0, 1}.
+    """
+    dtypes = dict(df.dtypes)
+    schema = ", ".join(
+        [
+            f"{key} {dtypes[key]}",
+            f"{order} {dtypes[order]}",
+            f"{value_col} {dtypes[value_col]}",
+            "state int",
+        ]
+    )
+
+    def flush(buf, out):
+        if not buf:
+            return
+        lo, hi, gamma = buf[0][3], buf[0][4], buf[0][5]
+        xs = [b[2] for b in buf]
+        c0 = abs(xs[0] - lo)
+        c1 = abs(xs[0] - hi) + gamma
+        from0, from1 = [0], [1]
+        for x in xs[1:]:
+            n0 = 1 if c1 + gamma < c0 else 0
+            n1 = 0 if c0 + gamma < c1 else 1
+            nc0 = abs(x - lo) + (c1 + gamma if n0 else c0)
+            nc1 = abs(x - hi) + (c0 + gamma if n1 == 0 else c1)
+            from0.append(n0)
+            from1.append(n1)
+            c0, c1 = nc0, nc1
+        s = 0 if c0 <= c1 else 1
+        states = [0] * len(xs)
+        for t in range(len(xs) - 1, -1, -1):
+            states[t] = s
+            s = from0[t] if s == 0 else from1[t]
+        for (k, o, x, *_), st in zip(buf, states):
+            out.append((k, o, x, st))
+
+    def run(batches):
+        cur_key = None
+        buf = []
+        cols = [key, order, value_col, lo_col, hi_col, gamma_col]
+        for pdf in batches:
+            arrs = [pdf[c].to_numpy() for c in cols]
+            rows_out = []
+            for i in range(len(pdf)):
+                k = arrs[0][i]
+                if k != cur_key:
+                    flush(buf, rows_out)
+                    buf = []
+                    cur_key = k
+                buf.append(tuple(int(a[i]) if j else a[i]
+                                 for j, a in enumerate(arrs)))
+            if rows_out:
+                yield pd.DataFrame(
+                    rows_out, columns=[key, order, value_col, "state"]
+                )
+        tail = []
+        flush(buf, tail)
+        if tail:
+            yield pd.DataFrame(
+                tail, columns=[key, order, value_col, "state"]
+            )
+
+    sc = df.sparkSession.sparkContext
+    return (
+        df.repartition(sc.defaultParallelism, key)
+        .sortWithinPartitions(key, order)
+        .mapInPandas(run, schema=schema)
+    )

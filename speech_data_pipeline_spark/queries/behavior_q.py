@@ -1419,3 +1419,171 @@ def ts_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(F.col("phi")).alias("phi"),
         trunc6(F.col("t.fc")).alias("forecast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-state burst detection (Viterbi DP)
+# ---------------------------------------------------------------------------
+
+
+def _burst_oracle() -> str:
+    return """
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, day
+    ), span AS (
+      SELECT k, min(day) AS mn, max(day) AS mx FROM daily GROUP BY k
+    ), grid AS (
+      SELECT s.k, unnest(range(mn, mx + 1)) AS day FROM span s
+    ), ser0 AS (
+      SELECT g.k, g.day, coalesce(d.x, 0) AS x
+      FROM grid g LEFT JOIN daily d ON d.k = g.k AND d.day = g.day
+    ), cdf AS (
+      SELECT k, x AS v, count(*) AS c FROM ser0 GROUP BY k, x
+    ), run AS (
+      SELECT k, v,
+             sum(c) OVER (PARTITION BY k ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY k) AS n
+      FROM cdf
+    ), lv AS (
+      SELECT k,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS lo,
+             min(CASE WHEN 4 * cum >= 3 * n THEN v END) AS hi_raw
+      FROM run GROUP BY k
+    ), levels AS (
+      SELECT k, lo, greatest(hi_raw, lo + 1) AS hi,
+             greatest(hi_raw, lo + 1) - lo AS gamma
+      FROM lv
+    ), series AS (
+      SELECT s.k, s.day, s.x, l.lo, l.hi, l.gamma,
+             row_number() OVER (PARTITION BY s.k ORDER BY s.day) AS t
+      FROM ser0 s JOIN levels l ON l.k = s.k
+    ), dp AS (
+      SELECT k, t, day,
+             abs(x - lo) AS c0,
+             abs(x - hi) + gamma AS c1,
+             [0] AS f0s, [1] AS f1s
+      FROM series WHERE t = 1
+      UNION ALL
+      SELECT s.k, s.t, s.day,
+             abs(s.x - s.lo)
+               + CASE WHEN dp.c1 + s.gamma < dp.c0
+                      THEN dp.c1 + s.gamma ELSE dp.c0 END,
+             abs(s.x - s.hi)
+               + CASE WHEN dp.c0 + s.gamma < dp.c1
+                      THEN dp.c0 + s.gamma ELSE dp.c1 END,
+             list_append(dp.f0s,
+               CASE WHEN dp.c1 + s.gamma < dp.c0 THEN 1 ELSE 0 END),
+             list_append(dp.f1s,
+               CASE WHEN dp.c0 + s.gamma < dp.c1 THEN 0 ELSE 1 END)
+      FROM dp JOIN series s ON s.k = dp.k AND s.t = dp.t + 1
+    ), fin AS (
+      SELECT dp.k, dp.t, dp.c0, dp.c1, dp.f0s, dp.f1s
+      FROM dp JOIN (SELECT k, max(t) AS T FROM series GROUP BY k) m
+        ON m.k = dp.k AND dp.t = m.T
+    ), bt AS (
+      SELECT k, t, CASE WHEN c0 <= c1 THEN 0 ELSE 1 END AS s, f0s, f1s
+      FROM fin
+      UNION ALL
+      SELECT k, t - 1,
+             CASE WHEN s = 0 THEN f0s[t] ELSE f1s[t] END, f0s, f1s
+      FROM bt WHERE t > 1
+    ), st1 AS (
+      SELECT se.k, se.day, se.x,
+             se.day - row_number() OVER (PARTITION BY se.k
+                                         ORDER BY se.day) AS grp
+      FROM series se JOIN bt ON bt.k = se.k AND bt.t = se.t
+      WHERE bt.s = 1
+    )
+    SELECT k AS event_type, min(day) AS start_day, max(day) AS end_day,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(x) AS BIGINT) AS peak,
+           CAST(sum(x) AS BIGINT) AS total
+    FROM st1 GROUP BY k, grp
+    """
+
+
+@query("ts_burst_intervals", oracle=_burst_oracle())
+def ts_burst_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst intervals of each event type's DAILY count series by an
+    exact two-state Viterbi DP (Kleinberg's burst automaton with L1
+    emissions): state 0 tracks the per-type lower-median level, state
+    1 the p75 level, switching costs γ = hi − lo — so isolated
+    spikes don't open a burst but sustained elevation does. The DP is
+    ALL INTEGER, hence engine-exact; the DuckDB oracle replays
+    forward costs AND the backtrack as recursive CTEs.
+
+    Plan shape: the corpus collapses to the per-type day grid (one
+    grouped count); level selection is the MAD-style per-type CDF
+    (PARTITIONED windows); the DP runs in the sessions.py kernel
+    contract (operators/recurrence.py:viterbi_burst) — per-key series
+    bounded by the observation window, never corpus rows; burst
+    islands aggregate with the dense-day gaps-islands trick.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    span = daily.groupBy("k").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = span.select(
+        "k", F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day")
+    )
+    ser0 = grid.join(daily, ["k", "day"], "left").select(
+        "k", "day", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    cdf = ser0.groupBy("k", F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_run = (
+        Window.partitionBy("k")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("k")
+    run = cdf.select(
+        "k",
+        "v",
+        F.sum("c").over(w_run).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    lv = run.groupBy("k").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("v"))
+        ).alias("lo"),
+        F.min(
+            F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("v"))
+        ).alias("hi_raw"),
+    )
+    levels = lv.select(
+        "k",
+        "lo",
+        F.greatest(F.col("hi_raw"), F.col("lo") + 1).alias("hi"),
+        (
+            F.greatest(F.col("hi_raw"), F.col("lo") + 1) - F.col("lo")
+        ).alias("gamma"),
+    )
+    series = ser0.join(levels, "k")
+    from speech_data_pipeline_spark.operators.recurrence import (
+        viterbi_burst,
+    )
+
+    st = viterbi_burst(series, "k", "day", "x", "lo", "hi", "gamma")
+    w_isl = Window.partitionBy("k").orderBy("day")
+    st1 = st.where(F.col("state") == 1).select(
+        "k",
+        "day",
+        "x",
+        (F.col("day") - F.row_number().over(w_isl)).alias("grp"),
+    )
+    return st1.groupBy(F.col("k").alias("event_type"), "grp").agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("x").cast("long").alias("peak"),
+        F.sum("x").cast("long").alias("total"),
+    ).drop("grp")

@@ -2143,3 +2143,69 @@ def infra_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_moved_in", F.lit(0)).alias("n_moved_in"),
         )
     )
+
+
+def _bpe_fertility_oracle(n_merges: int = _BPE_ROUNDS) -> str:
+    return (
+        _bpe_ctes(n_merges)
+        + f""",
+    wc AS (
+      SELECT word,
+             len(list_filter(string_split(w, ' '), x -> x <> '')) AS n_sym
+      FROM w{n_merges}
+    ),
+    docw AS (
+      SELECT d.doc_id, d.lang,
+             unnest(regexp_extract_all(lower(d.text), '([a-z]+)', 1))
+               AS word
+      FROM documents d
+    )
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(length(word)) AS DOUBLE)
+                 / CAST(sum(n_sym) AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS chars_per_token
+    FROM docw JOIN wc USING (word) GROUP BY lang
+    """
+    )
+
+
+@query("text_bpe_fertility", oracle=_bpe_fertility_oracle())
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: characters per BPE token BY LANGUAGE
+    under the trained merges — the standard multilingual-tokenizer
+    equity metric (a language with low chars/token pays more tokens
+    for the same text; its packing budgets and context limits shrink
+    accordingly).
+
+    Same plan skeleton as text_bpe_encode (train once, join the word
+    stream against the trained word table — never per-document
+    re-segmentation) with a per-language rollup; integer char/token
+    sums cross the shuffle, one float divide per language row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = tx.bpe_train(docs, n_merges=_BPE_ROUNDS)
+    syms = F.filter(F.split("w", " "), lambda x: x != "")
+    wc = vocab.select("word", F.size(syms).alias("n_sym"))
+    docw = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+        ).alias("word"),
+    )
+    return (
+        docw.join(wc, "word")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_tokens"),
+            trunc6(
+                F.sum(F.length("word")).cast("double")
+                / F.sum("n_sym").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )

@@ -2378,3 +2378,128 @@ def select_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mmr_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset (farthest-first traversal)
+# ---------------------------------------------------------------------------
+
+_KC_K = 5
+
+
+def _sqdist_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB squared L2 between two list columns, fold-order-exact."""
+    return f"""
+        list_sum(list_transform(range(1, {dim} + 1),
+            i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+                 * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))
+    """
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        """sel1 AS MATERIALIZED (
+      SELECT vec_id, embedding, 1 AS rank, CAST(0 AS BIGINT) AS d_ppm
+      FROM embeddings WHERE vec_id = 0
+    )"""
+    ]
+    for t in range(2, _KC_K + 1):
+        prev = f"sel{t - 1}"
+        d = _sqdist_sql("e.embedding", "s.embedding")
+        parts.append(f"""
+    md{t} AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             min(CAST(floor(({d}) * 1000000.0) AS BIGINT)) AS d_ppm
+      FROM embeddings e, {prev} s
+      GROUP BY e.vec_id, e.embedding
+    ),
+    pick{t} AS MATERIALIZED (
+      SELECT vec_id, embedding, {t} AS rank, d_ppm
+      FROM md{t} WHERE vec_id NOT IN (SELECT vec_id FROM {prev})
+      ORDER BY d_ppm DESC, vec_id LIMIT 1
+    ),
+    sel{t} AS MATERIALIZED (
+      SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t}
+    )""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+           CAST(d_ppm AS DOUBLE) / 1000000.0 AS sq_dist
+    FROM sel{_KC_K}"""
+    )
+
+
+@query("select_kcenter_coreset", oracle=_kcenter_oracle())
+def select_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez farthest-first traversal, the
+    2-approximation): start from vec_id 0, then repeatedly add the
+    point MAXIMIZING its squared distance to the selected set — the
+    coverage-style data-selection head (pick maximally spread
+    exemplars), complementing MMR's relevance-diversity blend.
+
+    Determinism: per-point min-squared-distances quantize to ppm
+    integers (left-to-right fold per pair — the repo fold rule);
+    argmax is integer with a vec_id tie-break.
+
+    Plan shape: k−1 rounds × (ONE corpus scan computing the in-row
+    min distance against the ≤k BROADCAST selected vectors — plan
+    literals collected one row per round, the documented bounded
+    round-trip — + ONE TakeOrdered(1)). No pairwise table, no
+    corpus shuffle, ever.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    first = (
+        e.where(F.col("vec_id") == 0)
+        .select("vec_id", "embedding")
+        .first()
+    )
+    selected = [(1, int(first["vec_id"]), [float(x) for x in first["embedding"]], 0)]
+    for t in range(2, _KC_K + 1):
+        chosen_ids = [s[1] for s in selected]
+        dists = [
+            F.floor(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.array(*[F.lit(x) for x in vec]),
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                * F.lit(1e6)
+            ).cast("long")
+            for (_, _, vec, _) in selected
+        ]
+        pick = (
+            e.where(~F.col("vec_id").isin(chosen_ids))
+            .select(
+                "vec_id",
+                "embedding",
+                F.least(*dists).alias("d_ppm")
+                if len(dists) > 1
+                else dists[0].alias("d_ppm"),
+            )
+            .orderBy(F.col("d_ppm").desc(), F.col("vec_id"))
+            .limit(1)
+            .first()
+        )
+        selected.append(
+            (
+                t,
+                int(pick["vec_id"]),
+                [float(x) for x in pick["embedding"]],
+                int(pick["d_ppm"]),
+            )
+        )
+    res = spark.createDataFrame(
+        [(r, v, d) for (r, v, _, d) in selected],
+        "rank int, vec_id long, d_ppm long",
+    )
+    return res.select(
+        "rank",
+        "vec_id",
+        (F.col("d_ppm").cast("double") / F.lit(1e6)).alias("sq_dist"),
+    )

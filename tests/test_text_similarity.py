@@ -784,3 +784,52 @@ class TestMmrDiverse:
             return s / n
 
         assert mean_pair_sim(sel) <= mean_pair_sim(topk) + 1e-9
+
+
+class TestKcenterCoreset:
+    def test_matches_brute_farthest_first(self, spark):
+        import math
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        got = sorted(
+            (r["rank"], r["vec_id"])
+            for r in QUERIES["select_kcenter_coreset"](spark, sf).collect()
+        )
+        rows = {
+            r["vec_id"]: list(r["embedding"])
+            for r in load_table(spark, sf, "embeddings").collect()
+        }
+
+        def d_ppm(a, b):
+            s = 0.0
+            for x, y in zip(a, b):
+                s += (float(x) - float(y)) * (float(x) - float(y))
+            return math.floor(s * 1e6)
+
+        sel = [0]
+        for _ in range(4):
+            best = max(
+                (v for v in rows if v not in sel),
+                key=lambda v: (
+                    min(d_ppm(rows[v], rows[s]) for s in sel),
+                    -v,
+                ),
+            )
+            sel.append(best)
+        assert got == sorted((i + 1, v) for i, v in enumerate(sel))
+
+    def test_farthest_first_distances_nonincreasing(self, spark):
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        rows = sorted(
+            QUERIES["select_kcenter_coreset"](
+                spark, "/root/testdata/sf0.001"
+            ).collect(),
+            key=lambda r: r["rank"],
+        )
+        ds = [r["sq_dist"] for r in rows[1:]]  # rank 1 is the seed
+        assert all(ds[i + 1] <= ds[i] + 1e-9 for i in range(len(ds) - 1))
+        assert ds[-1] > 0

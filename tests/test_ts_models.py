@@ -214,3 +214,76 @@ class TestAr1Forecast:
         ) / 60_000.0
         diffs = [abs(out[h]["forecast"] - mean) for h in range(1, 8)]
         assert all(diffs[i + 1] <= diffs[i] + 1e-9 for i in range(6))
+
+
+class TestBurstIntervals:
+    def test_kernel_matches_exhaustive_dp(self, spark):
+        import itertools
+
+        from speech_data_pipeline_spark.operators.recurrence import (
+            viterbi_burst,
+        )
+
+        xs = [1, 1, 2, 1, 9, 10, 11, 9, 1, 2, 1, 1, 10, 1, 1]
+        lo, hi, g = 1, 10, 6
+        df = spark.createDataFrame(
+            [("a", t, x, lo, hi, g) for t, x in enumerate(xs)],
+            "k string, t long, x long, lo long, hi long, g long",
+        )
+        got = [
+            s for _, s in sorted(
+                (r["t"], r["state"])
+                for r in viterbi_burst(
+                    df, "k", "t", "x", "lo", "hi", "g"
+                ).collect()
+            )
+        ]
+
+        def cost(comb):
+            c = g if comb[0] == 1 else 0
+            for t, s in enumerate(comb):
+                c += abs(xs[t] - (hi if s else lo))
+                if t and s != comb[t - 1]:
+                    c += g
+            return c
+
+        best = min(
+            itertools.product([0, 1], repeat=len(xs)), key=cost
+        )
+        assert cost(tuple(got)) == cost(best)
+        # the sustained block is a burst; the lone spike is not
+        assert got[4:8] == [1, 1, 1, 1]
+        assert got[12] == 0
+
+    def test_planted_burst_interval_recovered(self, spark):
+        import os, tempfile
+
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        base_ns = 1_700_000_000_000_000_000
+        day_ns = 86_400_000_000_000
+        rows = []
+        eid = 0
+        for d in range(60):
+            n = 20 if 25 <= d < 33 else 5  # burst days 25..32
+            for i in range(n):
+                rows.append(
+                    (eid, base_ns + d * day_ns + i * 1000, 1,
+                     "purchase", 1.0, "{}")
+                )
+                eid += 1
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type",
+                           "value", "props"])
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            out = QUERIES["ts_burst_intervals"](spark, d).collect()
+        assert len(out) == 1
+        r = out[0]
+        day0 = base_ns // 1000 // 86_400_000_000
+        assert r["event_type"] == "purchase"
+        assert r["start_day"] == day0 + 25
+        assert r["end_day"] == day0 + 32
+        assert r["n_days"] == 8 and r["peak"] == 20 and r["total"] == 160
