@@ -651,11 +651,10 @@ def allpairs_prefix_cosine(
         ).alias("ord"),
         F.count(F.lit(1)).alias("n"),
     )
-    # exact ceil(t2*n) and prefix length
-    alpha = (F.col("n") * t2_num + F.lit(t2_den - 1)).cast("long") / F.lit(
-        t2_den
-    )
-    alpha = F.floor(alpha).cast("long")
+    # exact ceil(t2*n) and prefix length — pure integer `div`, never
+    # double division (float floor can over-round and shorten the
+    # prefix past 2^53)
+    alpha = F.expr(f"(n * {t2_num} + {t2_den - 1}) div {t2_den}")
     plen = (F.col("n") - alpha + 1).cast("int")
     prefix = sets.select(
         "id",

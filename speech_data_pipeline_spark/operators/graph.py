@@ -590,8 +590,9 @@ def bellman_ford_sssp(
         F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(w).alias("_w")
     )
     spark = edges.sparkSession
+    node_type = dict(edges.dtypes)[src]
     dist = spark.createDataFrame(
-        [(source, 0)], "node string, dist long"
+        [(source, 0)], f"node {node_type}, dist long"
     ).persist()
     for _ in range(rounds):
         relaxed = (

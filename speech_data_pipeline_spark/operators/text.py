@@ -1020,14 +1020,23 @@ def winnow_fingerprints(
                 (F.size(sl) - q).alias("off"), mn.alias("fp")
             )
 
+        # pick(sl) is itself bound once per window (transform over a
+        # 1-element array) so min/reverse/position evaluate ONCE, not
+        # once per consumed field
         return F.transform(
             F.sequence(F.lit(1), nwin),
             lambda j: F.element_at(
                 F.transform(
                     F.array(F.slice(g, j, w)),
-                    lambda sl: F.struct(
-                        (j + pick(sl).getField("off")).alias("pos"),
-                        pick(sl).getField("fp").alias("fp"),
+                    lambda sl: F.element_at(
+                        F.transform(
+                            F.array(pick(sl)),
+                            lambda pk: F.struct(
+                                (j + pk.getField("off")).alias("pos"),
+                                pk.getField("fp").alias("fp"),
+                            ),
+                        ),
+                        1,
                     ),
                 ),
                 1,

@@ -649,11 +649,34 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KS_A = "purchase"
 _KS_B = "view"
 
+#: Shared DuckDB CTE: the two-sample DISTINCT cent-value table used by
+#: the KS / Wasserstein / Mann-Whitney oracles — extend this, don't
+#: copy (the _cos_pair_sql convention).
 
-@query(
-    "stats_ks_test",
-    oracle=f"""
-    WITH q AS (
+
+def _two_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of :data:`_TWO_SAMPLE_CTE`: collapse the corpus to
+    the DISTINCT cent-value table ``(v, c1, c2)`` for the purchase /
+    view two-sample battery. ONE definition so the quantization and
+    arm filter cannot drift between the three tests."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.where(F.col("event_type").isin(_KS_A, _KS_B)).select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    return q.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+
+
+_TWO_SAMPLE_CTE = f"""q AS (
       SELECT event_type,
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
       FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
@@ -662,7 +685,14 @@ _KS_B = "view"
              sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS c1,
              sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS c2
       FROM q GROUP BY v
-    ), run AS (
+    )"""
+
+
+
+@query(
+    "stats_ks_test",
+    oracle=f"""
+    WITH {_TWO_SAMPLE_CTE}, run AS (
       SELECT sum(c1) OVER (ORDER BY v
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc1,
              sum(c2) OVER (ORDER BY v
@@ -708,21 +738,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator is exact integer arithmetic — no float ECDF ever
     crosses a shuffle.
     """
-    ev = load_table(spark, sf_dir, "events")
-    q = ev.where(F.col("event_type").isin(_KS_A, _KS_B)).select(
-        "event_type",
-        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
-        .cast("long")
-        .alias("v"),
-    )
-    byv = q.groupBy("v").agg(
-        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias(
-            "c1"
-        ),
-        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias(
-            "c2"
-        ),
-    )
+    byv = _two_sample_counts(spark, sf_dir)
     w_run = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -820,9 +836,6 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n·S ride DECIMAL(38,0)/HUGEINT; the assembly is two float divides.
     """
     o = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
-        "long"
-    )
     rev = o.groupBy("o_custkey").agg(
         F.expr(f"sum(cast(floor(o_totalprice * 100.0 + 0.5) as bigint))"
                f" div {_GINI_GRID}").alias("v")
@@ -865,16 +878,7 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_wasserstein_1d",
     oracle=f"""
-    WITH q AS (
-      SELECT event_type,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
-      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
-    ), byv AS (
-      SELECT v,
-             sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS c1,
-             sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS c2
-      FROM q GROUP BY v
-    ), run AS (
+    WITH {_TWO_SAMPLE_CTE}, run AS (
       SELECT v,
              coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS dv,
              sum(c1) OVER (ORDER BY v
@@ -912,21 +916,7 @@ def stats_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-less window); one sum aggregate whose terms are exact
     DECIMAL(38,0) integers — no float ECDF crosses a shuffle.
     """
-    ev = load_table(spark, sf_dir, "events")
-    q = ev.where(F.col("event_type").isin(_KS_A, _KS_B)).select(
-        "event_type",
-        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
-        .cast("long")
-        .alias("v"),
-    )
-    byv = q.groupBy("v").agg(
-        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias(
-            "c1"
-        ),
-        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias(
-            "c2"
-        ),
-    )
+    byv = _two_sample_counts(spark, sf_dir)
     w_ord = Window.orderBy("v")
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_all = Window.partitionBy().rowsBetween(
@@ -970,16 +960,7 @@ def stats_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_mannwhitney_u",
     oracle=f"""
-    WITH q AS (
-      SELECT event_type,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
-      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
-    ), byv AS (
-      SELECT v,
-             sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS c1,
-             sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS c2
-      FROM q GROUP BY v
-    ), ranked AS (
+    WITH {_TWO_SAMPLE_CTE}, ranked AS (
       SELECT v, c1, c2, c1 + c2 AS t,
              1 + coalesce(sum(c1 + c2) OVER (ORDER BY v
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -1032,21 +1013,7 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     table as stats_ks_test (whitelisted running rank window); z is
     one float assembly on the 1-row result.
     """
-    ev = load_table(spark, sf_dir, "events")
-    q = ev.where(F.col("event_type").isin(_KS_A, _KS_B)).select(
-        "event_type",
-        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
-        .cast("long")
-        .alias("v"),
-    )
-    byv = q.groupBy("v").agg(
-        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias(
-            "c1"
-        ),
-        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias(
-            "c2"
-        ),
-    )
+    byv = _two_sample_counts(spark, sf_dir)
     w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     ranked = byv.select(
         "c1",

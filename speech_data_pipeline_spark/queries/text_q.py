@@ -2365,6 +2365,8 @@ def select_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             key = (score, -vid)
             if best is None or key > best[0]:
                 best = (key, vid, rel_ppm, score)
+        if best is None:  # pool exhausted (<k candidates): degrade to
+            break  # fewer rows, matching the oracle's empty pick CTE
         out.append((t, best[1], best[2], best[3]))
         chosen.add(best[1])
     res = spark.createDataFrame(

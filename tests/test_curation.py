@@ -332,3 +332,62 @@ class TestRendezvousShards:
         c8 = Counter(hrw(d, 8) for d in docs)
         for s in range(8):
             assert rows[s]["n_before"] == c8.get(s, 0)
+
+
+class TestBpeFertility:
+    def test_fertility_matches_brute_encode(self, spark):
+        # Replay: train the same 5 merges brute-force in python, then
+        # chars/token per language must match exactly.
+        import re
+        from collections import Counter, defaultdict
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        got = {r["lang"]: r
+               for r in QUERIES["text_bpe_fertility"](spark, sf).collect()}
+        docs = [(r["doc_id"], r["lang"], r["text"])
+                for r in load_table(spark, sf, "documents").collect()]
+        wfreq = Counter()
+        for _, _, t in docs:
+            wfreq.update(re.findall(r"[a-z]+", t.lower()))
+        symtab = {w: list(w) for w in wfreq}
+        for _ in range(5):
+            pc = Counter()
+            for w, syms in symtab.items():
+                f = wfreq[w]
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += f
+            if not pc:
+                break
+            (a, b), _c = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            for w, syms in symtab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                symtab[w] = out
+        agg = defaultdict(lambda: [set(), 0, 0, 0])  # docs,words,toks,chars
+        for did, lang, t in docs:
+            for w in re.findall(r"[a-z]+", t.lower()):
+                a = agg[lang]
+                a[0].add(did)
+                a[1] += 1
+                a[2] += len(symtab[w])
+                a[3] += len(w)
+        import math
+
+        for lang, (ds, nw, nt, nc) in agg.items():
+            assert got[lang]["n_docs"] == len(ds)
+            assert got[lang]["n_words"] == nw
+            assert got[lang]["n_tokens"] == nt
+            assert got[lang]["chars_per_token"] == math.floor(
+                nc / nt * 1e6) / 1e6

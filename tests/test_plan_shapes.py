@@ -83,6 +83,8 @@ SCALAR_CROSS_WHITELIST = {
     "layout_zorder_pruned_read",  # bucket-count scalars (≤64-row
     # manifest aggregates) attached to the 1-row result
     "search_bm25_topk",  # corpus-stats scalar (N, Σdl, per-term df): 1 row
+    "stats_theil_sen",  # n_weeks count scalar attached to the 1-row
+    # slope-median pick: 1 row x 1 row
     "feat_target_encode_oof",  # global-prior scalar: 1 row onto K·|cats| cells
     "feat_woe_iv",  # good/bad-total scalar: 1 row onto ≤10 bins
     "survival_kaplan_meier",  # corpus max-ts horizon scalar: 1 row
