@@ -1296,3 +1296,142 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_micro").cast("double") / F.lit(1e6) / F.lit(1000.0)
         ).alias("slope_per_week"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (SPRT)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+#: SPRT hypotheses on the per-event purchase rate and α=β=0.05
+#: barriers. ALL log constants are precomputed HERE in Python and
+#: inlined as integer nano-nat literals in both engines — ln() ulp
+#: behavior differs between the JVM and C, so neither engine ever
+#: evaluates a log.
+_SPRT_P0, _SPRT_P1 = 0.18, 0.22
+_SPRT_L1_NN = _math.floor(_math.log(_SPRT_P1 / _SPRT_P0) * 1e9)
+_SPRT_L0_NN = _math.floor(
+    _math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0)) * 1e9
+)
+_SPRT_A_NN = _math.floor(_math.log(19.0) * 1e9)  # ln((1-β)/α)
+_SPRT_B_NN = -_SPRT_A_NN  # symmetric α=β
+
+
+@query(
+    "ab_sprt_sequential",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events GROUP BY day
+    ), walk AS (
+      SELECT day, n, conv,
+             sum(conv * CAST({_SPRT_L1_NN} AS BIGINT)
+                 + (n - conv) * CAST({_SPRT_L0_NN} AS BIGINT))
+               OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS llr_nn
+      FROM daily
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS total_trials,
+             CAST(sum(conv) AS BIGINT) AS total_conv,
+             min(CASE WHEN llr_nn >= {_SPRT_A_NN}
+                       OR llr_nn <= {_SPRT_B_NN} THEN day END)
+               AS first_cross_day,
+             min(CASE WHEN llr_nn >= {_SPRT_A_NN} THEN day END) AS up_day,
+             min(CASE WHEN llr_nn <= {_SPRT_B_NN} THEN day END) AS dn_day,
+             max_by(llr_nn, day) AS final_llr_nn
+      FROM walk
+    )
+    SELECT n_days, total_trials, total_conv, first_cross_day,
+           CASE WHEN first_cross_day IS NULL THEN 'continue'
+                WHEN up_day IS NOT NULL
+                     AND (dn_day IS NULL OR up_day <= dn_day)
+                  THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           floor(CAST(final_llr_nn AS DOUBLE) / 1e9 * 1000000.0)
+             / 1000000.0 AS final_llr
+    FROM agg
+    """,
+)
+def ab_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test on the daily purchase
+    rate: walk the cumulative log-likelihood ratio
+    ``Σ conv·ln(p₁/p₀) + (n−conv)·ln(q₁/q₀)`` day by day and stop the
+    experiment the first day it crosses ``±ln((1−β)/α)`` (α=β=0.05) —
+    the always-valid early-stopping monitor a perpetual A/B platform
+    runs instead of a fixed-horizon test.
+
+    Exactness: the four log constants are precomputed in PYTHON and
+    inlined as integer nano-nat literals in both engines (ln() ulp
+    differs JVM vs C); the walk is then a pure-integer running sum
+    over the day grid (whitelisted window, date-domain bounded) and
+    crossing detection is integer comparison.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("(ts div 1000) div 86400000000").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = daily.select(
+        "day",
+        "n",
+        "conv",
+        F.sum(
+            F.col("conv") * F.lit(_SPRT_L1_NN)
+            + (F.col("n") - F.col("conv")) * F.lit(_SPRT_L0_NN)
+        )
+        .over(w_run)
+        .alias("llr_nn"),
+    )
+    crossed = (F.col("llr_nn") >= _SPRT_A_NN) | (
+        F.col("llr_nn") <= _SPRT_B_NN
+    )
+    agg = walk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("total_trials"),
+        F.sum("conv").cast("long").alias("total_conv"),
+        F.min(F.when(crossed, F.col("day"))).alias("first_cross_day"),
+        F.min(
+            F.when(F.col("llr_nn") >= _SPRT_A_NN, F.col("day"))
+        ).alias("up_day"),
+        F.min(
+            F.when(F.col("llr_nn") <= _SPRT_B_NN, F.col("day"))
+        ).alias("dn_day"),
+        F.max(F.struct("day", "llr_nn"))
+        .getField("llr_nn")
+        .alias("final_llr_nn"),
+    )
+    decision = (
+        F.when(F.col("first_cross_day").isNull(), "continue")
+        .when(
+            F.col("up_day").isNotNull()
+            & (
+                F.col("dn_day").isNull()
+                | (F.col("up_day") <= F.col("dn_day"))
+            ),
+            "accept_h1",
+        )
+        .otherwise("accept_h0")
+    )
+    return agg.select(
+        "n_days",
+        "total_trials",
+        "total_conv",
+        "first_cross_day",
+        decision.alias("decision"),
+        trunc6(F.col("final_llr_nn").cast("double") / F.lit(1e9)).alias(
+            "final_llr"
+        ),
+    )

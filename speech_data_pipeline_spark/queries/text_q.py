@@ -2505,3 +2505,64 @@ def select_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (F.col("d_ppm").cast("double") / F.lit(1e6)).alias("sq_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix autocomplete top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "search_prefix_topk",
+    oracle="""
+    WITH vocab AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+      ) GROUP BY word
+    ), pfx AS (
+      SELECT substr(word, 1, 3) AS prefix, word, freq,
+             row_number() OVER (PARTITION BY substr(word, 1, 3)
+                                ORDER BY freq DESC, word) AS rank
+      FROM vocab WHERE length(word) >= 3
+    )
+    SELECT prefix, CAST(rank AS INTEGER) AS rank, word,
+           CAST(freq AS BIGINT) AS freq
+    FROM pfx WHERE rank <= 3
+    """,
+)
+def search_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete index: top-3 completions by corpus frequency for
+    every 3-char prefix (frequency-then-lexicographic tie-break) —
+    the query-suggestion table a search box serves.
+
+    Plan shape: the corpus collapses to the vocabulary (one grouped
+    count); the per-prefix rank compiles to WindowGroupLimit (per-map-
+    partition top-k BEFORE the shuffle), partitioned by prefix —
+    bounded per group by vocabulary, never corpus rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("([a-z]+)"), 1
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy(F.substring("word", 1, 3)).orderBy(
+        F.col("freq").desc(), F.col("word")
+    )
+    return (
+        vocab.where(F.length("word") >= 3)
+        .select(
+            F.substring("word", 1, 3).alias("prefix"),
+            F.row_number().over(w).alias("rank"),
+            "word",
+            F.col("freq").cast("long").alias("freq"),
+        )
+        .where(F.col("rank") <= 3)
+    )

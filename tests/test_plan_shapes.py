@@ -151,6 +151,8 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     # cent-value table (stats_ks_test contract), never corpus
     "stats_theil_sen",  # slope-CDF running sum over the pair-slope
     # value table, bounded by weeks² (observation window), never corpus
+    "ab_sprt_sequential",  # LLR running sum over the day grid,
+    # date-domain bounded, never corpus
     "text_zipf_slope",  # rank window over the LIMIT-100 vocabulary head
 }
 

@@ -584,3 +584,96 @@ class TestTheilSen:
             df.to_parquet(os.path.join(d, "events.parquet"))
             row = QUERIES["stats_theil_sen"](spark, d).collect()[0]
         assert abs(row["slope_per_week"] - 2.0) < 0.01
+
+
+class TestSprtSequential:
+    def test_crafted_high_rate_crosses_up(self, spark):
+        import math
+        import os, tempfile
+
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        # 30% purchase rate (above p1=0.22): the LLR walk must cross
+        # the upper barrier and stop.
+        base_ns = 1_700_000_000_000_000_000
+        day_ns = 86_400_000_000_000
+        rows = []
+        eid = 0
+        for d in range(40):
+            for i in range(100):
+                et = "purchase" if i < 30 else "view"
+                rows.append((eid, base_ns + d * day_ns + i * 1000, 1,
+                             et, 1.0, "{}"))
+                eid += 1
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type",
+                           "value", "props"])
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            row = QUERIES["ab_sprt_sequential"](spark, d).collect()[0]
+        assert row["decision"] == "accept_h1"
+        # brute walk to find the exact crossing day
+        l1 = math.floor(math.log(0.22 / 0.18) * 1e9)
+        l0 = math.floor(math.log(0.78 / 0.82) * 1e9)
+        a = math.floor(math.log(19.0) * 1e9)
+        cum, cross = 0, None
+        day0 = base_ns // 1000 // 86_400_000_000
+        for d in range(40):
+            cum += 30 * l1 + 70 * l0
+            if cross is None and (cum >= a or cum <= -a):
+                cross = day0 + d
+        assert row["first_cross_day"] == cross
+        assert row["total_trials"] == 4000
+        assert row["total_conv"] == 1200
+
+    def test_fixture_walk_matches_brute(self, spark):
+        import math
+        from collections import defaultdict
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        row = QUERIES["ab_sprt_sequential"](spark, sf).collect()[0]
+        daily = defaultdict(lambda: [0, 0])
+        for r in load_table(spark, sf, "events").collect():
+            d = (r["ts"] // 1000) // 86_400_000_000
+            daily[d][0] += 1
+            daily[d][1] += r["event_type"] == "purchase"
+        l1 = math.floor(math.log(0.22 / 0.18) * 1e9)
+        l0 = math.floor(math.log(0.78 / 0.82) * 1e9)
+        cum = 0
+        for d in sorted(daily):
+            n, c = daily[d]
+            cum += c * l1 + (n - c) * l0
+        assert row["n_days"] == len(daily)
+        assert row["final_llr"] == math.floor(cum / 1e9 * 1e6) / 1e6
+
+
+class TestPrefixTopk:
+    def test_matches_brute_counter(self, spark):
+        import re
+        from collections import Counter, defaultdict
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        got = defaultdict(list)
+        for r in QUERIES["search_prefix_topk"](spark, sf).collect():
+            got[r["prefix"]].append((r["rank"], r["word"], r["freq"]))
+        cnt = Counter()
+        for r in load_table(spark, sf, "documents").collect():
+            cnt.update(re.findall(r"[a-z]+", r["text"].lower()))
+        byp = defaultdict(list)
+        for w, c in cnt.items():
+            if len(w) >= 3:
+                byp[w[:3]].append((-c, w))
+        for p, lst in byp.items():
+            lst.sort()
+            exp = [(i + 1, w, -negc)
+                   for i, (negc, w) in enumerate(lst[:3])]
+            assert sorted(got[p]) == exp
+        assert set(got) == set(byp)
