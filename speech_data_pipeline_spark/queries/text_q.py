@@ -2566,3 +2566,161 @@ def search_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch) scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+      FROM documents
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(syl AS BIGINT) AS n_syllables,
+           CASE WHEN w > 0 THEN
+             floor((206.835
+                    - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                    - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)))
+                   * 1000000.0) / 1000000.0
+           END AS flesch,
+           CASE WHEN w > 0 THEN
+             floor((0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                    + 11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))
+                    - 15.59)
+                   * 1000000.0) / 1000000.0
+           END AS fk_grade
+    FROM c
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document, with
+    the standard vowel-group syllable heuristic — the classic
+    readability gate a quality-filter stack runs next to
+    text_quality_score's surface features.
+
+    Pure in-row column algebra (three regexp counts + two fixed
+    formulas); integer counts, per-row double assembly, trunc6.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+    ).cast("long")
+    s = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("([.!?]+)"), 1)
+        ),
+        F.lit(1),
+    ).cast("long")
+    syl = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("([aeiouy]+)"), 1
+        )
+    ).cast("long")
+    c = d.select(
+        "doc_id", w.alias("w"), s.alias("s"), syl.alias("syl")
+    )
+    dbl = lambda col: F.col(col).cast("double")  # noqa: E731
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (dbl("w") / dbl("s"))
+        - F.lit(84.6) * (dbl("syl") / dbl("w"))
+    )
+    fk = (
+        F.lit(0.39) * (dbl("w") / dbl("s"))
+        + F.lit(11.8) * (dbl("syl") / dbl("w"))
+        - F.lit(15.59)
+    )
+    return c.select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("syl").alias("n_syllables"),
+        F.when(F.col("w") > 0, trunc6(flesch)).alias("flesch"),
+        F.when(F.col("w") > 0, trunc6(fk)).alias("fk_grade"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cleaning / normalization audit
+# ---------------------------------------------------------------------------
+
+#: Explicit whitespace class (the simhash convention — never \\s, whose
+#: semantics differ between Java regex and RE2).
+_WS = r"[ \t\n\r\f\x0b]"
+_CTRL = r"[\x00-\x08\x0e-\x1f\x7f]"
+
+
+@query(
+    "text_clean_normalize",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '{_CTRL}')) AS n_ctrl,
+             len(regexp_extract_all(text, '{_WS}{{2,}}')) AS n_ws_runs,
+             trim(regexp_replace(
+               regexp_replace(text, '{_CTRL}', '', 'g'),
+               '{_WS}+', ' ', 'g')) AS clean
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(clean) AS BIGINT) AS clean_chars,
+           CAST(n_ctrl AS BIGINT) AS n_ctrl,
+           CAST(n_ws_runs AS BIGINT) AS n_ws_runs,
+           CASE WHEN clean = text THEN 0 ELSE 1 END AS changed,
+           md5(clean) AS clean_md5
+    FROM c
+    """,
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning/normalization audit: strip control characters,
+    collapse whitespace runs, trim — reporting per document what
+    changed (control-char count, collapsed runs, length delta) and
+    the cleaned content digest (the key an exact-dedup pass would
+    then group on, making dedup robust to whitespace-only variants).
+
+    Pure in-row column algebra; the whitespace class is EXPLICIT
+    (the simhash convention — ``\\s`` semantics differ between Java
+    regex and RE2, so it never appears in cross-engine expressions).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _CTRL, ""),
+            _WS + "+",
+            " ",
+        )
+    )
+    c = d.select(
+        "doc_id",
+        "text",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(f"({_CTRL})"), 1)
+        ).alias("n_ctrl"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(f"({_WS}{{2,}})"), 1
+            )
+        ).alias("n_ws_runs"),
+        clean.alias("clean"),
+    )
+    return c.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length("clean").cast("long").alias("clean_chars"),
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+        F.col("n_ws_runs").cast("long").alias("n_ws_runs"),
+        F.when(F.col("clean") == F.col("text"), 0).otherwise(1).alias(
+            "changed"
+        ),
+        F.md5("clean").alias("clean_md5"),
+    )

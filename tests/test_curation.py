@@ -391,3 +391,56 @@ class TestBpeFertility:
             assert got[lang]["n_tokens"] == nt
             assert got[lang]["chars_per_token"] == math.floor(
                 nc / nt * 1e6) / 1e6
+
+
+class TestReadabilityAndClean:
+    def test_flesch_matches_brute(self, spark):
+        import math
+        import re
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        got = {r["doc_id"]: r
+               for r in QUERIES["text_readability"](spark, sf).collect()}
+        for r in load_table(spark, sf, "documents").limit(50).collect():
+            t = r["text"]
+            w = len(re.findall(r"[a-z]+", t.lower()))
+            s = max(len(re.findall(r"[.!?]+", t)), 1)
+            syl = len(re.findall(r"[aeiouy]+", t.lower()))
+            g = got[r["doc_id"]]
+            assert g["n_words"] == w and g["n_sentences"] == s
+            assert g["n_syllables"] == syl
+            if w:
+                fl = 206.835 - 1.015 * w / s - 84.6 * syl / w
+                assert g["flesch"] == math.floor(fl * 1e6) / 1e6
+
+    def test_clean_normalize_on_crafted_dirty_text(self, spark):
+        import hashlib
+        import os, tempfile
+
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        dirty = "  hello\x00\x01  world\t\tagain \n\n end  "
+        clean = "hello world again end"
+        df = pd.DataFrame(
+            {"doc_id": [1, 2], "text": [dirty, "already clean"],
+             "lang": ["en", "en"], "source": ["s", "s"],
+             "n_chars": [len(dirty), 13]}
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "documents.parquet"))
+            rows = {r["doc_id"]: r
+                    for r in QUERIES["text_clean_normalize"](
+                        spark, d).collect()}
+        r = rows[1]
+        assert r["changed"] == 1
+        assert r["n_ctrl"] == 2
+        assert r["clean_chars"] == len(clean)
+        assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+        assert rows[2]["changed"] == 0
+        assert rows[2]["clean_md5"] == hashlib.md5(
+            b"already clean").hexdigest()
