@@ -1587,3 +1587,230 @@ def ts_burst_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("x").cast("long").alias("peak"),
         F.sum("x").cast("long").alias("total"),
     ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain attribution (removal effects)
+# ---------------------------------------------------------------------------
+
+#: Channel states (non-absorbing, fixed domain). purchase maps to the
+#: absorbing CONV state; journeys without a purchase absorb at NULL.
+_MKV_CHANNELS = ("click", "error", "signup", "view")
+_MKV_STATES = ("START",) + _MKV_CHANNELS  # transient states, index order
+_MKV_ITERS = 40
+
+
+def _mkv_transitions_sql() -> str:
+    """DuckDB CTE building journey transition counts (src, dst, c):
+    per user ordered by (ts, event_id) up to and including the FIRST
+    purchase; START precedes the first event; non-converting journeys
+    end at NULL; purchase maps to CONV."""
+    return """
+    ev AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), fp AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'purchase' THEN rn END) AS fp_rn,
+             max(rn) AS last_rn
+      FROM ev GROUP BY user_id
+    ), kept AS (
+      SELECT e.user_id, e.rn,
+             CASE WHEN e.event_type = 'purchase' THEN 'CONV'
+                  ELSE e.event_type END AS st,
+             coalesce(f.fp_rn, f.last_rn) AS end_rn
+      FROM ev e JOIN fp f ON f.user_id = e.user_id
+      WHERE e.rn <= coalesce(f.fp_rn, f.last_rn)
+    ), hops AS (
+      SELECT user_id, rn, st,
+             lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS nxt,
+             rn = end_rn AS is_last
+      FROM kept
+    ), trans AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT 'START' AS src, st AS dst FROM kept WHERE rn = 1
+        UNION ALL
+        SELECT st AS src, nxt AS dst FROM hops WHERE nxt IS NOT NULL
+        UNION ALL
+        SELECT st AS src, 'NULL' AS dst FROM hops
+        WHERE is_last AND st <> 'CONV'
+      ) GROUP BY src, dst
+    )"""
+
+
+def _mkv_oracle() -> str:
+    n = len(_MKV_STATES)
+    scen_parts = []
+    outs = []
+    for si, removed in enumerate([None, *_MKV_CHANNELS]):
+        tag = f"s{si}"
+        # transition probabilities with `removed` blocked: hops INTO
+        # the removed channel become losses (dst -> 'NULL')
+        dst_expr = (
+            "dst"
+            if removed is None
+            else f"CASE WHEN dst = '{removed}' THEN 'NULL' ELSE dst END"
+        )
+        # per transient state i: ordered list over [states..., CONV]
+        # of p(i -> j); fold per iteration in fixed index order
+        plists = []
+        for st in _MKV_STATES:
+            entries = ", ".join(
+                f"coalesce(max(CASE WHEN src = '{st}' AND dst2 = '{dst}'"
+                f" THEN p END), 0.0)"
+                for dst in [*_MKV_STATES, "CONV"]
+            )
+            plists.append(f"[{entries}]")
+        scen_parts.append(f"""
+    p{tag} AS MATERIALIZED (
+      SELECT src, dst2, CAST(sum(c) AS DOUBLE)
+               / CAST(sum(sum(c)) OVER (PARTITION BY src) AS DOUBLE) AS p
+      FROM (SELECT src, {dst_expr} AS dst2, c FROM trans)
+      GROUP BY src, dst2
+    ),
+    m{tag} AS MATERIALIZED (
+      SELECT {", ".join(f"{pl} AS r{i}" for i, pl in enumerate(plists))}
+      FROM p{tag}
+    ),
+    it{tag} AS (
+      SELECT 0 AS k,
+             {", ".join(f"CAST(0.0 AS DOUBLE) AS v{i}" for i in range(n))}
+      UNION ALL
+      SELECT k + 1,
+             {", ".join(
+                 "list_sum(list_transform(range(1, %d + 1), "
+                 "j -> m.r%d[j] * ([%s, 1.0])[j]))" % (
+                     n + 1, i,
+                     ", ".join(f"it.v{q}" for q in range(n)))
+                 for i in range(n))}
+      FROM it{tag} AS it, m{tag} AS m WHERE k < {_MKV_ITERS}
+    ),
+    f{tag} AS (SELECT v0 AS pconv FROM it{tag} WHERE k = {_MKV_ITERS})""")
+        if removed is not None:
+            outs.append(
+                f"SELECT '{removed}' AS channel,"
+                f" floor((1.0 - fs{si}.pconv / fs0.pconv) * 1000000.0)"
+                f" / 1000000.0 AS removal_effect,"
+                f" floor(fs0.pconv * 1000000.0) / 1000000.0 AS p_conv_base"
+                f" FROM fs{si}, fs0"
+            )
+    return (
+        "WITH RECURSIVE "
+        + _mkv_transitions_sql()
+        + ","
+        + ",".join(scen_parts)
+        + " "
+        + " UNION ALL ".join(outs)
+    )
+
+
+@query("attr_markov_removal", oracle=_mkv_oracle())
+def attr_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution: model user journeys (START → channel
+    hops → first purchase = CONV, else NULL) as a first-order chain
+    and credit each channel its REMOVAL EFFECT — the relative drop in
+    START→CONV absorption probability when hops into that channel are
+    blocked (Anderl et al., the standard data-driven alternative to
+    position rules like attr_multi_touch).
+
+    Determinism: transition probabilities are exact-integer-count
+    ratios (same doubles both engines); the absorption fixed point
+    runs a FIXED {iters} synchronous iterations with per-state sums
+    folded in state-index order — Python mirrors the oracle's
+    list_sum fold exactly.
+
+    Plan shape: corpus-sized work is ONE user-partitioned window pass
+    + one grouped transition count (≤ (|channels|+2)² rows). The
+    scenario fixed points run driver-side on that collected bounded
+    matrix (the CMS-collect contract); results return as literals.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    st = F.when(F.col("event_type") == "purchase", "CONV").otherwise(
+        F.col("event_type")
+    )
+    evr = ev.select(
+        "user_id", st.alias("st"), F.row_number().over(w).alias("rn")
+    )
+    fp = evr.groupBy("user_id").agg(
+        F.min(F.when(F.col("st") == "CONV", F.col("rn"))).alias("fp_rn"),
+        F.max("rn").alias("last_rn"),
+    )
+    kept = (
+        evr.join(fp, "user_id")
+        .withColumn("end_rn", F.coalesce("fp_rn", "last_rn"))
+        .where(F.col("rn") <= F.col("end_rn"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    hops = kept.select(
+        "st",
+        F.lead("st").over(w2).alias("nxt"),
+        (F.col("rn") == F.col("end_rn")).alias("is_last"),
+        F.col("rn"),
+    )
+    starts = kept.where(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("st").alias("dst")
+    )
+    mids = hops.where(F.col("nxt").isNotNull()).select(
+        F.col("st").alias("src"), F.col("nxt").alias("dst")
+    )
+    ends = hops.where(F.col("is_last") & (F.col("st") != "CONV")).select(
+        F.col("st").alias("src"), F.lit("NULL").alias("dst")
+    )
+    trans = (
+        starts.unionByName(mids)
+        .unionByName(ends)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    counts = {(r["src"], r["dst"]): int(r["c"]) for r in trans}
+
+    def pconv(removed):
+        # blocked hops into `removed` become losses
+        cc = {}
+        for (src, dst), c in counts.items():
+            d2 = "NULL" if removed is not None and dst == removed else dst
+            cc[(src, d2)] = cc.get((src, d2), 0) + c
+        tot = {}
+        for (src, _), c in cc.items():
+            tot[src] = tot.get(src, 0) + c
+        states = list(_MKV_STATES)
+        v = [0.0] * len(states)
+        for _ in range(_MKV_ITERS):
+            nv = []
+            for s in states:
+                acc = 0.0
+                for j, d in enumerate([*states, "CONV"]):
+                    c = cc.get((s, d), 0)
+                    if c:
+                        p = float(c) / float(tot[s])
+                        x = v[j] if j < len(states) else 1.0
+                        acc = acc + p * x
+                nv.append(acc)
+            v = nv
+        return v[0]
+
+    base = pconv(None)
+    rows = []
+    import math as _m
+
+    for ch in _MKV_CHANNELS:
+        eff = 1.0 - pconv(ch) / base
+        rows.append(
+            (
+                ch,
+                _m.floor(eff * 1e6) / 1e6,
+                _m.floor(base * 1e6) / 1e6,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "channel string, removal_effect double, p_conv_base double"
+    )
+
+
+attr_markov_removal.__doc__ = attr_markov_removal.__doc__.format(
+    iters=_MKV_ITERS
+)

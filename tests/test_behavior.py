@@ -385,3 +385,52 @@ class TestKaplanMeier:
         surv = [r["survival"] for r in rows]
         assert all(a >= b for a, b in zip(surv, surv[1:]))
         assert all(0.0 <= s <= 1.0 for s in surv)
+
+
+class TestMarkovRemoval:
+    def test_hand_computable_removal_effects(self, spark):
+        import os, tempfile
+
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        # 10 users click->purchase; 10 view->purchase; 10 view->nothing.
+        # P_conv = 1/3*1 + 2/3*(1/2) = 2/3; removing click OR view each
+        # drops it to 1/3 -> removal effect 0.5 for both.
+        rows = []
+        eid = 0
+        base = 1_700_000_000_000_000_000
+        for u in range(10):
+            rows.append((eid, base + eid * 1000, u, "click", 1.0, "{}")); eid += 1
+            rows.append((eid, base + eid * 1000, u, "purchase", 1.0, "{}")); eid += 1
+        for u in range(10, 20):
+            rows.append((eid, base + eid * 1000, u, "view", 1.0, "{}")); eid += 1
+            rows.append((eid, base + eid * 1000, u, "purchase", 1.0, "{}")); eid += 1
+        for u in range(20, 30):
+            rows.append((eid, base + eid * 1000, u, "view", 1.0, "{}")); eid += 1
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type",
+                           "value", "props"])
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            got = {r["channel"]: r
+                   for r in QUERIES["attr_markov_removal"](
+                       spark, d).collect()}
+        assert abs(got["click"]["p_conv_base"] - 2 / 3) < 2e-6
+        assert abs(got["click"]["removal_effect"] - 0.5) < 2e-6
+        assert abs(got["view"]["removal_effect"] - 0.5) < 2e-6
+        # channels absent from every journey have zero removal effect
+        assert got["error"]["removal_effect"] == 0.0
+        assert got["signup"]["removal_effect"] == 0.0
+
+    def test_effects_bounded_on_fixture(self, spark):
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        rows = QUERIES["attr_markov_removal"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(rows) == 4
+        for r in rows:
+            assert 0.0 <= r["removal_effect"] <= 1.0
+            assert 0.0 < r["p_conv_base"] <= 1.0
