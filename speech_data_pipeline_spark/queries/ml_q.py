@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from speech_data_pipeline_spark.functions import trunc6
 from speech_data_pipeline_spark.operators import text as tx
 from speech_data_pipeline_spark.queries.registry import query
 from speech_data_pipeline_spark.sources.catalog import load_table
@@ -561,4 +562,183 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_right",
         (F.col("gain_nats_ppm_tmp") / F.lit(1e6)).alias("gain_nats"),
         (F.col("acc_ppm_tmp") / F.lit(1e6)).alias("acc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval
+# ---------------------------------------------------------------------------
+
+#: deterministic 3-way split on the order key and the 90% level
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 1, 10  # alpha = 0.1
+
+
+@query(
+    "ml_conformal_interval",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_orderkey % 5 AS fold,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM q WHERE fold NOT IN (0, 1)
+    ), fit AS (
+      SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+             (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS icept
+      FROM m
+    ), resid AS (
+      SELECT q.fold,
+             CAST(floor(abs(CAST(q.y AS DOUBLE)
+                            - (f.slope * CAST(q.x AS DOUBLE) + f.icept)))
+                  AS BIGINT) AS r
+      FROM q, fit WHERE q.fold IN (0, 1)
+    ), calcdf AS (
+      SELECT r,
+             sum(c) OVER (ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER () AS n_cal
+      FROM (SELECT r, count(*) AS c FROM resid WHERE fold = 0 GROUP BY r)
+    ), qhat AS (
+      SELECT max(n_cal) AS n_cal,
+             min(CASE WHEN cum >= ((n_cal + 1) * {_CONF_ALPHA_DEN - _CONF_ALPHA_NUM}
+                                   + {_CONF_ALPHA_DEN - 1}) // {_CONF_ALPHA_DEN}
+                      THEN r END) AS q_cents
+      FROM calcdf
+    ), cov AS (
+      SELECT count(*) AS n_test,
+             sum(CASE WHEN resid.r <= qh.q_cents THEN 1 ELSE 0 END) AS n_in
+      FROM resid, qhat qh WHERE resid.fold = 1
+    )
+    SELECT floor(f.slope * 1000000.0) / 1000000.0 AS slope_cents,
+           floor(f.icept * 1000000.0) / 1000000.0 AS icept_cents,
+           CAST(qh.n_cal AS BIGINT) AS n_cal,
+           CAST(qh.q_cents AS DOUBLE) / 100.0 AS q_hat,
+           CAST(cov.n_test AS BIGINT) AS n_test,
+           floor(CAST(cov.n_in AS DOUBLE) / CAST(cov.n_test AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS coverage
+    FROM fit f, qhat qh, cov
+    """,
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval around the OLS fit of
+    extended price on quantity: train on folds 2–4 (deterministic key
+    split), take the ⌈(n_cal+1)(1−α)⌉-th smallest absolute calibration
+    residual as the half-width ``q̂`` (α = 0.1), and report the
+    finite-sample coverage on the held-out test fold — the
+    distribution-free ML-uncertainty primitive (Vovk; Lei et al.).
+
+    Exactness: OLS from DECIMAL(38,0) integer moments (the
+    stats_linreg identity); residuals floor-quantized to cents (same
+    doubles both engines → same floor); q̂ is an order statistic off
+    the residual CDF (whitelisted window over the bounded cent table);
+    coverage is an integer ratio.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        (F.col("l_orderkey") % 5).alias("fold"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = q.where(~F.col("fold").isin(0, 1)).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38(F.col("x"))).alias("sx"),
+        F.sum(d38(F.col("y"))).alias("sy"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("sxx"),
+        F.sum(d38(F.col("x")) * d38(F.col("y"))).alias("sxy"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    fit = m.select(
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("icept"),
+    )
+    resid = (
+        q.where(F.col("fold").isin(0, 1))
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "fold",
+            F.floor(
+                F.abs(
+                    F.col("y").cast("double")
+                    - (
+                        F.col("slope") * F.col("x").cast("double")
+                        + F.col("icept")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    bys = (
+        resid.where(F.col("fold") == 0)
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_run = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    calcdf = bys.select(
+        "r",
+        F.sum("c").over(w_run).alias("cum"),
+        F.sum("c").over(w_all).alias("n_cal"),
+    )
+    k = F.expr(
+        f"((n_cal + 1) * {_CONF_ALPHA_DEN - _CONF_ALPHA_NUM}"
+        f" + {_CONF_ALPHA_DEN - 1}) div {_CONF_ALPHA_DEN}"
+    )
+    qhat = calcdf.agg(
+        F.max("n_cal").alias("n_cal"),
+        F.min(F.when(F.col("cum") >= k, F.col("r"))).alias("q_cents"),
+    )
+    cov = (
+        resid.where(F.col("fold") == 1)
+        .crossJoin(F.broadcast(qhat.select("q_cents")))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("r") <= F.col("q_cents"), 1).otherwise(0)
+            ).alias("n_in"),
+        )
+    )
+    return (
+        fit.crossJoin(qhat)
+        .crossJoin(cov)
+        .select(
+            trunc6(F.col("slope")).alias("slope_cents"),
+            trunc6(F.col("icept")).alias("icept_cents"),
+            F.col("n_cal").cast("long").alias("n_cal"),
+            (F.col("q_cents").cast("double") / F.lit(100.0)).alias(
+                "q_hat"
+            ),
+            F.col("n_test").cast("long").alias("n_test"),
+            trunc6(
+                F.col("n_in").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("coverage"),
+        )
     )

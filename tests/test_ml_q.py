@@ -270,3 +270,53 @@ class TestDecisionStump:
         # split exists but its gain is noise-level
         assert 0.0 <= row["gain_nats"] < 0.01
         assert row["n_left"] > 0 and row["n_right"] > 0
+
+
+class TestConformalInterval:
+    def test_coverage_guarantee_on_fixture(self, spark):
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        row = QUERIES["ml_conformal_interval"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        # split-conformal finite-sample guarantee: coverage >= 1-alpha
+        # minus sampling noise on the test fold
+        assert row["coverage"] >= 0.85
+        assert row["q_hat"] > 0
+        assert row["n_cal"] > 100 and row["n_test"] > 100
+
+    def test_matches_brute_split_conformal(self, spark):
+        import math
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        row = QUERIES["ml_conformal_interval"](spark, sf).collect()[0]
+        rows = load_table(spark, sf, "lineitem").collect()
+        train = [(int(r["l_quantity"]),
+                  round(r["l_extendedprice"] * 100))
+                 for r in rows if r["l_orderkey"] % 5 not in (0, 1)]
+        n = len(train)
+        sx = sum(x for x, _ in train)
+        sy = sum(y for _, y in train)
+        sxx = sum(x * x for x, _ in train)
+        sxy = sum(x * y for x, y in train)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        icept = (sy - slope * sx) / n
+        cal = sorted(
+            math.floor(abs(round(r["l_extendedprice"] * 100)
+                           - (slope * int(r["l_quantity"]) + icept)))
+            for r in rows if r["l_orderkey"] % 5 == 0
+        )
+        k = math.ceil((len(cal) + 1) * 0.9)
+        qhat = cal[k - 1]
+        test = [
+            math.floor(abs(round(r["l_extendedprice"] * 100)
+                           - (slope * int(r["l_quantity"]) + icept)))
+            for r in rows if r["l_orderkey"] % 5 == 1
+        ]
+        cov = sum(1 for r in test if r <= qhat) / len(test)
+        assert row["n_cal"] == len(cal)
+        assert row["q_hat"] == qhat / 100.0
+        assert row["coverage"] == math.floor(cov * 1e6) / 1e6

@@ -85,6 +85,8 @@ SCALAR_CROSS_WHITELIST = {
     "search_bm25_topk",  # corpus-stats scalar (N, Σdl, per-term df): 1 row
     "stats_theil_sen",  # n_weeks count scalar attached to the 1-row
     # slope-median pick: 1 row x 1 row
+    "ml_conformal_interval",  # OLS-fit / q-hat / coverage scalars:
+    # three 1-row broadcast attaches
     "feat_target_encode_oof",  # global-prior scalar: 1 row onto K·|cats| cells
     "feat_woe_iv",  # good/bad-total scalar: 1 row onto ≤10 bins
     "survival_kaplan_meier",  # corpus max-ts horizon scalar: 1 row
@@ -153,6 +155,8 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     # value table, bounded by weeks² (observation window), never corpus
     "ab_sprt_sequential",  # LLR running sum over the day grid,
     # date-domain bounded, never corpus
+    "ml_conformal_interval",  # residual-CDF running sum over the
+    # DISTINCT cent-residual table, value-domain bounded, never corpus
     "text_zipf_slope",  # rank window over the LIMIT-100 vocabulary head
 }
 
