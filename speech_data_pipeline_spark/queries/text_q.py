@@ -2724,3 +2724,86 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5("clean").alias("clean_md5"),
     )
+
+
+@query(
+    "dedup_canonical_pick",
+    oracle=_cc_resolve_cte()
+    + ","
+    + _QUALITY_CTE
+    + """
+    , mem AS (
+      SELECT r.component, r.doc_id, q.quality, f.n_chars
+      FROM resolved r
+      JOIN qual q ON q.doc_id = r.doc_id
+      JOIN feat f ON f.doc_id = r.doc_id
+    ), cl AS (
+      SELECT component,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             max(quality) AS best_quality
+      FROM mem GROUP BY component HAVING count(*) >= 2
+    ), pick AS (
+      SELECT m.component,
+             min(m.doc_id) AS survivor_id
+      FROM mem m JOIN cl ON cl.component = m.component
+      WHERE m.quality = cl.best_quality
+      GROUP BY m.component
+    )
+    SELECT cl.component, p.survivor_id, cl.n_members,
+           floor(cl.best_quality * 1000000.0) / 1000000.0 AS best_quality,
+           CAST(cl.total_chars - s.n_chars AS BIGINT) AS chars_saved
+    FROM cl
+    JOIN pick p ON p.component = cl.component
+    JOIN feat s ON s.doc_id = p.survivor_id
+    """,
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    (the dedup_resolve components), keep the HIGHEST-QUALITY member
+    (ties → min doc_id) instead of the min-id default — the production
+    survivorship rule ("best of cluster"), reporting per cluster the
+    survivor, the member count, and the characters a delete pass
+    reclaims.
+
+    Plan shape: the dedup_resolve CC machinery + one per-component
+    argmax (max struct — map-side combinable), keyed joins only.
+    """
+    from speech_data_pipeline_spark.operators import graph as gr
+
+    d = load_table(spark, sf_dir, "documents")
+    q = tx.quality_score(d)
+    pairs = dd.minhash_dedup_pairs_collapsed(
+        d, k=16, shingle_len=5, bands=4, threshold=0.5
+    )
+    r = gr.resolve_duplicates(q, pairs)
+    mem = r.select(
+        "component",
+        "doc_id",
+        "quality",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    cl = (
+        mem.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"),
+                    (-F.col("doc_id")).alias("negid"),
+                    F.col("n_chars").alias("nc"),
+                )
+            ).alias("best"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
+    return cl.select(
+        "component",
+        (-F.col("best.negid")).alias("survivor_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        trunc6(F.col("best.q")).alias("best_quality"),
+        (F.col("total_chars") - F.col("best.nc"))
+        .cast("long")
+        .alias("chars_saved"),
+    )

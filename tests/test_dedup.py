@@ -272,3 +272,36 @@ class TestAllPairsPrefix:
         }
         assert got == exp
         assert len(got) > 0
+
+
+class TestCanonicalPick:
+    def test_survivor_is_best_quality_member(self, spark):
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        picks = QUERIES["dedup_canonical_pick"](spark, sf).collect()
+        assert picks
+        members = {
+            r["doc_id"]: (r["component"], r["is_canonical"])
+            for r in QUERIES["dedup_resolve"](spark, sf).collect()
+        }
+        qual = {
+            r["doc_id"]: r["quality"]
+            for r in QUERIES["text_quality_score"](spark, sf).collect()
+        }
+        from collections import defaultdict
+
+        comp_members = defaultdict(list)
+        for d, (c, _) in members.items():
+            comp_members[c].append(d)
+        for p in picks:
+            ms = comp_members[p["component"]]
+            assert len(ms) == p["n_members"] >= 2
+            assert p["survivor_id"] in ms
+            best = max(qual[m] for m in ms)
+            assert qual[p["survivor_id"]] == best == p["best_quality"]
+            # tie-break: min doc_id among best-quality members
+            assert p["survivor_id"] == min(
+                m for m in ms if qual[m] == best
+            )
+            assert p["chars_saved"] >= 0
