@@ -639,6 +639,7 @@ def allpairs_prefix_cosine(
             F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1
         )
     )
+    df = _ensure_parallelism(df)
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(features)).alias("token"),

@@ -514,6 +514,7 @@ def k_core(
     rounds: int = 4,
     a: str = "u",
     b: str = "v",
+    edges_distinct_directed: bool = False,
 ) -> DataFrame:
     """Fixed-round k-core peeling (Seidman 1983 cores; the synchronous
     peel of Batagelj–Zaveršnik done data-parallel): each round drops
@@ -532,15 +533,17 @@ def k_core(
     exponentially). Output: ``(node, deg)`` — survivors with their
     post-peel degree.
     """
-    und = (
-        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .unionByName(
-            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-        )
-        .distinct()
-        .persist()
+    und = edges.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     )
-    und.count()
+    if not edges_distinct_directed:
+        # callers providing a DISTINCT u<v edge list skip this: the
+        # reversed copies are disjoint by construction
+        und = und.distinct()
+    und = und.persist()
+    n_edges = und.count()
     for _ in range(rounds):
         alive = (
             und.groupBy("src")
@@ -555,9 +558,15 @@ def k_core(
             )
             .persist()
         )
-        nxt.count()
+        n_nxt = nxt.count()
         und.unpersist()
         und = nxt
+        if n_nxt == n_edges:
+            # fixpoint: no edge (hence no node) was peeled, so every
+            # remaining synchronous round is the identity — the output
+            # equals the fixed-`rounds` trajectory the oracle replays
+            break
+        n_edges = n_nxt
     out = und.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )

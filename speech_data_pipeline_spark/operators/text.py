@@ -1003,6 +1003,12 @@ def winnow_fingerprints(
     variables (transform-over-1-element-array) so CollapseProject
     cannot re-inline the md5 scan per window.
     """
+    from speech_data_pipeline_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    df = _ensure_parallelism(df)  # one row-group parquet scans as ONE
+    # partition; the per-row md5 work below would run single-threaded
     text = F.col(text_col)
     grams_expr = F.transform(
         char_shingles(text, k),
@@ -1012,36 +1018,29 @@ def winnow_fingerprints(
     def per_window(g):
         nwin = F.greatest(F.size(g) - F.lit(w - 1), F.lit(1))
 
-        def pick(sl):
-            mn = F.array_min(sl)
-            # rightmost occurrence of the window minimum
-            q = F.array_position(F.reverse(sl), mn)
-            return F.struct(
-                (F.size(sl) - q).alias("off"), mn.alias("fp")
+        # w is a small compile-time constant: unroll the window min and
+        # the rightmost-tie position as least() + a CASE ladder over w
+        # element_at probes — no per-window slice/reverse/array_position
+        # allocations (the slice form measured ~8µs/window; this is
+        # pure scalar codegen). try_element_at past the end is NULL
+        # (plain element_at THROWS under ANSI): least() skips NULLs and
+        # a NULL == comparison falls through the CASE.
+        def pick(j):
+            es = [F.try_element_at(g, j + F.lit(i)) for i in range(w)]
+            mn = F.least(*es) if w > 1 else es[0]
+
+            def bind(m):
+                pos = F.when(es[w - 1] == m, j + (w - 1))
+                for i in range(w - 2, 0, -1):
+                    pos = pos.when(es[i] == m, j + i)
+                pos = pos.otherwise(j)
+                return F.struct(pos.alias("pos"), m.alias("fp"))
+
+            return F.element_at(
+                F.transform(F.array(mn), bind), 1
             )
 
-        # pick(sl) is itself bound once per window (transform over a
-        # 1-element array) so min/reverse/position evaluate ONCE, not
-        # once per consumed field
-        return F.transform(
-            F.sequence(F.lit(1), nwin),
-            lambda j: F.element_at(
-                F.transform(
-                    F.array(F.slice(g, j, w)),
-                    lambda sl: F.element_at(
-                        F.transform(
-                            F.array(pick(sl)),
-                            lambda pk: F.struct(
-                                (j + pk.getField("off")).alias("pos"),
-                                pk.getField("fp").alias("fp"),
-                            ),
-                        ),
-                        1,
-                    ),
-                ),
-                1,
-            ),
-        )
+        return F.transform(F.sequence(F.lit(1), nwin), pick)
 
     wins = F.element_at(F.transform(F.array(grams_expr), per_window), 1)
     return df.select(

@@ -1864,7 +1864,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    out = k_core(edges, k=3, rounds=4)
+    out = k_core(edges, k=3, rounds=4, edges_distinct_directed=True)
     return out.select(F.col("node").alias("part_id"), "deg")
 
 

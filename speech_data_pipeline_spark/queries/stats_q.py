@@ -501,6 +501,22 @@ _POIS_PPM = (367879, 735758, 919698, 981011, 996340, 999405, 999916,
 _BOOT_LO_POS = 6
 _BOOT_HI_POS = 195
 
+#: Per-replicate affine uniform families over one 28-bit md5 base hash
+#: (the minhash_coeffs construction): u_b = (a_b·h + c_b) mod p mod 1e6
+#: — ONE md5 per row instead of B, the dominant bootstrap cost at any
+#: scale. p = largest prime < 2^28; a·h + c < 2^56, no overflow.
+_BOOT_P = 268435399
+
+
+def _boot_coeffs(b: int = _BOOT_B) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(20240815)
+    return [
+        (rng.randrange(1, _BOOT_P), rng.randrange(0, _BOOT_P))
+        for _ in range(b)
+    ]
+
 
 def _pois_case_sql(u_sql: str) -> str:
     """CASE ladder mapping a ppm uniform to a Poisson(1) weight —
@@ -514,16 +530,21 @@ def _pois_case_sql(u_sql: str) -> str:
 @query(
     "eval_bootstrap_ci",
     oracle=f"""
-    WITH w AS (
-      SELECT b,
-             {_pois_case_sql(
-                 _hex7_to_int_sql(
-                     "md5('boot:' || CAST(b AS VARCHAR) || ':' "
-                     "|| CAST(o_orderkey AS VARCHAR))"
-                 ) + " % 1000000"
-             )} AS wt,
+    WITH base AS (
+      SELECT {_hex7_to_int_sql("md5('boot:' || CAST(o_orderkey AS VARCHAR))")}
+               AS h,
              CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
       FROM orders
+    ), w AS (
+      SELECT b,
+             {_pois_case_sql(
+                 "((([" + ", ".join(str(a) for a, _ in _boot_coeffs()) + "])[b + 1]"
+                 " * h"
+                 " + ([" + ", ".join(str(c) for _, c in _boot_coeffs()) + "])[b + 1])"
+                 f" % {_BOOT_P}) % 1000000"
+             )} AS wt,
+             cents
+      FROM base
       CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b)
     ), reps AS (
       SELECT b, CAST(sum(wt) AS BIGINT) AS nw,
@@ -558,9 +579,12 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity in replicate b is an independent Poisson(1) draw, so
     no replicate ever needs a global sample-with-replacement pass).
 
-    Determinism: the draw is a seeded md5 uniform mapped through the
-    Poisson(1) inverse-CDF ppm ladder — identical on any engine and
-    any partitioning. Replicate means are quantized to integer
+    Determinism: the draw is ONE seeded md5 base hash per row pushed
+    through B Python-precomputed affine families (the minhash_coeffs
+    construction — pairwise-independent uniforms, B× less hashing than
+    md5-per-replicate, which dominated the bench at 45s/ sf0.1),
+    mapped through the Poisson(1) inverse-CDF ppm ladder — identical
+    on any engine and any partitioning. Replicate means are quantized to integer
     micro-cents by floor-division BEFORE the percentile pick, and the
     bounds are fixed 1-based positions in the ascending B-list.
 
@@ -578,19 +602,14 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    rep = o.select(
-        "o_orderkey",
+    coeffs = _boot_coeffs()
+    base = o.select(
         "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-    )
-    u = (
         F.conv(
             F.substring(
                 F.md5(
                     F.concat(
                         F.lit("boot:"),
-                        F.col("b").cast("string"),
-                        F.lit(":"),
                         F.col("o_orderkey").cast("string"),
                     )
                 ),
@@ -599,7 +618,23 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             16,
             10,
-        ).cast("long")
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
+    c_arr = F.array(*[F.lit(c) for _, c in coeffs])
+    rep = base.select(
+        "cents",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        (
+            F.element_at(a_arr, F.col("b") + 1) * F.col("h")
+            + F.element_at(c_arr, F.col("b") + 1)
+        )
+        % F.lit(_BOOT_P)
         % 1000000
     )
     wt = F.lit(len(_POIS_PPM))
