@@ -2159,10 +2159,17 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_allpairs_prefix",
     oracle="""
-    WITH toks AS (
+    WITH reps AS (
+      -- exact-collapse: identical texts have identical feature sets,
+      -- so one min-id representative carries the whole cluster (the
+      -- minhash_dedup_pairs_collapsed contract; within-cluster pairs
+      -- are exact-dedup's output, not a near-dup's)
+      SELECT min(doc_id) AS doc_id, min(text) AS text
+      FROM documents GROUP BY md5(text)
+    ), toks AS (
       SELECT doc_id AS id,
              regexp_extract_all(lower(text), '[a-z]+') AS t
-      FROM documents
+      FROM reps
     ), sets AS (
       SELECT id,
              list_distinct(list_transform(
@@ -2192,11 +2199,19 @@ def sim_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement to MinHash: EVERY qualifying pair, no banding
     approximation. Word 3-grams (not unigrams) make the feature space
     discriminative: stopword-sharing pushes every unigram pair above
-    any usable threshold on this corpus. The oracle verifies
-    completeness with the brute O(n²) pairwise form.
+    any usable threshold on this corpus. Identical texts are
+    exact-collapsed to a min-id representative FIRST (the
+    minhash_dedup_pairs_collapsed contract) so a mega-cluster of
+    byte-identical copies costs one node, never cluster² pairs —
+    within-cluster duplicate pairs are dedup_exact's output. The
+    oracle verifies completeness with the brute O(n²) pairwise form
+    over the same representatives.
     """
     d = load_table(spark, sf_dir, "documents")
-    return dd.allpairs_prefix_cosine(d, t2_num=1, t2_den=4, ngram_n=3)
+    reps = d.groupBy(F.md5("text").alias("_dig")).agg(
+        F.min("doc_id").alias("doc_id"), F.min("text").alias("text")
+    )
+    return dd.allpairs_prefix_cosine(reps, t2_num=1, t2_den=4, ngram_n=3)
 
 
 # ---------------------------------------------------------------------------
