@@ -2189,12 +2189,12 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
                  * 1000000.0) / 1000000.0 AS cosine
     FROM pairs
-    WHERE n_overlap * n_overlap * 4 >= na * nb
+    WHERE n_overlap * n_overlap * 2 >= na * nb
     """,
 )
 def sim_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs set-cosine join at t = 0.5 over distinct word
-    3-gram sets via Bayardo prefix filtering (see
+    """Exact all-pairs set-cosine join at t = 1/√2 ≈ 0.707 over
+    distinct word 3-gram sets via Bayardo prefix filtering (see
     operators/dedup.py:allpairs_prefix_cosine) — the deterministic
     complement to MinHash: EVERY qualifying pair, no banding
     approximation. Word 3-grams (not unigrams) make the feature space
@@ -2211,7 +2211,7 @@ def sim_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = d.groupBy(F.md5("text").alias("_dig")).agg(
         F.min("doc_id").alias("doc_id"), F.min("text").alias("text")
     )
-    return dd.allpairs_prefix_cosine(reps, t2_num=1, t2_den=4, ngram_n=3)
+    return dd.allpairs_prefix_cosine(reps, t2_num=1, t2_den=2, ngram_n=3)
 
 
 # ---------------------------------------------------------------------------
