@@ -1597,24 +1597,32 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from speech_data_pipeline_spark.operators.graph import pagerank_fixed_point
 
     d = load_table(spark, sf_dir, "documents")
+    # multiplicity collapse: identical texts tokenize ONCE and weight
+    # the co-occurrence counts by their copy count — edge weights (and
+    # hence the whole trajectory) are IDENTICAL to the per-doc form,
+    # but a duplicate mega-cluster costs one tokenization, not cluster
+    reps = d.groupBy(F.md5("text").alias("_dig")).agg(
+        F.min("text").alias("text"), F.count(F.lit(1)).alias("copies")
+    )
     w = F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
-    toks = d.select(w.alias("w"))
+    toks = reps.select(w.alias("w"), "copies")
     n = F.greatest(F.size("w") - 1, F.lit(0))
     adj = toks.select(
+        "copies",
         F.explode(
             F.zip_with(
                 F.slice("w", 1, n),
                 F.slice("w", 2, n),
                 lambda a, b: F.struct(a.alias("l"), b.alias("r")),
             )
-        ).alias("p")
-    ).select("p.l", "p.r")
+        ).alias("p"),
+    ).select("copies", "p.l", "p.r")
     e0 = (
         adj.where(
             (F.length("l") >= 4) & (F.length("r") >= 4) & (F.col("l") != F.col("r"))
         )
         .groupBy(F.col("l").alias("src"), F.col("r").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("w"))
+        .agg(F.sum("copies").alias("w"))
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")

@@ -2013,10 +2013,11 @@ _WINNOW_K = 8
 _WINNOW_W = 4
 
 
-def _winnow_cte() -> str:
+def _winnow_cte(src: str = "documents") -> str:
     """DuckDB CTE replaying winnowing: k-gram hex7 hashes, w-window
     rightmost-min selection, distinct (pos, fp) — shared by the
-    fingerprint and pair-score oracles."""
+    fingerprint and pair-score oracles. ``src`` must expose
+    (doc_id, text)."""
     k, w = _WINNOW_K, _WINNOW_W
     h = _hex7_to_int_sql("md5(substr(text, CAST(i AS INTEGER), %d))" % k)
     sl = "list_slice(grams, CAST(j AS INTEGER), CAST(j + %d AS INTEGER))" % (
@@ -2028,7 +2029,7 @@ def _winnow_cte() -> str:
              list_transform(
                range(1, greatest(length(text) - {k - 1}, 1) + 1),
                i -> {h}) AS grams
-      FROM documents
+      FROM {src}
     ), wins AS (
       -- (pos, fp) packed into one BIGINT (fp is 28 bits: 7 hex
       -- nibbles) because DuckDB's list_distinct lacks struct support
@@ -2076,7 +2077,13 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_winnow_pairs",
     oracle=f"""
-    WITH {_winnow_cte()}, sets AS (
+    WITH reps AS (
+      -- exact-collapse (the sim_allpairs_prefix contract): identical
+      -- texts have identical fingerprint sets; within-cluster pairs
+      -- are dedup_exact's output
+      SELECT min(doc_id) AS doc_id, min(text) AS text
+      FROM documents GROUP BY md5(text)
+    ), {_winnow_cte(src="reps")}, sets AS (
       SELECT DISTINCT id, fp FROM fps
     ), sizes AS (
       SELECT id, count(*) AS n FROM sets GROUP BY id
@@ -2113,7 +2120,14 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate fingerprint never goes quadratic.
     """
     d = load_table(spark, sf_dir, "documents")
-    fps = tx.winnow_fingerprints(d, k=_WINNOW_K, w=_WINNOW_W)
+    # exact-collapse to min-id representatives (the sim_allpairs_prefix
+    # contract): identical texts share every fingerprint, so a
+    # duplicate mega-cluster would pairwise-qualify at containment 1.0
+    # — those pairs are dedup_exact's output, not a near-dup's
+    reps = d.groupBy(F.md5("text").alias("_dig")).agg(
+        F.min("doc_id").alias("doc_id"), F.min("text").alias("text")
+    )
+    fps = tx.winnow_fingerprints(reps, k=_WINNOW_K, w=_WINNOW_W)
     sets = fps.select("id", "fp").distinct()
     sizes = sets.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = sets.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))

@@ -1223,3 +1223,75 @@ def streaming_cusum_alarms(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+#: Fixed value-histogram bucket edges (cents) for the drift monitor —
+#: deciles of the reference fixture, Python-side constants so the
+#: streaming and batch forms share one definition.
+DRIFT_EDGES_CENTS = (1000, 2000, 3000, 4000, 5000, 6000, 7000, 8000, 9000)
+
+
+def _drift_bucket(col):
+    """Bucket index 0..len(edges) for a cents column (shared by the
+    streaming query and its batch-replay test)."""
+    b = F.lit(len(DRIFT_EDGES_CENTS))
+    for i in range(len(DRIFT_EDGES_CENTS) - 1, -1, -1):
+        b = F.when(col < DRIFT_EDGES_CENTS[i], i).otherwise(b)
+    return b
+
+
+def streaming_drift_psi(
+    events: DataFrame,
+    ref_ppm: list[int],
+    window: str = "6 hours",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming distribution-drift monitor: Population Stability
+    Index of the purchase-value histogram per event-time tumbling
+    window vs a REFERENCE distribution (``ref_ppm``: per-bucket
+    expected mass in ppm, Python-precomputed from the training
+    corpus) — the live companion of the batch ``drift_psi_value``.
+
+    Engine shape: ONE watermarked stateful aggregation — the
+    ``len(ref_ppm)`` bucket counters are conditional sums inside a
+    single groupBy(window), so no second stateful operator is needed;
+    PSI assembles IN-ROW from the counters on each emitted window
+    (0.5% ppm floors on both sides avoid log(0), the standard PSI
+    convention). Exact vs the batch replay on the same landed data
+    (pinned by test).
+    """
+    n_b = len(DRIFT_EDGES_CENTS) + 1
+    assert len(ref_ppm) == n_b
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    src = events.where(F.col("event_type") == "purchase").select(
+        F.col("ts_ts").alias("ts"), _drift_bucket(cents).alias("bkt")
+    )
+    counters = [
+        F.sum(F.when(F.col("bkt") == i, 1).otherwise(0)).alias(f"c{i}")
+        for i in range(n_b)
+    ]
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(*counters)
+    )
+    tot = sum(F.col(f"c{i}") for i in range(n_b))
+    floor_ppm = F.lit(5000)  # 0.5% mass floor, both sides
+
+    def term(i: int):
+        obs_ppm = F.greatest(
+            (F.col(f"c{i}") * F.lit(1_000_000)) / tot, floor_ppm
+        )
+        exp_ppm = F.greatest(F.lit(ref_ppm[i]), floor_ppm).cast("double")
+        d = (obs_ppm - exp_ppm) / F.lit(1e6)
+        return d * (F.log(obs_ppm.cast("double")) - F.log(exp_ppm))
+
+    psi = sum(term(i) for i in range(n_b))
+    return agg.select(
+        F.col("w.start").alias("win_start"),
+        F.col("w.end").alias("win_end"),
+        tot.cast("long").alias("n"),
+        F.floor(psi * F.lit(1e6)).cast("long").alias("psi_ppm"),
+    )

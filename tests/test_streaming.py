@@ -1065,3 +1065,76 @@ def test_streaming_cusum_matches_batch_kernel(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_streaming_drift_psi_matches_batch_replay(spark, landing):
+    """Per-window PSI vs a python-precomputed reference: the streaming
+    windowed counters + in-row PSI equal the batch replay (same bucket
+    expression, same window math) on the same landed data."""
+    import math
+
+    from speech_data_pipeline_spark.streaming.ingest import (
+        DRIFT_EDGES_CENTS,
+        _drift_bucket,
+        read_event_stream,
+        streaming_drift_psi,
+    )
+
+    n_b = len(DRIFT_EDGES_CENTS) + 1
+    # reference = the corpus's own overall distribution (ppm)
+    ev = load_table(spark, landing, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    bkts = (
+        ev.select(_drift_bucket(cents).alias("bkt"))
+        .groupBy("bkt")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in bkts)
+    by = {r["bkt"]: r["count"] for r in bkts}
+    ref_ppm = [by.get(i, 0) * 1_000_000 // total for i in range(n_b)]
+
+    stream = streaming_drift_psi(
+        read_event_stream(spark, landing), ref_ppm
+    )
+    got = {
+        (r["win_start"], r["win_end"]): (r["n"], r["psi_ppm"])
+        for r in run_stream(spark, stream, "drift_psi").collect()
+    }
+    assert got
+
+    # batch replay: identical expressions over static windows
+    # (load_table's ts is epoch-nanos long; rebuild the event-time col)
+    batch = (
+        ev.withColumn(
+            "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        .select(
+            F.window(F.col("ts_ts"), "6 hours").alias("w"),
+            _drift_bucket(cents).alias("bkt"),
+        )
+        .groupBy("w", "bkt")
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    wins = defaultdict(dict)
+    for r in batch:
+        wins[(r["w"]["start"], r["w"]["end"])][r["bkt"]] = r["count"]
+    assert set(got) == set(wins)
+    for w, cnts in wins.items():
+        tot = sum(cnts.values())
+        psi = 0.0
+        for i in range(n_b):
+            obs = max(cnts.get(i, 0) * 1_000_000 / tot, 5000.0)
+            exp = float(max(ref_ppm[i], 5000))
+            psi += (obs - exp) / 1e6 * (math.log(obs) - math.log(exp))
+        assert got[w][0] == tot
+        assert abs(got[w][1] - math.floor(psi * 1e6)) <= 1
+    # the corpus vs its own reference: near-zero drift in every window
+    assert all(abs(v[1]) < 200_000 for v in got.values())
