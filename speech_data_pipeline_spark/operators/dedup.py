@@ -69,6 +69,29 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+#: DuckDB CTE body of :func:`exact_collapse_reps` — keep the two in
+#: lock-step (the _TWO_SAMPLE_CTE shared-fragment convention).
+EXACT_COLLAPSE_SQL = (
+    "SELECT min(doc_id) AS doc_id, min(text) AS text"
+    " FROM documents GROUP BY md5(text)"
+)
+
+
+def exact_collapse_reps(
+    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Exact-collapse identical texts to a min-id representative row —
+    the pre-step every pair-generating near-dup operator shares
+    (minhash collapsed pairs, all-pairs prefix, winnow pairs): a
+    byte-identical mega-cluster costs ONE node instead of cluster²
+    pairs, and within-cluster duplicate pairs remain exact-dedup's
+    output. ONE definition (+ :data:`EXACT_COLLAPSE_SQL` for oracles)
+    so the collapse key cannot drift between call sites."""
+    return df.groupBy(F.md5(text_col).alias("_dig")).agg(
+        F.min(id_col).alias(id_col), F.min(text_col).alias(text_col)
+    )
+
+
 #: Modulus for the affine minhash families: largest prime < 2^28. Base
 #: hashes are 28-bit, coefficients < p, so a*h + b < 2^56 — no signed-64
 #: overflow in any SQL engine.

@@ -530,8 +530,16 @@ def k_core(
     filters of the edge table against the surviving-node set — all
     key-partitioned hash joins, no windows, state persisted between
     rounds (lazy chaining across iterations re-evaluates
-    exponentially). Output: ``(node, deg)`` — survivors with their
-    post-peel degree.
+    exponentially). A round that peels nothing is the fixpoint — every
+    later synchronous round is the identity, so the loop exits early
+    with output identical to the full fixed-``rounds`` trajectory.
+
+    ``edges_distinct_directed=True`` skips the union-dedup and
+    REQUIRES the input to be canonical single-orientation
+    (``u < v``-style), self-loop-free, duplicate-free edges — both
+    orientations or a self-loop would double-count degrees and return
+    a silently wrong core. Output: ``(node, deg)`` — survivors with
+    their post-peel degree.
     """
     und = edges.select(
         F.col(a).alias("src"), F.col(b).alias("dst")

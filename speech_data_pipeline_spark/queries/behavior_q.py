@@ -1691,8 +1691,9 @@ def _mkv_oracle() -> str:
         if removed is not None:
             outs.append(
                 f"SELECT '{removed}' AS channel,"
+                f" CASE WHEN fs0.pconv = 0.0 THEN 0.0 ELSE"
                 f" floor((1.0 - fs{si}.pconv / fs0.pconv) * 1000000.0)"
-                f" / 1000000.0 AS removal_effect,"
+                f" / 1000000.0 END AS removal_effect,"
                 f" floor(fs0.pconv * 1000000.0) / 1000000.0 AS p_conv_base"
                 f" FROM fs{si}, fs0"
             )
@@ -1798,7 +1799,8 @@ def attr_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math as _m
 
     for ch in _MKV_CHANNELS:
-        eff = 1.0 - pconv(ch) / base
+        # zero-conversion corpus: no channel can have a removal effect
+        eff = 0.0 if base == 0.0 else 1.0 - pconv(ch) / base
         rows.append(
             (
                 ch,

@@ -1597,10 +1597,12 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from speech_data_pipeline_spark.operators.graph import pagerank_fixed_point
 
     d = load_table(spark, sf_dir, "documents")
-    # multiplicity collapse: identical texts tokenize ONCE and weight
-    # the co-occurrence counts by their copy count — edge weights (and
-    # hence the whole trajectory) are IDENTICAL to the per-doc form,
-    # but a duplicate mega-cluster costs one tokenization, not cluster
+    # multiplicity collapse (the exact_collapse_reps idea, carrying a
+    # copy count instead of a representative id): identical texts
+    # tokenize ONCE and weight the co-occurrence counts by their copy
+    # count — edge weights (hence the whole trajectory) are IDENTICAL
+    # to the per-doc form, but a duplicate mega-cluster costs one
+    # tokenization, not cluster
     reps = d.groupBy(F.md5("text").alias("_dig")).agg(
         F.min("text").alias("text"), F.count(F.lit(1)).alias("copies")
     )

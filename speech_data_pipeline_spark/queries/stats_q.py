@@ -593,8 +593,8 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the shuffle carries O(B · n_partitions) rows regardless of
     corpus size; the percentile pick sorts a bounded B-element array
     on the driver side of a 1-row aggregate. At 100 TB the only real
-    cost is B md5 evaluations per row — map-parallel CPU, no extra
-    shuffle volume.
+    cost is ONE md5 plus B affine maps per row — map-parallel integer
+    CPU, no extra shuffle volume.
     """
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",

@@ -20,6 +20,9 @@ from pyspark.sql import functions as F
 
 from speech_data_pipeline_spark.functions import trunc6
 from speech_data_pipeline_spark.operators import dedup as dd
+from speech_data_pipeline_spark.operators.dedup import (
+    EXACT_COLLAPSE_SQL as _EXACT_COLLAPSE,
+)
 from speech_data_pipeline_spark.operators import similarity as sim
 from speech_data_pipeline_spark.operators import text as tx
 from speech_data_pipeline_spark.queries.registry import query
@@ -2078,11 +2081,8 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_winnow_pairs",
     oracle=f"""
     WITH reps AS (
-      -- exact-collapse (the sim_allpairs_prefix contract): identical
-      -- texts have identical fingerprint sets; within-cluster pairs
-      -- are dedup_exact's output
-      SELECT min(doc_id) AS doc_id, min(text) AS text
-      FROM documents GROUP BY md5(text)
+      -- exact-collapse (operators/dedup.py EXACT_COLLAPSE_SQL)
+      {_EXACT_COLLAPSE}
     ), {_winnow_cte(src="reps")}, sets AS (
       SELECT DISTINCT id, fp FROM fps
     ), sizes AS (
@@ -2124,9 +2124,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract): identical texts share every fingerprint, so a
     # duplicate mega-cluster would pairwise-qualify at containment 1.0
     # — those pairs are dedup_exact's output, not a near-dup's
-    reps = d.groupBy(F.md5("text").alias("_dig")).agg(
-        F.min("doc_id").alias("doc_id"), F.min("text").alias("text")
-    )
+    reps = dd.exact_collapse_reps(d)
     fps = tx.winnow_fingerprints(reps, k=_WINNOW_K, w=_WINNOW_W)
     sets = fps.select("id", "fp").distinct()
     sizes = sets.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
@@ -2172,14 +2170,10 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_allpairs_prefix",
-    oracle="""
+    oracle=f"""
     WITH reps AS (
-      -- exact-collapse: identical texts have identical feature sets,
-      -- so one min-id representative carries the whole cluster (the
-      -- minhash_dedup_pairs_collapsed contract; within-cluster pairs
-      -- are exact-dedup's output, not a near-dup's)
-      SELECT min(doc_id) AS doc_id, min(text) AS text
-      FROM documents GROUP BY md5(text)
+      -- exact-collapse (operators/dedup.py EXACT_COLLAPSE_SQL)
+      {_EXACT_COLLAPSE}
     ), toks AS (
       SELECT doc_id AS id,
              regexp_extract_all(lower(text), '[a-z]+') AS t
@@ -2222,9 +2216,7 @@ def sim_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same representatives.
     """
     d = load_table(spark, sf_dir, "documents")
-    reps = d.groupBy(F.md5("text").alias("_dig")).agg(
-        F.min("doc_id").alias("doc_id"), F.min("text").alias("text")
-    )
+    reps = dd.exact_collapse_reps(d)
     return dd.allpairs_prefix_cosine(reps, t2_num=1, t2_den=2, ngram_n=3)
 
 

@@ -295,24 +295,27 @@ class TestConformalInterval:
         row = QUERIES["ml_conformal_interval"](spark, sf).collect()[0]
         rows = load_table(spark, sf, "lineitem").collect()
         train = [(int(r["l_quantity"]),
-                  round(r["l_extendedprice"] * 100))
+                  math.floor(r["l_extendedprice"] * 100 + 0.5))
                  for r in rows if r["l_orderkey"] % 5 not in (0, 1)]
         n = len(train)
         sx = sum(x for x, _ in train)
         sy = sum(y for _, y in train)
         sxx = sum(x * x for x, _ in train)
         sxy = sum(x * y for x, y in train)
-        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-        icept = (sy - slope * sx) / n
+        # engines cast num/den to double BEFORE dividing (above 2^53
+        # exact-int division differs by 1 ulp); mirror that fold, and
+        # the floor(x*100+0.5) quantization, never banker's round()
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        icept = (float(sy) - slope * float(sx)) / float(n)
         cal = sorted(
-            math.floor(abs(round(r["l_extendedprice"] * 100)
+            math.floor(abs(math.floor(r["l_extendedprice"] * 100 + 0.5)
                            - (slope * int(r["l_quantity"]) + icept)))
             for r in rows if r["l_orderkey"] % 5 == 0
         )
         k = math.ceil((len(cal) + 1) * 0.9)
         qhat = cal[k - 1]
         test = [
-            math.floor(abs(round(r["l_extendedprice"] * 100)
+            math.floor(abs(math.floor(r["l_extendedprice"] * 100 + 0.5)
                            - (slope * int(r["l_quantity"]) + icept)))
             for r in rows if r["l_orderkey"] % 5 == 1
         ]
