@@ -1470,3 +1470,87 @@ def ab_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             "final_llr"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean (robust location)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_trimmed_mean",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), byv AS (
+      SELECT event_type, v, count(*) AS c FROM q GROUP BY event_type, v
+    ), cdf AS (
+      SELECT event_type, v, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM byv
+    ), terms AS (
+      SELECT event_type, n, k,
+             v * greatest(least(cum, n - k) - greatest(cum - c, k), 0)
+               AS contrib
+      FROM (SELECT event_type, v, c, cum, n, n // 10 AS k FROM cdf)
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(max(k) AS BIGINT) AS n_trimmed_each_side,
+           floor(CAST(sum(contrib) AS DOUBLE)
+                 / CAST(max(n) - 2 * max(k) AS DOUBLE) / 100.0
+                 * 1000000.0) / 1000000.0 AS trimmed_mean
+    FROM terms GROUP BY event_type
+    """,
+)
+def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of event values per type — the
+    robust-location companion to stats_mad_outliers — computed WITHOUT
+    sorting individual rows: on the per-type value CDF, a value with
+    per-type cumulative range (cum−c, cum] contributes
+    ``max(min(cum, n−k) − max(cum−c, k), 0)`` copies after trimming k
+    = ⌊n/10⌋ from each side (the rank-interval clamp identity). All
+    integer until one divide per type row.
+
+    Plan shape: grouped count to the DISTINCT (type, value) table;
+    per-type CDF windows (PARTITIONED — the stats_mad_outliers
+    contract); one grouped sum.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    byv = q.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    w_cdf = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cdf = byv.select(
+        "event_type",
+        "v",
+        "c",
+        F.sum("c").over(w_cdf).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    ).withColumn("k", F.expr("n div 10"))
+    contrib = F.col("v") * F.greatest(
+        F.least(F.col("cum"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cum") - F.col("c"), F.col("k")),
+        F.lit(0),
+    )
+    return cdf.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("k").cast("long").alias("n_trimmed_each_side"),
+        trunc6(
+            F.sum(contrib).cast("double")
+            / (F.max("n") - 2 * F.max("k")).cast("double")
+            / F.lit(100.0)
+        ).alias("trimmed_mean"),
+    )

@@ -677,3 +677,45 @@ class TestPrefixTopk:
                    for i, (negc, w) in enumerate(lst[:3])]
             assert sorted(got[p]) == exp
         assert set(got) == set(byp)
+
+
+class TestTrimmedMean:
+    def test_matches_brute_sorted_trim(self, spark):
+        import math
+        from collections import defaultdict
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        got = {r["event_type"]: r
+               for r in QUERIES["stats_trimmed_mean"](spark, sf).collect()}
+        vals = defaultdict(list)
+        for r in load_table(spark, sf, "events").collect():
+            vals[r["event_type"]].append(round(r["value"] * 100))
+        for t, xs in vals.items():
+            xs.sort()
+            k = len(xs) // 10
+            kept = xs[k:len(xs) - k]
+            tm = sum(kept) / len(kept) / 100.0
+            assert got[t]["n"] == len(xs)
+            assert got[t]["n_trimmed_each_side"] == k
+            assert got[t]["trimmed_mean"] == math.floor(tm * 1e6) / 1e6
+
+    def test_immune_to_planted_extremes(self, spark):
+        import os, tempfile
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        vals = [10.0] * 90 + [100000.0] * 5 + [0.01] * 5
+        rows = [(i, 1_700_000_000_000_000_000 + i, 1, "purchase", v, "{}")
+                for i, v in enumerate(vals)]
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type",
+                           "value", "props"])
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            row = QUERIES["stats_trimmed_mean"](spark, d).collect()[0]
+        assert row["n_trimmed_each_side"] == 10
+        assert row["trimmed_mean"] == 10.0  # extremes fully trimmed
