@@ -1554,3 +1554,135 @@ def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("trimmed_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ab_diff_in_diff",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS mv
+      FROM events
+    ), span AS (
+      SELECT (min(day) + max(day)) // 2 AS mid FROM q
+    ), cells AS (
+      SELECT ((strpos('0123456789abcdef', substr(md5('did:' || CAST(q.user_id AS VARCHAR)), 1, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('did:' || CAST(q.user_id AS VARCHAR)), 2, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('did:' || CAST(q.user_id AS VARCHAR)), 3, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('did:' || CAST(q.user_id AS VARCHAR)), 4, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('did:' || CAST(q.user_id AS VARCHAR)), 5, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('did:' || CAST(q.user_id AS VARCHAR)), 6, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('did:' || CAST(q.user_id AS VARCHAR)), 7, 1)) - 1) * 1) % 2 AS grp,
+             CASE WHEN q.day > s.mid THEN 1 ELSE 0 END AS period,
+             count(*) AS n,
+             CAST(sum(q.mv) AS BIGINT) AS s
+      FROM q CROSS JOIN span s
+      WHERE q.event_type = 'purchase'
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT
+        max(CASE WHEN grp = 1 AND period = 0 THEN CAST(s AS DOUBLE) / n END) AS t1,
+        max(CASE WHEN grp = 1 AND period = 1 THEN CAST(s AS DOUBLE) / n END) AS t2,
+        max(CASE WHEN grp = 0 AND period = 0 THEN CAST(s AS DOUBLE) / n END) AS c1,
+        max(CASE WHEN grp = 0 AND period = 1 THEN CAST(s AS DOUBLE) / n END) AS c2,
+        CAST(sum(CASE WHEN grp = 1 THEN n ELSE 0 END) AS BIGINT) AS n_treat,
+        CAST(sum(CASE WHEN grp = 0 THEN n ELSE 0 END) AS BIGINT) AS n_control
+      FROM cells
+    )
+    SELECT n_treat, n_control,
+           floor(t1 / 1000.0 * 1000000.0) / 1000000.0 AS treat_pre,
+           floor(t2 / 1000.0 * 1000000.0) / 1000000.0 AS treat_post,
+           floor(c1 / 1000.0 * 1000000.0) / 1000000.0 AS control_pre,
+           floor(c2 / 1000.0 * 1000000.0) / 1000000.0 AS control_post,
+           floor(((t2 - t1) - (c2 - c1)) / 1000.0 * 1000000.0)
+             / 1000000.0 AS did
+    FROM m
+    """,
+)
+def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: mean purchase value of the
+    hash-assigned rollout cohort (``md5('did:'‖user_id) % 2`` — the
+    split_hash_buckets assignment convention) vs the holdout, before
+    vs after the observation midpoint —
+    ``DiD = (T̄₂−T̄₁) − (C̄₂−C̄₁)``, the control arm netting out the
+    common time trend (the panel estimator an experimentation
+    platform runs over a staged rollout).
+
+    Exactness: per-cell means come from integer milli sums (2×2 cells
+    — one conditional aggregation); the midpoint is an integer scalar
+    off a 1-row min/max aggregate; DiD is float assembly on the 1-row
+    result. Identical doubles both engines.
+
+    Plan shape: one grouped min/max scalar (broadcast) + a MAP-ONLY
+    hash cohort assignment, then one 4-cell conditional aggregation.
+    No joins beyond the scalar attach, no windows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+        F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("mv"),
+    )
+    span = q.agg(
+        ((F.min("day") + F.max("day")) / 2).cast("long").alias("mid")
+    )
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("did:"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    cells = (
+        q.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(span))
+        .groupBy(
+            grp.alias("grp"),
+            F.when(F.col("day") > F.col("mid"), 1)
+            .otherwise(0)
+            .alias("period"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("mv").alias("s"))
+    )
+    pick = lambda g, p: F.max(  # noqa: E731
+        F.when(
+            (F.col("grp") == g) & (F.col("period") == p),
+            F.col("s").cast("double") / F.col("n").cast("double"),
+        )
+    )
+    m = cells.agg(
+        pick(1, 0).alias("t1"),
+        pick(1, 1).alias("t2"),
+        pick(0, 0).alias("c1"),
+        pick(0, 1).alias("c2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_treat"),
+        F.sum(F.when(F.col("grp") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_control"),
+    )
+    k = lambda c: trunc6(c / F.lit(1000.0))  # noqa: E731
+    return m.select(
+        "n_treat",
+        "n_control",
+        k(F.col("t1")).alias("treat_pre"),
+        k(F.col("t2")).alias("treat_post"),
+        k(F.col("c1")).alias("control_pre"),
+        k(F.col("c2")).alias("control_post"),
+        k(
+            (F.col("t2") - F.col("t1")) - (F.col("c2") - F.col("c1"))
+        ).alias("did"),
+    )

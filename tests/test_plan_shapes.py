@@ -87,6 +87,7 @@ SCALAR_CROSS_WHITELIST = {
     # slope-median pick: 1 row x 1 row
     "ml_conformal_interval",  # OLS-fit / q-hat / coverage scalars:
     # three 1-row broadcast attaches
+    "ab_diff_in_diff",  # observation-midpoint scalar: 1 row
     "feat_target_encode_oof",  # global-prior scalar: 1 row onto K·|cats| cells
     "feat_woe_iv",  # good/bad-total scalar: 1 row onto ≤10 bins
     "survival_kaplan_meier",  # corpus max-ts horizon scalar: 1 row

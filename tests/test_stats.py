@@ -719,3 +719,76 @@ class TestTrimmedMean:
             row = QUERIES["stats_trimmed_mean"](spark, d).collect()[0]
         assert row["n_trimmed_each_side"] == 10
         assert row["trimmed_mean"] == 10.0  # extremes fully trimmed
+
+
+class TestDiffInDiff:
+    def test_recovers_planted_treatment_effect(self, spark):
+        import os, tempfile
+        import pandas as pd
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+
+        # common trend +2; the hash cohort gets an EXTRA +5 post.
+        import hashlib
+
+        def cohort(u):
+            return int(hashlib.md5(f"did:{u}".encode())
+                       .hexdigest()[:7], 16) % 2
+
+        base_ns = 1_700_000_000_000_000_000
+        day_ns = 86_400_000_000_000
+        rows, eid = [], 0
+        n_t = n_c = 0
+        for u in range(40):
+            treated = cohort(u) == 1
+            for d in range(20):
+                post = d >= 10
+                v = 10.0 + (2.0 if post else 0.0) + (
+                    5.0 if treated and post else 0.0
+                )
+                rows.append((eid, base_ns + d * day_ns + u, u,
+                             "purchase", v, "{}"))
+                eid += 1
+                if treated:
+                    n_t += 1
+                else:
+                    n_c += 1
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type",
+                           "value", "props"])
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            r = QUERIES["ab_diff_in_diff"](spark, d).collect()[0]
+        assert abs(r["did"] - 5.0) < 1e-6
+        assert abs((r["control_post"] - r["control_pre"]) - 2.0) < 1e-6
+        assert r["n_treat"] == n_t and r["n_control"] == n_c
+
+    def test_fixture_matches_brute(self, spark):
+        import math
+        from collections import defaultdict
+
+        from speech_data_pipeline_spark.queries.registry import QUERIES
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        sf = "/root/testdata/sf0.001"
+        r = QUERIES["ab_diff_in_diff"](spark, sf).collect()[0]
+        ev = load_table(spark, sf, "events").collect()
+        import hashlib
+
+        days = [(e["ts"] // 1000) // 86_400_000_000 for e in ev]
+        mid = (min(days) + max(days)) // 2
+        cells = defaultdict(lambda: [0, 0])
+        for e in ev:
+            if e["event_type"] != "purchase":
+                continue
+            g = int(hashlib.md5(f"did:{e['user_id']}".encode())
+                    .hexdigest()[:7], 16) % 2
+            p = 1 if (e["ts"] // 1000) // 86_400_000_000 > mid else 0
+            cells[(g, p)][0] += 1
+            cells[(g, p)][1] += math.floor(e["value"] * 1000 + 0.5)
+        mean = {k: v[1] / v[0] for k, v in cells.items()}
+        did = (mean[(1, 1)] - mean[(1, 0)]) - (
+            mean[(0, 1)] - mean[(0, 0)]
+        )
+        assert r["did"] == math.floor(did / 1000.0 * 1e6) / 1e6
+        assert r["n_treat"] == cells[(1, 0)][0] + cells[(1, 1)][0]
