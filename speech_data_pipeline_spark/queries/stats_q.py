@@ -1616,6 +1616,11 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: one grouped min/max scalar (broadcast) + a MAP-ONLY
     hash cohort assignment, then one 4-cell conditional aggregation.
     No joins beyond the scalar attach, no windows.
+
+    Degenerate-input contract: if any of the four (cohort, period)
+    cells is empty, its mean — and therefore ``did`` — is NULL (the
+    conditional ``max(CASE …)`` finds no row). Both engines agree;
+    a NULL ``did`` means "not estimable from this window", never 0.
     """
     ev = load_table(spark, sf_dir, "events")
     q = ev.select(
@@ -1626,9 +1631,11 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mv"),
     )
-    span = q.agg(
-        ((F.min("day") + F.max("day")) / 2).cast("long").alias("mid")
-    )
+    # integer `div`, NOT float-divide-then-cast: the oracle computes the
+    # midpoint with DuckDB's integer `//`, and a double round-trip is only
+    # coincidentally equal (and loses exactness above 2^53) — keep the
+    # whole scalar in integer arithmetic on both engines
+    span = q.agg(F.expr("(min(day) + max(day)) div 2").alias("mid"))
     grp = (
         F.conv(
             F.substring(

@@ -937,7 +937,11 @@ def stream_trending_topk(
        the whole batch from the same checkpointed file set; a crash
        after it makes the replay a no-op via the guard. Never
        overwrites the snapshot being read (lakehouse copy-on-write;
-       compaction/vacuum of old versions is the table format's job).
+       compaction/vacuum of NON-HEAD versions is the table format's
+       job — the head snapshot is the live state and must be retained,
+       which is also all the replay/reset guard depends on: it
+       compares the announced id against the committed head, never
+       against old snapshots, so vacuuming history cannot disarm it).
 
     Scale shape: counters are key-cardinality rows in parquet —
     distributed state, never a driver dict; decay+merge is one outer
@@ -974,35 +978,30 @@ def stream_trending_topk(
         except Exception:
             return -1
 
-    def version_exists(spark: SparkSession, v: int) -> bool:
-        # bare directory existence is NOT a commit: the parquet job
-        # creates the dir before committing. _SUCCESS is the marker.
-        p = spark._jvm.org.apache.hadoop.fs.Path(f"{state_path}/v={v}/_SUCCESS")
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(p))
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         latest = latest_version(spark)
-        if version_exists(spark, batch_id):
-            if batch_id < latest:
-                # A batch id BELOW the committed head is not a normal
-                # crash replay (that replays only the head batch) — it
-                # means the CHECKPOINT was reset/relocated while
-                # state_path survived, and batch ids restarted. A
-                # silent skip would drop any genuinely new data hiding
-                # under the reused id; fail safe instead. The operator
-                # contract: checkpoint and state_path live and die
-                # TOGETHER (exactly Spark's own stateful-operator
-                # rule).
-                raise ValueError(
-                    f"trending-topk state/checkpoint mismatch: batch "
-                    f"{batch_id} re-announced while state is at "
-                    f"v={latest}. The checkpoint was reset without "
-                    f"resetting {state_path}; reconcile them (restore "
-                    f"the checkpoint, or archive the state dir) before "
-                    f"restarting."
-                )
+        if batch_id < latest:
+            # A batch id BELOW the committed head is not a normal crash
+            # replay (that replays only the head batch) — it means the
+            # CHECKPOINT was reset/relocated while state_path survived,
+            # and batch ids restarted. A silent skip would drop any
+            # genuinely new data hiding under the reused id; fail safe
+            # instead. The check compares against the HEAD only — never
+            # against the reused id's old snapshot — so it survives
+            # compaction/vacuum of non-head versions (the head is the
+            # live state and must always be retained). The operator
+            # contract: checkpoint and state_path live and die TOGETHER
+            # (exactly Spark's own stateful-operator rule).
+            raise ValueError(
+                f"trending-topk state/checkpoint mismatch: batch "
+                f"{batch_id} re-announced while state is at "
+                f"v={latest}. The checkpoint was reset without "
+                f"resetting {state_path}; reconcile them (restore "
+                f"the checkpoint, or archive the state dir) before "
+                f"restarting."
+            )
+        if batch_id == latest:
             return  # crash replay of the head batch: already durable
         batch_cnt = batch_df.groupBy(key_col).agg(
             F.count(F.lit(1)).alias("bc")

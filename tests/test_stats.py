@@ -1,11 +1,21 @@
 """Statistics queries (stats_q) + funnel/retrieval: semantic checks
 against independently computed NumPy/driver references."""
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
+
+
+def _q100(x: float) -> int:
+    """floor(x*100 + 0.5): the EXACT half-up quantization the stats
+    queries and their oracles apply. Python ``round()`` is banker's
+    (half-to-even) and diverges on exact .5 midpoints — replays must
+    share the product's rule, not a lookalike."""
+    return math.floor(x * 100 + 0.5)
 
 
 def test_corr_matrix_matches_numpy(spark):
@@ -258,11 +268,11 @@ class TestKsTest:
         row = QUERIES["stats_ks_test"](spark, sf).collect()[0]
         ev = load_table(spark, sf, "events").collect()
         a = sorted(
-            round(r["value"] * 100) for r in ev
+            _q100(r["value"]) for r in ev
             if r["event_type"] == "purchase"
         )
         b = sorted(
-            round(r["value"] * 100) for r in ev if r["event_type"] == "view"
+            _q100(r["value"]) for r in ev if r["event_type"] == "view"
         )
         grid = sorted(set(a) | set(b))
         import bisect
@@ -314,7 +324,7 @@ class TestGiniRevenue:
         row = QUERIES["stats_gini_revenue"](spark, sf).collect()[0]
         rev = defaultdict(int)
         for r in load_table(spark, sf, "orders").collect():
-            rev[r["o_custkey"]] += round(r["o_totalprice"] * 100)
+            rev[r["o_custkey"]] += math.floor(r["o_totalprice"] * 100 + 0.5)
         vals = sorted(v // 100 for v in rev.values())
         n, s = len(vals), sum(vals)
         g = (
@@ -357,11 +367,11 @@ class TestWasserstein1d:
         row = QUERIES["stats_wasserstein_1d"](spark, sf).collect()[0]
         ev = load_table(spark, sf, "events").collect()
         a = sorted(
-            round(r["value"] * 100) for r in ev
+            _q100(r["value"]) for r in ev
             if r["event_type"] == "purchase"
         )
         b = sorted(
-            round(r["value"] * 100) for r in ev if r["event_type"] == "view"
+            _q100(r["value"]) for r in ev if r["event_type"] == "view"
         )
         import bisect
 
@@ -433,9 +443,9 @@ class TestMannWhitneyU:
         sf = "/root/testdata/sf0.001"
         row = QUERIES["stats_mannwhitney_u"](spark, sf).collect()[0]
         ev = load_table(spark, sf, "events").collect()
-        a = [round(r["value"] * 100) for r in ev
+        a = [_q100(r["value"]) for r in ev
              if r["event_type"] == "purchase"]
-        b = [round(r["value"] * 100) for r in ev
+        b = [_q100(r["value"]) for r in ev
              if r["event_type"] == "view"]
         pooled = sorted(a + b)
         # midranks
@@ -494,7 +504,7 @@ class TestMadOutliers:
                for r in QUERIES["stats_mad_outliers"](spark, sf).collect()}
         vals = defaultdict(list)
         for r in load_table(spark, sf, "events").collect():
-            vals[r["event_type"]].append(round(r["value"] * 100))
+            vals[r["event_type"]].append(_q100(r["value"]))
 
         def lomed(xs):
             xs = sorted(xs)
@@ -542,8 +552,8 @@ class TestTheilSen:
         weekly = defaultdict(int)
         for r in load_table(spark, sf, "events").collect():
             if r["event_type"] == "purchase":
-                weekly[(r["ts"] // 1000) // 604_800_000_000] += round(
-                    r["value"] * 1000
+                weekly[(r["ts"] // 1000) // 604_800_000_000] += math.floor(
+                    r["value"] * 1000 + 0.5
                 )
         wks = sorted(weekly)
         slopes = []
@@ -557,8 +567,6 @@ class TestTheilSen:
         med = slopes[(len(slopes) + 1) // 2 - 1]
         assert row["n_weeks"] == len(wks)
         assert row["n_pairs"] == len(slopes)
-        import math
-
         exp = math.floor(med / 1e6 / 1000.0 * 1e6) / 1e6
         assert row["slope_per_week"] == exp
 
@@ -692,7 +700,7 @@ class TestTrimmedMean:
                for r in QUERIES["stats_trimmed_mean"](spark, sf).collect()}
         vals = defaultdict(list)
         for r in load_table(spark, sf, "events").collect():
-            vals[r["event_type"]].append(round(r["value"] * 100))
+            vals[r["event_type"]].append(_q100(r["value"]))
         for t, xs in vals.items():
             xs.sort()
             k = len(xs) // 10
