@@ -247,6 +247,7 @@ def minhash_dedup_pairs_collapsed(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_scores: bool = False,
     **mh_kwargs,
 ) -> DataFrame:
     """:func:`minhash_dedup_pairs` behind an EXACT-duplicate collapse —
@@ -259,14 +260,18 @@ def minhash_dedup_pairs_collapsed(
     on representatives only, and members link to their representative
     with one edge each — pairs are linear in the corpus again.
 
-    Returns ``(id_a, id_b)``. CLOSURE-EQUIVALENT to the uncollapsed
-    pair list by construction: identical texts have identical
-    signatures, so (a) every within-group pair was a candidate with
-    est_jaccard 1 — the member→rep star closes the same component —
-    and (b) any cross-group candidate pair (a, b) has the same bands
-    and estimate as (rep_a, rep_b), which is emitted instead. The
-    dedup_resolve oracle (full uncollapsed replay + recursive closure)
-    stays green on top of this operator.
+    Returns ``(id_a, id_b)`` — or ``(id_a, id_b, est_jaccard)`` when
+    ``with_scores`` is set, where representative pairs carry the
+    MinHash estimate and member→rep star links carry exactly 1.0
+    (identical text ⇒ identical signatures ⇒ all k positions equal).
+    CLOSURE-EQUIVALENT to the uncollapsed pair list by construction:
+    identical texts have identical signatures, so (a) every
+    within-group pair was a candidate with est_jaccard 1 — the
+    member→rep star closes the same component — and (b) any
+    cross-group candidate pair (a, b) has the same bands and estimate
+    as (rep_a, rep_b), which is emitted instead. The dedup_resolve
+    oracle (full uncollapsed replay + recursive closure) stays green
+    on top of this operator.
     """
     # persisted: the full-text md5 pass feeds BOTH the group table and
     # the member links — without the persist each subtree re-scans the
@@ -279,15 +284,17 @@ def minhash_dedup_pairs_collapsed(
     reps = df.join(
         groups.select(F.col("rep").alias(id_col)).distinct(), id_col, "inner"
     )
-    rep_pairs = minhash_dedup_pairs(reps, id_col, text_col, **mh_kwargs).select(
-        "id_a", "id_b"
-    )
+    rep_pairs = minhash_dedup_pairs(reps, id_col, text_col, **mh_kwargs)
     links = (
         digests.join(groups, "_dg")
         .where(F.col("id") != F.col("rep"))
         .select(F.col("id").alias("id_a"), F.col("rep").alias("id_b"))
     )
-    return rep_pairs.unionByName(links)
+    if with_scores:
+        return rep_pairs.unionByName(
+            links.withColumn("est_jaccard", F.lit(1.0))
+        )
+    return rep_pairs.select("id_a", "id_b").unionByName(links)
 
 
 def simhash64(

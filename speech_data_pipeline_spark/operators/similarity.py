@@ -104,6 +104,113 @@ def rp_lsh_bucket(
     return df.withColumn(out_col, F.concat(*bits))
 
 
+def rp_lsh_bucket_capped(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    base_planes: int = 6,
+    step: int = 5,
+    levels: int = 3,
+    cap: int = 1024,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Population-CAPPED sign-bit bucketing: the scale-safe front end
+    for every per-bucket quadratic kernel (:func:`knn_in_buckets`,
+    :func:`hard_negatives_in_buckets`, :func:`embedding_neardup_pairs`).
+
+    Fixed-plane bucketing has corpus-LINEAR bucket populations (2^p
+    buckets regardless of n), so any O(bucket²) kernel goes quadratic
+    with corpus growth — measured 11–12× wall-clock at 10× data for
+    the mutual-kNN graph. This operator bounds every bucket:
+
+    1. bucket rows by the first ``base_planes`` sign bits (identical
+       geometry — and identical keys — to :func:`rp_lsh_bucket` when
+       nothing escalates: ``hyperplanes(dim, total, seed)`` rows are a
+       prefix-stable stream, so plane i is the same array for any
+       total);
+    2. ``levels`` rounds of ESCALATION: any bucket whose population
+       exceeds ``cap`` extends its key with ``step`` more sign bits
+       (children of one parent re-split; settled buckets never move —
+       keys of different lengths cannot collide, and same-length keys
+       from different parents differ in the prefix);
+    3. a final deterministic SALT for unsplittable piles (duplicate /
+       near-identical vectors that no hyperplane separates): a bucket
+       still over ``cap`` splits into ``ceil(pop / cap)`` shards by
+       ``id % n_shards``. This trades within-pile recall (a shard only
+       sees its own members) for a kernel bound — exactly the
+       clusters where neighbors are interchangeable anyway, and where
+       near-dup consumers re-close transitively downstream. The bound
+       is ``cap`` up to the mod-split imbalance: shard sizes are
+       multinomial around ``pop/n_shards ≤ cap``, so realistic id sets
+       land within a few percent of ``cap`` (sf1skew hot cluster:
+       264 vs cap 256, +3%); an adversarial id set sharing a common
+       factor with ``n_shards`` is the documented worst case (ids are
+       corpus-assigned sequence numbers here, not user input).
+
+    Cost shape at 100 TB: the vector table is NEVER shuffled here and
+    is aggregated exactly ONCE — a map-side-combinable count by the
+    FULL-depth bit prefix (the "leaf"; at most min(n, 2^total) short
+    rows cross that shuffle), after which the whole escalation cascade
+    runs as window sums over the tiny leaf-count table (a leaf's
+    level-l bucket population = the sum of leaf counts sharing its
+    level-l prefix — identical numbers to per-row counting, without
+    touching the corpus again). The resulting leaf → (final prefix,
+    n_shards) mapping broadcast-joins back in the same pass that
+    computes the output column. The single real shuffle stays the
+    caller's final ``groupBy(bucket)``; every kernel invocation is
+    then O(cap²) flops/memory regardless of corpus size or skew.
+
+    Determinism: counts are exact, escalation is a pure function of
+    (planes, data, cap), the salt is ``id % ceil(pop/cap)`` — a DuckDB
+    oracle replays the exact assignment with windowed counts (shared
+    fragment ``_capped_bucket_ctes`` in queries/text_q.py).
+    """
+    from pyspark.sql import Window
+
+    total = base_planes + step * levels
+    planes = hyperplanes(dim, total, seed)
+    b = rp_lsh_bucket(df, planes, vec_col, out_col="_bits")
+    leaf = b.groupBy(F.col("_bits").alias("_leaf")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    cur = leaf.withColumn("_fp", F.substring("_leaf", 1, base_planes))
+    for lvl in range(1, levels + 1):
+        pop = F.sum("_cnt").over(Window.partitionBy("_fp"))
+        cur = cur.withColumn(
+            "_fp",
+            F.when(
+                pop > cap, F.substring("_leaf", 1, base_planes + step * lvl)
+            ).otherwise(F.col("_fp")),
+        )
+    mapping = cur.withColumn(
+        "_pop", F.sum("_cnt").over(Window.partitionBy("_fp"))
+    ).select(
+        "_leaf",
+        "_fp",
+        F.when(
+            F.col("_pop") > cap,
+            F.expr(f"(_pop + {cap} - 1) div {cap}"),
+        ).alias("_nsh"),
+    )
+    return (
+        b.join(F.broadcast(mapping), F.col("_bits") == F.col("_leaf"))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_nsh").isNotNull(),
+                F.concat(
+                    F.col("_fp"),
+                    F.lit("#"),
+                    F.pmod(F.col(id_col), F.col("_nsh")).cast("string"),
+                ),
+            ).otherwise(F.col("_fp")),
+        )
+        .drop("_bits", "_leaf", "_fp", "_nsh")
+    )
+
+
 def probe_buckets(
     query_vec: list[float], planes: np.ndarray, n_probes: int
 ) -> list[str]:
@@ -237,6 +344,9 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    cap: int | None = None,
+    step: int = 5,
+    levels: int = 3,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking.
 
@@ -256,9 +366,12 @@ def embedding_neardup_pairs(
     ``list_sum`` — BLAS matmul would reassociate the sum and flip
     values sitting on a trunc6 boundary.
 
-    At scale, per-bucket memory is O(bucket² ) for the pair index —
-    ``n_planes`` must keep bucket sizes bounded (2^n_planes buckets);
-    a hot bucket is the same skew exposure the join-based plan had.
+    At scale, per-bucket memory is O(bucket²) for the pair index —
+    set ``cap`` (production mode) to bound every bucket via
+    :func:`rp_lsh_bucket_capped` (escalating sign-bit depth + salt
+    shard: O(cap²) per invocation at any corpus size or skew). With
+    ``cap=None`` the fixed 2^n_planes geometry applies and a hot
+    bucket is the same skew exposure the join-based plan had.
 
     Pass ``dim`` explicitly when known (the embedding dimensionality is
     a property of the upstream model, not the data); the ``first()``
@@ -276,8 +389,16 @@ def embedding_neardup_pairs(
                 [], f"id_a {id_type}, id_b {id_type}, cos_sim double"
             )
         dim = len(sample[0])
-    planes = hyperplanes(dim, n_planes, seed)
-    b = rp_lsh_bucket(df, planes, vec_col).select(
+    if cap is not None:
+        b = rp_lsh_bucket_capped(
+            df, dim, vec_col=vec_col, id_col=id_col,
+            base_planes=n_planes, step=step, levels=levels,
+            cap=cap, seed=seed,
+        )
+    else:
+        planes = hyperplanes(dim, n_planes, seed)
+        b = rp_lsh_bucket(df, planes, vec_col)
+    b = b.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
     )
     id_type = b.schema["id"].dataType.simpleString()
@@ -1152,6 +1273,9 @@ def hard_negatives_in_buckets(
     id_col: str = "vec_id",
     label_col: str = "label",
     vec_col: str = "embedding",
+    cap: int | None = None,
+    step: int = 5,
+    levels: int = 3,
 ) -> DataFrame:
     """Per-anchor hardest different-label neighbor within its LSH
     bucket — contrastive-training negative mining as a per-bucket
@@ -1168,15 +1292,24 @@ def hard_negatives_in_buckets(
     bit-identical to the ``F.aggregate`` fold and DuckDB ``list_sum``.
 
     At scale per-bucket work is O(bucket²) kernel flops and O(bucket²)
-    kernel memory; ``n_planes`` is the knob that bounds bucket
-    population (grow it ~log n with the corpus, exactly as for the
-    near-dup blocker). A hot bucket is the same skew exposure
-    ``embedding_neardup_pairs`` documents.
+    kernel memory. With ``cap`` set (production mode) bucketing goes
+    through :func:`rp_lsh_bucket_capped` — escalating sign-bit depth
+    plus a final salt shard bound every invocation at O(cap²)
+    regardless of corpus size or skew; with ``cap=None`` the
+    fixed-plane geometry applies (diagnostic / tiny corpora only).
     """
     import pandas as pd
 
-    planes = hyperplanes(dim, n_planes, seed)
-    b = rp_lsh_bucket(df, planes, vec_col).select(
+    if cap is not None:
+        b = rp_lsh_bucket_capped(
+            df, dim, vec_col=vec_col, id_col=id_col,
+            base_planes=n_planes, step=step, levels=levels,
+            cap=cap, seed=seed,
+        )
+    else:
+        planes = hyperplanes(dim, n_planes, seed)
+        b = rp_lsh_bucket(df, planes, vec_col)
+    b = b.select(
         F.col(id_col).alias("id"),
         F.col(label_col).alias("lab"),
         F.col(vec_col).alias("v"),
@@ -1253,6 +1386,9 @@ def knn_in_buckets(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cap: int | None = None,
+    step: int = 5,
+    levels: int = 3,
 ) -> DataFrame:
     """Per-vector top-k cosine neighbor lists within LSH buckets — the
     kNN-graph construction step (mutual-kNN graphs, diffusion maps,
@@ -1266,17 +1402,30 @@ def knn_in_buckets(
     = the SQL row_number contract); ``cos_raw`` is emitted untruncated
     so consumers can re-rank/filter before display-truncating.
 
-    Scale: per-bucket cost O(bucket²) flops / memory; ``n_planes``
-    bounds bucket population (grow ~log n with the corpus — the
-    embedding_neardup_pairs contract, same skew exposure on hot
-    buckets).
+    Scale: per-bucket cost O(bucket²) flops / memory. With ``cap``
+    set (the production mode), bucketing goes through
+    :func:`rp_lsh_bucket_capped` — ``n_planes`` is the BASE depth and
+    over-populated buckets escalate by ``step`` extra sign bits up to
+    ``levels`` times, then salt-shard, so every kernel invocation is
+    O(cap²) regardless of corpus size or skew. With ``cap=None``
+    (diagnostic / tiny corpora) the fixed-plane geometry applies and
+    bucket population is corpus-linear.
     """
     import pandas as pd
 
-    planes = hyperplanes(dim, n_planes, seed)
-    b = rp_lsh_bucket(df, planes, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
-    )
+    if cap is not None:
+        b = rp_lsh_bucket_capped(
+            df, dim, vec_col=vec_col, id_col=id_col,
+            base_planes=n_planes, step=step, levels=levels,
+            cap=cap, seed=seed,
+        ).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+        )
+    else:
+        planes = hyperplanes(dim, n_planes, seed)
+        b = rp_lsh_bucket(df, planes, vec_col).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+        )
     id_type = b.schema["id"].dataType.simpleString()
     out_schema = f"src {id_type}, dst {id_type}, cos_raw double"
 

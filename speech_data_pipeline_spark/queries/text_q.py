@@ -272,10 +272,13 @@ def _minhash_pairs_cte(
     shingle_len: int = 5,
     bands: int = 4,
     threshold: float = 0.5,
+    src: str = "documents",
 ) -> str:
     """Shared CTE body ``sh, sigs, pairs`` replaying the MinHash+LSH
     pair generation in DuckDB (O(n²) pairwise form — the oracle checks
-    semantics, the engine keeps the banded-join plan)."""
+    semantics, the engine keeps the banded-join plan). ``src`` lets the
+    collapsed oracle point the same replay at the representatives-only
+    relation."""
     from speech_data_pipeline_spark.operators.dedup import (
         MINHASH_P,
         minhash_coeffs,
@@ -309,7 +312,7 @@ def _minhash_pairs_cte(
                  range(1, greatest(length(text) - {shingle_len - 1}, 1) + 1),
                  i -> substr(text, CAST(i AS INTEGER), {shingle_len}))),
                s -> {h}) AS hs
-      FROM documents
+      FROM {src}
     ), sigs AS (
       SELECT id, [{sig_entries}] AS sig FROM sh
     ), pairs AS (
@@ -330,12 +333,69 @@ def _minhash_oracle(k: int = 16, shingle_len: int = 5, bands: int = 4) -> str:
     """
 
 
-@query("dedup_minhash_lsh", oracle=_minhash_oracle())
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join).
+def _minhash_collapsed_oracle(
+    k: int = 16, shingle_len: int = 5, bands: int = 4
+) -> str:
+    """Replay of the production composition: md5 digest-collapse to
+    min-id representatives, the MinHash+LSH pair CTE over
+    representatives only, plus one member→rep link per collapsed
+    duplicate at est_jaccard exactly 1.0."""
+    return f"""
+    WITH dg AS (
+      SELECT doc_id AS id, md5(text) AS _dg FROM documents
+    ), grp AS (
+      SELECT _dg, min(id) AS rep FROM dg GROUP BY _dg
+    ), repdocs AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN grp g ON g.rep = d.doc_id
+    ), {_minhash_pairs_cte(k, shingle_len, bands, src="repdocs")}
+    SELECT id_a, id_b, est_jaccard FROM pairs
+    UNION ALL
+    SELECT d.id AS id_a, g.rep AS id_b, CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM dg d JOIN grp g ON g._dg = d._dg
+    WHERE d.id <> g.rep
+    """
 
-    Engine path: banded equi-join — quadratic only within buckets. The
-    oracle verifies semantics with the O(n²) pairwise form.
+
+@query("dedup_minhash_lsh", oracle=_minhash_collapsed_oracle())
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — the PRODUCTION entry point:
+    exact-duplicate collapse (md5 digest → min-id representative)
+    first, shingle→minhash→band→bucket-join over representatives only,
+    then one member→rep star link per collapsed duplicate (est 1.0 —
+    identical text means every signature position matches).
+
+    Why collapsed is the gate row: a C-member identical-text cluster
+    lands in one band bucket and the uncollapsed pair list is C²/2 —
+    at a 10M-copy boilerplate cluster that is ~5·10¹³ pairs, a true
+    scale-killer. The collapse makes pair volume linear in the corpus
+    again while staying CLOSURE-EQUIVALENT (operators/dedup.py
+    minhash_dedup_pairs_collapsed), and was measured flat under the
+    ~10k-copy sf1skew stress cluster where the uncollapsed form blew
+    up 4.4×. The raw banded form remains available as the
+    diagnostic-only ``dedup_minhash_lsh_uncollapsed``.
+
+    The oracle replays the identical composition: collapse, the O(n²)
+    pairwise MinHash replay over representatives, and the 1.0-scored
+    star links.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_dedup_pairs_collapsed(
+        d, k=16, shingle_len=5, bands=4, threshold=0.5, with_scores=True
+    )
+
+
+@query("dedup_minhash_lsh_uncollapsed", oracle=_minhash_oracle())
+def dedup_minhash_uncollapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAGNOSTIC-ONLY raw MinHash+LSH pair list (no exact-dup
+    collapse): shingle→minhash→band→bucket-join, quadratic only within
+    band buckets — which means quadratic in an identical-text cluster
+    (C²/2 pairs for a C-member cluster; 4.4× wall-clock at the
+    ~10k-copy sf1skew stress cluster). Use ``dedup_minhash_lsh`` (the
+    collapsed composition) in production; keep this form for auditing
+    raw band-collision behavior on corpora known to be free of exact
+    duplicates. The oracle verifies semantics with the O(n²) pairwise
+    form.
     """
     d = load_table(spark, sf_dir, "documents")
     return dd.minhash_dedup_pairs(d, k=16, shingle_len=5, bands=4, threshold=0.5)
@@ -508,6 +568,56 @@ def _bucket_sql(planes, e: str = "embedding", dim: int = 64) -> str:
     )
 
 
+def _capped_bucket_ctes(
+    base: int,
+    step: int,
+    levels: int,
+    cap: int,
+    cols: str,
+    e: str = "embedding",
+    id_expr: str = "vec_id",
+    dim: int = 64,
+    seed: int = 42,
+    src: str = "embeddings",
+) -> str:
+    """CTE chain replaying operators/similarity.py
+    rp_lsh_bucket_capped: full-depth sign bits once, ``levels`` rounds
+    of windowed-count escalation (buckets over ``cap`` extend their
+    key by ``step`` bits), then the deterministic ``id % ceil(pop/cap)``
+    salt shard. Ends in CTE ``cbkt`` with columns ``{cols}, bucket``.
+    ONE definition for every capped-kernel oracle — the window counts
+    here compute exactly the tiny grouped counts the engine broadcast-
+    joins."""
+    from speech_data_pipeline_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, base + step * levels, seed=seed)
+    bits = _bucket_sql(planes, e, dim)
+    parts = [
+        f"cb0 AS (SELECT {cols}, {bits} AS _bits FROM {src})",
+        f"cl0 AS (SELECT {cols}, _bits, substr(_bits, 1, {base}) AS bucket"
+        f" FROM cb0)",
+    ]
+    for lvl in range(1, levels + 1):
+        parts.append(
+            f"cl{lvl} AS (SELECT {cols}, _bits,"
+            f" CASE WHEN count(*) OVER (PARTITION BY bucket) > {cap}"
+            f" THEN substr(_bits, 1, {base + step * lvl})"
+            f" ELSE bucket END AS bucket FROM cl{lvl - 1})"
+        )
+    parts.append(
+        f"cs AS (SELECT {cols}, bucket,"
+        f" count(*) OVER (PARTITION BY bucket) AS _cnt FROM cl{levels})"
+    )
+    parts.append(
+        f"cbkt AS (SELECT {cols},"
+        f" CASE WHEN _cnt > {cap}"
+        f" THEN bucket || '#' ||"
+        f" CAST(({id_expr}) % ((_cnt + {cap} - 1) // {cap}) AS VARCHAR)"
+        f" ELSE bucket END AS bucket FROM cs)"
+    )
+    return ",\n    ".join(parts)
+
+
 def _cos_pair_sql(a: str, b: str, dim: int = 64) -> str:
     """DuckDB raw cosine between two list columns, fold-order-exact."""
     return f"""
@@ -520,17 +630,17 @@ def _cos_pair_sql(a: str, b: str, dim: int = 64) -> str:
     """
 
 
+_NEARDUP_CAP = 256
+
+
 def _neardup_oracle(n_planes: int = 8, dim: int = 64, threshold: float = 0.3) -> str:
-    import numpy as np
-
-    from speech_data_pipeline_spark.operators.similarity import hyperplanes
-
-    planes = hyperplanes(dim, n_planes, seed=42)
-    bucket = _bucket_sql(planes, "embedding", dim)
+    ctes = _capped_bucket_ctes(
+        n_planes, 5, 3, _NEARDUP_CAP, cols="vec_id, embedding", dim=dim
+    )
     cos = _cos_pair_sql("a.embedding", "c.embedding", dim)
     return f"""
-    WITH b AS (
-      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    WITH {ctes}, b AS (
+      SELECT vec_id, embedding, bucket FROM cbkt
     )
     SELECT a.vec_id AS id_a, c.vec_id AS id_b,
            floor(({cos}) * 1000000.0) / 1000000.0 AS cos_sim
@@ -666,12 +776,15 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic embeddings carry no true near-dups; the p99 within-bucket
     cosine is ~0.32, so 0.3 exercises the full path with real output).
 
-    The oracle replays the identical hyperplanes (seeded literals baked
-    into both plans) with an O(n²)-within-bucket SQL join.
+    Bucketing is POPULATION-CAPPED (rp_lsh_bucket_capped, cap 256) so
+    the within-bucket rerank kernel is O(cap²) at any corpus size or
+    skew. The oracle replays the identical hyperplanes, escalation
+    counts and salt (seeded literals + windowed counts) with an
+    O(cap²)-within-bucket SQL join.
     """
     e = load_table(spark, sf_dir, "embeddings")
     return sim.embedding_neardup_pairs(
-        e, n_planes=8, seed=42, threshold=0.3, dim=64
+        e, n_planes=8, seed=42, threshold=0.3, dim=64, cap=_NEARDUP_CAP
     )
 
 
@@ -1379,17 +1492,17 @@ def cluster_label_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: near-dup blocker so buckets stay candidate-rich), near-dup ceiling.
 _HN_PLANES = 6
 _HN_DUP_CEIL = 0.95
+_HN_CAP = 256
 
 
 def _hn_oracle(n_planes: int = _HN_PLANES, dim: int = 64) -> str:
-    from speech_data_pipeline_spark.operators.similarity import hyperplanes
-
-    planes = hyperplanes(dim, n_planes, seed=42)
-    bucket = _bucket_sql(planes, "embedding", dim)
+    ctes = _capped_bucket_ctes(
+        n_planes, 5, 3, _HN_CAP, cols="vec_id, label, embedding", dim=dim
+    )
     cos = _cos_pair_sql("a.embedding", "c.embedding", dim)
     return f"""
-    WITH b AS (
-      SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings
+    WITH {ctes}, b AS (
+      SELECT vec_id, label, embedding, bucket FROM cbkt
     ), cand AS (
       SELECT a.vec_id AS anchor_id, a.label AS label_a,
              c.vec_id AS neg_id, c.label AS label_n,
@@ -1427,9 +1540,12 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     condition — the anti-pattern embedding_neardup_pairs' docstring
     measures at ~4× redundant work). Each vector lives in exactly one
     bucket, so the kernel's per-anchor argmax IS the final answer —
-    no second aggregate. ``n_planes`` bounds bucket population (grow
-    ~log n with the corpus); the DuckDB oracle replays the identical
-    planes, candidate rule, raw-double ranking and neg_id tie-break.
+    no second aggregate. Bucketing is POPULATION-CAPPED
+    (rp_lsh_bucket_capped, cap 256: escalating sign-bit depth + salt
+    shard) so every kernel invocation is O(cap²) at any corpus size
+    or skew; the DuckDB oracle replays the identical planes,
+    escalation counts, salt, candidate rule, raw-double ranking and
+    neg_id tie-break.
     """
     from speech_data_pipeline_spark.operators.similarity import (
         hard_negatives_in_buckets,
@@ -1437,7 +1553,8 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return hard_negatives_in_buckets(
-        e, n_planes=_HN_PLANES, seed=42, dup_ceiling=_HN_DUP_CEIL, dim=64
+        e, n_planes=_HN_PLANES, seed=42, dup_ceiling=_HN_DUP_CEIL, dim=64,
+        cap=_HN_CAP,
     ).orderBy("anchor_id")
 
 
@@ -1771,23 +1888,32 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Mutual-kNN graph knobs: neighbor-list depth and the candidate
-#: blocking planes (shared with hard-negative mining so both reuse the
-#: same bucket geometry argument).
+#: Mutual-kNN graph knobs: neighbor-list depth, the candidate blocking
+#: BASE planes (shared with hard-negative mining so both reuse the same
+#: bucket geometry argument), and the population cap / escalation shape
+#: of rp_lsh_bucket_capped. cap=256: one ~256-member kernel is ~65k-pair
+#: NumPy work — microseconds — and at sf0.01 (max bucket 18) nothing
+#: escalates, so the gate result is continuous with the fixed-plane
+#: geometry while the BOUND is exercised by the sf1/sf1skew stress runs
+#: (base 6 → depth-21 escalation → salt) and by the dedicated
+#: embed_knn_capped_escalation gate row.
 _MKNN_K = 5
 _MKNN_PLANES = 6
+_MKNN_CAP = 256
+_MKNN_STEP = 5
+_MKNN_LEVELS = 3
 
 
 def _mknn_oracle(k: int = _MKNN_K, n_planes: int = _MKNN_PLANES,
                  dim: int = 64) -> str:
-    from speech_data_pipeline_spark.operators.similarity import hyperplanes
-
-    planes = hyperplanes(dim, n_planes, seed=42)
-    bucket = _bucket_sql(planes, "embedding", dim)
+    ctes = _capped_bucket_ctes(
+        n_planes, _MKNN_STEP, _MKNN_LEVELS, _MKNN_CAP,
+        cols="vec_id, embedding", dim=dim,
+    )
     cos = _cos_pair_sql("a.embedding", "c.embedding", dim)
     return f"""
-    WITH b AS (
-      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    WITH {ctes}, b AS (
+      SELECT vec_id, embedding, bucket FROM cbkt
     ), cand AS (
       SELECT a.vec_id AS src, c.vec_id AS dst, ({cos}) AS cos_raw
       FROM b a JOIN b c
@@ -1817,15 +1943,22 @@ def embed_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: neighbor lists come from the per-bucket kernel
     (operators/similarity.py knn_in_buckets — n·k edge rows out, the
-    n² candidates never leave the kernel); mutuality is ONE self-join
-    of the edge table on the reversed pair key (hash-partitioned on
-    n·k rows, not on the corpus); src < dst keeps each undirected
-    edge once. Cosines ride raw until the final trunc6.
+    n² candidates never leave the kernel) behind POPULATION-CAPPED
+    bucketing (rp_lsh_bucket_capped: escalating sign-bit depth + salt
+    shard → every kernel invocation O(cap²) at any corpus size or
+    skew; the capping itself never shuffles the vector table — tiny
+    grouped counts broadcast back); mutuality is ONE self-join of the
+    edge table on the reversed pair key (hash-partitioned on n·k
+    rows, not on the corpus); src < dst keeps each undirected edge
+    once. Cosines ride raw until the final trunc6.
     """
     from speech_data_pipeline_spark.operators.similarity import knn_in_buckets
 
     e = load_table(spark, sf_dir, "embeddings")
-    knn = knn_in_buckets(e, k=_MKNN_K, n_planes=_MKNN_PLANES, dim=64)
+    knn = knn_in_buckets(
+        e, k=_MKNN_K, n_planes=_MKNN_PLANES, dim=64,
+        cap=_MKNN_CAP, step=_MKNN_STEP, levels=_MKNN_LEVELS,
+    )
     rev = knn.select(
         F.col("src").alias("dst"), F.col("dst").alias("src")
     )
@@ -1838,6 +1971,53 @@ def embed_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(F.col("cos_raw")).alias("cos_sim"),
         )
     )
+
+
+def _knn_capped_escalation_oracle(
+    k: int = 3, base: int = 6, step: int = 5, levels: int = 1,
+    cap: int = 2, dim: int = 64,
+) -> str:
+    ctes = _capped_bucket_ctes(
+        base, step, levels, cap, cols="vec_id, embedding", dim=dim
+    )
+    cos = _cos_pair_sql("a.embedding", "c.embedding", dim)
+    return f"""
+    WITH {ctes}, cand AS (
+      SELECT a.vec_id AS src, c.vec_id AS dst, ({cos}) AS cos_raw
+      FROM cbkt a JOIN cbkt c
+        ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    )
+    SELECT src, dst,
+           floor(cos_raw * 1000000.0) / 1000000.0 AS cos_sim
+    FROM (
+      SELECT src, dst, cos_raw,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos_raw DESC, dst) AS rn
+      FROM cand
+    ) WHERE rn <= {k}
+    """
+
+
+@query("embed_knn_capped_escalation", oracle=_knn_capped_escalation_oracle())
+def embed_knn_capped_escalation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN edges under DELIBERATELY tiny capped-bucketing knobs
+    (cap=2, one escalation level) so the gate exercises BOTH adaptive
+    paths of rp_lsh_bucket_capped at sf0.01, where the production caps
+    of embed_mutual_knn / mine_hard_negatives / sim_embedding_neardup
+    never escalate: every 6-bit bucket here exceeds the cap and
+    escalates to 11 bits, and the 11-bit buckets still over the cap
+    salt-shard by ``vec_id % ceil(pop/cap)``. The oracle replays the
+    full escalation/salt assignment with windowed counts — any drift
+    in the capping logic (count rule, prefix arithmetic, shard
+    formula, tie-breaks) hash-mismatches here even while the
+    production rows sit in their no-escalation regime.
+    """
+    from speech_data_pipeline_spark.operators.similarity import knn_in_buckets
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_in_buckets(
+        e, k=3, n_planes=6, dim=64, cap=2, step=5, levels=1
+    ).select("src", "dst", trunc6(F.col("cos_raw")).alias("cos_sim"))
 
 
 #: Held-out perplexity filter (CCNet-style): the reference LM trains
