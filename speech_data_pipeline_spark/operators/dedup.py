@@ -654,13 +654,29 @@ def allpairs_prefix_cosine(
       ``(t2_num·n + t2_den − 1) div t2_den`` (float ceil of 0.49·n
       can over-round and silently shorten the prefix).
 
+    - POSITIONAL filter (the ppjoin upgrade, Xiao/Wang/Lin/Yu
+      WWW'08): each prefix token carries its 1-based position in the
+      globally-ordered set. Both sets are sorted by the SAME total
+      (df, token) order, so shared tokens appear in the same relative
+      order in both docs — which makes the pair's minimal-position
+      prefix collision its true FIRST shared token (any earlier shared
+      token would sit before it in both orders, hence inside both
+      prefixes, hence be an earlier collision). At that first match
+      (i, j) the overlap is bounded by ``1 + min(na−i, nb−j)`` (the
+      match itself plus the shorter remaining suffix), so candidates
+      with ``(1 + min(na−i, nb−j))² · t2_den < t2_num·na·nb`` are
+      pruned BEFORE the verify joins — exactness untouched, candidate
+      constant cut.
+
     100 TB shape: candidates meet ONLY through a shared prefix-token
     equi-join (rarest-first ordering keeps prefix tokens low-df);
-    verification re-joins the candidate ids against the per-doc token
-    arrays (two hash joins on id — the arrays are NOT carried through
-    the prefix explode) and computes the overlap IN-ROW via
-    array_intersect. Nothing quadratic ever materializes beyond the
-    size-filtered candidate set.
+    the pair-dedup groupBy doubles as the positional-filter argmin
+    (min position per side — co-minimal at the first collision);
+    verification re-joins the surviving candidate ids against the
+    per-doc token arrays (two hash joins on id — the arrays are NOT
+    carried through the prefix explode) and computes the overlap
+    IN-ROW via array_intersect. Nothing quadratic ever materializes
+    beyond the size-and-position-filtered candidate set.
     """
     features = (
         word_ngrams(F.col(text_col), ngram_n)
@@ -690,27 +706,62 @@ def allpairs_prefix_cosine(
     prefix = sets.select(
         "id",
         "n",
-        F.explode(
+        F.posexplode(
             F.transform(
                 F.slice(F.col("ord"), F.lit(1), plen),
                 lambda s: s.getField("token"),
             )
-        ).alias("token"),
-    )
+        ).alias("pos0", "token"),
+    ).withColumn("pos", (F.col("pos0") + 1).cast("long")).drop("pos0")
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # per-collision positional residual: bound = 1 + min(remaining_a,
+    # remaining_b) at THIS collision. Valid to filter every collision
+    # row by its own bound: the FIRST collision of a true pair has
+    # bound >= true overlap >= minoverlap, so at least one collision
+    # row per true pair always survives (completeness), while
+    # hopeless collision rows never reach the pair-dedup shuffle
+    pos_ub = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
     cand = (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.col("a.n") * t2_num <= F.col("b.n") * t2_den)
-            & (F.col("b.n") * t2_num <= F.col("a.n") * t2_den),
+            & (F.col("b.n") * t2_num <= F.col("a.n") * t2_den)
+            & (
+                pos_ub * pos_ub * t2_den
+                >= F.lit(t2_num) * F.col("a.n") * F.col("b.n")
+            ),
         )
-        .select(
+        .groupBy(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
-        .distinct()
+        .agg(
+            # first prefix collision = first shared token (co-minimal
+            # positions under the shared total order) — the pair-dedup
+            # groupBy computes the positional bound for free
+            F.min("a.pos").alias("ia"),
+            F.min("b.pos").alias("ib"),
+            F.first(F.col("a.n")).alias("pna"),
+            F.first(F.col("b.n")).alias("pnb"),
+        )
+        .withColumn(
+            "ub",
+            F.lit(1)
+            + F.least(
+                F.col("pna") - F.col("ia"), F.col("pnb") - F.col("ib")
+            ),
+        )
+        # ppjoin positional prune: max reachable overlap below the
+        # pair's exact integer minoverlap — never a true pair
+        .where(
+            F.col("ub") * F.col("ub") * t2_den
+            >= F.lit(t2_num) * F.col("pna") * F.col("pnb")
+        )
+        .select("id_a", "id_b")
     )
     arrs = sets.select(
         "id",
