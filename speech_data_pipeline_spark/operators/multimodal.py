@@ -300,22 +300,117 @@ def _walk_riff(b: bytes):
     return (audio_format,) + tuple(fmt[1:]), data_off, data_size
 
 
+def _g711_tables():
+    """256-entry decode LUTs for G.711 μ-law and A-law (ITU-T G.711 /
+    the classic Sun ``g711.c`` formulas), as float64 arrays normalized
+    by 1/32768. Built once per process."""
+    import numpy as np
+
+    ulaw = np.empty(256, dtype=np.float64)
+    alaw = np.empty(256, dtype=np.float64)
+    for byte in range(256):
+        u = ~byte & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw[byte] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+        a = byte ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[byte] = t if (a & 0x80) else -t
+    return ulaw / 32768.0, alaw / 32768.0
+
+
+_G711_CACHE: list = []
+
+# IMA/DVI ADPCM (format tag 0x11) quantizer tables — public spec
+# (IMA Recommended Practices for Enhancing Digital Audio, 1992).
+_IMA_INDEX_TAB = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TAB = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+
+
+def _ima_adpcm_decode(data: bytes, n_ch: int, block_align: int):
+    """Decode IMA ADPCM 'data' payload to per-channel float64 arrays.
+
+    Block layout (public spec): per channel a 4-byte header (int16
+    initial predictor — emitted as the block's first sample — uint8
+    step index, 1 reserved byte), then the compressed stream as
+    interleaved 4-byte words per channel, each word carrying 8
+    samples as low-then-high nibbles. Blocks are independent (each
+    carries its own predictor/index), so a chunked-payload corpus can
+    decode blocks in parallel; this in-row kernel just walks them
+    sequentially. Partial trailing blocks decode their available
+    nibbles.
+    """
+    import numpy as np
+
+    step_tab, idx_tab = _IMA_STEP_TAB, _IMA_INDEX_TAB
+    chans: list[list[float]] = [[] for _ in range(n_ch)]
+    for boff in range(0, len(data), block_align):
+        block = data[boff : boff + block_align]
+        if len(block) < 4 * n_ch:
+            break  # truncated header: ignore trailing junk
+        pred = [0] * n_ch
+        index = [0] * n_ch
+        for c in range(n_ch):
+            h = block[4 * c : 4 * c + 4]
+            p = h[0] | (h[1] << 8)
+            pred[c] = p - 0x10000 if p >= 0x8000 else p
+            index[c] = min(88, max(0, h[2]))
+            chans[c].append(pred[c] / 32768.0)
+        body = block[4 * n_ch :]
+        # interleaved 4-byte words per channel
+        for woff in range(0, len(body) - len(body) % 4, 4):
+            c = (woff // 4) % n_ch
+            p, ix, out = pred[c], index[c], chans[c]
+            for byte in body[woff : woff + 4]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    step = step_tab[ix]
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    p = p - diff if nib & 8 else p + diff
+                    p = max(-32768, min(32767, p))
+                    ix = max(0, min(88, ix + idx_tab[nib & 7]))
+                    out.append(p / 32768.0)
+            pred[c], index[c] = p, ix
+    return [np.asarray(c, dtype=np.float64) for c in chans]
+
+
 def decode_wav_bytes(
     payload: bytes, mono: bool = True
 ) -> tuple[list, int]:
-    """Pure-NumPy RIFF/WAV decode: uncompressed PCM (8/16/24/32-bit) and
-    IEEE-float WAV. ``mono=True`` mixes channels down by mean (the
+    """Pure-NumPy RIFF/WAV decode: uncompressed PCM (8/16/24/32-bit),
+    IEEE-float, G.711 μ-law (tag 7) / A-law (tag 6), and IMA/DVI ADPCM
+    (tag 0x11) WAV. ``mono=True`` mixes channels down by mean (the
     reference's pydub ``set_channels(1)``, modules/host_rematch.py:98);
     ``mono=False`` keeps channels separate as a list per channel (the
     reference's ``librosa.load(mono=False)`` for 2×N separation input,
     modules/separation_filter.py:47).
 
-    This is the one *real* decoder behind the codec seam — no external
-    library needed for uncompressed WAV (reference decode sites:
+    This is the *real* decoder behind the codec seam — no external
+    library needed for any RIFF-native coding (reference decode sites:
     modules/separation_filter.py:101 librosa.load,
     modules/speaker_rematch.py:47 torchaudio.load — both hit WAV files
-    produced by the pipeline's own export). Compressed formats still
-    require a codec backend and raise.
+    produced by the pipeline's own export). True compressed containers
+    (mp3/flac/ogg/m4a/aac) still require a codec backend and raise.
     """
     import struct
 
@@ -330,6 +425,18 @@ def decode_wav_bytes(
     fmt6, data_off, data_size = _walk_riff(b)
     audio_format, n_ch, sr, _brate, _balign, bits = fmt6
     data = b[data_off : data_off + data_size]
+    if audio_format == 0x11:  # IMA/DVI ADPCM: block-coded, per-channel
+        if _balign < 4 * n_ch:
+            raise ValueError("malformed ADPCM WAV: block align < header")
+        chans = _ima_adpcm_decode(data, n_ch, _balign)
+        n_min = min(len(c) for c in chans) if chans else 0
+        if n_ch > 1:
+            stacked = np.stack([c[:n_min] for c in chans])
+            if mono:
+                return stacked.mean(axis=0).tolist(), int(sr)
+            return [c.tolist() for c in stacked], int(sr)
+        one = chans[0] if chans else np.zeros(0)
+        return ([one.tolist()], int(sr)) if not mono else (one.tolist(), int(sr))
     if audio_format == 1:  # integer PCM
         if bits == 8:
             x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
@@ -352,6 +459,12 @@ def decode_wav_bytes(
     elif audio_format == 3:  # IEEE float
         dt = "<f4" if bits == 32 else "<f8"
         x = np.frombuffer(data, dtype=dt).astype(np.float64)
+    elif audio_format in (6, 7):  # G.711 A-law / μ-law: 256-entry LUT
+        if not _G711_CACHE:
+            _G711_CACHE.append(_g711_tables())
+        ulaw_tab, alaw_tab = _G711_CACHE[0]
+        tab = ulaw_tab if audio_format == 7 else alaw_tab
+        x = tab[np.frombuffer(data, dtype=np.uint8)]
     else:
         raise NotImplementedError(
             f"WAV format tag {audio_format} is compressed; codec backend required"
@@ -369,8 +482,9 @@ def decode_wav_bytes(
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode binary media to waveform.
 
-    Real path: uncompressed RIFF/WAV via :func:`decode_wav_bytes`
-    (pure NumPy, no codec library). Compressed formats raise
+    Real path: RIFF/WAV via :func:`decode_wav_bytes` (pure NumPy, no
+    codec library): PCM, IEEE-float, G.711 μ-law/A-law, IMA ADPCM.
+    True compressed containers (mp3/flac/ogg/m4a/aac) raise
     NotImplementedError — the container ships no codecs
     (librosa/PIL/ffmpeg absent); that seam is documented, not hidden.
     With ``fake=True`` a deterministic pseudo-decode (bytes → floats in

@@ -712,6 +712,233 @@ def bpe_train(
     return merges, vocab
 
 
+#: Log-cost quantization grid for the unigram LM: floor(ln(p) * 2^20)
+#: — the ml_q.py integer nano-nat convention; BIGINT-exact DP sums.
+UNIGRAM_Q = 1 << 20
+
+
+def _unigram_dp_cols():
+    """Viterbi forward + backtrack as pure Spark SQL higher-order
+    functions over a per-word edge list ``es`` (array of
+    ``struct<i,j,cost>`` sorted by (i, j), 0-based j, i = j + piece
+    length) and word length ``n``.
+
+    ``bests[i+1]`` (1-based array) = min total cost of segmenting
+    ``word[0:i]``; single-character pieces are always in the vocab so
+    every position is reachable. Backtrack walks ``cur`` from n to 0
+    picking, among edges that achieve ``bests[cur+1]``, the MINIMAL
+    ``j`` — i.e. the longest optimal piece — so ties resolve
+    identically in both engines. Everything is JVM-side expression
+    evaluation: no Python runs per row.
+    """
+    dp = """
+    aggregate(
+      sequence(1L, n), array(cast(0 as bigint)),
+      (acc, i) -> concat(acc, array(
+        array_min(transform(
+          filter(es, e -> e.i = i),
+          e -> element_at(acc, cast(e.j as int) + 1) + e.cost))))
+    )"""
+    minj = (
+        "array_min(transform(filter(es, e -> e.i = acc.cur AND "
+        "element_at(bests, cast(e.j as int) + 1) + e.cost = "
+        "element_at(bests, cast(acc.cur as int) + 1)), e -> e.j))"
+    )
+    bt = f"""
+    aggregate(
+      sequence(1L, n),
+      named_struct('cur', n, 'pieces', cast(array() as array<string>)),
+      (acc, x) -> if(acc.cur = 0, acc,
+        named_struct(
+          'cur', {minj},
+          'pieces', concat(acc.pieces, array(substring(
+            word, cast({minj} as int) + 1,
+            cast(acc.cur - {minj} as int))))))
+    ).pieces"""
+    return dp, bt
+
+
+def _unigram_costs(vocab: DataFrame) -> DataFrame:
+    """Attach integer log costs: ``cost = -floor(ln(cnt/total)·2^20)``
+    (positive BIGINT; total = sum of counts). One scalar aggregate
+    broadcast-crossed onto the bounded vocab table."""
+    total = vocab.agg(F.sum("cnt").cast("double").alias("_total"))
+    return vocab.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "cnt",
+        (-F.floor(F.log(F.col("cnt").cast("double") / F.col("_total"))
+                  * F.lit(UNIGRAM_Q))).cast("long").alias("cost"),
+    )
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    n_rounds: int = 2,
+    max_piece_len: int = 4,
+    seed_multi: int = 150,
+    text_col: str = "text",
+):
+    """Train a SentencePiece-style unigram-LM tokenizer (Kudo 2018)
+    over the corpus word-frequency table — the second production
+    tokenizer family beside :func:`bpe_train`.
+
+    Protocol (fixed-round EM, engine-exact):
+
+    - **words**: same extraction as BPE — lowercase ``[a-z]+`` word
+      frequencies; the only corpus-sized pass.
+    - **seed** (round 0): every substring of length 1..``max_piece_len``
+      counted with positional multiplicity, weighted by word freq; the
+      vocab is ALL single characters plus the top ``seed_multi``
+      multi-character pieces by (count desc, piece asc) — a
+      TakeOrdered, no global window. Piece probabilities are
+      ``cnt/total``; costs are the ml_q.py integer grid
+      ``-floor(ln(p)·2^20)`` so Viterbi sums are BIGINT-exact and the
+      whole trajectory replays in DuckDB.
+    - **E-step**: per-word Viterbi segmentation under current costs —
+      edge list (substring hits against the vocab) built by one
+      vocab-join per round over the cached substring table, then
+      forward DP + backtrack via ``aggregate`` higher-order
+      expressions (:func:`_unigram_dp_cols`) — all JVM-side, no
+      Python, no shuffle beyond the word-table groupBy. Ties prefer
+      the longest piece (minimal j), deterministically.
+    - **M-step**: piece usage = freq-weighted occurrence count in the
+      Viterbi segmentations. New counts: multi-char pieces keep
+      ``usage`` (unused pieces PRUNE — that's the EM's vocabulary
+      selection); single characters get ``usage + 1`` (Laplace floor)
+      so coverage never dies. Costs recomputed from the new total.
+
+    Scale shape: corpus-sized work is the single word count; every EM
+    round runs on the distinct-word table (Heaps-law bounded) and the
+    vocab (≤ ``seed_multi`` + alphabet rows, localCheckpoint-ed per
+    round like the BPE loop, so round N's plan never re-derives round
+    N-1). Per-word DP cost is O(len·max_piece_len) in-row arithmetic.
+
+    Returns ``(trajectory, final_costs, word_seg)``:
+    ``trajectory`` = (round, piece, cnt, cost) for rounds
+    0..``n_rounds``; ``final_costs`` = the last round's vocab;
+    ``word_seg`` = (word, freq, n_pieces, word_cost) — each word's
+    token count and total cost under the FINAL vocab (encoding is a
+    join against this table, never per-document re-segmentation).
+    """
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1)
+        ).alias("word")
+    ).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    words = words.localCheckpoint(eager=True)
+
+    ml = int(max_piece_len)
+    subs = words.select(
+        "word",
+        "freq",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(word)), j -> "
+                f"transform(sequence(1, least({ml}, length(word) - j + 1)), "
+                f"L -> substring(word, cast(j as int), cast(L as int)))))"
+            )
+        ).alias("piece"),
+    )
+    seedc = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    singles = seedc.where(F.length("piece") == 1)
+    multis = (
+        seedc.where(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(int(seed_multi))
+    )
+    vocab = _unigram_costs(singles.unionByName(multis)).localCheckpoint(
+        eager=True
+    )
+    single_pieces = singles.select("piece").localCheckpoint(eager=True)
+
+    # per-word candidate edges, built once: (word, freq, n, j, i, piece)
+    eb = words.select(
+        "word",
+        "freq",
+        F.length("word").cast("long").alias("n"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, length(word) - 1), j -> "
+                f"transform(sequence(1, least({ml}, length(word) - j)), "
+                f"L -> named_struct('j', cast(j as bigint), "
+                f"'i', cast(j + L as bigint)))))"
+            )
+        ).alias("e"),
+    ).select(
+        "word",
+        "freq",
+        "n",
+        F.col("e.j").alias("j"),
+        F.col("e.i").alias("i"),
+        F.expr(
+            "substring(word, cast(e.j as int) + 1, cast(e.i - e.j as int))"
+        ).alias("piece"),
+    ).localCheckpoint(eager=True)
+
+    dp_expr, bt_expr = _unigram_dp_cols()
+
+    def e_step(costs: DataFrame) -> DataFrame:
+        """(word, freq, n, pieces, word_cost) under the given costs."""
+        es = (
+            eb.join(F.broadcast(costs.select("piece", "cost")), "piece")
+            .groupBy("word")
+            .agg(
+                F.first("freq").alias("freq"),
+                F.first("n").alias("n"),
+                F.array_sort(
+                    F.collect_list(F.struct("i", "j", "cost"))
+                ).alias("es"),
+            )
+        )
+        withdp = es.select(
+            "word", "freq", "n", "es", F.expr(dp_expr).alias("bests")
+        )
+        return withdp.select(
+            "word",
+            "freq",
+            "n",
+            F.expr(bt_expr).alias("pieces"),
+            F.expr("element_at(bests, cast(n as int) + 1)").alias(
+                "word_cost"
+            ),
+        )
+
+    trajectory = vocab.select(
+        F.lit(0).alias("round"), "piece", "cnt", "cost"
+    )
+    for rnd in range(1, int(n_rounds) + 1):
+        seg = e_step(vocab)
+        usage = (
+            seg.select("freq", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("usage"))
+        )
+        new_singles = (
+            single_pieces.join(usage, "piece", "left")
+            .select(
+                "piece",
+                (F.coalesce(F.col("usage"), F.lit(0)) + 1).alias("cnt"),
+            )
+        )
+        new_multis = usage.where(F.length("piece") > 1).select(
+            "piece", F.col("usage").alias("cnt")
+        )
+        vocab = _unigram_costs(
+            new_singles.unionByName(new_multis)
+        ).localCheckpoint(eager=True)
+        trajectory = trajectory.unionByName(
+            vocab.select(F.lit(rnd).alias("round"), "piece", "cnt", "cost")
+        )
+
+    word_seg = e_step(vocab).select(
+        "word",
+        "freq",
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.col("word_cost").cast("long").alias("word_cost"),
+    )
+    return trajectory, vocab, word_seg
+
+
 def cdc_anchor_chunks(
     df: DataFrame,
     window: int = 8,

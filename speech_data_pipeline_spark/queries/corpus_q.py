@@ -2219,3 +2219,272 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+#: Unigram-LM (SentencePiece-style) training hyper-parameters — small
+#: fixed values so the DuckDB oracle replays the full EM trajectory.
+_UNI_ROUNDS = 2
+_UNI_MAXLEN = 4
+_UNI_SEED = 150
+
+
+def _unigram_ctes(
+    n_rounds: int = _UNI_ROUNDS,
+    ml: int = _UNI_MAXLEN,
+    seed_multi: int = _UNI_SEED,
+    with_final_seg: bool = False,
+) -> str:
+    """Chained-CTE replay of operators/text.py unigram_lm_train: seed
+    substring counts → integer log costs → per-round recursive-CTE
+    Viterbi (forward DP + backtrack, ties to the minimal j = longest
+    piece) → usage → new vocab. ``with_final_seg`` appends one extra
+    E-step under the final costs and a ``useg`` word table (the
+    encode join target)."""
+    q = tx.UNIGRAM_Q
+    cost_sql = (
+        "CAST(-floor(ln(CAST(cnt AS DOUBLE) / t.total) * {q}) AS BIGINT)"
+    ).format(q=q)
+    parts = [f"""uw AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1))
+          AS word
+        FROM documents) GROUP BY word
+    ),
+    useed AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq,
+               unnest(flatten(list_transform(range(1, length(word) + 1),
+                 j -> list_transform(
+                   range(1, least({ml}, length(word) - j + 1) + 1),
+                   L -> substr(word, CAST(j AS INT), CAST(L AS INT))))))
+                 AS piece
+        FROM uw) GROUP BY piece
+    ),
+    uv0 AS (
+      SELECT piece, cnt FROM useed WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM useed WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece LIMIT {seed_multi})
+    ),
+    uc0 AS (
+      SELECT piece, cnt, {cost_sql} AS cost
+      FROM uv0, (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uv0) t
+    ),
+    ueb AS (
+      SELECT word, freq, CAST(length(word) AS BIGINT) AS n,
+             e.j AS j, e.i AS i,
+             substr(word, CAST(e.j AS INT) + 1, CAST(e.i - e.j AS INT))
+               AS piece
+      FROM (
+        SELECT word, freq,
+               unnest(flatten(list_transform(range(0, length(word)),
+                 j -> list_transform(
+                   range(1, least({ml}, length(word) - j) + 1),
+                   L -> struct_pack(j := CAST(j AS BIGINT),
+                                    i := CAST(j + L AS BIGINT)))))) AS e
+        FROM uw)
+    )"""]
+    minj = (
+        "list_min(list_transform(list_filter(es, e -> e.i = cur AND "
+        "bests[CAST(e.j AS INT) + 1] + e.cost = "
+        "bests[CAST(cur AS INT) + 1]), e -> e.j))"
+    )
+    last = n_rounds + 1 if with_final_seg else n_rounds
+    for r in range(1, last + 1):
+        parts.append(f"""
+    ue{r} AS (
+      SELECT b.word, b.freq, b.n, b.j, b.i, v.cost
+      FROM ueb b JOIN uc{r - 1} v USING (piece)
+    ),
+    uwe{r} AS (
+      SELECT word, any_value(freq) AS freq, any_value(n) AS n,
+             list(struct_pack(i := i, j := j, cost := cost)
+                  ORDER BY i, j) AS es
+      FROM ue{r} GROUP BY word
+    ),
+    udp{r} AS (
+      SELECT word, freq, n, es, CAST(0 AS BIGINT) AS i,
+             [CAST(0 AS BIGINT)] AS bests
+      FROM uwe{r}
+      UNION ALL
+      SELECT word, freq, n, es, i + 1,
+             list_append(bests, list_min(list_transform(
+               list_filter(es, e -> e.i = i + 1),
+               e -> bests[CAST(e.j AS INT) + 1] + e.cost)))
+      FROM udp{r} WHERE i < n
+    ),
+    ubt{r} AS (
+      SELECT word, freq, n, es, bests, n AS cur,
+             CAST([] AS VARCHAR[]) AS pieces
+      FROM udp{r} WHERE i = n
+      UNION ALL
+      SELECT word, freq, n, es, bests, {minj},
+             list_append(pieces, substr(word,
+               CAST({minj} AS INT) + 1, CAST(cur - {minj} AS INT)))
+      FROM ubt{r} WHERE cur > 0
+    )""")
+        if r <= n_rounds:
+            parts.append(f"""
+    uuse{r} AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS usage FROM (
+        SELECT freq, unnest(pieces) AS piece
+        FROM ubt{r} WHERE cur = 0) GROUP BY piece
+    ),
+    uv{r} AS (
+      SELECT s.piece, COALESCE(u.usage, 0) + 1 AS cnt
+      FROM (SELECT piece FROM uv0 WHERE length(piece) = 1) s
+      LEFT JOIN uuse{r} u USING (piece)
+      UNION ALL
+      SELECT piece, usage AS cnt FROM uuse{r} WHERE length(piece) > 1
+    ),
+    uc{r} AS (
+      SELECT piece, cnt, {cost_sql} AS cost
+      FROM uv{r}, (SELECT CAST(sum(cnt) AS DOUBLE) AS total
+                   FROM uv{r}) t
+    )""")
+    if with_final_seg:
+        parts.append(f"""
+    useg AS (
+      SELECT word, CAST(len(pieces) AS BIGINT) AS n_pieces,
+             bests[CAST(n AS INT) + 1] AS word_cost
+      FROM ubt{last} WHERE cur = 0
+    )""")
+    return "WITH RECURSIVE " + ",".join(parts)
+
+
+def _unigram_train_oracle() -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS round, piece, cnt, cost FROM uc{r}"
+        for r in range(0, _UNI_ROUNDS + 1)
+    )
+    return _unigram_ctes() + " " + sel
+
+
+@query("text_unigram_train", oracle=_unigram_train_oracle())
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a SentencePiece-style unigram-LM tokenizer (Kudo 2018) —
+    the second production tokenizer family beside text_bpe_merges —
+    and emit the full EM trajectory (round, piece, cnt, cost).
+
+    Distributed shape (operators/text.py unigram_lm_train): corpus
+    work is one word count; each EM round is a vocab join over the
+    cached substring table plus an in-row Viterbi DP expressed
+    entirely as Spark SQL higher-order functions (aggregate /
+    filter / transform — zero Python per row), with integer 2^-20-nat
+    log costs so the optimum is engine-exact. The DuckDB oracle
+    replays seed selection, both recursive-CTE Viterbi passes, and
+    the usage-pruned M-step for every round."""
+    traj, _, _ = tx.unigram_lm_train(
+        load_table(spark, sf_dir, "documents"),
+        n_rounds=_UNI_ROUNDS,
+        max_piece_len=_UNI_MAXLEN,
+        seed_multi=_UNI_SEED,
+    )
+    return traj
+
+
+def _unigram_encode_oracle() -> str:
+    return (
+        _unigram_ctes(with_final_seg=True)
+        + """,
+    docw AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '([a-z]+)', 1))
+               AS word
+      FROM documents
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_pieces) AS BIGINT) AS n_unigram_tokens,
+           CAST(sum(word_cost) AS BIGINT) AS total_cost
+    FROM docw JOIN useg USING (word) GROUP BY doc_id
+    """
+    )
+
+
+@query("text_unigram_encode", oracle=_unigram_encode_oracle())
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the trained unigram LM: a word's token
+    count (and its Viterbi log cost — the quantity a perplexity
+    budget needs) is read off the trained word table, so encoding is
+    the document word stream joined against it — never per-document
+    re-segmentation. Per document: word count, unigram token count,
+    and total integer log cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, _, word_seg = tx.unigram_lm_train(
+        docs,
+        n_rounds=_UNI_ROUNDS,
+        max_piece_len=_UNI_MAXLEN,
+        seed_multi=_UNI_SEED,
+    )
+    docw = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+        ).alias("word"),
+    )
+    return (
+        docw.join(word_seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_unigram_tokens"),
+            F.sum("word_cost").alias("total_cost"),
+        )
+    )
+
+
+def _unigram_fertility_oracle() -> str:
+    return (
+        _unigram_ctes(with_final_seg=True)
+        + """,
+    docw AS (
+      SELECT d.lang, d.doc_id,
+             unnest(regexp_extract_all(lower(d.text), '([a-z]+)', 1))
+               AS word
+      FROM documents d
+    )
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(length(word)) AS DOUBLE)
+                 / CAST(sum(n_pieces) AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS chars_per_token
+    FROM docw JOIN useg USING (word) GROUP BY lang
+    """
+    )
+
+
+@query("text_unigram_fertility", oracle=_unigram_fertility_oracle())
+def text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language under the trained unigram LM —
+    the equity audit text_bpe_fertility runs for BPE, now comparable
+    across BOTH production tokenizer families (chars/token per
+    language decides whose packing budget shrinks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, _, word_seg = tx.unigram_lm_train(
+        docs,
+        n_rounds=_UNI_ROUNDS,
+        max_piece_len=_UNI_MAXLEN,
+        seed_multi=_UNI_SEED,
+    )
+    docw = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+        ).alias("word"),
+    )
+    return (
+        docw.join(word_seg, "word")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_tokens"),
+            trunc6(
+                F.sum(F.length("word")).cast("double")
+                / F.sum("n_pieces").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )

@@ -338,3 +338,202 @@ def test_header_and_decode_agree_on_extensible_format():
     assert hdr["sample_rate"] == 16000 and hdr["n_frames"] == 4
     decoded, sr = decode_wav_bytes(blob)
     assert sr == 16000 and len(decoded) == 4
+
+
+# ---------------------------------------------------------------------------
+# G.711 μ-law / A-law and IMA ADPCM (format tags 7 / 6 / 0x11) — public-spec
+# RIFF sub-formats decoded without any codec library.
+# ---------------------------------------------------------------------------
+
+
+def _raw_wav(data, fmt_code, n_ch=1, sr=8000, bits=8, block_align=None,
+             extra=b""):
+    byte_rate = sr * n_ch * bits // 8
+    if block_align is None:
+        block_align = n_ch * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, n_ch, sr, byte_rate, block_align, bits
+    ) + extra
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"" if len(fmt) % 2 == 0 else b"\x00"
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _linear2ulaw(pcm):
+    """Reference G.711 μ-law encoder (Sun g711.c linear2ulaw)."""
+    BIAS, CLIP = 0x84, 32635
+    sign = 0x80 if pcm < 0 else 0
+    if pcm < 0:
+        pcm = -pcm
+    pcm = min(pcm, CLIP) + BIAS
+    seg = 0
+    for end in (0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF):
+        if pcm <= end:
+            break
+        seg += 1
+    return (~(sign | (seg << 4) | ((pcm >> (seg + 3)) & 0x0F))) & 0xFF
+
+
+def _linear2alaw(pcm):
+    """Reference G.711 A-law encoder (Sun g711.c linear2alaw)."""
+    pcm >>= 3
+    if pcm >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        pcm = -pcm - 1
+    seg = 0
+    for end in (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF):
+        if pcm <= end:
+            break
+        seg += 1
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (pcm >> 1) & 0x0F if seg < 2 else (pcm >> seg) & 0x0F
+    return aval ^ mask
+
+
+def test_decode_wav_ulaw_golden_and_roundtrip():
+    # Golden points from the ITU-T G.711 μ-law table.
+    golden = {0xFF: 0, 0x7F: 0, 0x00: -32124, 0x80: 32124}
+    data = bytes(golden.keys())
+    decoded, sr = decode_wav_bytes(_raw_wav(data, fmt_code=7))
+    assert sr == 8000
+    for got, want in zip(decoded, golden.values()):
+        assert got == want / 32768.0
+    # Encode a tone with the reference encoder; decode must land within
+    # half the top-segment quantization step (1024/2/32768).
+    x = tone(400, amp=0.5)
+    data = bytes(_linear2ulaw(round(s * 32768.0)) for s in x)
+    decoded, _ = decode_wav_bytes(_raw_wav(data, fmt_code=7))
+    assert len(decoded) == 400
+    assert max(abs(a - b) for a, b in zip(decoded, x)) < 512 / 32768.0 + 1e-9
+
+
+def test_decode_wav_alaw_golden_and_roundtrip():
+    golden = {0x55: -8, 0xD5: 8, 0x2A: -32256, 0xAA: 32256}
+    data = bytes(golden.keys())
+    decoded, sr = decode_wav_bytes(_raw_wav(data, fmt_code=6))
+    for got, want in zip(decoded, golden.values()):
+        assert got == want / 32768.0
+    x = tone(400, amp=0.5)
+    data = bytes(_linear2alaw(round(s * 32768.0)) for s in x)
+    decoded, _ = decode_wav_bytes(_raw_wav(data, fmt_code=6))
+    # A-law top-segment spacing is 1024 (values xx0 -> step 2*512).
+    assert max(abs(a - b) for a, b in zip(decoded, x)) < 1024 / 32768.0 + 1e-9
+
+
+def _ima_encode(samples_pcm, block_align, n_ch=1):
+    """Reference IMA ADPCM encoder: returns (data_bytes, reconstruction
+    per channel) where reconstruction is the decoder-exact trajectory."""
+    from speech_data_pipeline_spark.operators.multimodal import (
+        _IMA_INDEX_TAB,
+        _IMA_STEP_TAB,
+    )
+
+    spb = (block_align - 4 * n_ch) * 2 // n_ch + 1  # samples/block/chan
+    chans = [samples_pcm[c::n_ch] for c in range(n_ch)]
+    out = bytearray()
+    recon = [[] for _ in range(n_ch)]
+    index = [0] * n_ch
+    for b0 in range(0, len(chans[0]), spb):
+        nibs = [[] for _ in range(n_ch)]
+        for c in range(n_ch):
+            blk = chans[c][b0 : b0 + spb]
+            pred = blk[0]
+            out += struct.pack("<hBB", pred, index[c], 0)
+            recon[c].append(pred)
+            for s in blk[1:]:
+                step = _IMA_STEP_TAB[index[c]]
+                diff = s - pred
+                nib = 0
+                if diff < 0:
+                    nib, diff = 8, -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                d = step >> 3
+                if nib & 1:
+                    d += step >> 2
+                if nib & 2:
+                    d += step >> 1
+                if nib & 4:
+                    d += step
+                pred = pred - d if nib & 8 else pred + d
+                pred = max(-32768, min(32767, pred))
+                index[c] = max(
+                    0, min(88, index[c] + _IMA_INDEX_TAB[nib & 7])
+                )
+                recon[c].append(pred)
+                nibs[c].append(nib)
+        # interleave 4-byte words (8 nibbles) per channel
+        words = [
+            [nl[i : i + 8] for i in range(0, len(nl), 8)] for nl in nibs
+        ]
+        for w in range(len(words[0])):
+            for c in range(n_ch):
+                grp = words[c][w] + [0] * (8 - len(words[c][w]))
+                out += bytes(
+                    grp[k] | (grp[k + 1] << 4) for k in range(0, 8, 2)
+                )
+    return bytes(out), recon
+
+
+def test_decode_wav_ima_adpcm_mono_exact():
+    x = tone(1010, amp=0.6)  # exactly 2 blocks at block_align=256
+    pcm = [max(-32768, min(32767, round(s * 32768.0))) for s in x]
+    data, recon = _ima_encode(pcm, block_align=256)
+    extra = struct.pack("<HH", 2, 505)  # cbSize=2, wSamplesPerBlock
+    blob = _raw_wav(
+        data, fmt_code=0x11, bits=4, block_align=256, extra=extra
+    )
+    decoded, sr = decode_wav_bytes(blob)
+    assert sr == 8000 and len(decoded) == 1010
+    # decoder must reproduce the encoder's reconstruction trajectory
+    # bit-exactly (same quantizer tables, same clamps)
+    assert decoded == [v / 32768.0 for v in recon[0]]
+    # and the lossy codec still tracks the source closely once the
+    # step-size adaptation ramps up from its cold start (index 0 =
+    # step 7; ~10 samples to reach the tone's slew rate)
+    assert max(abs(a - b) for a, b in zip(decoded[16:], x[16:])) < 0.05
+
+
+def test_decode_wav_ima_adpcm_stereo_channels():
+    n = 34  # 17 samples per channel = 1 block at block_align=24
+    xl = tone(n // 2, freq=300.0, amp=0.4)
+    xr = tone(n // 2, freq=700.0, amp=0.4)
+    inter = []
+    for a, b in zip(xl, xr):
+        inter += [a, b]
+    pcm = [max(-32768, min(32767, round(s * 32768.0))) for s in inter]
+    data, recon = _ima_encode(pcm, block_align=24, n_ch=2)
+    blob = _raw_wav(
+        data, fmt_code=0x11, n_ch=2, bits=4, block_align=24,
+        extra=struct.pack("<HH", 2, 17),
+    )
+    chans, sr = decode_wav_bytes(blob, mono=False)
+    assert len(chans) == 2
+    assert chans[0] == [v / 32768.0 for v in recon[0]]
+    assert chans[1] == [v / 32768.0 for v in recon[1]]
+    mixed, _ = decode_wav_bytes(blob)
+    assert mixed[0] == (recon[0][0] + recon[1][0]) / 2 / 32768.0
+
+
+def test_decode_media_handles_g711(spark):
+    x = tone(200, amp=0.5)
+    payload = bytes(_linear2ulaw(round(s * 32768.0)) for s in x)
+    df = spark.createDataFrame(
+        [(1, bytearray(_raw_wav(payload, fmt_code=7)))],
+        "media_id long, payload binary",
+    )
+    row = decode_media(df).collect()[0]
+    assert row.sr == 8000 and len(row.samples) == 200

@@ -273,7 +273,16 @@ def main() -> None:
     ap.add_argument("--scale", type=float, default=10.0, help="multiplier vs sf0.1")
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--base", default="/root/testdata/sf0.1", help="dir to copy fixed dims from")
+    ap.add_argument(
+        "--tables",
+        default="",
+        help="comma-separated subset of fact tables to generate "
+        "(default: all). Dims (region/nation) are always copied. "
+        "Used for the sf10 spot-bench, which only needs "
+        "events/documents/embeddings.",
+    )
     args = ap.parse_args()
+    only = {t.strip() for t in args.tables.split(",") if t.strip()}
 
     out = os.path.abspath(args.out)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -310,19 +319,30 @@ def main() -> None:
 
         shutil.rmtree(tmp)
 
-    write(gen_customer(spark, rows["customer"], args.skew), "customer")
-    write(gen_supplier(spark, rows["supplier"], args.skew), "supplier")
-    write(gen_part(spark, rows["part"], args.skew), "part")
-    write(gen_orders(spark, rows["orders"], rows["customer"], args.skew), "orders")
-    write(
-        gen_lineitem(
-            spark, rows["lineitem"], rows["orders"], rows["part"], rows["supplier"], args.skew
-        ),
-        "lineitem",
-    )
-    write(gen_events(spark, rows["events"], args.skew), "events")
-    write(gen_documents(spark, rows["documents"], args.skew), "documents")
-    write(gen_embeddings(spark, rows["embeddings"], args.skew), "embeddings")
+    def want(name: str) -> bool:
+        return not only or name in only
+
+    if want("customer"):
+        write(gen_customer(spark, rows["customer"], args.skew), "customer")
+    if want("supplier"):
+        write(gen_supplier(spark, rows["supplier"], args.skew), "supplier")
+    if want("part"):
+        write(gen_part(spark, rows["part"], args.skew), "part")
+    if want("orders"):
+        write(gen_orders(spark, rows["orders"], rows["customer"], args.skew), "orders")
+    if want("lineitem"):
+        write(
+            gen_lineitem(
+                spark, rows["lineitem"], rows["orders"], rows["part"], rows["supplier"], args.skew
+            ),
+            "lineitem",
+        )
+    if want("events"):
+        write(gen_events(spark, rows["events"], args.skew), "events")
+    if want("documents"):
+        write(gen_documents(spark, rows["documents"], args.skew), "documents")
+    if want("embeddings"):
+        write(gen_embeddings(spark, rows["embeddings"], args.skew), "embeddings")
     print(f"done: {out} (scale={args.scale}, skew={args.skew})")
 
 
