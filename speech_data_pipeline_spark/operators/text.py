@@ -712,6 +712,132 @@ def bpe_train(
     return merges, vocab
 
 
+def wordpiece_train(
+    df: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+):
+    """Train WordPiece merges (Schuster & Nakajima 2012; the BERT
+    tokenizer) — the third production tokenizer family beside
+    :func:`bpe_train` and :func:`unigram_lm_train`.
+
+    Identical loop shape to BPE (word-frequency table, double-space
+    symbol strings, one vocab-sized recount + broadcast one-row argmax
+    + boundary-preserving replace per round) with two deltas:
+
+    - **continuation symbols**: a word's first character is plain,
+      the rest carry the ``##`` prefix (``  c  ##a  ##t  ``); a merge
+      of ``(x, ##y)`` yields ``x·y`` with the right side's ``##``
+      stripped — so merged symbols inherit the LEFT side's position
+      marker, exactly the HF-tokenizers convention.
+    - **likelihood argmax**: instead of raw pair count, WordPiece
+      picks the pair maximizing ``count(ab) / (count(a)·count(b))``
+      (the corpus-likelihood gain of the merge). The score is an IEEE
+      double division of exact BIGINTs — correctly rounded, hence
+      bit-identical in Spark and DuckDB — with (count desc, a, b) as
+      the deterministic tie-break, so the argmax trajectory replays
+      engine-exactly.
+
+    Scale shape = BPE's: corpus-sized work is the single word count;
+    each round is one vocab-sized pair count + one symbol count
+    (both map-side combinable), a broadcast 1-row argmax, and a
+    map-only replace; eager localCheckpoint per round keeps round N's
+    plan vocab-sized.
+
+    Returns ``(merges, vocab)``: merges = (round, left, right,
+    pair_count, score — trunc6 double); vocab = (word, freq, w) with
+    ``w`` the final symbol string (symbol count = WordPiece token
+    count, so encode is a join, never re-segmentation).
+    """
+    from speech_data_pipeline_spark.functions import trunc6
+
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1)
+        ).alias("word")
+    ).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    # "  c  ##a  ##t  ": first char plain, continuations ##-prefixed
+    vocab = words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit("  "),
+            F.expr("substring(word, 1, 1)"),
+            F.when(
+                F.length("word") > 1,
+                F.concat(
+                    F.lit("  ##"),
+                    F.concat_ws(
+                        "  ##", F.expr("split(substring(word, 2), '')")
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("  "),
+        ).alias("w"),
+    ).localCheckpoint(eager=True)
+    sentinel = df.sparkSession.createDataFrame(
+        [("\x00", "\x00", -1, -1.0)],
+        "a string, b string, c long, score double",
+    )
+    outs = []
+    for rnd in range(1, n_merges + 1):
+        syms_col = F.filter(F.split("w", " "), lambda x: x != "")
+        symc = (
+            vocab.select(F.col("freq").alias("_wt"),
+                         F.explode(syms_col).alias("s"))
+            .groupBy("s")
+            .agg(F.sum("_wt").alias("sc"))
+        )
+        pairs = _pair_counts(vocab)
+        scored = (
+            pairs.join(symc.select(F.col("s").alias("a"),
+                                   F.col("sc").alias("ca")), "a")
+            .join(symc.select(F.col("s").alias("b"),
+                              F.col("sc").alias("cb")), "b")
+            .select(
+                "a",
+                "b",
+                "c",
+                (F.col("c").cast("double")
+                 / (F.col("ca") * F.col("cb")).cast("double")
+                 ).alias("score"),
+            )
+        )
+        top = (
+            scored.unionByName(sentinel)
+            .orderBy(F.col("score").desc(), F.col("c").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        outs.append(
+            top.where(F.col("c") > 0).select(
+                F.lit(rnd).alias("round"),
+                F.col("a").alias("left"),
+                F.col("b").alias("right"),
+                F.col("c").alias("pair_count"),
+                trunc6(F.col("score")).alias("score"),
+            )
+        )
+        # merged symbol = left || right-with-## stripped (right side is
+        # always a continuation; the sentinel's NUL pattern never hits)
+        vocab = (
+            vocab.crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                "freq",
+                F.expr(
+                    "replace(w, ' ' || a || '  ' || b || ' ', "
+                    "' ' || a || substring(b, 3) || ' ')"
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    merges = outs[0]
+    for o in outs[1:]:
+        merges = merges.unionByName(o)
+    return merges, vocab
+
+
 #: Log-cost quantization grid for the unigram LM: floor(ln(p) * 2^20)
 #: — the ml_q.py integer nano-nat convention; BIGINT-exact DP sums.
 UNIGRAM_Q = 1 << 20

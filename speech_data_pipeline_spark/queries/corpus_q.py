@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from speech_data_pipeline_spark.functions import trunc6
+from speech_data_pipeline_spark.functions import trunc6, trunc6_sql
 from speech_data_pipeline_spark.operators import text as tx
 from speech_data_pipeline_spark.operators.sketches import (
     BLOOM_K,
@@ -2486,5 +2486,149 @@ def text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.length("word")).cast("double")
                 / F.sum("n_pieces").cast("double")
             ).alias("chars_per_token"),
+        )
+    )
+
+#: WordPiece training rounds (small fixed value: full-trajectory oracle).
+_WP_ROUNDS = 5
+
+
+def _wordpiece_ctes(n_merges: int = _WP_ROUNDS) -> str:
+    """Chained-CTE replay of operators/text.py wordpiece_train: per
+    round a symbol count + pair count, the likelihood argmax
+    ``count(ab)/(count(a)·count(b))`` (IEEE double of exact BIGINTs —
+    bit-identical across engines; ties by count desc, a, b), and the
+    ##-stripping merge replace."""
+    parts = [
+        """wp0 AS (
+      SELECT word, freq,
+             '  ' || substr(word, 1, 1)
+                  || CASE WHEN length(word) > 1
+                          THEN '  ##' || array_to_string(
+                                 string_split(substr(word, 2), ''),
+                                 '  ##')
+                          ELSE '' END
+                  || '  ' AS w
+      FROM (
+        SELECT word, count(*) AS freq FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1))
+                   AS word
+          FROM documents
+        ) GROUP BY word
+      )
+    )"""
+    ]
+    for t in range(1, n_merges + 1):
+        parts.append(f"""
+    wsy{t} AS (
+      SELECT s, CAST(sum(freq) AS BIGINT) AS sc FROM (
+        SELECT freq,
+               unnest(list_filter(string_split(w, ' '), x -> x <> ''))
+                 AS s
+        FROM wp{t - 1}) GROUP BY s
+    ),
+    wpp{t} AS (
+      SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS c FROM (
+        SELECT freq,
+               unnest(list_transform(
+                 range(1, greatest(len(syms) - 1, 0) + 1),
+                 i -> {{'a': syms[CAST(i AS INTEGER)],
+                        'b': syms[CAST(i AS INTEGER) + 1]}})) AS p
+        FROM (
+          SELECT list_filter(string_split(w, ' '), x -> x <> '') AS syms,
+                 freq
+          FROM wp{t - 1}
+        )
+      ) GROUP BY p.a, p.b
+    ),
+    wpt{t} AS (
+      SELECT a, b, c,
+             CAST(c AS DOUBLE) / CAST(ca * cb AS DOUBLE) AS score
+      FROM (
+        SELECT p.a, p.b, p.c, sa.sc AS ca, sb.sc AS cb
+        FROM wpp{t} p
+        JOIN wsy{t} sa ON sa.s = p.a
+        JOIN wsy{t} sb ON sb.s = p.b
+      ) ORDER BY score DESC, c DESC, a, b LIMIT 1
+    ),
+    wp{t} AS (
+      SELECT word, freq,
+             replace(w, ' ' || a || '  ' || b || ' ',
+                     ' ' || a || substr(b, 3) || ' ') AS w
+      FROM wp{t - 1} CROSS JOIN wpt{t}
+    )""")
+    return "WITH " + ",".join(parts)
+
+
+def _wordpiece_oracle(n_merges: int = _WP_ROUNDS) -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT {t} AS round, a AS left, b AS right, c AS pair_count, "
+        f"{trunc6_sql('score')} AS score FROM wpt{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return _wordpiece_ctes(n_merges) + " " + sel
+
+
+@query("text_wordpiece_merges", oracle=_wordpiece_oracle())
+def text_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first 5 WordPiece merges (Schuster & Nakajima 2012,
+    the BERT tokenizer) — completing the production tokenizer triad
+    beside text_bpe_merges and text_unigram_train. Same distributed
+    loop as BPE (one corpus word count; vocab-sized recounts +
+    broadcast 1-row argmax per round) but with ##-continuation
+    symbols and the likelihood argmax count(ab)/(count(a)·count(b)),
+    an IEEE-exact double of BIGINTs so the trajectory replays
+    engine-identically."""
+    merges, _ = tx.wordpiece_train(
+        load_table(spark, sf_dir, "documents"), n_merges=_WP_ROUNDS
+    )
+    return merges
+
+
+def _wordpiece_encode_oracle(n_merges: int = _WP_ROUNDS) -> str:
+    return (
+        _wordpiece_ctes(n_merges)
+        + f""",
+    wpc AS (
+      SELECT word,
+             len(list_filter(string_split(w, ' '), x -> x <> ''))
+               AS n_sym
+      FROM wp{n_merges}
+    ),
+    docw AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '([a-z]+)', 1))
+               AS word
+      FROM documents
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_wordpiece_tokens
+    FROM docw JOIN wpc USING (word) GROUP BY doc_id
+    """
+    )
+
+
+@query("text_wordpiece_encode", oracle=_wordpiece_encode_oracle())
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the trained WordPiece vocabulary: token
+    count = the trained word table's symbol count, so encoding is a
+    join against it (the text_bpe_encode skeleton). Per document:
+    word count and WordPiece token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = tx.wordpiece_train(docs, n_merges=_WP_ROUNDS)
+    syms = F.filter(F.split("w", " "), lambda x: x != "")
+    wc = vocab.select("word", F.size(syms).alias("n_sym"))
+    docw = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+        ).alias("word"),
+    )
+    return (
+        docw.join(wc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_wordpiece_tokens"),
         )
     )
