@@ -626,3 +626,94 @@ def bellman_ford_sssp(
             .persist()
         )
     return dist
+
+
+#: Fixed-point scale for HITS hub/authority scores (2^20 ≈ 1.0).
+HITS_FP = 1 << 20
+
+
+def hits_scores(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+):
+    """HITS hubs & authorities (Kleinberg 1999) with EXACT integer
+    arithmetic — the mutual-reinforcement companion to
+    :func:`pagerank_fixed_point` (a node is a good hub if it points at
+    good authorities, a good authority if pointed at by good hubs).
+
+    Classic HITS renormalizes by the L2 norm — a float sqrt that no
+    two engines round identically. This variant renormalizes by an
+    integer DIV instead: after each half-step the raw scores are
+    divided by ``scale = max(raw) div FP + 1``, which (a) keeps every
+    score in ``[0, ~FP]`` so the next weighted sum cannot overflow
+    BIGINT at any corpus size, and (b) is a pure integer function of
+    the scores, so the whole trajectory is bit-replayable as chained
+    CTEs. Power iteration converges to the same principal direction
+    under ANY per-round positive rescaling, so ranking semantics are
+    the textbook ones.
+
+    Per half-round: one node-sized join onto the edge table + one
+    grouped sum (the same shuffle pair as pagerank) + a 1-row max
+    broadcast. The score tables are node-sized, never corpus-sized.
+
+    Returns ``(hubs, auths)``: ``(node, hub_fp)`` over source nodes
+    and ``(node, auth_fp)`` over destination nodes; ``/ HITS_FP`` ≈
+    the max-normalized score.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(w_col).cast("long").alias("w"),
+    ).where(F.col("w") > 0)
+    srcs = e.select(F.col("src").alias("node")).distinct()
+    dsts = e.select(F.col("dst").alias("node")).distinct()
+    hubs = srcs.select("node", F.lit(HITS_FP).cast("long").alias("hub_fp"))
+    auths = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .select("dst", F.expr("hub_fp * w").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("raw"))
+        )
+        a_scale = a_raw.agg(
+            F.expr(f"max(raw) div {HITS_FP} + 1").alias("s")
+        )
+        auths = (
+            a_raw.crossJoin(F.broadcast(a_scale))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("raw div s").alias("auth_fp"),
+            )
+        )
+        h_raw = (
+            e.join(auths, e["dst"] == auths["node"])
+            .select("src", F.expr("auth_fp * w").alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("raw"))
+        )
+        h_scale = h_raw.agg(
+            F.expr(f"max(raw) div {HITS_FP} + 1").alias("s")
+        )
+        hubs = (
+            h_raw.crossJoin(F.broadcast(h_scale))
+            .select(
+                F.col("src").alias("node"),
+                F.expr("raw div s").alias("hub_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # sources that every round left unreached (no out-edge after w>0
+    # filtering cannot happen — srcs come from e — but a source whose
+    # every authority scored 0 keeps hub_fp 0 via the join above)
+    hubs = srcs.join(hubs, "node", "left").select(
+        "node", F.coalesce("hub_fp", F.lit(0)).cast("long").alias("hub_fp")
+    )
+    auths = dsts.join(auths, "node", "left").select(
+        "node",
+        F.coalesce("auth_fp", F.lit(0)).cast("long").alias("auth_fp"),
+    )
+    return hubs, auths

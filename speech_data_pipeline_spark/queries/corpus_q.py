@@ -2632,3 +2632,229 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").alias("n_wordpiece_tokens"),
         )
     )
+
+def _hits_oracle(iters: int = 3, fp: int = 1 << 20) -> str:
+    parts = [
+        """he AS (
+      SELECT 'u:' || CAST(user_id AS VARCHAR) AS src,
+             't:' || event_type AS dst, count(*) AS w
+      FROM events GROUP BY user_id, event_type
+    ),
+    hsrc AS (SELECT DISTINCT src AS node FROM he),
+    hdst AS (SELECT DISTINCT dst AS node FROM he),
+    h0 AS (SELECT node, CAST(%d AS BIGINT) AS hub_fp FROM hsrc)""" % fp
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+    ar{t} AS (
+      SELECT e.dst, sum(h.hub_fp * e.w) AS raw
+      FROM he e JOIN h{t - 1} h ON h.node = e.src GROUP BY e.dst
+    ),
+    sa{t} AS (SELECT max(raw) // {fp} + 1 AS s FROM ar{t}),
+    a{t} AS (
+      SELECT dst AS node, CAST(raw // s AS BIGINT) AS auth_fp
+      FROM ar{t}, sa{t}
+    ),
+    hr{t} AS (
+      SELECT e.src, sum(a.auth_fp * e.w) AS raw
+      FROM he e JOIN a{t} a ON a.node = e.dst GROUP BY e.src
+    ),
+    sh{t} AS (SELECT max(raw) // {fp} + 1 AS s FROM hr{t}),
+    h{t} AS (
+      SELECT src AS node, CAST(raw // s AS BIGINT) AS hub_fp
+      FROM hr{t}, sh{t}
+    )""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT 'hub' AS kind, n.node, COALESCE(h.hub_fp, 0) AS score_fp
+    FROM hsrc n LEFT JOIN h{iters} h USING (node)
+    UNION ALL
+    SELECT 'auth' AS kind, n.node, COALESCE(a.auth_fp, 0) AS score_fp
+    FROM hdst n LEFT JOIN a{iters} a USING (node)
+    """
+    )
+
+
+@query("graph_hits_scores", oracle=_hits_oracle())
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the DIRECTED user → event-type
+    activity graph (edge weight = event count): users score as hubs
+    (they do many kinds of high-authority activity), event types as
+    authorities (they attract high-hub users) — the
+    mutual-reinforcement centrality beside graph_pagerank_activity.
+    Integer max-DIV renormalization per half-step keeps the
+    3-iteration trajectory BIGINT-exact and overflow-safe at any
+    corpus size (operators/graph.py hits_scores)."""
+    from speech_data_pipeline_spark.operators.graph import hits_scores
+
+    ev = load_table(spark, sf_dir, "events")
+    e0 = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("w"))
+    edges = e0.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+        "w",
+    )
+    hubs, auths = hits_scores(edges, iters=3)
+    return hubs.select(
+        F.lit("hub").alias("kind"), "node", F.col("hub_fp").alias("score_fp")
+    ).unionByName(
+        auths.select(
+            F.lit("auth").alias("kind"),
+            "node",
+            F.col("auth_fp").alias("score_fp"),
+        )
+    )
+
+#: Kneser-Ney discount D = 3/4 (expressed with integer numerators:
+#: max(c - 3/4, 0) = greatest(4c - 3, 0) / 4) and the unigram log grid.
+_KN_Q = 1 << 20
+
+#: The KN probability as ONE shared expression string (valid in both
+#: dialects, evaluated in the SAME association order so every IEEE
+#: step is bit-identical): interpolated bigram KN with continuation
+#: unigram back-off and an epsilon floor of 1/(4·N_bigrams).
+_KN_P_SQL = """
+    greatest(
+      CASE WHEN ca > 0 THEN
+        CAST(greatest(4 * cab - 3, 0) AS DOUBLE) / CAST(4 * ca AS DOUBLE)
+        + CAST(3 * n1l AS DOUBLE) / CAST(4 * ca AS DOUBLE)
+          * (CAST(n1r AS DOUBLE) / CAST(nb AS DOUBLE))
+      ELSE CAST(n1r AS DOUBLE) / CAST(nb AS DOUBLE) END,
+      1.0 / CAST(4 * nb AS DOUBLE))
+"""
+
+_KN_COST_SQL = f"CAST(-floor(ln({_KN_P_SQL}) * {_KN_Q}) AS BIGINT)"
+
+
+def _kn_oracle() -> str:
+    split = _hex7_to_int_sql("md5('kn:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH kb AS (
+      SELECT doc_id, source, {split} % 2 AS half, p.a AS a, p.b AS b
+      FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                 range(1, greatest(len(ws) - 1, 0) + 1),
+                 i -> {{'a': ws[CAST(i AS INTEGER)],
+                        'b': ws[CAST(i AS INTEGER) + 1]}})) AS p
+        FROM (
+          SELECT doc_id, source,
+                 regexp_extract_all(lower(text), '([a-z]+)', 1) AS ws
+          FROM documents)
+      )
+    ),
+    cab AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+      FROM kb WHERE half = 0 GROUP BY a, b
+    ),
+    actx AS (
+      SELECT a, CAST(sum(cab) AS BIGINT) AS ca,
+             CAST(count(*) AS BIGINT) AS n1l
+      FROM cab GROUP BY a
+    ),
+    bcont AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n1r FROM cab GROUP BY b
+    ),
+    nbt AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM cab),
+    scored AS (
+      SELECT t.source,
+             COALESCE(x.cab, 0) AS cab,
+             COALESCE(c.ca, 0) AS ca, COALESCE(c.n1l, 0) AS n1l,
+             COALESCE(r.n1r, 0) AS n1r, nbt.nb AS nb
+      FROM kb t
+      LEFT JOIN cab x ON x.a = t.a AND x.b = t.b
+      LEFT JOIN actx c ON c.a = t.a
+      LEFT JOIN bcont r ON r.b = t.b
+      CROSS JOIN nbt
+      WHERE t.half = 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum({_KN_COST_SQL}) AS BIGINT) AS total_cost,
+           {trunc6_sql(f"CAST(sum({_KN_COST_SQL}) AS DOUBLE) / CAST(count(*) AS DOUBLE) / {_KN_Q}")}
+             AS xent_nats
+    FROM scored GROUP BY source
+    """
+
+
+@query("lm_kneser_ney_xent", oracle=_kn_oracle())
+def lm_kneser_ney_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model (D = 3/4) —
+    train on the hash-even half of the corpus, score the held-out
+    half's cross-entropy per source. THE production n-gram smoothing
+    (beside the add-k LM quality_perplexity_buckets already uses):
+    absolute discounting plus the continuation-unigram back-off
+    P_cont(b) = |{a : c(ab)>0}| / N_bigrams, with an epsilon floor of
+    1/(4·N_bigrams) for fully-unseen events.
+
+    Engine shape: corpus work is one bigram explode; the model is
+    three Heaps-bounded count tables (bigram, left-context,
+    continuation) joined onto the held-out bigram stream; every
+    probability is a fixed-association IEEE expression over exact
+    BIGINT counts, costs land on the 2^-20-nat integer grid, so the
+    per-source sums are engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    split = F.expr(
+        "conv(substring(md5('kn:' || CAST(doc_id AS STRING)), 1, 7), 16, 10)"
+    ).cast("long") % 2
+    kb = (
+        d.select(
+            "doc_id",
+            "source",
+            split.alias("half"),
+            F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").alias(
+                "ws"
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "half",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 2 THEN zip_with("
+                    "slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+                    " (x, y) -> named_struct('a', x, 'b', y)) "
+                    "ELSE CAST(array() AS "
+                    "array<struct<a:string,b:string>>) END"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "source", "half", "p.a", "p.b")
+    )
+    cab = (
+        kb.where(F.col("half") == 0)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    actx = cab.groupBy("a").agg(
+        F.sum("cab").alias("ca"), F.count(F.lit(1)).alias("n1l")
+    )
+    bcont = cab.groupBy("b").agg(F.count(F.lit(1)).alias("n1r"))
+    nbt = cab.agg(F.count(F.lit(1)).alias("nb"))
+    scored = (
+        kb.where(F.col("half") == 1)
+        .join(F.broadcast(cab), ["a", "b"], "left")
+        .join(F.broadcast(actx), "a", "left")
+        .join(F.broadcast(bcont), "b", "left")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "source",
+            F.coalesce("cab", F.lit(0)).alias("cab"),
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("n1l", F.lit(0)).alias("n1l"),
+            F.coalesce("n1r", F.lit(0)).alias("n1r"),
+            "nb",
+        )
+    )
+    cost = F.expr(_KN_COST_SQL)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(cost).alias("total_cost"),
+        trunc6(
+            F.sum(cost).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(float(_KN_Q))
+        ).alias("xent_nats"),
+    )

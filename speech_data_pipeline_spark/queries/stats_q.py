@@ -1693,3 +1693,111 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t2") - F.col("t1")) - (F.col("c2") - F.col("c1"))
         ).alias("did"),
     )
+
+
+@query(
+    "ts_changepoint_sse",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM events GROUP BY event_type, day
+    ),
+    cum AS (
+      SELECT event_type, day,
+             sum(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS cn,
+             sum(s) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS cs,
+             sum(n) OVER (PARTITION BY event_type) AS tn,
+             sum(s) OVER (PARTITION BY event_type) AS ts
+      FROM daily
+    ),
+    scored AS (
+      SELECT event_type, day, cn, cs, tn, ts,
+             CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+               / CAST(cn AS DOUBLE)
+             + CAST(ts - cs AS DOUBLE) * CAST(ts - cs AS DOUBLE)
+               / CAST(tn - cn AS DOUBLE) AS score
+      FROM cum WHERE cn < tn
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY score DESC, day) AS rk
+      FROM scored
+    )
+    SELECT event_type, day AS split_day,
+           CAST(cn AS BIGINT) AS n_left, CAST(tn - cn AS BIGINT) AS n_right,
+           floor(score * 1000000.0) / 1000000.0 AS score,
+           floor(CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) / 1000.0
+                 * 1000000.0) / 1000000.0 AS mean_left,
+           floor(CAST(ts - cs AS DOUBLE) / CAST(tn - cn AS DOUBLE)
+                 / 1000.0 * 1000000.0) / 1000000.0 AS mean_right
+    FROM best WHERE rk = 1
+    """,
+)
+def ts_changepoint_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline single changepoint per event type: the day boundary
+    minimizing total within-segment SSE of the daily value stream —
+    equivalently maximizing ``S_L²/n_L + S_R²/n_R`` (Fisher's exact
+    one-break segmentation; the offline companion to the online
+    ts_cusum_alarms detector).
+
+    Exactness: daily sums are BIGINT milli-units; the split score is
+    a fixed-association IEEE expression of those exact integers
+    (double multiply — overflow-free at any corpus size, identical in
+    both engines), argmax tie-breaks to the earliest day. Plan: one
+    grouped aggregation to the (type, day) grid, two window sums over
+    the type partition (date-domain bounded, never corpus-row-sized),
+    one row_number argmax — no self-join over splits.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mv = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.expr("(ts div 1000) div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(mv).alias("s"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("s").over(w_cum).alias("cs"),
+        F.sum("n").over(w_tot).alias("tn"),
+        F.sum("s").over(w_tot).alias("ts"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    scored = cum.where(F.col("cn") < F.col("tn")).withColumn(
+        "score",
+        d(F.col("cs")) * d(F.col("cs")) / d(F.col("cn"))
+        + d(F.col("ts") - F.col("cs")) * d(F.col("ts") - F.col("cs"))
+        / d(F.col("tn") - F.col("cn")),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), "day"
+    )
+    best = scored.withColumn("rk", F.row_number().over(w_rank)).where(
+        F.col("rk") == 1
+    )
+    return best.select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        F.col("cn").alias("n_left"),
+        (F.col("tn") - F.col("cn")).alias("n_right"),
+        trunc6(F.col("score")).alias("score"),
+        trunc6(d(F.col("cs")) / d(F.col("cn")) / F.lit(1000.0)).alias(
+            "mean_left"
+        ),
+        trunc6(
+            d(F.col("ts") - F.col("cs"))
+            / d(F.col("tn") - F.col("cn"))
+            / F.lit(1000.0)
+        ).alias("mean_right"),
+    )

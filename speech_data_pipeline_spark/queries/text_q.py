@@ -3008,3 +3008,56 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_saved"),
     )
+
+def _li_oracle(n_sub: int = 8, sub: int = 8, k: int = 10) -> str:
+    """MaxSim grid as one generated expression, mirroring
+    operators/similarity.py late_interaction_topk fold-for-fold."""
+    terms = []
+    for i in range(n_sub):
+        qo = i * sub
+        q2 = (
+            f"list_sum(list_transform(list_slice(q.qv, {qo + 1},"
+            f" {qo + sub}), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+        cands = []
+        for j in range(n_sub):
+            do = j * sub
+            d2 = (
+                f"list_sum(list_transform(list_slice(e.embedding,"
+                f" {do + 1}, {do + sub}),"
+                f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+            )
+            dotx = (
+                f"list_sum(list_transform(range(1, {sub + 1}),"
+                f" kk -> CAST(e.embedding[{do} + kk] AS DOUBLE)"
+                f" * CAST(q.qv[{qo} + kk] AS DOUBLE)))"
+            )
+            cands.append(
+                f"CASE WHEN {d2} > 0 THEN {dotx} /"
+                f" (sqrt({q2}) * sqrt({d2})) ELSE 0.0 END"
+            )
+        terms.append("greatest(" + ", ".join(cands) + ")")
+    score = " + ".join(terms)
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           floor(({score}) * 1000000.0) / 1000000.0 AS li_score
+    FROM embeddings e, q
+    ORDER BY li_score DESC, e.vec_id LIMIT {k}
+    """
+
+
+@query("sim_late_interaction_topk", oracle=_li_oracle())
+def sim_late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction (MaxSim) top-10: each 64-d
+    embedding is treated as 8 token sub-vectors and scored
+    Σ_i max_j cos(q_i, d_j) against the vec_id=0 query — the
+    multi-vector retrieval model beside single-vector sim_cosine_topk.
+    One generated map-only expression (in-row slices + the shared
+    left-fold dot/norm primitives), TakeOrderedAndProject top-k
+    (operators/similarity.py late_interaction_topk)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.late_interaction_topk(
+        e, _query_vec(spark, sf_dir), n_sub=8, k=10
+    )

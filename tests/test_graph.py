@@ -348,3 +348,58 @@ class TestBellmanFordSssp:
                     best[(m, h + 1)] = nd
                     heapq.heappush(pq, (nd, m, h + 1))
         assert got == dist4
+
+
+class TestHits:
+    def _replay(self, edges, iters=3):
+        """Independent integer HITS replay: max-DIV renormalization."""
+        FP = 1 << 20
+        srcs = sorted({s for s, _, _ in edges})
+        dsts = sorted({d for _, d, _ in edges})
+        hub = {s: FP for s in srcs}
+        auth = {}
+        for _ in range(iters):
+            raw = {d: 0 for d in dsts}
+            for s, d, w in edges:
+                raw[d] += hub[s] * w
+            sc = max(raw.values()) // FP + 1
+            auth = {d: r // sc for d, r in raw.items()}
+            raw = {s: 0 for s in srcs}
+            for s, d, w in edges:
+                raw[s] += auth[d] * w
+            sc = max(raw.values()) // FP + 1
+            hub = {s: r // sc for s, r in raw.items()}
+        return hub, auth
+
+    def test_matches_replay_and_ranks_dense_hub_first(self, spark):
+        from speech_data_pipeline_spark.operators.graph import hits_scores
+
+        # u1 points at both popular authorities, u2/u3 at one each,
+        # u4 only at a fringe authority.
+        edges = [
+            ("u1", "x", 5), ("u1", "y", 5),
+            ("u2", "x", 3), ("u3", "y", 3),
+            ("u4", "z", 9),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string, w long")
+        hubs, auths = hits_scores(df, iters=3)
+        got_h = {r.node: r.hub_fp for r in hubs.collect()}
+        got_a = {r.node: r.auth_fp for r in auths.collect()}
+        want_h, want_a = self._replay(edges)
+        assert got_h == want_h
+        assert got_a == want_a
+        assert got_h["u1"] == max(got_h.values())  # the dual-cite hub
+        # z's only citer is a hub with no reinforcement: low authority
+        assert got_a["z"] < got_a["x"] and got_a["z"] < got_a["y"]
+
+    def test_weight_scaling_invariance_of_ranking(self, spark):
+        from speech_data_pipeline_spark.operators.graph import hits_scores
+
+        edges = [("a", "p", 1), ("a", "q", 2), ("b", "q", 4), ("c", "r", 1)]
+        big = [(s, d, w * 1000) for s, d, w in edges]
+        df1 = spark.createDataFrame(edges, "src string, dst string, w long")
+        df2 = spark.createDataFrame(big, "src string, dst string, w long")
+        # ranking (not raw values) is preserved under uniform weight scaling
+        h1 = {r.node: r.hub_fp for r in hits_scores(df1, 2)[0].collect()}
+        h2 = {r.node: r.hub_fp for r in hits_scores(df2, 2)[0].collect()}
+        assert sorted(h1, key=h1.get) == sorted(h2, key=h2.get)

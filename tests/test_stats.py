@@ -800,3 +800,155 @@ class TestDiffInDiff:
         )
         assert r["did"] == math.floor(did / 1000.0 * 1e6) / 1e6
         assert r["n_treat"] == cells[(1, 0)][0] + cells[(1, 1)][0]
+
+
+class TestChangepointSSE:
+    def test_recovers_planted_level_shift(self, spark, tmp_path):
+        """A clean level shift at a known day must be the argmin-SSE
+        split, and the reported means must be the segment means."""
+        import math
+
+        from speech_data_pipeline_spark.queries.stats_q import (
+            ts_changepoint_sse,
+        )
+
+        # 20 days x 5 events/day: level 10.0 before day 10, 20.0 after
+        US_DAY = 86_400_000_000
+        rows = []
+        for day in range(20):
+            for i in range(5):
+                v = 10.0 if day < 10 else 20.0
+                v += 0.001 * i  # tiny within-day texture
+                rows.append(
+                    (1, "click", (day * US_DAY + i) * 1000, float(v))
+                )
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long, value double"
+        )
+        # the registered query reads events through the catalog's
+        # TIMESTAMP(NANOS) normalization (covered by the oracle gate);
+        # these tests pin the MATH by replaying the plan body on an
+        # epoch-nanos frame directly.
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        mv = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast(
+            "long"
+        )
+        daily = df.groupBy(
+            "event_type",
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum(mv).alias("s"))
+        w_cum = (
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_tot = Window.partitionBy("event_type")
+        cum = daily.select(
+            "event_type",
+            "day",
+            F.sum("n").over(w_cum).alias("cn"),
+            F.sum("s").over(w_cum).alias("cs"),
+            F.sum("n").over(w_tot).alias("tn"),
+            F.sum("s").over(w_tot).alias("ts"),
+        )
+        d = lambda c: c.cast("double")  # noqa: E731
+        scored = cum.where(F.col("cn") < F.col("tn")).withColumn(
+            "score",
+            d(F.col("cs")) * d(F.col("cs")) / d(F.col("cn"))
+            + d(F.col("ts") - F.col("cs"))
+            * d(F.col("ts") - F.col("cs"))
+            / d(F.col("tn") - F.col("cn")),
+        )
+        w_rank = Window.partitionBy("event_type").orderBy(
+            F.col("score").desc(), "day"
+        )
+        best = scored.withColumn(
+            "rk", F.row_number().over(w_rank)
+        ).where(F.col("rk") == 1).collect()
+        assert len(best) == 1
+        r = best[0]
+        assert r.day == 9  # split AFTER day 9: left = days 0..9
+        assert r.cn == 50 and r.tn - r.cn == 50
+        mean_l = r.cs / r.cn / 1000.0
+        mean_r = (r.ts - r.cs) / (r.tn - r.cn) / 1000.0
+        assert math.isclose(mean_l, 10.002, abs_tol=1e-9)
+        assert math.isclose(mean_r, 20.002, abs_tol=1e-9)
+
+    def test_brute_force_argmax_agreement(self, spark):
+        """The window-sum argmax must equal a brute-force scan over
+        all splits on an irregular series."""
+        import random
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        rng = random.Random(3)
+        US_DAY = 86_400_000_000
+        rows = []
+        series = []
+        for day in range(15):
+            n = rng.randint(1, 4)
+            for i in range(n):
+                v = rng.uniform(-5, 5) + (3.0 if day >= 6 else 0.0)
+                series.append((day, round(v, 3)))
+                rows.append((1, "view", (day * US_DAY + i) * 1000, v))
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long, value double"
+        )
+        mv = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast(
+            "long"
+        )
+        daily = df.groupBy(
+            "event_type",
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum(mv).alias("s"))
+        w_cum = (
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_tot = Window.partitionBy("event_type")
+        cum = daily.select(
+            "day",
+            F.sum("n").over(w_cum).alias("cn"),
+            F.sum("s").over(w_cum).alias("cs"),
+            F.sum("n").over(w_tot).alias("tn"),
+            F.sum("s").over(w_tot).alias("ts"),
+        )
+        d = lambda c: c.cast("double")  # noqa: E731
+        got = (
+            cum.where(F.col("cn") < F.col("tn"))
+            .withColumn(
+                "score",
+                d(F.col("cs")) * d(F.col("cs")) / d(F.col("cn"))
+                + d(F.col("ts") - F.col("cs"))
+                * d(F.col("ts") - F.col("cs"))
+                / d(F.col("tn") - F.col("cn")),
+            )
+            .orderBy(F.col("score").desc(), "day")
+            .limit(1)
+            .collect()[0]
+        )
+        # brute force in python on integer millis
+        from collections import defaultdict
+
+        ds = defaultdict(lambda: [0, 0])
+        for day, v in series:
+            import math as m
+
+            ds[day][0] += 1
+            ds[day][1] += m.floor(v * 1000.0 + 0.5)
+        days = sorted(ds)
+        tot_n = sum(ds[x][0] for x in days)
+        tot_s = sum(ds[x][1] for x in days)
+        best = None
+        cn = cs = 0
+        for x in days[:-1]:
+            cn += ds[x][0]
+            cs += ds[x][1]
+            sc = cs * cs / cn + (tot_s - cs) ** 2 / (tot_n - cn)
+            if best is None or sc > best[0] + 1e-12:
+                best = (sc, x)
+        assert got.day == best[1]
