@@ -96,6 +96,10 @@ SCALAR_CROSS_WHITELIST = {
     # threshold scalars: 1 row each
     "eval_bootstrap_ci",  # sorted replicate-mean array (1 row, B=200
     # elements) attached to the 1-row full-sample aggregate
+    "graph_hits_scores",  # per-half-round max-renormalization scale
+    # scalar: 1 row onto the node-sized score table
+    "lm_kneser_ney_xent",  # bigram-count total (N_bigrams) scalar:
+    # 1 row onto the held-out bigram stream
 }
 
 
