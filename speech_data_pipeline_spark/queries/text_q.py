@@ -3061,3 +3061,94 @@ def sim_late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.late_interaction_topk(
         e, _query_vec(spark, sf_dir), n_sub=8, k=10
     )
+
+@query(
+    "eval_mrr_at_k",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS label_a, embedding AS va
+      FROM embeddings WHERE vec_id < {_NDCG_ANCHORS}
+    ), cand AS (
+      SELECT a.anchor_id, a.label_a,
+             CASE WHEN c.label = a.label_a THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY list_sum(list_transform(range(1, 65),
+                   i -> CAST(va[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(va,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+                 c.vec_id) AS rn
+      FROM a JOIN embeddings c ON c.vec_id <> a.anchor_id
+    )
+    SELECT anchor_id, label_a,
+           CAST(COALESCE(min(CASE WHEN rel = 1 AND rn <= {_NDCG_K}
+                              THEN rn END), 0) AS BIGINT) AS first_hit,
+           CAST(sum(CASE WHEN rn <= {_NDCG_K} THEN rel ELSE 0 END)
+                AS BIGINT) AS hits_at_k,
+           CAST(COALESCE(1000000 // min(CASE WHEN rel = 1
+                                        AND rn <= {_NDCG_K}
+                                        THEN rn END), 0) AS BIGINT)
+             AS rr_ppm
+    FROM cand GROUP BY anchor_id, label_a
+    ORDER BY anchor_id
+    """,
+)
+def eval_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 retrieval evaluation beside eval_ndcg_at_k: for each
+    anchor, the rank of the FIRST same-label hit in the exact-cosine
+    top-10 and its reciprocal (integer ppm: 10^6 div rank — exact in
+    both engines, no float reciprocal). The metric navigation-style
+    retrieval (one right answer) reads instead of NDCG's graded gain.
+    Same plan skeleton: bounded anchor broadcast, WindowGroupLimit
+    rank filter, one grouped aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.where(F.col("vec_id") < _NDCG_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("va"),
+    )
+    cand = (
+        F.broadcast(a)
+        .join(
+            e.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("label").alias("label_c"),
+                F.col("embedding").alias("vc"),
+            ),
+            F.col("cand_id") != F.col("anchor_id"),
+        )
+        .select(
+            "anchor_id",
+            "label_a",
+            "cand_id",
+            F.when(F.col("label_c") == F.col("label_a"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            sim.cosine(F.col("va"), F.col("vc")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_raw").desc(), "cand_id"
+    )
+    top = cand.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _NDCG_K
+    )
+    first_hit = F.min(F.when(F.col("rel") == 1, F.col("rn")))
+    return (
+        top.groupBy("anchor_id", "label_a")
+        .agg(
+            F.coalesce(first_hit, F.lit(0)).cast("long").alias(
+                "first_hit"
+            ),
+            F.sum("rel").cast("long").alias("hits_at_k"),
+        )
+        .withColumn(
+            "rr_ppm",
+            F.when(F.col("first_hit") == 0, F.lit(0))
+            .otherwise(F.expr("1000000 div first_hit"))
+            .cast("long"),
+        )
+        .orderBy("anchor_id")
+    )
