@@ -361,6 +361,20 @@ def triangle_count(edges: DataFrame, a: str = "u", b: str = "v") -> DataFrame:
     required (duplicates/self-loops must already be removed).
     Output: one row ``(n_vertices, n_edges, n_triangles)``.
     """
+    e, deg, tri = _oriented_triangles(edges, a, b)
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_vertices"))))
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .select("n_vertices", "n_edges", "n_triangles")
+    )
+
+
+def _oriented_triangles(edges: DataFrame, a: str = "u", b: str = "v"):
+    """Shared degree-oriented triangle enumeration: returns
+    ``(e, deg, tri)`` where ``tri`` carries each triangle EXACTLY once
+    as ``(su, v1, v2)`` — its three corners. See
+    :func:`triangle_count` for the O(m^1.5) orientation argument."""
     # `e` feeds four branches (degree table, the two orientation joins,
     # n_edges) and `oe` three (both wedge sides + the closing join);
     # without persistence the upstream edge construction re-evaluates
@@ -398,12 +412,55 @@ def triangle_count(edges: DataFrame, a: str = "u", b: str = "v") -> DataFrame:
     tri = wedges.join(
         oe.select(F.col("su").alias("v1"), F.col("sv").alias("v2")),
         ["v1", "v2"],
+    ).select("su", "v1", "v2")
+    return e, deg, tri
+
+
+def clustering_coefficient(
+    edges: DataFrame, a: str = "u", b: str = "v"
+) -> DataFrame:
+    """Per-node local clustering coefficient
+    ``c(v) = 2·T(v) / (d(v)·(d(v)−1))`` — the density companion to
+    the global :func:`triangle_count`: how close each node's
+    neighborhood is to a clique (the community-structure signal
+    corpus curation reads per entity rather than per graph).
+
+    Same O(m^1.5) degree-oriented enumeration (shared
+    :func:`_oriented_triangles`); per-triangle attribution is a
+    3-row explode of the triangle's corners followed by one grouped
+    count — triangles ≪ wedge candidates, so the explode adds only
+    output-linear work. Nodes with degree < 2 report coefficient 0.
+
+    Output: ``(node, d, n_tri, coeff)`` with ``coeff`` trunc6 of the
+    exact integer ratio.
+    """
+    _, deg, tri = _oriented_triangles(edges, a, b)
+    corners = (
+        tri.select(F.explode(F.array("su", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
     )
+    from speech_data_pipeline_spark.functions import trunc6
+
     return (
-        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
-        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_vertices"))))
-        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
-        .select("n_vertices", "n_edges", "n_triangles")
+        deg.withColumnRenamed("n", "node")
+        .join(corners, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("long").alias("d"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(F.col("d") < 2, F.lit(0.0))
+            .otherwise(
+                trunc6(
+                    (F.lit(2.0) * F.coalesce("n_tri", F.lit(0)).cast("double"))
+                    / (
+                        F.col("d").cast("double")
+                        * (F.col("d") - 1).cast("double")
+                    )
+                )
+            )
+            .alias("coeff"),
+        )
     )
 
 

@@ -2858,3 +2858,70 @@ def lm_kneser_ney_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(_KN_Q))
         ).alias("xent_nats"),
     )
+
+@query(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.p AS x, b.p AS y
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ), deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e)
+      GROUP BY n
+    ), oe AS (
+      SELECT CASE WHEN (dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y))
+                  THEN e.x ELSE e.y END AS su,
+             CASE WHEN (dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y))
+                  THEN e.y ELSE e.x END AS sv,
+             CASE WHEN (dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y))
+                  THEN dy.d ELSE dx.d END AS dv
+      FROM e JOIN deg dx ON e.x = dx.n JOIN deg dy ON e.y = dy.n
+    ), tri AS (
+      SELECT a.su AS su, a.sv AS v1, b.sv AS v2
+      FROM oe a
+      JOIN oe b ON a.su = b.su
+              AND (a.dv < b.dv OR (a.dv = b.dv AND a.sv < b.sv))
+      JOIN oe c ON c.su = a.sv AND c.sv = b.sv
+    ), corners AS (
+      SELECT node, count(*) AS n_tri FROM (
+        SELECT unnest([su, v1, v2]) AS node FROM tri) GROUP BY node
+    )
+    SELECT d.n AS node, CAST(d.d AS BIGINT) AS d,
+           CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN d.d < 2 THEN 0.0
+                ELSE floor((2.0 * COALESCE(c.n_tri, 0))
+                           / (CAST(d.d AS DOUBLE)
+                              * CAST(d.d - 1 AS DOUBLE))
+                           * 1000000.0) / 1000000.0 END AS coeff
+    FROM deg d LEFT JOIN corners c ON c.node = d.n
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the part
+    co-purchase graph — 2·T(v)/(d(v)·(d(v)−1)), the neighborhood
+    density each entity reads (community tightness) where
+    graph_triangle_count reads one global number. Shares the
+    O(m^1.5) degree-oriented triangle ENUMERATION
+    (operators/graph.py _oriented_triangles); attribution is a 3-row
+    corner explode + one grouped count, output-linear beyond the
+    count's own work."""
+    from speech_data_pipeline_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("u"))
+    b_ = op.select("o", F.col("p").alias("v"))
+    edges = (
+        a.join(b_, "o")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return clustering_coefficient(edges)
