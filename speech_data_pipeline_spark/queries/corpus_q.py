@@ -2925,3 +2925,101 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return clustering_coefficient(edges)
+
+def _split_name_sql(bucket: str) -> str:
+    return (
+        f"CASE WHEN {bucket} < 8 THEN 'train' "
+        f"WHEN {bucket} = 8 THEN 'val' ELSE 'test' END"
+    )
+
+
+@query(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, doc_id, n_chars, md5(text) AS dig FROM documents
+    ), canon AS (
+      SELECT dig, min(doc_id) AS canonical_id FROM b GROUP BY dig
+    ), docs AS (
+      SELECT b.source, b.doc_id, b.n_chars, c.canonical_id,
+             {_split_name_sql(_hex7_to_int_sql(
+                 "md5('split:' || CAST(c.canonical_id AS VARCHAR))")
+                 + " % 10")} AS safe_split,
+             {_split_name_sql(_hex7_to_int_sql(
+                 "md5('split:' || CAST(b.doc_id AS VARCHAR))")
+                 + " % 10")} AS naive_split
+      FROM b JOIN canon c USING (dig)
+    ), per_cluster AS (
+      SELECT canonical_id,
+             any_value(safe_split) AS safe_split,
+             count(DISTINCT naive_split) AS naive_k
+      FROM docs GROUP BY canonical_id
+    )
+    SELECT d.safe_split AS split_name,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT d.canonical_id) AS BIGINT) AS n_clusters,
+           CAST(sum(d.n_chars // 4 + 1) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT CASE WHEN p.naive_k > 1
+                               THEN d.canonical_id END) AS BIGINT)
+             AS naive_leaked_clusters
+    FROM docs d JOIN per_cluster p USING (canonical_id)
+    GROUP BY d.safe_split
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split manifest (80/10/10): the
+    split hash is taken on the EXACT-DUP CANONICAL id, so a
+    duplicate cluster can never straddle splits — the
+    train/test-contamination failure a naive per-document hash split
+    commits silently. Per split: doc count, cluster count, token
+    budget, and the COUNTERFACTUAL audit: how many of this split's
+    clusters WOULD have leaked across splits under naive
+    per-doc-id hashing (fires as soon as any duplicate cluster's
+    members hash apart — the number this operator exists to drive to
+    zero; pinned by the planted-duplicate test in
+    tests/test_curation.py).
+
+    Plan: one md5 collapse groupBy + member join (the exact-collapse
+    shape every dedup query shares), one per-cluster distinct-count,
+    one final grouped aggregate — nothing beyond corpus-linear work,
+    no windows, no scalar cross joins."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "source", "doc_id", "n_chars", F.md5(F.col("text")).alias("dig")
+    )
+    canon = b.groupBy("dig").agg(F.min("doc_id").alias("canonical_id"))
+    name = lambda c: (  # noqa: E731
+        F.when(c < 8, "train").when(c == 8, "val").otherwise("test")
+    )
+    h = lambda col: (  # noqa: E731
+        F.expr(
+            f"conv(substring(md5('split:' || CAST({col} AS STRING)), 1, 7),"
+            " 16, 10)"
+        ).cast("long")
+        % 10
+    )
+    docs = b.join(canon, "dig").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        "canonical_id",
+        name(h("canonical_id")).alias("safe_split"),
+        name(h("doc_id")).alias("naive_split"),
+    )
+    per_cluster = docs.groupBy("canonical_id").agg(
+        F.countDistinct("naive_split").alias("naive_k")
+    )
+    return (
+        docs.join(per_cluster, "canonical_id")
+        .groupBy(F.col("safe_split").alias("split_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical_id").alias("n_clusters"),
+            F.sum(F.expr("n_chars div 4") + 1).cast("long").alias(
+                "total_tokens"
+            ),
+            F.countDistinct(
+                F.when(F.col("naive_k") > 1, F.col("canonical_id"))
+            ).alias("naive_leaked_clusters"),
+        )
+    )

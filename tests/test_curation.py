@@ -444,3 +444,43 @@ class TestReadabilityAndClean:
         assert rows[2]["changed"] == 0
         assert rows[2]["clean_md5"] == hashlib.md5(
             b"already clean").hexdigest()
+
+
+def test_split_leakage_safe_planted_duplicates(spark, tmp_path):
+    """A duplicate cluster whose members naive-hash into different
+    splits must (a) stay together under the canonical-id split and
+    (b) be counted by the naive-leak counterfactual."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from speech_data_pipeline_spark.queries.corpus_q import (
+        split_leakage_safe,
+    )
+
+    rows = [(i, "web", 40, f"unique text number {i}") for i in range(40)]
+    # 12 exact copies: with 12 doc_ids hashed %10 into 3 named splits,
+    # at least two distinct naive splits are near-certain (and fixed
+    # ids make it deterministic)
+    rows += [(100 + i, "web", 40, "the same duplicated text") for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars int, text string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "_t"))
+    part = next(
+        f for f in os.listdir(tmp_path / "_t") if f.endswith(".parquet")
+    )
+    shutil.move(str(tmp_path / "_t" / part), str(tmp_path / "documents.parquet"))
+
+    out = {r.split_name: r for r in split_leakage_safe(spark, str(tmp_path)).collect()}
+    # the cluster lands in exactly ONE split under the safe hash
+    clusters_with_cluster = [
+        s for s, r in out.items() if r.n_docs > r.n_clusters
+    ]
+    assert len(clusters_with_cluster) == 1
+    home = out[clusters_with_cluster[0]]
+    assert home.n_docs - home.n_clusters == 11  # 12 members, 1 cluster
+    # and the counterfactual naive split would have leaked it
+    assert home.naive_leaked_clusters == 1
+    assert sum(r.naive_leaked_clusters for r in out.values()) == 1
