@@ -3152,3 +3152,86 @@ def eval_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+#: MATTR window size (Covington & McFall 2010).
+_MATTR_W = 50
+
+
+@query(
+    "text_lexical_diversity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '([a-z]+)', 1) AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+           CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE floor(CAST(len(list_distinct(ws)) AS DOUBLE)
+                           / CAST(len(ws) AS DOUBLE)
+                           * 1000000.0) / 1000000.0 END AS ttr,
+           CASE WHEN len(ws) < {_MATTR_W} THEN
+                  CASE WHEN len(ws) = 0 THEN 0.0
+                       ELSE floor(CAST(len(list_distinct(ws)) AS DOUBLE)
+                                  / CAST(len(ws) AS DOUBLE)
+                                  * 1000000.0) / 1000000.0 END
+                ELSE floor(
+                  CAST(list_sum(list_transform(
+                         range(1, len(ws) - {_MATTR_W} + 2),
+                         i -> len(list_distinct(list_slice(
+                                ws, CAST(i AS INT),
+                                CAST(i + {_MATTR_W} - 1 AS INT))))))
+                       AS DOUBLE)
+                  / CAST((len(ws) - {_MATTR_W} + 1) * {_MATTR_W}
+                         AS DOUBLE)
+                  * 1000000.0) / 1000000.0 END AS mattr
+    FROM w
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: raw type-token ratio (TTR) and
+    the moving-average TTR (MATTR, Covington & McFall 2010, window
+    50) — the length-robust vocabulary-richness signal quality
+    filters use where raw TTR just measures document length.
+
+    In-row array algebra only: word array once, distinct counts per
+    sliding window via transform over positions (O(n·W) per doc,
+    doc-length bounded), exact integer window-distinct sums crossing
+    nothing — a map-only plan at any corpus size. Documents shorter
+    than the window fall back to raw TTR; empty documents report 0.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = _MATTR_W
+    ws = F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")
+    out = d.select("doc_id", ws.alias("ws")).select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_types"),
+        F.col("ws"),
+    )
+    ttr = F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+        trunc6(
+            F.col("n_types").cast("double")
+            / F.col("n_words").cast("double")
+        )
+    )
+    winsum = F.expr(
+        f"aggregate(transform(sequence(1, cast(size(ws) - {w} + 1 as int)),"
+        f" i -> size(array_distinct(slice(ws, i, {w})))),"
+        f" cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    mattr = F.when(F.col("n_words") < w, ttr).otherwise(
+        trunc6(
+            winsum.cast("double")
+            / ((F.col("n_words") - w + 1) * w).cast("double")
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_types",
+        ttr.alias("ttr"),
+        mattr.alias("mattr"),
+    )
