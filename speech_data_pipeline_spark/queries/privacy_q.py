@@ -219,3 +219,170 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy"),
         F.when(F.col("distinct_l") >= _LDIV_L, 1).otherwise(0).alias("ok_l"),
     )
+
+#: t-closeness threshold (Li, Li & Venkatasubramanian 2007).
+_TCLOSE_T = 0.2
+
+
+@query(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             (CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+              - {_BAND_LO_CENTS}) // {_BAND_WIDTH_CENTS} AS band
+      FROM customer
+    ),
+    cell AS (
+      SELECT seg, nat, band, CAST(count(*) AS BIGINT) AS cnt
+      FROM qi GROUP BY seg, nat, band
+    ),
+    grp AS (
+      SELECT seg, nat, CAST(sum(cnt) AS BIGINT) AS n_g
+      FROM cell GROUP BY seg, nat
+    ),
+    bt AS (
+      SELECT band, CAST(sum(cnt) AS BIGINT) AS c_band
+      FROM cell GROUP BY band
+    ),
+    tot AS (
+      SELECT CAST(sum(c_band) AS BIGINT) AS n_all,
+             CAST(count(*) AS BIGINT) AS m
+      FROM bt
+    ),
+    bands AS (
+      SELECT band,
+             CAST(sum(c_band) OVER (ORDER BY band
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_all
+      FROM bt
+    ),
+    grid AS (
+      SELECT g.seg, g.nat, g.n_g, b.band, b.cum_all,
+             COALESCE(c.cnt, 0) AS cnt
+      FROM grp g CROSS JOIN bands b
+      LEFT JOIN cell c ON c.seg = g.seg AND c.nat = g.nat
+                      AND c.band = b.band
+    ),
+    cum AS (
+      SELECT seg, nat, n_g, band, cum_all,
+             CAST(sum(cnt) OVER (PARTITION BY seg, nat ORDER BY band
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_g
+      FROM grid
+    ),
+    emd AS (
+      SELECT seg, nat, any_value(n_g) AS n_g,
+             CAST(sum(abs(cum_g * tot.n_all - cum_all * n_g))
+                  AS BIGINT) AS emd_num,
+             any_value(tot.n_all) AS n_all, any_value(tot.m) AS m
+      FROM cum CROSS JOIN tot GROUP BY seg, nat
+    )
+    SELECT seg AS c_mktsegment, CAST(nat AS INTEGER) AS c_nationkey,
+           n_g,
+           floor(CAST(emd_num AS DOUBLE)
+                 / CAST(n_g * n_all * (m - 1) AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS emd,
+           CASE WHEN floor(CAST(emd_num AS DOUBLE)
+                           / CAST(n_g * n_all * (m - 1) AS DOUBLE)
+                           * 1000000.0) / 1000000.0 > {_TCLOSE_T}
+                THEN 1 ELSE 0 END AS violates_t
+    FROM emd
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007), completing the
+    release-gate triad with k-anonymity and entropy l-diversity: per
+    QI group (segment × nation), the 1-D Earth Mover's Distance
+    between the group's SENSITIVE-attribute distribution (the
+    2000-dollar balance band — ordered, so EMD = mean |CDF gap|) and
+    the global one; groups with EMD > t = 0.2 leak attribute skew
+    even when k and l pass.
+
+    Exactness: the CDF gap at band i is
+    ``(cum_g·N − cum_all·n_g) / (n_g·N)`` — the numerator is exact
+    BIGINT, summed absolute, ONE float division per group at output.
+
+    Plan: grouped counts to the QI×band cell table, a QI-domain ×
+    value-domain grid (~|segments|·|nations| × ~15 bands — attribute
+    domains, never corpus rows) for the gap-persists-at-missing-bands
+    cumulative, two bounded window sums, one grouped EMD aggregate.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    qi = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr(
+            f"(cast(floor(c_acctbal * 100.0 + 0.5) as bigint)"
+            f" - {_BAND_LO_CENTS}) div {_BAND_WIDTH_CENTS}"
+        ).alias("band"),
+    )
+    cell = qi.groupBy("seg", "nat", "band").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grp = cell.groupBy("seg", "nat").agg(F.sum("cnt").alias("n_g"))
+    bt = cell.groupBy("band").agg(F.sum("cnt").alias("c_band"))
+    tot = bt.agg(
+        F.sum("c_band").alias("n_all"), F.count(F.lit(1)).alias("m")
+    )
+    w_all = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bands = bt.select(
+        "band", F.sum("c_band").over(w_all).alias("cum_all")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(bands))
+        .join(cell, ["seg", "nat", "band"], "left")
+        .select(
+            "seg",
+            "nat",
+            "n_g",
+            "band",
+            "cum_all",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+    w_g = (
+        Window.partitionBy("seg", "nat")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "seg",
+        "nat",
+        "n_g",
+        "band",
+        "cum_all",
+        F.sum("cnt").over(w_g).alias("cum_g"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("seg", "nat")
+        .agg(
+            F.first("n_g").alias("n_g"),
+            F.sum(
+                F.abs(
+                    F.col("cum_g") * F.col("n_all")
+                    - F.col("cum_all") * F.col("n_g")
+                )
+            ).alias("emd_num"),
+            F.first("n_all").alias("n_all"),
+            F.first("m").alias("m"),
+        )
+    )
+    emd_val = trunc6(
+        F.col("emd_num").cast("double")
+        / (F.col("n_g") * F.col("n_all") * (F.col("m") - 1)).cast(
+            "double"
+        )
+    )
+    return emd.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("nat").cast("int").alias("c_nationkey"),
+        F.col("n_g").cast("long").alias("n_g"),
+        emd_val.alias("emd"),
+        F.when(emd_val > _TCLOSE_T, 1).otherwise(0).alias("violates_t"),
+    )

@@ -100,6 +100,10 @@ SCALAR_CROSS_WHITELIST = {
     # scalar: 1 row onto the node-sized score table
     "lm_kneser_ney_xent",  # bigram-count total (N_bigrams) scalar:
     # 1 row onto the held-out bigram stream
+    "privacy_t_closeness",  # QI-domain × band-domain grid (~125×15
+    # rows, both sides bounded by ATTRIBUTE domains, never corpus)
+    # for the gap-persists-at-missing-bands cumulative, plus 1-row
+    # total scalars
 }
 
 
@@ -163,6 +167,8 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     "ml_conformal_interval",  # residual-CDF running sum over the
     # DISTINCT cent-residual table, value-domain bounded, never corpus
     "text_zipf_slope",  # rank window over the LIMIT-100 vocabulary head
+    "privacy_t_closeness",  # global-CDF running sum over the ≤~15-row
+    # balance-band table, value-domain bounded, never corpus
 }
 
 
