@@ -1816,3 +1816,112 @@ def attr_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 attr_markov_removal.__doc__ = attr_markov_removal.__doc__.format(
     iters=_MKV_ITERS
 )
+
+def _mkv_split_sql() -> str:
+    from speech_data_pipeline_spark.queries.text_q import _hex7_to_int_sql
+
+    return (
+        _hex7_to_int_sql("md5('mkv:' || CAST(user_id AS VARCHAR))") + " % 2"
+    )
+
+
+@query(
+    "events_markov_holdout_acc",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+               AS prev_type
+      FROM events
+    ), bg AS (
+      SELECT user_id, prev_type, event_type AS next_type,
+             {_mkv_split_sql()} AS half
+      FROM s WHERE prev_type IS NOT NULL
+    ), tc AS (
+      SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM bg WHERE half = 0 GROUP BY prev_type, next_type
+    ), pred AS (
+      SELECT prev_type, next_type AS pred_next FROM (
+        SELECT prev_type, next_type,
+               row_number() OVER (PARTITION BY prev_type
+                                  ORDER BY cnt DESC, next_type) AS rk
+        FROM tc) WHERE rk = 1
+    )
+    SELECT b.prev_type, p.pred_next,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN b.next_type = p.pred_next
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           floor(CAST(sum(CASE WHEN b.next_type = p.pred_next
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 1000000.0) / 1000000.0
+             AS accuracy
+    FROM bg b JOIN pred p USING (prev_type)
+    WHERE b.half = 1
+    GROUP BY b.prev_type, p.pred_next
+    """,
+)
+def events_markov_holdout_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out next-event prediction accuracy of the first-order
+    Markov model — the EVAL companion to events_markov_transitions:
+    train the argmax-next table on the hash-even half of USERS
+    (user-level splits prevent within-sequence leakage), score the
+    odd half's transitions. Per context type: the trained prediction,
+    test count, hits, accuracy — the number that says whether the
+    transition matrix is a usable next-action model or just a
+    descriptive table.
+
+    Plan: one per-user lag window (the transitions query's exact
+    ordering contract: event-time micros, then event_id), one grouped
+    count on the train half, a |types|-bounded argmax window, one
+    broadcast join + grouped accuracy on the test half."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts div 1000"), "event_id"
+    )
+    split = (
+        F.expr(
+            "conv(substring(md5('mkv:' || CAST(user_id AS STRING)), 1, 7),"
+            " 16, 10)"
+        ).cast("long")
+        % 2
+    )
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    bg = s.where(F.col("prev_type").isNotNull()).select(
+        "prev_type",
+        F.col("event_type").alias("next_type"),
+        split.alias("half"),
+    )
+    tc = (
+        bg.where(F.col("half") == 0)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_rk = Window.partitionBy("prev_type").orderBy(
+        F.col("cnt").desc(), "next_type"
+    )
+    pred = (
+        tc.withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") == 1)
+        .select("prev_type", F.col("next_type").alias("pred_next"))
+    )
+    hit = F.when(F.col("next_type") == F.col("pred_next"), 1).otherwise(0)
+    return (
+        bg.where(F.col("half") == 1)
+        .join(F.broadcast(pred), "prev_type")
+        .groupBy("prev_type", "pred_next")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(hit).alias("n_correct"),
+            trunc6(
+                F.sum(hit).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("accuracy"),
+        )
+    )
