@@ -3023,3 +3023,90 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("naive_leaked_clusters"),
         )
     )
+
+#: Novelty n-gram order.
+_NOV_N = 3
+
+
+def _nov_split_sql() -> str:
+    return (
+        _hex7_to_int_sql("md5('nov:' || CAST(doc_id AS VARCHAR))") + " % 2"
+    )
+
+
+@query(
+    "eval_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_nov_split_sql()} AS half,
+             regexp_extract_all(lower(text), '([a-z]+)', 1) AS t
+      FROM documents
+    ), dg AS (
+      SELECT doc_id, source, half,
+             unnest(list_transform(
+               range(1, greatest(len(t) - {_NOV_N - 1}, 0) + 1),
+               i -> array_to_string(
+                      list_slice(t, CAST(i AS INTEGER),
+                                 CAST(i AS INTEGER) + {_NOV_N - 1}), ' ')))
+               AS gram
+      FROM toks
+    ), traing AS (
+      SELECT DISTINCT gram FROM dg WHERE half = 0
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN tr.seen IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           floor(CAST(sum(CASE WHEN tr.seen IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 1000000.0) / 1000000.0
+             AS novelty
+    FROM dg d
+    LEFT JOIN (SELECT gram, 1 AS seen FROM traing) tr USING (gram)
+    WHERE d.half = 1
+    GROUP BY d.source
+    """,
+)
+def eval_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram novelty (memorization audit): the fraction of word
+    3-gram OCCURRENCES in the hash-odd half of the corpus that never
+    appear in the hash-even half — the metric that distinguishes
+    fresh text from near-verbatim repetition of the reference set
+    (the generated-data / memorization check beside
+    decon_ngram_overlap's benchmark-contamination flag).
+
+    Plan: one gram explode each side, one DISTINCT on the train gram
+    set (Heaps-bounded), one gram-keyed hash join of the test stream,
+    one per-source aggregate — corpus-linear, no windows."""
+    d = load_table(spark, sf_dir, "documents")
+    split = (
+        F.expr(
+            "conv(substring(md5('nov:' || CAST(doc_id AS STRING)), 1, 7),"
+            " 16, 10)"
+        ).cast("long")
+        % 2
+    )
+    dg = d.select(
+        "doc_id",
+        "source",
+        split.alias("half"),
+        F.explode(tx.word_ngrams(F.col("text"), _NOV_N)).alias("gram"),
+    )
+    traing = (
+        dg.where(F.col("half") == 0).select("gram").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    novel = F.when(F.col("seen").isNull(), 1).otherwise(0)
+    return (
+        dg.where(F.col("half") == 1)
+        .join(traing, "gram", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            trunc6(
+                F.sum(novel).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty"),
+        )
+    )
