@@ -3110,3 +3110,65 @@ def eval_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+def _skew_cte(key_expr: str, key_name: str) -> str:
+    return f"""
+    SELECT '{key_name}' AS key_name,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_n,
+           floor(CAST(max(n) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                 / CAST(sum(n) AS DOUBLE) * 1000000.0) / 1000000.0
+             AS skew_factor
+    FROM (SELECT {key_expr} AS k, count(*) AS n
+          FROM events GROUP BY 1)
+    """
+
+
+@query(
+    "dq_key_skew_report",
+    oracle=(
+        _skew_cte("user_id", "user_id")
+        + " UNION ALL "
+        + _skew_cte("event_type", "event_type")
+        + " UNION ALL "
+        + _skew_cte("epoch_us(ts) // 86400000000", "day")
+    ),
+)
+def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report over the event stream: for each
+    candidate partitioning key (user_id, event_type, day), the key
+    count, row count, hottest-key size, and the skew factor
+    ``max·n_keys / n_rows`` (1.0 = perfectly uniform; a factor of F
+    means the hottest task runs ~F× the average) — the diagnostic
+    that decides where salting / AQE skew-join splitting is needed
+    BEFORE a job falls over at 100 TB.
+
+    Plan: one map-side-combinable grouped count per key domain (the
+    group tables are key-domain-sized), a 1-row aggregate each, a
+    3-row union. The skew factor itself is the exact integer triple
+    (max, n_keys, n_rows) assembled in one float expression."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def one(key_col, key_name: str) -> DataFrame:
+        g = ev.groupBy(key_col.alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return g.agg(
+            F.lit(key_name).alias("key_name"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_n"),
+            trunc6(
+                F.max("n").cast("double")
+                * F.count(F.lit(1)).cast("double")
+                / F.sum("n").cast("double")
+            ).alias("skew_factor"),
+        )
+    return (
+        one(F.col("user_id"), "user_id")
+        .unionByName(one(F.col("event_type"), "event_type"))
+        .unionByName(
+            one(F.expr("(ts div 1000) div 86400000000"), "day")
+        )
+    )
