@@ -1801,3 +1801,97 @@ def ts_changepoint_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000.0)
         ).alias("mean_right"),
     )
+
+
+@query(
+    "stats_winsorized_mean",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), byv AS (
+      SELECT event_type, v, count(*) AS c FROM q GROUP BY event_type, v
+    ), cdf AS (
+      SELECT event_type, v, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM byv
+    ), kk AS (
+      SELECT event_type, v, c, cum, n, n // 10 AS k FROM cdf
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(max(k) AS BIGINT) AS n_clamped_each_side,
+           floor(CAST(min(CASE WHEN cum >= k + 1 THEN v END) AS DOUBLE)
+                 / 100.0 * 1000000.0) / 1000000.0 AS lo_bound,
+           floor(CAST(min(CASE WHEN cum >= n - k THEN v END) AS DOUBLE)
+                 / 100.0 * 1000000.0) / 1000000.0 AS hi_bound,
+           floor((CAST(sum(v * greatest(least(cum, n - k)
+                                        - greatest(cum - c, k), 0))
+                       AS DOUBLE)
+                  + CAST(max(k) * min(CASE WHEN cum >= k + 1
+                                      THEN v END) AS DOUBLE)
+                  + CAST(max(k) * min(CASE WHEN cum >= n - k
+                                      THEN v END) AS DOUBLE))
+                 / CAST(max(n) AS DOUBLE) / 100.0
+                 * 1000000.0) / 1000000.0 AS winsorized_mean
+    FROM kk GROUP BY event_type
+    """,
+)
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided WINSORIZED mean per event type — the clamp
+    companion to stats_trimmed_mean: instead of dropping the k = ⌊n/10⌋
+    extreme values each side, they are replaced by the (k+1)-th and
+    (n−k)-th order statistics, so every observation still counts (the
+    estimator a bounded-influence pipeline prefers when sample size
+    must not shrink).
+
+    Same sort-free rank-interval machinery on the per-type value CDF:
+    middle ranks contribute via the clamp identity, the two clamp
+    bounds are conditional-min order statistics off the same CDF, and
+    the mean is exact-integer until one divide per type row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    byv = q.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    w_cdf = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cdf = byv.select(
+        "event_type",
+        "v",
+        "c",
+        F.sum("c").over(w_cdf).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    ).withColumn("k", F.expr("n div 10"))
+    mid = F.col("v") * F.greatest(
+        F.least(F.col("cum"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cum") - F.col("c"), F.col("k")),
+        F.lit(0),
+    )
+    lo = F.min(F.when(F.col("cum") >= F.col("k") + 1, F.col("v")))
+    hi = F.min(F.when(F.col("cum") >= F.col("n") - F.col("k"), F.col("v")))
+    return cdf.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("k").cast("long").alias("n_clamped_each_side"),
+        trunc6(lo.cast("double") / F.lit(100.0)).alias("lo_bound"),
+        trunc6(hi.cast("double") / F.lit(100.0)).alias("hi_bound"),
+        trunc6(
+            (
+                F.sum(mid).cast("double")
+                + (F.max("k") * lo).cast("double")
+                + (F.max("k") * hi).cast("double")
+            )
+            / F.max("n").cast("double")
+            / F.lit(100.0)
+        ).alias("winsorized_mean"),
+    )
