@@ -46,6 +46,7 @@ def main() -> None:
     # Two measured passes, min per query: the host is shared, so a
     # single pass confounds engine cost with ambient load spikes.
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for _pass in range(2):
         for name, fn in qs.items():
             if only and name not in only:
@@ -56,9 +57,14 @@ def main() -> None:
                 dt = time.time() - t0
                 if name not in timings or dt < timings[name]:
                     timings[name] = round(dt, 3)
+                # result cardinality, recorded so the scale audit can
+                # separate output-bound growth (rows/sec flat across
+                # decades) from per-row cost growth (a real scaling bug)
+                rows[name] = n
                 print(f"# p{_pass} {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
             except Exception as e:  # noqa: BLE001
                 timings.setdefault(name, -1.0)
+                rows.setdefault(name, -1)
                 print(f"# {name}: ERROR {e}", file=sys.stderr)
     total = sum(v for v in timings.values() if v > 0)
 
@@ -81,7 +87,7 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(
             {"metric": "total_query_wall_clock", "value": round(total, 3),
-             "unit": "sec", "queries": timings, "sf": sf},
+             "unit": "sec", "queries": timings, "rows": rows, "sf": sf},
             f,
             indent=1,
         )

@@ -802,3 +802,115 @@ def allpairs_prefix_cosine(
             )
         ).alias("cosine"),
     )
+
+
+def allpairs_blocked_cosine(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    t2_num: int = 1,
+    t2_den: int = 2,
+    ngram_n: int = 3,
+    k: int = 16,
+    shingle_len: int = 5,
+    bands: int = 4,
+) -> DataFrame:
+    """EXACT cosine scores within LSH blocks — the bounded production
+    composition of :func:`allpairs_prefix_cosine`'s scoring semantics.
+
+    Contract: every document pair that collides in at least one
+    MinHash band (:func:`lsh_candidate_pairs` over char-``shingle_len``
+    shingles, ``bands`` bands of ``k/bands`` rows) is scored with the
+    TRUE binary cosine over its distinct word ``ngram_n``-gram sets
+    and emitted iff ``cos² ≥ t2_num/t2_den``. Scores are exact — no
+    MinHash estimate in the output — while candidate volume is bounded
+    by the banding, so recall is the LSH collision probability instead
+    of 100%. A user who needs exact similarity values (curation-audit
+    thresholds, score histograms) gets them at LSH cost; the global
+    100%-recall form stays available as the diagnostic
+    :func:`allpairs_prefix_cosine` (Σdf² by contract — measured
+    90×/decade at sf10).
+
+    Output: ``(id_a, id_b, n_overlap, cosine)`` — same schema and
+    scoring expression as :func:`allpairs_prefix_cosine`, so the two
+    are drop-in swappable.
+
+    100 TB shape: one signature pass (MD5 per distinct shingle), one
+    shuffle on ``(band_idx, band_hash)``, quadratic only within a
+    band bucket (feed exact-collapsed representatives — the
+    minhash_dedup_pairs_collapsed contract — so identical-text
+    mega-clusters cost one node); verification is two hash joins on
+    id attaching the per-doc gram arrays plus an in-row
+    ``array_intersect``. The cheap integer size filter
+    (``t²·max(na,nb) ≤ min(na,nb)``, same bound as the prefix
+    operator) prunes candidates BEFORE the array-carrying joins.
+    """
+    df = _ensure_parallelism(df).persist()
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_len)
+    cand = lsh_candidate_pairs(sigs, bands, k // bands)
+    features = (
+        word_ngrams(F.col(text_col), ngram_n)
+        if ngram_n > 1
+        else F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1
+        )
+    )
+    sets = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(features).alias("arr"),
+        )
+        .withColumn("n", F.size("arr").cast("long"))
+        .where(F.col("n") > 0)
+        .persist()
+    )
+    sa = sets.select(
+        F.col("id").alias("id_a"), F.col("n").alias("na")
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"), F.col("n").alias("nb")
+    )
+    # size filter on lean (id, n) rows first: cos >= t forces
+    # t2_num*max <= t2_den*min (exact integers) — candidates failing
+    # it never touch the array-carrying verify joins
+    sized = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            (F.col("na") * t2_num <= F.col("nb") * t2_den)
+            & (F.col("nb") * t2_num <= F.col("na") * t2_den)
+        )
+        .select("id_a", "id_b")
+    )
+    va = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
+    )
+    vb = sets.select(
+        F.col("id").alias("id_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("nb"),
+    )
+    ver = (
+        sized.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "ov", F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+        )
+        .where(
+            F.col("ov") * F.col("ov") * t2_den
+            >= F.lit(t2_num) * F.col("na") * F.col("nb")
+        )
+    )
+    return ver.select(
+        "id_a",
+        "id_b",
+        F.col("ov").alias("n_overlap"),
+        trunc6(
+            F.col("ov").cast("double")
+            / F.sqrt(
+                F.col("na").cast("double") * F.col("nb").cast("double")
+            )
+        ).alias("cosine"),
+    )

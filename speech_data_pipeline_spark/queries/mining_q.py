@@ -1346,11 +1346,22 @@ def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     one grouped count + TakeOrderedAndProject top-1; the match phase
     is the real positional-index shape — posting lists (doc, word,
     pos) filtered to the two phrase words (filter pushes into the
-    scan-side explode, so only matching postings shuffle), then the
-    adjacency EQUI-join on (doc_id, pos+1 = pos). At 100 TB the
-    postings for two words are a vanishing corpus fraction and the
-    adjacency join is hash-partitioned on doc_id — never a positional
-    cross product. The 1-row phrase scalar rides a broadcast.
+    scan-side explode, so only matching postings shuffle), then
+    PRE-AGGREGATED to one positions-array row per (doc, word) BEFORE
+    the adjacency step (the round-7 rework: the row-per-position
+    adjacency self-join re-shuffled every posting row and paired
+    per-position; since the top bigram is built from the corpus' most
+    frequent words, its postings are a large corpus fraction and that
+    join was the measured superlinear term at sf10). Now each side
+    collapses to ≤1 row per document and adjacency is an in-row
+    ``array_intersect(transform(pp1, p → p+1), pp2)`` — positions are
+    distinct within a document, so the set intersection counts
+    adjacent occurrences exactly, including the w1 = w2 repeated-word
+    phrase case. Per-doc position arrays obey the same row-width
+    contract as the text column they came from. At 100 TB: one
+    filtered-postings shuffle per side keyed by doc_id, a 1-row/doc
+    hash join, zero positional fan-out. The 1-row phrase scalar rides
+    a broadcast.
     """
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
@@ -1388,31 +1399,39 @@ def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("w").alias("pos0", "word"),
     ).select("doc_id", "word", (F.col("pos0") + 1).alias("pos"))
     # BOTH posting sides pre-filter to their phrase word via the 1-row
-    # broadcast BEFORE any exchange — only the two words' postings ever
-    # shuffle into the adjacency join.
-    p1 = post.join(F.broadcast(top), post["word"] == F.col("w1")).select(
-        "doc_id", "pos", "phrase"
+    # broadcast BEFORE any exchange, then collapse to ONE
+    # positions-array row per document — the adjacency join is
+    # 1-row/doc vs 1-row/doc, never row-per-position.
+    p1 = (
+        post.join(F.broadcast(top), post["word"] == F.col("w1"))
+        .groupBy("doc_id", "phrase")
+        .agg(F.collect_list("pos").alias("pp1"))
     )
-    p2 = post.join(
-        F.broadcast(top.select(F.col("w2").alias("w2k"))),
-        post["word"] == F.col("w2k"),
-    ).select(
-        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
+    p2 = (
+        post.join(
+            F.broadcast(top.select(F.col("w2").alias("w2k"))),
+            post["word"] == F.col("w2k"),
+        )
+        .groupBy(F.col("doc_id").alias("doc_id2"))
+        .agg(F.collect_list("pos").alias("pp2"))
     )
     occ = (
-        p1.join(
-            p2,
-            (F.col("doc_id2") == F.col("doc_id"))
-            & (F.col("pos2") == F.col("pos") + 1),
+        p1.join(p2, F.col("doc_id2") == F.col("doc_id"))
+        .select(
+            "doc_id",
+            "phrase",
+            F.size(
+                F.array_intersect(
+                    F.transform(F.col("pp1"), lambda p: p + 1),
+                    F.col("pp2"),
+                )
+            )
+            .cast("long")
+            .alias("n_occ"),
         )
-        .groupBy("doc_id", "phrase")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") > 0)
     )
-    return (
-        occ.select("doc_id", "phrase", "n_occ")
-        .orderBy(F.col("n_occ").desc(), "doc_id")
-        .limit(20)
-    )
+    return occ.orderBy(F.col("n_occ").desc(), "doc_id").limit(20)
 
 
 # ---------------------------------------------------------------------------

@@ -267,41 +267,22 @@ def _hex7_to_int_sql(md5_expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _minhash_pairs_cte(
-    k: int = 16,
-    shingle_len: int = 5,
-    bands: int = 4,
-    threshold: float = 0.5,
-    src: str = "documents",
+def _minhash_sigs_cte(
+    k: int = 16, shingle_len: int = 5, src: str = "documents"
 ) -> str:
-    """Shared CTE body ``sh, sigs, pairs`` replaying the MinHash+LSH
-    pair generation in DuckDB (O(n²) pairwise form — the oracle checks
-    semantics, the engine keeps the banded-join plan). ``src`` lets the
-    collapsed oracle point the same replay at the representatives-only
-    relation."""
+    """CTE fragment ``sh, sigs`` replaying minhash_signatures in
+    DuckDB — shared by the pair oracle and the blocked-exact oracle so
+    the signature replay cannot drift between them."""
     from speech_data_pipeline_spark.operators.dedup import (
         MINHASH_P,
         minhash_coeffs,
     )
 
-    rows = k // bands
     coeffs = minhash_coeffs(k)
     sig_entries = ", ".join(
         f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P}),"
         f" 'min')"
         for a, b in coeffs
-    )
-    band_conds = []
-    for b in range(bands):
-        conj = " AND ".join(
-            f"a.sig[{b * rows + r + 1}] = b.sig[{b * rows + r + 1}]"
-            for r in range(rows)
-        )
-        band_conds.append(f"({conj})")
-    share_band = " OR ".join(band_conds)
-    eq_count = " + ".join(
-        f"CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END"
-        for i in range(k)
     )
     h = _hex7_to_int_sql("md5(s)")
     return f"""
@@ -315,7 +296,42 @@ def _minhash_pairs_cte(
       FROM {src}
     ), sigs AS (
       SELECT id, [{sig_entries}] AS sig FROM sh
-    ), pairs AS (
+    )"""
+
+
+def _band_share_sql(k: int = 16, bands: int = 4) -> str:
+    """OR-of-band-equality condition over ``a.sig``/``b.sig`` —
+    replays lsh_candidate_pairs' bucket collision predicate."""
+    rows = k // bands
+    band_conds = []
+    for b in range(bands):
+        conj = " AND ".join(
+            f"a.sig[{b * rows + r + 1}] = b.sig[{b * rows + r + 1}]"
+            for r in range(rows)
+        )
+        band_conds.append(f"({conj})")
+    return " OR ".join(band_conds)
+
+
+def _minhash_pairs_cte(
+    k: int = 16,
+    shingle_len: int = 5,
+    bands: int = 4,
+    threshold: float = 0.5,
+    src: str = "documents",
+) -> str:
+    """Shared CTE body ``sh, sigs, pairs`` replaying the MinHash+LSH
+    pair generation in DuckDB (O(n²) pairwise form — the oracle checks
+    semantics, the engine keeps the banded-join plan). ``src`` lets the
+    collapsed oracle point the same replay at the representatives-only
+    relation."""
+    share_band = _band_share_sql(k, bands)
+    eq_count = " + ".join(
+        f"CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(k)
+    )
+    return f"""
+    {_minhash_sigs_cte(k, shingle_len, src)}, pairs AS (
       SELECT a.id AS id_a, b.id AS id_b,
              floor((({eq_count}) / {float(k)}) * 1000000.0) / 1000000.0
                AS est_jaccard
@@ -2394,10 +2410,83 @@ def sim_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster duplicate pairs are dedup_exact's output. The
     oracle verifies completeness with the brute O(n²) pairwise form
     over the same representatives.
+
+    DIAGNOSTIC / EXACT-BY-CONTRACT at web scale: 100% recall costs
+    Σdf² candidate work — measured 2674s (90×/decade) at the sf10
+    spot-bench. Production entry points: ``sim_allpairs_blocked``
+    (exact scores, LSH-bounded candidates — drop-in schema) when exact
+    similarity values are needed, ``dedup_minhash_lsh`` when the
+    MinHash estimate suffices. Reserve this global form for blocked
+    subsets / audits.
     """
     d = load_table(spark, sf_dir, "documents")
     reps = dd.exact_collapse_reps(d)
     return dd.allpairs_prefix_cosine(reps, t2_num=1, t2_den=2, ngram_n=3)
+
+
+@query(
+    "sim_allpairs_blocked",
+    oracle=f"""
+    WITH reps AS (
+      {_EXACT_COLLAPSE}
+    ), {_minhash_sigs_cte(k=16, shingle_len=5, src="reps")}, cands AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sigs a JOIN sigs b ON a.id < b.id
+      WHERE ({_band_share_sql(k=16, bands=4)})
+    ), toks AS (
+      SELECT doc_id AS id,
+             regexp_extract_all(lower(text), '[a-z]+') AS t
+      FROM reps
+    ), sets AS (
+      SELECT id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS arr
+      FROM toks
+    ), sized AS (
+      SELECT id, arr, len(arr) AS n FROM sets WHERE len(arr) > 0
+    ), scored AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(a.arr, b.arr)) AS n_overlap,
+             a.n AS na, b.n AS nb
+      FROM cands c
+      JOIN sized a ON a.id = c.id_a
+      JOIN sized b ON b.id = c.id_b
+    )
+    SELECT id_a, id_b, n_overlap,
+           floor(CAST(n_overlap AS DOUBLE)
+                 / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS cosine
+    FROM scored
+    WHERE n_overlap * n_overlap * 2 >= na * nb
+    """,
+)
+def sim_allpairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION exact-score similarity join: TRUE binary cosine over
+    word 3-gram sets (same scoring expression and output schema as
+    ``sim_allpairs_prefix``) computed only for pairs colliding in ≥1
+    MinHash/LSH band — candidate volume bounded by the banding instead
+    of Σdf², recall = the LSH collision probability instead of 100%
+    (operators/dedup.py:allpairs_blocked_cosine). Identical texts are
+    exact-collapsed first (the shared mega-cluster contract).
+
+    This is the bounded exact sibling the sf10 audit called for: the
+    global 100%-recall form (`sim_allpairs_prefix`) measured
+    90×/decade at sf10 (quadratic by contract); this composition does
+    one signature pass + one band shuffle + per-candidate in-row
+    array_intersect — the same ~linear-per-decade family as
+    ``dedup_minhash_lsh``, while emitting EXACT scores.
+
+    The oracle replays the identical composition in DuckDB: collapse →
+    signature CTE (shared fragment with the minhash oracles) → O(n²)
+    pairwise band-collision candidates → exact 3-gram cosine at
+    t² = 1/2.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    reps = dd.exact_collapse_reps(d)
+    return dd.allpairs_blocked_cosine(
+        reps, t2_num=1, t2_den=2, ngram_n=3, k=16, shingle_len=5, bands=4
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -305,3 +305,69 @@ class TestCanonicalPick:
                 m for m in ms if qual[m] == best
             )
             assert p["chars_saved"] >= 0
+
+
+class TestAllpairsBlocked:
+    """sim_allpairs_blocked = exact scores on LSH-bounded candidates.
+
+    Two pinned properties: (a) SUBSET-WITH-IDENTICAL-SCORES — every
+    blocked pair appears in the global 100%-recall exact join
+    (allpairs_prefix_cosine) with bit-identical n_overlap/cosine, since
+    both apply the same scoring expression and threshold and the global
+    form dominates on recall; (b) identical-text pairs always survive
+    the blocking (identical signatures ⇒ every band collides)."""
+
+    def _corpus(self, spark):
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        return load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def test_subset_of_global_exact_with_equal_scores(self, spark):
+        from speech_data_pipeline_spark.operators.dedup import (
+            allpairs_blocked_cosine,
+            allpairs_prefix_cosine,
+            exact_collapse_reps,
+        )
+
+        reps = exact_collapse_reps(self._corpus(spark))
+        blocked = {
+            (r["id_a"], r["id_b"]): (r["n_overlap"], r["cosine"])
+            for r in allpairs_blocked_cosine(
+                reps, t2_num=1, t2_den=2, ngram_n=3
+            ).collect()
+        }
+        exact = {
+            (r["id_a"], r["id_b"]): (r["n_overlap"], r["cosine"])
+            for r in allpairs_prefix_cosine(
+                reps, t2_num=1, t2_den=2, ngram_n=3
+            ).collect()
+        }
+        assert blocked, "blocking found no pairs on the sf0.001 corpus"
+        for pair, score in blocked.items():
+            assert pair in exact
+            assert exact[pair] == score
+        assert blocked.keys() <= exact.keys()
+
+    def test_schema_drop_in(self, spark):
+        from speech_data_pipeline_spark.operators.dedup import (
+            allpairs_blocked_cosine,
+            allpairs_prefix_cosine,
+        )
+
+        d = docs(spark)
+        blocked, exact = allpairs_blocked_cosine(d), allpairs_prefix_cosine(d)
+        assert [(f.name, f.dataType) for f in blocked.schema] == [
+            (f.name, f.dataType) for f in exact.schema
+        ]
+
+    def test_near_identical_pair_survives_blocking(self, spark):
+        from speech_data_pipeline_spark.operators.dedup import (
+            allpairs_blocked_cosine,
+        )
+
+        out = rows(allpairs_blocked_cosine(docs(spark)), "id_a", "id_b")
+        # 1 and 3 differ by one word: near-identical shingle sets ⇒
+        # band collision; word-3-gram cosine well above 1/sqrt(2)
+        assert (1, 3) in out
+        # unrelated texts never pair
+        assert (1, 4) not in out and (3, 4) not in out

@@ -1,0 +1,36 @@
+#!/bin/bash
+# Round-7 scale-evidence campaign: serialized bench runs over the
+# stress decades (shared box — never run two benches concurrently).
+# Produces bench_scale/*.json with the new `rows` cardinality maps.
+set -e
+cd /root/repo
+W2="dedup_minhash_lsh dedup_minhash_lsh_uncollapsed embed_mutual_knn \
+eval_bootstrap_ci eval_ndcg_at_k graph_triangle_count json_props_extract \
+mine_hard_negatives ml_perceptron_quality search_phrase_positions \
+sim_allpairs_prefix sim_embedding_neardup text_unigram_train \
+text_winnow_fingerprints graph_bfs_hops q17_small_quantity_revenue \
+eval_calibration_bins search_bm25_topk q12_late_priority_counts \
+q11_part_value_concentration select_mmr_diverse dedup_cdc_chunks \
+q2_min_cost_supplier sim_allpairs_blocked"
+# sf10 set: exclude sim_allpairs_prefix (quadratic-by-contract, ~45 min/pass
+# — its 2674s round-6 measurement stands; merged back in post-step).
+# All other worst-set tables exist at sf10 as of r7 (orders/lineitem/
+# customer/part/supplier generated alongside events/documents/embeddings).
+W10=$(echo $W2 | tr ' ' '\n' | grep -v '^sim_allpairs_prefix$' | tr '\n' ' ')
+
+echo "=== sf1 full registry ==="
+SPARK_GRAFT_SF_DIR=stress_data/sf1 SPARK_GRAFT_BENCH_OUT=bench_scale/sf1.json \
+  python bench.py
+echo "=== sf1skew full registry ==="
+SPARK_GRAFT_SF_DIR=stress_data/sf1skew SPARK_GRAFT_BENCH_OUT=bench_scale/sf1skew.json \
+  python bench.py
+echo "=== sf1 worst-set rep2 ==="
+SPARK_GRAFT_SF_DIR=stress_data/sf1 SPARK_GRAFT_BENCH_OUT=bench_scale/sf1_w10_rep2.json \
+  python bench.py $W2
+echo "=== sf1 worst-set rep3 ==="
+SPARK_GRAFT_SF_DIR=stress_data/sf1 SPARK_GRAFT_BENCH_OUT=bench_scale/sf1_w10_rep3.json \
+  python bench.py $W2
+echo "=== sf10 worst-set ==="
+SPARK_GRAFT_SF_DIR=stress_data/sf10 SPARK_GRAFT_BENCH_OUT=bench_scale/sf10_w10.json \
+  python bench.py $W10
+echo "=== campaign done ==="
