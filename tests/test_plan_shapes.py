@@ -104,6 +104,12 @@ SCALAR_CROSS_WHITELIST = {
     # rows, both sides bounded by ATTRIBUTE domains, never corpus)
     # for the gap-persists-at-missing-bands cumulative, plus 1-row
     # total scalars
+    "sim_blocked_recall",  # audit: three 1-row count aggregates
+    # cross-attached; the pair relations themselves hash-join
+    "sim_knn_recall_audit",  # audit: 1-row hit/anchor-count scalars
+    # cross-attached, plus the brute side's broadcast nested-loop of
+    # the BOUNDED 1-in-17 anchor slice against the corpus —
+    # |corpus|×|anchors| by the sampled-audit contract, never corpus²
 }
 
 
