@@ -7,10 +7,15 @@ in bounded batches and never concentrate on the driver. Long payloads
 are chunked ``(media_id, chunk_idx, payload)`` at ingest — the W6
 pattern — and reassembled ordered via ``collect_list(struct(...))``.
 
-The container has no image/audio codecs, so the *decode* kernel is a
-clearly-marked stub (``decode_media`` raises NotImplementedError; a
-deterministic fake hides behind ``fake=True``); the Spark-side plumbing
-— schema, batch iteration, chunking, reassembly — is real and tested.
+Audio decode is REAL for every container the repo can verify without
+external codecs: RIFF/WAV (PCM 8-32, IEEE float, G.711 μ-law/A-law,
+IMA-ADPCM — :func:`decode_wav_bytes`) and native FLAC (pure-NumPy
+decoder with CRC + MD5 verification, operators/flac.py), dispatched by
+magic bytes in :func:`decode_audio_bytes`. Only perceptual codecs
+(mp3/ogg/m4a/aac) and image decode remain clearly-marked seams
+(NotImplementedError, deterministic fake behind ``fake=True``); the
+Spark-side plumbing — schema, batch iteration, chunking, reassembly —
+is real and tested either way.
 """
 
 from __future__ import annotations
@@ -409,8 +414,10 @@ def decode_wav_bytes(
     library needed for any RIFF-native coding (reference decode sites:
     modules/separation_filter.py:101 librosa.load,
     modules/speaker_rematch.py:47 torchaudio.load — both hit WAV files
-    produced by the pipeline's own export). True compressed containers
-    (mp3/flac/ogg/m4a/aac) still require a codec backend and raise.
+    produced by the pipeline's own export). Native FLAC is decoded by
+    the sibling pure-NumPy codec (operators/flac.py) via
+    :func:`decode_audio_bytes`; only perceptual codecs (mp3/ogg/m4a/
+    aac) still require an external backend and raise.
     """
     import struct
 
@@ -419,8 +426,9 @@ def decode_wav_bytes(
     b = bytes(payload)
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError(
-            "not an uncompressed RIFF/WAV payload; compressed formats "
-            "require a codec backend (librosa/ffmpeg) unavailable here"
+            "not an uncompressed RIFF/WAV payload; use decode_audio_bytes "
+            "for FLAC — other compressed formats require a codec backend "
+            "(librosa/ffmpeg) unavailable here"
         )
     fmt6, data_off, data_size = _walk_riff(b)
     audio_format, n_ch, sr, _brate, _balign, bits = fmt6
@@ -479,16 +487,95 @@ def decode_wav_bytes(
     return x.tolist(), int(sr)
 
 
+def decode_audio_bytes(payload: bytes, mono: bool = True) -> tuple[list, int]:
+    """Magic-byte audio dispatch: ``RIFF``/``WAVE`` →
+    :func:`decode_wav_bytes` (PCM / IEEE-float / G.711 / IMA-ADPCM),
+    ``fLaC`` → the pure-NumPy FLAC decoder (operators/flac.py). Both
+    return ``(samples_or_channels, sr)`` with identical mono semantics,
+    so every decode kernel takes either container transparently. Only
+    perceptual codecs (mp3/ogg/m4a/aac) still raise — they need a codec
+    backend the container doesn't ship.
+    """
+    b = bytes(payload)
+    if b[:4] == b"fLaC":
+        from speech_data_pipeline_spark.operators.flac import decode_flac_bytes
+
+        return decode_flac_bytes(b, mono=mono)
+    return decode_wav_bytes(b, mono=mono)
+
+
+def encode_media_flac(
+    df: DataFrame,
+    bps: int = 16,
+    block_size: int = 4096,
+    id_col: str = "media_id",
+    samples_col: str = "samples",
+    sr_col: str = "sr",
+) -> DataFrame:
+    """Lossless FLAC export stage: ``(media_id, samples array<double>,
+    sr)`` → ``(media_id, payload binary, n_samples, pcm_bytes,
+    flac_bytes)``.
+
+    The K5-family export in the reference writes WAV segments
+    (modules/export.py writes 16-bit PCM via pydub); this stage is the
+    same sink contract with a compressed container — typically 40-60%
+    of the PCM size on speech-like material at zero fidelity cost (the
+    decoder MD5-verifies). Arrow-batched ``mapInPandas``: each media
+    row encodes independently, so a 100 TB export is a map-only stage
+    with no shuffle; the emitted size columns make compression ratio a
+    queryable result instead of a log line.
+    """
+    from speech_data_pipeline_spark.operators.flac import encode_flac_bytes
+
+    lim = float(1 << (bps - 1))
+    width = bps // 8
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, n_s, raw_b, flac_b = [], [], [], []
+            for samples, sr in zip(pdf[samples_col], pdf[sr_col]):
+                x = np.asarray(samples, dtype=np.float64)
+                ints = np.clip(np.rint(x * lim), -lim, lim - 1).astype(np.int64)
+                blob = encode_flac_bytes(
+                    [ints.tolist()], int(sr), bps=bps, block_size=block_size
+                )
+                payloads.append(blob)
+                n_s.append(len(ints))
+                raw_b.append(len(ints) * width)
+                flac_b.append(len(blob))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": payloads,
+                    "n_samples": n_s,
+                    "pcm_bytes": raw_b,
+                    "flac_bytes": flac_b,
+                }
+            )
+
+    return df.select(id_col, samples_col, sr_col).mapInPandas(
+        kernel,
+        schema=(
+            f"{id_col} long, payload binary, n_samples long, "
+            "pcm_bytes long, flac_bytes long"
+        ),
+    )
+
+
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode binary media to waveform.
 
     Real path: RIFF/WAV via :func:`decode_wav_bytes` (pure NumPy, no
-    codec library): PCM, IEEE-float, G.711 μ-law/A-law, IMA ADPCM.
-    True compressed containers (mp3/flac/ogg/m4a/aac) raise
-    NotImplementedError — the container ships no codecs
-    (librosa/PIL/ffmpeg absent); that seam is documented, not hidden.
-    With ``fake=True`` a deterministic pseudo-decode (bytes → floats in
-    [-1, 1)) exercises the plumbing for arbitrary payloads.
+    codec library): PCM, IEEE-float, G.711 μ-law/A-law, IMA ADPCM —
+    plus native FLAC via :func:`~speech_data_pipeline_spark.operators.
+    flac.decode_flac_bytes` (magic-byte dispatch in
+    :func:`decode_audio_bytes`). Remaining perceptual codecs
+    (mp3/ogg/m4a/aac) raise NotImplementedError — the container ships
+    no codecs (librosa/PIL/ffmpeg absent); that seam is documented, not
+    hidden. With ``fake=True`` a deterministic pseudo-decode (bytes →
+    floats in [-1, 1)) exercises the plumbing for arbitrary payloads.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -504,7 +591,7 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                     }
                 )
                 continue
-            decoded = pdf["payload"].map(decode_wav_bytes)
+            decoded = pdf["payload"].map(decode_audio_bytes)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -643,7 +730,7 @@ def decode_media_at_sr(
 
         for pdf in batches:
             decoded = pdf["payload"].map(
-                lambda b: decode_wav_bytes(b, mono=mono)
+                lambda b: decode_audio_bytes(b, mono=mono)
             )
             if mono:
                 samples = decoded.map(

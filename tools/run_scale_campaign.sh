@@ -18,6 +18,20 @@ q2_min_cost_supplier sim_allpairs_blocked"
 # customer/part/supplier generated alongside events/documents/embeddings).
 W10=$(echo $W2 | tr ' ' '\n' | grep -v '^sim_allpairs_prefix$' | tr '\n' ' ')
 
+# Stress data (gitignored) is regenerated per round; sf10 now carries
+# ALL fact tables so the second decade covers orders/lineitem rows
+# (graph_triangle_count reads events, eval_bootstrap_ci reads lineitem
+# — the two -1.0 placeholders in round 6's sf10_w10.json).
+if [ ! -d stress_data/sf1 ]; then
+  python tools/gen_scale.py --out stress_data/sf1 --scale 10
+fi
+if [ ! -d stress_data/sf1skew ]; then
+  python tools/gen_scale.py --out stress_data/sf1skew --scale 10 --skew
+fi
+if [ ! -f stress_data/sf10/lineitem.parquet ]; then
+  python tools/gen_scale.py --out stress_data/sf10 --scale 100
+fi
+
 echo "=== sf1 full registry ==="
 SPARK_GRAFT_SF_DIR=stress_data/sf1 SPARK_GRAFT_BENCH_OUT=bench_scale/sf1.json \
   python bench.py
