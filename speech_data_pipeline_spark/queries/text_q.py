@@ -1245,6 +1245,54 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_stats",
+    oracle=_cc_resolve_cte()
+    + """
+    , sizes AS (
+      SELECT component, count(*) AS sz FROM resolved GROUP BY component
+    )
+    SELECT CAST(floor(log2(CAST(sz AS DOUBLE))) AS BIGINT) AS size_log2,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_removed,
+           CAST(max(sz) AS BIGINT) AS max_cluster
+    FROM sizes GROUP BY 1
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup IMPACT report: near-dup cluster-size histogram (log2
+    buckets) with docs covered and docs a canonical-survivor policy
+    would remove — the artifact a corpus-curation run publishes to
+    justify its dedup pass (singletons land in bucket 0; a web-scale
+    crawl's boilerplate mega-cluster shows up as one fat right-tail
+    row instead of being invisible inside a global count).
+
+    Scale shape: one groupBy over the component table (itself the
+    star-contraction output) then a ~60-row histogram aggregate — no
+    new joins, no skew sensitivity (the mega-cluster costs one row).
+    """
+    from speech_data_pipeline_spark.operators import graph as gr
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs_collapsed(
+        d, k=16, shingle_len=5, bands=4, threshold=0.5
+    )
+    sizes = (
+        gr.resolve_duplicates(d, pairs)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return sizes.groupBy(
+        F.floor(F.log2(F.col("sz").cast("double"))).alias("size_log2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        F.sum(F.col("sz") - 1).alias("n_removed"),
+        F.max("sz").alias("max_cluster"),
+    )
+
+
 _QUALITY_CTE = r"""
     feat AS (
       SELECT doc_id, source,
