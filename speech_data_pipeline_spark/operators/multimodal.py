@@ -649,6 +649,30 @@ def sample_frames(
     )
 
 
+def decode_image_bytes(payload: bytes) -> "np.ndarray":  # noqa: F821
+    """Magic-byte image decode to a float64 grayscale (H, W) array in
+    [0, 1]. PNG is REAL (pure NumPy + stdlib zlib, operators/png.py:
+    all color types, 1-16 bit, all filters, CRC-verified); multi-
+    channel images collapse to luma by mean. JPEG/WebP/AVIF raise —
+    perceptual codecs stay the documented external-backend seam.
+    """
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        from speech_data_pipeline_spark.operators.png import decode_png_bytes
+
+        d = decode_png_bytes(b)
+        px = d["pixels"].astype(np.float64)
+        scale = 65535.0 if d["bit_depth"] == 16 else 255.0
+        gray = px[..., :3].mean(axis=2) if d["channels"] >= 3 else px[..., 0]
+        return gray / scale
+    raise NotImplementedError(
+        "non-PNG image decode requires codec libraries not in this "
+        "environment (PIL/libjpeg)"
+    )
+
+
 def resize_frames(
     df: DataFrame,
     out_h: int = 8,
@@ -658,12 +682,13 @@ def resize_frames(
     fake_decode: bool = True,
 ) -> DataFrame:
     """Image/frame resize: REAL nearest-neighbor resampling (vectorized
-    NumPy index math) over a stubbed image decode (the container ships
-    no image codecs — with ``fake_decode`` the payload bytes tile into
-    a deterministic 16×16 grayscale image; a real decoder plugs in at
-    the same seam as ``decode_media``). Arrow-batched ``mapInPandas``,
-    one Python call per batch; schema and batch shape are the real
-    contract a PIL/turbojpeg backend would drop into.
+    NumPy index math) over the image decode seam. With
+    ``fake_decode=False``, PNG payloads decode for REAL
+    (:func:`decode_image_bytes`, any true source dimensions); with
+    ``fake_decode=True`` the payload bytes tile into a deterministic
+    16×16 grayscale image, exercising the identical resize path for
+    arbitrary payloads (the JPEG-family seam). Arrow-batched
+    ``mapInPandas``, one Python call per batch.
 
     Emits ``(id, height, width, pixels array<double>)`` row-major.
     """
@@ -672,22 +697,25 @@ def resize_frames(
     src_h = src_w = 16
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows_i = (np.arange(out_h) * src_h // out_h).astype(np.int64)
-        cols_i = (np.arange(out_w) * src_w // out_w).astype(np.int64)
+        tile_rows = (np.arange(out_h) * src_h // out_h).astype(np.int64)
+        tile_cols = (np.arange(out_w) * src_w // out_w).astype(np.int64)
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError(
-                    "real image decode requires codec libraries not in "
-                    "this environment (PIL/libjpeg); fake_decode=True "
-                    "exercises the identical resize path"
-                )
             pixels = []
             for b in pdf[payload_col]:
-                raw = np.frombuffer(bytes(b), dtype=np.uint8)
-                need = src_h * src_w
-                tiled = np.resize(raw if len(raw) else np.zeros(1, np.uint8), need)
-                img = tiled.reshape(src_h, src_w).astype(np.float64) / 255.0
-                small = img[np.ix_(rows_i, cols_i)]
+                if fake_decode:
+                    raw = np.frombuffer(bytes(b), dtype=np.uint8)
+                    need = src_h * src_w
+                    tiled = np.resize(
+                        raw if len(raw) else np.zeros(1, np.uint8), need
+                    )
+                    img = tiled.reshape(src_h, src_w).astype(np.float64) / 255.0
+                    small = img[np.ix_(tile_rows, tile_cols)]
+                else:
+                    img = decode_image_bytes(b)
+                    h, w = img.shape
+                    ri = (np.arange(out_h) * h // out_h).astype(np.int64)
+                    ci = (np.arange(out_w) * w // out_w).astype(np.int64)
+                    small = img[np.ix_(ri, ci)]
                 pixels.append(small.ravel().tolist())
             yield pd.DataFrame(
                 {
