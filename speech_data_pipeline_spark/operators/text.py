@@ -49,6 +49,40 @@ def tokens(text: Column) -> Column:
     )
 
 
+def html_to_text(html: Column) -> Column:
+    """HTML → visible text: the first step of every web-crawl corpus
+    pipeline (WARC/Common-Crawl → documents), as a pure JVM-side
+    regexp chain — no UDF, fully pushdown/codegen-friendly, and
+    expressible verbatim in the DuckDB oracle dialect.
+
+    Steps (order matters): drop <script>/<style> elements WITH their
+    content, drop comments, strip remaining tags, decode the six
+    ubiquitous character entities (&amp; LAST so `&amp;lt;` decodes to
+    the literal `&lt;`, not `<`), collapse whitespace. Regexes avoid
+    every Java-vs-RE2 divergence: inline (?is) flags, lazy `.*?`, and
+    explicit whitespace classes only (see :func:`tokens`).
+
+    A full HTML5 parser this is not (CDATA, conditional comments,
+    malformed-tag recovery are out of scope) — it is the
+    trafilatura/jusText-style *extraction preprocessor*, where
+    throughput across 100 TB matters more than DOM fidelity.
+    """
+    t = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, "[ \\t\\n\\r\\f\\x0b]+", " "))
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count plus a BPE-ish subword estimate.
 

@@ -3584,3 +3584,83 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ttr.alias("ttr"),
         mattr.alias("mattr"),
     )
+
+
+_HTML_PRE = (
+    '<html><head><title>'
+)
+_HTML_MID1 = (
+    '</title><style type="text/css">p { color: red; }</style></head>'
+    '<body><h1>Doc '
+)
+_HTML_MID2 = (
+    '</h1><!-- boilerplate comment --><p>'
+)
+_HTML_POST = (
+    '</p><script type="text/javascript">var x = 1 < 2 && "</p>fake";'
+    '</script><p>Tail &amp;lt; a&nbsp;list&#39;s &quot;end&quot;</p>'
+    '</body></html>'
+)
+
+
+@query(
+    "text_html_extract",
+    oracle=f"""
+    WITH page AS (
+      SELECT doc_id,
+             '{_HTML_PRE}' || source || '{_HTML_MID1}'
+               || CAST(doc_id AS VARCHAR) || '{_HTML_MID2}' || text
+               || '{_HTML_POST}' AS html
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '(?s)<[^>]+>', ' ', 'g') AS t
+      FROM page
+    ),
+    decoded AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+      FROM stripped
+    )
+    SELECT doc_id,
+           trim(regexp_replace(t, '[ \t\n\r\f\x0b]+', ' ', 'g')) AS web_text,
+           CAST(length(trim(regexp_replace(t, '[ \t\n\r\f\x0b]+', ' ', 'g')))
+                AS BIGINT) AS n_chars
+    FROM decoded
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl text extraction: strip scripts/styles/comments/tags
+    and decode entities from an HTML page — the WARC→documents
+    preprocessor every web-scale corpus build runs first, as a pure
+    JVM-side regexp chain (operators/text.py html_to_text; no UDF, one
+    map-only stage at 100 TB).
+
+    The page is synthesized deterministically around each document's
+    text (title/heading boilerplate, a <style> block, an inline
+    <script> containing literal `<`, `&&` and a fake closing tag in a
+    string, and an entity-bearing trailer — the traps that break naive
+    tag-stripping), so extraction quality is value-checked against the
+    DuckDB oracle running the identical spec.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PRE), F.col("source"), F.lit(_HTML_MID1),
+        F.col("doc_id").cast("string"), F.lit(_HTML_MID2),
+        F.col("text"), F.lit(_HTML_POST),
+    )
+    web_text = tx.html_to_text(html)
+    return d.select(
+        "doc_id",
+        web_text.alias("web_text"),
+        F.length(web_text).cast("long").alias("n_chars"),
+    )
