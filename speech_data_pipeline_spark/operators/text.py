@@ -83,6 +83,41 @@ def html_to_text(html: Column) -> Column:
     return F.trim(F.regexp_replace(t, "[ \\t\\n\\r\\f\\x0b]+", " "))
 
 
+def url_parts(url: Column) -> tuple[Column, Column, Column]:
+    """Split a URL into (scheme, host[:port], rest-before-fragment)
+    with regexp_extract only — identical Java/RE2 semantics, so the
+    DuckDB oracle runs the same three patterns."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    rest = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    return scheme, host, rest
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL form — the dedup key of a web crawl frontier
+    (billions of URLs; normalization collapses the trivial aliases
+    BEFORE the exact-hash dedup): lowercase scheme+host (path stays
+    case-sensitive), strip a leading ``www.``, drop default ports
+    (``:80`` http / ``:443`` https), drop the fragment, strip
+    ``utm_*`` tracking parameters (tidying separators), collapse an
+    empty path to ``/``, and strip one trailing slash from non-root
+    paths. Pure column algebra; every step is a regexp with identical
+    Java/RE2 behavior.
+    """
+    scheme, host, rest = url_parts(url)
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, ":443$", "")).otherwise(host)
+    )
+    # utm params: kill 'utm_x=y' runs then tidy dangling separators.
+    rest = F.regexp_replace(rest, r"utm_[A-Za-z0-9_]*=[^&#]*&?", "")
+    rest = F.regexp_replace(rest, r"[?&]$", "")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    rest = F.regexp_replace(rest, r"(.)/$", "$1")
+    return F.concat(scheme, F.lit("://"), host, rest)
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count plus a BPE-ish subword estimate.
 

@@ -3664,3 +3664,119 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         web_text.alias("web_text"),
         F.length(web_text).cast("long").alias("n_chars"),
     )
+
+
+@query(
+    "web_url_normalize",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN 'HTTPS://WWW.' || source
+                 || '.com:443/Articles/' || CAST(doc_id AS VARCHAR)
+                 || '?utm_source=feed&utm_medium=rss&page=2#frag'
+               WHEN 1 THEN 'http://' || source || '.com:80/a/b/'
+               WHEN 2 THEN 'https://cdn.' || source || '.com/'
+               ELSE 'https://' || source || '.com/path?utm_campaign=x'
+             END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS rawhost,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest0
+      FROM synth
+    ),
+    hostfix AS (
+      SELECT doc_id, url, scheme,
+        CASE WHEN scheme = 'http'
+               THEN regexp_replace(regexp_replace(rawhost, '^www\.', ''), ':80$', '')
+             WHEN scheme = 'https'
+               THEN regexp_replace(regexp_replace(rawhost, '^www\.', ''), ':443$', '')
+             ELSE regexp_replace(rawhost, '^www\.', '') END AS host,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(rest0, 'utm_[A-Za-z0-9_]*=[^&#]*&?', '', 'g'),
+            '[?&]$', ''),
+          '\?&', '?') AS rest1
+      FROM parts
+    ),
+    norm AS (
+      SELECT doc_id, url, scheme, host,
+        regexp_replace(CASE WHEN rest1 = '' THEN '/' ELSE rest1 END,
+                       '(.)/$', '\1') AS rest
+      FROM hostfix
+    )
+    SELECT doc_id, url,
+           scheme || '://' || host || rest AS norm_url,
+           host,
+           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+           CAST(length(regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '[^/]', '', 'g'))
+                AS BIGINT) AS path_depth,
+           CAST(CASE WHEN url LIKE '%utm\_%' ESCAPE '\' THEN 1 ELSE 0 END AS BIGINT)
+             AS had_tracking
+    FROM norm
+    """,
+)
+def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization: the dedup key of a crawl frontier.
+    Lowercase scheme/host, strip www. and default ports, drop
+    fragments and utm_* tracking params, canonicalize trailing
+    slashes; emit host, registered domain and path depth (per-domain
+    quotas and URL-exact dedup both key on these at crawl scale).
+
+    URLs are synthesized deterministically around each document so
+    every rule fires (mixed case, :443 with www + tracking + fragment;
+    :80 with trailing slash; bare CDN root; mid-path utm) and the
+    DuckDB oracle value-checks the canonical form byte-for-byte.
+    Column algebra only — at 10^11 URLs this is a map-only pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."), F.col("source"),
+                F.lit(".com:443/Articles/"), sid,
+                F.lit("?utm_source=feed&utm_medium=rss&page=2#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".com:80/a/b/")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://cdn."), F.col("source"), F.lit(".com/")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".com/path?utm_campaign=x"),
+            )
+        )
+    )
+    base = d.select("doc_id", url.alias("url"))
+    norm = tx.url_normalize(F.col("url"))
+    _, host0, rest0 = tx.url_parts(F.col("url"))
+    host = F.regexp_replace(host0, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_extract(
+        F.regexp_extract(norm, r"^[a-z]+://[^/?#]+([^#]*)", 1), r"^([^?]*)", 1
+    )
+    return base.select(
+        "doc_id",
+        "url",
+        norm.alias("norm_url"),
+        host.alias("host"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+        F.length(F.regexp_replace(path, r"[^/]", "")).cast("long").alias(
+            "path_depth"
+        ),
+        F.when(F.col("url").contains("utm_"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("had_tracking"),
+    )
