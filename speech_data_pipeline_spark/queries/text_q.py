@@ -2086,8 +2086,12 @@ def embed_knn_capped_escalation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: sim_knn_recall_audit knobs: production capped-bucket geometry (the
 #: embed_mutual_knn constants) audited against brute-force truth on a
-#: deterministic 1-in-17 anchor slice.
+#: deterministic 1-in-17 anchor slice, CAPPED at 2000 anchors (ids
+#: below MOD*CAP): without the id bound the slice grows linearly with
+#: the corpus and the brute side total is quadratic again — the bound
+#: keeps the audit |corpus| x 2000 at every scale.
 _RECALL_ANCHOR_MOD = 17
+_RECALL_ANCHOR_CAP = 2000
 
 
 def _knn_recall_oracle(
@@ -2099,6 +2103,7 @@ def _knn_recall_oracle(
     )
     cos = _cos_pair_sql("a.embedding", "c.embedding", dim)
     m = _RECALL_ANCHOR_MOD
+    hi = _RECALL_ANCHOR_MOD * _RECALL_ANCHOR_CAP
     return f"""
     WITH {ctes}, appr AS (
       SELECT a.vec_id AS src, c.vec_id AS dst,
@@ -2106,7 +2111,7 @@ def _knn_recall_oracle(
                                 ORDER BY ({cos}) DESC, c.vec_id) AS rn
       FROM cbkt a JOIN cbkt c
         ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
-      WHERE a.vec_id % {m} = 0
+      WHERE a.vec_id % {m} = 0 AND a.vec_id < {hi}
     ), ak AS (
       SELECT src, dst FROM appr WHERE rn <= {k}
     ), tru AS (
@@ -2114,12 +2119,12 @@ def _knn_recall_oracle(
              row_number() OVER (PARTITION BY a.vec_id
                                 ORDER BY ({cos}) DESC, c.vec_id) AS rn
       FROM embeddings a JOIN embeddings c ON a.vec_id <> c.vec_id
-      WHERE a.vec_id % {m} = 0
+      WHERE a.vec_id % {m} = 0 AND a.vec_id < {hi}
     ), tk AS (
       SELECT src, dst FROM tru WHERE rn <= {k}
     )
-    SELECT (SELECT count(*) FROM embeddings WHERE vec_id % {m} = 0)
-             AS n_anchors,
+    SELECT (SELECT count(*) FROM embeddings
+            WHERE vec_id % {m} = 0 AND vec_id < {hi}) AS n_anchors,
            CAST({k} AS BIGINT) AS k,
            (SELECT count(*) FROM ak JOIN tk
               ON ak.src = tk.src AND ak.dst = tk.dst) AS total_hits,
@@ -2127,7 +2132,8 @@ def _knn_recall_oracle(
                          ON ak.src = tk.src AND ak.dst = tk.dst)
                       AS DOUBLE)
                  / (CAST((SELECT count(*) FROM embeddings
-                          WHERE vec_id % {m} = 0) AS DOUBLE) * {float(k)})
+                          WHERE vec_id % {m} = 0 AND vec_id < {hi})
+                    AS DOUBLE) * {float(k)})
                  * 1000000.0) / 1000000.0 AS recall_at_k
     """
 
@@ -2137,10 +2143,13 @@ def sim_knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@k of the PRODUCTION capped-LSH kNN path
     (rp_lsh_bucket_capped + per-bucket kernel, the embed_mutual_knn
     constants) against brute-force cosine truth, on a deterministic
-    1-in-{mod} anchor slice — the ANN self-audit every approximate
-    index needs before it is trusted at 100 TB (run periodically on a
-    sampled slice; the brute side is |anchors| × corpus via a
-    broadcast of the bounded anchor set, never corpus²).
+    1-in-{mod} anchor slice capped at {cap} anchors (ids below
+    mod·cap) — the ANN self-audit every approximate index needs before
+    it is trusted at 100 TB. The cap is what keeps the audit linear:
+    an uncapped modulo slice grows with the corpus and turns the brute
+    side quadratic again; with it the work is |corpus| × ≤{cap}
+    broadcast-NL rows at every scale (measured sf1: 38s on 32 cores
+    after spreading the probe side — see the repartition note below).
 
     Output: one row ``(n_anchors, k, total_hits, recall_at_k)`` with
     recall_at_k = total_hits / (n_anchors · k). Anchors whose bucket
@@ -2174,19 +2183,25 @@ def sim_knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").persist()
     m = _RECALL_ANCHOR_MOD
-    anchors = e.where((F.col("vec_id") % m) == 0)
+    hi = _RECALL_ANCHOR_MOD * _RECALL_ANCHOR_CAP
+    is_anchor = ((F.col("vec_id") % m) == 0) & (F.col("vec_id") < hi)
+    anchors = e.where(is_anchor)
     ak = (
         knn_in_buckets(
             e, k=_MKNN_K, n_planes=_MKNN_PLANES, dim=64,
             cap=_MKNN_CAP, step=_MKNN_STEP, levels=_MKNN_LEVELS,
         )
-        .where((F.col("src") % m) == 0)
+        .where(((F.col("src") % m) == 0) & (F.col("src") < hi))
         .select("src", "dst")
     )
     a = anchors.select(
         F.col("vec_id").alias("src"), F.col("embedding").alias("av")
     )
-    pairs = e.join(
+    # The corpus side arrives as 1-2 file partitions at small SF; the
+    # brute NL join's cost is |anchors| x |corpus| interpreted array
+    # cosines, so spread the probe side across the full core count or
+    # one straggler task serializes the whole audit.
+    pairs = e.repartition(64).join(
         F.broadcast(a), F.col("vec_id") != F.col("src")
     ).select(
         "src",
