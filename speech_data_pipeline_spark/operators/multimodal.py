@@ -651,10 +651,12 @@ def sample_frames(
 
 def decode_image_bytes(payload: bytes) -> "np.ndarray":  # noqa: F821
     """Magic-byte image decode to a float64 grayscale (H, W) array in
-    [0, 1]. PNG is REAL (pure NumPy + stdlib zlib, operators/png.py:
-    all color types, 1-16 bit, all filters, CRC-verified); multi-
-    channel images collapse to luma by mean. JPEG/WebP/AVIF raise —
-    perceptual codecs stay the documented external-backend seam.
+    [0, 1]. PNG and GIF are REAL (pure NumPy + stdlib zlib,
+    operators/png.py — all color types, 1-16 bit, all filters, CRC-
+    verified — and operators/gif.py — LZW, interlace, transparency;
+    first frame for animations); multi-channel images collapse to luma
+    by mean. JPEG/WebP/AVIF raise — perceptual codecs stay the
+    documented external-backend seam.
     """
     import numpy as np
 
@@ -667,8 +669,13 @@ def decode_image_bytes(payload: bytes) -> "np.ndarray":  # noqa: F821
         scale = 65535.0 if d["bit_depth"] == 16 else 255.0
         gray = px[..., :3].mean(axis=2) if d["channels"] >= 3 else px[..., 0]
         return gray / scale
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from speech_data_pipeline_spark.operators.gif import decode_gif_bytes
+
+        px = decode_gif_bytes(b)["frames"][0]["pixels"].astype(np.float64)
+        return px[..., :3].mean(axis=2) / 255.0
     raise NotImplementedError(
-        "non-PNG image decode requires codec libraries not in this "
+        "non-PNG/GIF image decode requires codec libraries not in this "
         "environment (PIL/libjpeg)"
     )
 
