@@ -1895,71 +1895,3 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("winsorized_mean"),
     )
-
-
-@query(
-    "eval_auc_roc",
-    oracle="""
-    WITH scored AS (
-      SELECT vec_id,
-             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
-             (vec_id % 7) * 1000000 + label * 10000 + vec_id AS score
-      FROM embeddings
-    ),
-    ranked AS (
-      SELECT y, row_number() OVER (ORDER BY score) AS rnk FROM scored
-    )
-    SELECT CAST(sum(y) AS BIGINT) AS n_pos,
-           CAST(sum(1 - y) AS BIGINT) AS n_neg,
-           floor((CAST(sum(CASE WHEN y = 1 THEN rnk ELSE 0 END) AS DOUBLE)
-                  - CAST(sum(y) AS DOUBLE) * (CAST(sum(y) AS DOUBLE) + 1.0) / 2.0)
-                 / (CAST(sum(y) AS DOUBLE) * CAST(sum(1 - y) AS DOUBLE))
-                 * 1000000.0) / 1000000.0 AS auc
-    FROM ranked
-    """,
-)
-def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AUC-ROC of a classifier score via the Mann-Whitney rank-sum
-    identity: AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with
-    R_pos the positive rows' rank sum — one global sort-rank plus one
-    aggregate, no O(n^2) pair enumeration, and EXACT (integer ranks;
-    the one divide is the only float op, so the value is bit-stable on
-    any engine or partitioning; scores are unique by construction so
-    tie policy never engages).
-
-    The completion of the offline-eval battery (MRR, nDCG, calibration
-    bins, bootstrap CI): binary relevance = label >= 5 over the
-    embeddings corpus, score deterministic and PARTIALLY informative
-    ((vec_id%7) stripes dominate, label second) so the expected AUC is
-    meaningfully between 0.5 and 1 and the rank machinery is what the
-    oracle checks.
-
-    Scale shape: ranking a 10^11-row score column is one global sort —
-    the same range-partitioned TakeOrdered/sort Spark already does for
-    W11-style ranking; everything after is a map-side aggregate.
-    """
-    e = load_table(spark, sf_dir, "embeddings")
-    scored = e.select(
-        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
-        (
-            (F.col("vec_id") % 7) * 1000000
-            + F.col("label") * 10000
-            + F.col("vec_id")
-        ).alias("score"),
-    )
-    ranked = scored.withColumn(
-        "rnk", F.row_number().over(Window.orderBy("score"))
-    )
-    n_pos = F.sum("y").cast("double")
-    n_neg = F.sum(1 - F.col("y")).cast("double")
-    rank_sum = F.sum(F.when(F.col("y") == 1, F.col("rnk")).otherwise(0)).cast(
-        "double"
-    )
-    return ranked.agg(
-        F.sum("y").cast("long").alias("n_pos"),
-        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
-        trunc6(
-            (rank_sum - n_pos * (n_pos + F.lit(1.0)) / F.lit(2.0))
-            / (n_pos * n_neg)
-        ).alias("auc"),
-    )
