@@ -43,11 +43,15 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 pass
 
-    # Two measured passes, min per query: the host is shared, so a
-    # single pass confounds engine cost with ambient load spikes.
+    # Two measured passes by default, min per query: the host is
+    # shared, so a single pass confounds engine cost with ambient load
+    # spikes. SPARK_GRAFT_PASSES=1 halves wall-clock for campaign
+    # phases that already take min across SEPARATE runs (the sf1
+    # worst-set repeats) or that are single spot-benches (sf10).
+    n_passes = int(os.environ.get("SPARK_GRAFT_PASSES", "2"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for _pass in range(2):
+    for _pass in range(n_passes):
         for name, fn in qs.items():
             if only and name not in only:
                 continue
