@@ -1925,3 +1925,259 @@ def events_markov_holdout_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley–Terry preference-strength model (MM fixed-point, fixed rounds)
+# ---------------------------------------------------------------------------
+
+#: MM rounds for the Bradley–Terry fit. Correctness does not depend on
+#: convergence — Spark and the oracle replay the SAME quantized
+#: trajectory — but 6 rounds is comfortably stable to 6 decimals on a
+#: densely-compared 5-item design.
+_BT_ROUNDS = 6
+
+#: Shared comparison-extraction SQL: consecutive events of one user
+#: with different types and different values form one pairwise
+#: preference (higher `value` wins) — the classic implicit-feedback
+#: reduction of an event stream to preference pairs.
+_BT_COMP_SQL = """
+    s AS (
+      SELECT user_id, event_type, value,
+             lag(event_type) OVER w AS prev_type,
+             lag(value) OVER w AS prev_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), comp AS (
+      SELECT CASE WHEN value > prev_value THEN event_type
+                  ELSE prev_type END AS win,
+             CASE WHEN value > prev_value THEN prev_type
+                  ELSE event_type END AS lose
+      FROM s
+      WHERE prev_type IS NOT NULL
+        AND value <> prev_value AND event_type <> prev_type
+    ), wl AS (
+      SELECT win, lose, CAST(count(*) AS BIGINT) AS cnt
+      FROM comp GROUP BY win, lose
+    ), pairs AS MATERIALIZED (
+      SELECT i, j, CAST(sum(cnt) AS BIGINT) AS n FROM (
+        SELECT win AS i, lose AS j, cnt FROM wl
+        UNION ALL
+        SELECT lose AS i, win AS j, cnt FROM wl
+      ) GROUP BY i, j
+    ), wins AS MATERIALIZED (
+      SELECT win AS i, CAST(sum(cnt) AS BIGINT) AS wi FROM wl GROUP BY win
+    ), ncomp AS MATERIALIZED (
+      SELECT i, CAST(sum(n) AS BIGINT) AS nc FROM pairs GROUP BY i
+    ), pi0 AS MATERIALIZED (
+      SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS pi FROM pairs
+    )"""
+
+
+def _bt_round_sql(r: int) -> str:
+    """One MM round as chained CTEs: quantized term table → integer
+    denominator sum → integer-division update → normalization to
+    Σπ = m·10⁶ (the same integer trajectory the Spark side walks)."""
+    return f"""
+    t{r} AS (
+      SELECT p.i,
+             CAST(floor(CAST(p.n AS DOUBLE) * 1000000.0
+                        / CAST(greatest(a.pi + b.pi, 1) AS DOUBLE)
+                        * 1000000000.0) AS BIGINT) AS tn
+      FROM pairs p
+      JOIN pi{r} a ON a.i = p.i
+      JOIN pi{r} b ON b.i = p.j
+    ), d{r} AS (
+      SELECT i, CAST(sum(tn) AS HUGEINT) AS dn FROM t{r} GROUP BY i
+    ), raw{r} AS MATERIALIZED (
+      SELECT d.i,
+             CAST(CAST(coalesce(w.wi, 0) AS HUGEINT)
+                  * 1000000000000000 // greatest(d.dn, 1) AS HUGEINT) AS pi
+      FROM d{r} d LEFT JOIN wins w ON w.i = d.i
+    ), pi{r + 1} AS MATERIALIZED (
+      SELECT i,
+             CAST(pi * (count(*) OVER ()) * 1000000
+                  // greatest(sum(pi) OVER (), 1)
+                  AS BIGINT) AS pi
+      FROM raw{r}
+    )"""
+
+
+def bradley_terry_fit(wl: DataFrame, rounds: int = _BT_ROUNDS) -> DataFrame:
+    """Fit Bradley–Terry strengths from a directed win-count table
+    ``(win, lose, cnt)`` via Hunter's MM algorithm, ``rounds``
+    fixed iterations from π=1:
+
+        π_i ← W_i / Σ_j n_ij / (π_i + π_j)
+
+    then normalized to Σπ = m·10⁶ each round.
+
+    Exactness contract: π lives as INTEGER micro-units; each pair term
+    ``n_ij/(π_i+π_j)`` is one deterministic double expression of
+    integer inputs floor-quantized to nano-units BEFORE the per-item
+    sum (BIGINT/DECIMAL across the shuffle — fold-order-proof); the
+    update and the normalization are integer divisions. Both engines
+    walk the identical integer trajectory, so the gate compares exact
+    values, not converged approximations.
+
+    Items that never win converge to π=0 (the BT MLE boundary — their
+    strength IS zero under the model); ``greatest(·,1)`` guards keep
+    the trajectory total.
+
+    100 TB shape: the corpus-scale work is producing ``wl`` (callers:
+    one lag window + one grouped count); everything here runs on the
+    item×item table — |items|² rows, bounded by the type vocabulary,
+    broadcast-sized at any corpus scale. The per-round scalar
+    normalizer is a 1-row cross-attach (SCALAR_CROSS_WHITELIST).
+    """
+    pairs = (
+        wl.select(F.col("win").alias("i"), F.col("lose").alias("j"), "cnt")
+        .unionAll(
+            wl.select(F.col("lose").alias("i"), F.col("win").alias("j"), "cnt")
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+    wins = wl.groupBy(F.col("win").alias("i")).agg(
+        F.sum("cnt").cast("long").alias("wi")
+    )
+    pi = pairs.select("i").distinct().select(
+        "i", F.lit(1000000).cast("long").alias("pi")
+    )
+    for _ in range(rounds):
+        a = pi.select(F.col("i").alias("ia"), F.col("pi").alias("pia"))
+        b = pi.select(F.col("i").alias("ib"), F.col("pi").alias("pib"))
+        terms = (
+            pairs.join(F.broadcast(a), pairs["i"] == a["ia"])
+            .join(F.broadcast(b), pairs["j"] == b["ib"])
+            .select(
+                "i",
+                F.floor(
+                    F.col("n").cast("double") * F.lit(1000000.0)
+                    / F.greatest(
+                        F.col("pia") + F.col("pib"), F.lit(1).cast("long")
+                    ).cast("double")
+                    * F.lit(1000000000.0)
+                ).cast("long").alias("tn"),
+            )
+        )
+        denom = terms.groupBy("i").agg(
+            F.sum(F.col("tn").cast("decimal(38,0)")).alias("dn")
+        )
+        raw = denom.join(F.broadcast(wins), "i", "left").select(
+            "i",
+            F.expr(
+                "CAST(coalesce(wi, 0) AS DECIMAL(38,0)) * 1000000000000000 "
+                "div greatest(dn, CAST(1 AS DECIMAL(38,0)))"
+            ).cast("decimal(38,0)").alias("pi"),
+        )
+        norm = raw.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+            F.sum("pi").alias("s"),
+        )
+        # localCheckpoint truncates lineage per round — without it the
+        # 6-round join/cross-attach chain blows up Catalyst analysis
+        # time exponentially (the graph.py fixed-round contract).
+        pi = (
+            raw.crossJoin(F.broadcast(norm))
+            .select(
+                "i",
+                F.expr(
+                    "CAST(pi * m * 1000000 "
+                    "div greatest(s, CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
+                ).alias("pi"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pi
+
+
+def _bt_oracle(rounds: int = _BT_ROUNDS) -> str:
+    chain = "".join(_bt_round_sql(r) + "," for r in range(rounds))
+    return f"""
+    WITH {_BT_COMP_SQL}, {chain.rstrip(",")}
+    SELECT p.i AS item,
+           coalesce(w.wi, 0) AS n_wins,
+           n.nc AS n_comparisons,
+           floor(CAST(p.pi AS DOUBLE)
+                 / CAST(greatest((SELECT sum(pi) FROM pi{rounds}), 1)
+                        AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS strength
+    FROM pi{rounds} p
+    LEFT JOIN wins w ON w.i = p.i
+    JOIN ncomp n ON n.i = p.i
+    """
+
+
+@query("pref_bradley_terry", oracle=_bt_oracle())
+def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference strengths over the event-type
+    vocabulary — the model behind RLHF preference-data curation
+    (rank responses/sources from pairwise human choices) and
+    match-quality ranking, fit by Hunter's MM algorithm.
+
+    Comparisons: consecutive events of one user with different types
+    and different values form one pairwise preference — higher
+    ``value`` wins (the implicit-feedback reduction; ties and
+    same-type pairs are dropped). The fit itself is
+    :func:`bradley_terry_fit` — see its docstring for the quantized
+    integer-trajectory contract.
+
+    Output: ``(item, n_wins, n_comparisons, strength)`` with strength
+    normalized to Σ=1.
+
+    Plan shape: one per-user lag window + one grouped count collapse
+    the stream to the |types|² win matrix; the MM rounds run entirely
+    on that broadcast-sized table. At 100 TB the window sort is the
+    only corpus-scale stage (the same shape every sessionization query
+    already pays), and the fit cost is independent of corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.expr("ts div 1000"), "event_id")
+    s = ev.select(
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+    comp = s.where(
+        F.col("prev_type").isNotNull()
+        & (F.col("value") != F.col("prev_value"))
+        & (F.col("event_type") != F.col("prev_type"))
+    ).select(
+        F.when(F.col("value") > F.col("prev_value"), F.col("event_type"))
+        .otherwise(F.col("prev_type"))
+        .alias("win"),
+        F.when(F.col("value") > F.col("prev_value"), F.col("prev_type"))
+        .otherwise(F.col("event_type"))
+        .alias("lose"),
+    )
+    wl = comp.groupBy("win", "lose").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wl = wl.persist()
+    pi = bradley_terry_fit(wl, _BT_ROUNDS)
+    wins = wl.groupBy(F.col("win").alias("i")).agg(
+        F.sum("cnt").cast("long").alias("wi")
+    )
+    pairs_n = (
+        wl.select(F.col("win").alias("i"), "cnt")
+        .unionAll(wl.select(F.col("lose").alias("i"), "cnt"))
+        .groupBy("i")
+        .agg(F.sum("cnt").cast("long").alias("nc"))
+    )
+    tot = pi.agg(F.sum("pi").alias("s"))
+    return (
+        pi.join(F.broadcast(wins), "i", "left")
+        .join(F.broadcast(pairs_n), "i")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("i").alias("item"),
+            F.coalesce(F.col("wi"), F.lit(0).cast("long")).alias("n_wins"),
+            F.col("nc").alias("n_comparisons"),
+            trunc6(
+                F.col("pi").cast("double")
+                / F.greatest(F.col("s"), F.lit(1).cast("long")).cast("double")
+            ).alias("strength"),
+        )
+    )

@@ -2764,6 +2764,83 @@ def sim_blocked_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_blocked_precision",
+    oracle=f"""
+    WITH reps AS (
+      {_EXACT_COLLAPSE}
+    ), {_minhash_sigs_cte(k=16, shingle_len=5, src="reps")}, cands AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sigs a JOIN sigs b ON a.id < b.id
+      WHERE ({_band_share_sql(k=16, bands=4)})
+    ), toks AS (
+      SELECT doc_id AS id,
+             regexp_extract_all(lower(text), '[a-z]+') AS t
+      FROM reps
+    ), sets AS (
+      SELECT id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS arr
+      FROM toks
+    ), sized AS (
+      SELECT id, arr, len(arr) AS n FROM sets WHERE len(arr) > 0
+    ), qual AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c
+      JOIN sized a ON a.id = c.id_a
+      JOIN sized b ON b.id = c.id_b
+      WHERE len(list_intersect(a.arr, b.arr))
+            * len(list_intersect(a.arr, b.arr)) * 2 >= a.n * b.n
+    )
+    SELECT (SELECT count(*) FROM cands) AS n_cands,
+           (SELECT count(*) FROM qual) AS n_qualifying,
+           floor(CAST((SELECT count(*) FROM qual) AS DOUBLE)
+                 / greatest(CAST((SELECT count(*) FROM cands) AS DOUBLE),
+                            1.0)
+                 * 1000000.0) / 1000000.0 AS precision
+    """,
+)
+def sim_blocked_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured pair PRECISION of the LSH blocking behind
+    ``sim_allpairs_blocked`` — the companion of ``sim_blocked_recall``
+    (together they are the full blocking audit): what fraction of the
+    band-collision candidate pairs actually qualify at the exact
+    t = 1/√2 cosine threshold. Low precision means the banding wastes
+    exact-scoring work on false candidates (too few bands / rows per
+    band for the corpus' similarity profile); the corpus owner tunes
+    (bands, k) against BOTH dials before a full-scale run.
+
+    Output: one row ``(n_cands, n_qualifying, precision)`` with
+    n_qualifying ≤ n_cands by construction.
+
+    Plan shape: candidates come from the one band shuffle
+    (lsh_candidate_pairs — same kernel the production path runs);
+    qualification is the exact blocked-cosine join
+    (allpairs_blocked_cosine — per-candidate in-row array_intersect);
+    two 1-row aggregates cross-attach (SCALAR_CROSS_WHITELIST). Unlike
+    the recall audit there is NO quadratic side — this one is safe to
+    run on the full corpus at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    reps = dd.exact_collapse_reps(d).persist()
+    sigs = dd.minhash_signatures(reps, "doc_id", "text", k=16, shingle_len=5)
+    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    qual = dd.allpairs_blocked_cosine(
+        reps, t2_num=1, t2_den=2, ngram_n=3, k=16, shingle_len=5, bands=4
+    )
+    n_cands = cand.agg(F.count(F.lit(1)).alias("n_cands"))
+    n_qual = qual.agg(F.count(F.lit(1)).alias("n_qualifying"))
+    return n_cands.crossJoin(n_qual).select(
+        "n_cands",
+        "n_qualifying",
+        trunc6(
+            F.col("n_qualifying").cast("double")
+            / F.greatest(F.col("n_cands").cast("double"), F.lit(1.0))
+        ).alias("precision"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Johnson–Lindenstrauss random projection
 # ---------------------------------------------------------------------------
@@ -3794,4 +3871,98 @@ def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long")
         .alias("had_tracking"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus token-distribution diagnostics: Shannon entropy + Simpson index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_unigram_entropy",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(trim(text),
+                    '[ \t\n\r\f\x0b]+'), t -> t <> '')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY lang, tok
+    ), tot AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sumc2
+      FROM c GROUP BY lang
+    ), terms AS (
+      SELECT c.lang,
+             CAST(floor(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)
+                        * ln(CAST(t.n AS DOUBLE) / CAST(c.c AS DOUBLE))
+                        * 1000000000.0) AS BIGINT) AS tn
+      FROM c JOIN tot t USING (lang)
+    ), ent AS (
+      SELECT lang, CAST(sum(tn) AS BIGINT) AS sum_nano
+      FROM terms GROUP BY lang
+    )
+    SELECT t.lang, t.n AS n_tokens, t.vocab AS vocab_size,
+           CAST(e.sum_nano // 1000 AS DOUBLE) / 1000000.0 AS entropy_nats,
+           floor(CAST(t.sumc2 AS DOUBLE)
+                 / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS simpson
+    FROM tot t JOIN ent e USING (lang)
+    """,
+)
+def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language unigram-distribution diagnostics: Shannon entropy
+    (nats) and the Simpson concentration index Σp² — the two numbers a
+    corpus owner tracks for vocabulary collapse (synthetic/templated
+    text shows low entropy and high Simpson long before eyeballing
+    does) and for language-mix drift across snapshots.
+
+    Exactness contract: each token's entropy term ``p·ln(1/p)`` is one
+    deterministic double expression of the integer pair ``(c, n)``,
+    floor-quantized to INTEGER nano-nats before the per-language sum —
+    the sum crosses the shuffle as a BIGINT, immune to fold order (the
+    perplexity-bucket idiom). Simpson is exact integer algebra
+    (Σc² as DECIMAL(38,0) / HUGEINT) with a single final divide.
+
+    Plan shape: one explode + one (lang, token) grouped count — the
+    count table is vocabulary-sized (Zipf), orders below the corpus —
+    then a broadcast-sized per-language totals join and one bounded
+    grouped sum. No windows, no UDFs; at 100 TB the only corpus-scale
+    pass is the first grouped count with map-side partial aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    )
+    c = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = c.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sumc2"),
+    )
+    terms = c.join(F.broadcast(tot), "lang").select(
+        "lang",
+        F.floor(
+            F.col("c").cast("double") / F.col("n").cast("double")
+            * F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+            * F.lit(1000000000.0)
+        ).cast("long").alias("tn"),
+    )
+    ent = terms.groupBy("lang").agg(F.sum("tn").cast("long").alias("sum_nano"))
+    return tot.join(ent, "lang").select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        F.col("vocab").alias("vocab_size"),
+        (F.expr("sum_nano div 1000").cast("double") / F.lit(1000000.0)).alias(
+            "entropy_nats"
+        ),
+        trunc6(
+            F.col("sumc2").cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+        ).alias("simpson"),
     )

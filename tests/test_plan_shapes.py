@@ -106,6 +106,10 @@ SCALAR_CROSS_WHITELIST = {
     # total scalars
     "sim_blocked_recall",  # audit: three 1-row count aggregates
     # cross-attached; the pair relations themselves hash-join
+    "sim_blocked_precision",  # audit: two 1-row count aggregates
+    # cross-attached; candidates/qualifiers themselves hash-join
+    "pref_bradley_terry",  # per-round Σπ normalizer + final strength
+    # denominator: 1-row scalars onto the ≤|types|²-row item table
     "sim_knn_recall_audit",  # audit: 1-row hit/anchor-count scalars
     # cross-attached, plus the brute side's broadcast nested-loop of
     # the BOUNDED 1-in-17 anchor slice against the corpus —
