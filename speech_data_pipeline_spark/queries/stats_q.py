@@ -1895,3 +1895,279 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("winsorized_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (midrank ties, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_spearman",
+    oracle="""
+    WITH rows_q AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qx,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS qy
+      FROM lineitem
+    ),
+    xr AS (
+      SELECT qx,
+             2 * coalesce(sum(c) OVER (ORDER BY qx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS rx2
+      FROM (SELECT qx, count(*) AS c FROM rows_q GROUP BY qx)
+    ),
+    yr AS (
+      SELECT qy,
+             2 * coalesce(sum(c) OVER (ORDER BY qy
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS ry2
+      FROM (SELECT qy, count(*) AS c FROM rows_q GROUP BY qy)
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(rx2 AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(ry2 AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(rx2 AS HUGEINT) * rx2) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(ry2 AS HUGEINT) * ry2) AS HUGEINT) AS syy,
+             CAST(sum(CAST(rx2 AS HUGEINT) * ry2) AS HUGEINT) AS sxy
+      FROM rows_q JOIN xr USING (qx) JOIN yr USING (qy)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS rho
+    FROM m
+    """,
+)
+def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between lineitem quantity and extended
+    price, with midrank tie handling — the rank-space companion of the
+    Pearson ``stats_corr_matrix`` row for the same pair (Spearman is
+    Pearson over midranks, so monotone-but-nonlinear association shows
+    up here and not there).
+
+    Exactness: midranks come off the two DISTINCT value tables (the
+    stats_ks_test contract) carried as DOUBLED integers
+    ``2·midrank = 2·cum_before + t + 1`` so ties never create a .5
+    float; the five moment sums ride DECIMAL(38,0) (2r ≤ 2n ⇒
+    Σ(2r)² ≤ 4n³ — exact past 10¹¹ rows) and ρ is one float assembly
+    (the ×2 scale cancels in the Pearson ratio).
+
+    Plan shape at 100 TB: two grouped counts (value-domain bounded:
+    quantity ≤ 50 distinct, cent prices bounded by the price grid),
+    two whitelisted rank windows over those DISTINCT-value tables
+    (never corpus rows), two equi-joins back to the fact rows (the
+    50-row quantity side broadcasts; the price side is an ordinary
+    shuffle join on a bounded key domain), one 1-row aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_q = li.select(
+        F.col("l_quantity").cast("long").alias("qx"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("qy"),
+    )
+
+    def rank2(col: str, out: str) -> DataFrame:
+        byv = rows_q.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w_prev = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return byv.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w_prev), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(out),
+        )
+
+    joined = rows_q.join(rank2("qx", "rx2"), "qx").join(
+        rank2("qy", "ry2"), "qy"
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = joined.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38("rx2")).alias("sx"),
+        F.sum(d38("ry2")).alias("sy"),
+        F.sum(d38("rx2") * d38("rx2")).alias("sxx"),
+        F.sum(d38("ry2") * d38("ry2")).alias("syy"),
+        F.sum(d38("rx2") * d38("ry2")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        trunc6(num / F.sqrt(dx * dy)).alias("rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (ties-corrected, 2D-suffix-sum over the bounded grid)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_kendall_tau",
+    oracle="""
+    WITH rows_q AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qx,
+             CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS yb
+      FROM lineitem
+    ),
+    cells AS (SELECT qx, yb, count(*) AS c FROM rows_q GROUP BY qx, yb),
+    dense AS (
+      SELECT xs.qx, ys.yb, coalesce(cells.c, 0) AS c
+      FROM (SELECT DISTINCT qx FROM cells) xs
+      CROSS JOIN (SELECT DISTINCT yb FROM cells) ys
+      LEFT JOIN cells USING (qx, yb)
+    ),
+    a AS (
+      SELECT qx, yb, c,
+             coalesce(sum(c) OVER (PARTITION BY qx ORDER BY yb
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               AS a_gt,
+             coalesce(sum(c) OVER (PARTITION BY qx ORDER BY yb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS a_lt
+      FROM dense
+    ),
+    s AS (
+      SELECT qx, yb, c,
+             coalesce(sum(a_gt) OVER (PARTITION BY yb ORDER BY qx
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               AS s_cc,
+             coalesce(sum(a_lt) OVER (PARTITION BY yb ORDER BY qx
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               AS s_dd
+      FROM a
+    ),
+    m AS (
+      SELECT CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS n,
+             CAST(sum(CAST(c AS HUGEINT) * s_cc) AS HUGEINT) AS conc,
+             CAST(sum(CAST(c AS HUGEINT) * s_dd) AS HUGEINT) AS disc
+      FROM s
+    ),
+    tx AS (
+      SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) AS t2
+      FROM (SELECT sum(c) AS t FROM cells GROUP BY qx)
+    ),
+    ty AS (
+      SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) AS t2
+      FROM (SELECT sum(c) AS t FROM cells GROUP BY yb)
+    )
+    SELECT CAST(m.n AS BIGINT) AS n,
+           CAST(m.conc AS DOUBLE) AS concordant,
+           CAST(m.disc AS DOUBLE) AS discordant,
+           floor(CAST(m.conc - m.disc AS DOUBLE)
+                 / sqrt(CAST(m.n * (m.n - 1) - tx.t2 AS DOUBLE)
+                        * CAST(m.n * (m.n - 1) - ty.t2 AS DOUBLE) / 4.0)
+                 * 1000000.0) / 1000000.0 AS tau_b
+    FROM m, tx, ty
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (ties-corrected rank concordance) between lineitem
+    quantity and the $1000 extended-price band — the ordinal companion
+    of stats_spearman: tau counts pairwise order agreements, so it is
+    robust where Spearman's midrank squares still weight outlier ranks.
+
+    The O(n²) pair enumeration is collapsed onto the bounded
+    contingency grid (≤50 quantity values × ~105 price bands):
+    concordant pairs are ``Σ n_ij · S_ij`` with ``S_ij`` the
+    2D strict-suffix sum, computed as two SEQUENTIAL partitioned
+    windows (suffix over bands within a quantity row, then suffix over
+    quantities within a band column — each partition ≤ grid width,
+    never corpus rows) after densifying the grid with a bounded
+    cross of the two DISTINCT-value tables (the SCALAR_CROSS
+    whitelist contract). Discordant pairs reuse the same machinery on
+    the lower-left quadrant. Tie corrections come off the two
+    marginal tables; everything is integer (DECIMAL(38,0):
+    Σ n_ij·S_ij ≤ n² — exact past 10⁹ rows) until the single
+    tau assembly.
+
+    ``tau_b = (C − D) / √((n(n−1)/2 − n_x)(n(n−1)/2 − n_y))`` with
+    ``n_x = Σ tx(tx−1)/2`` over quantity marginals, ``n_y`` alike.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_q = li.select(
+        F.col("l_quantity").cast("long").alias("qx"),
+        F.floor(F.col("l_extendedprice") / F.lit(1000.0))
+        .cast("long")
+        .alias("yb"),
+    )
+    cells = rows_q.groupBy("qx", "yb").agg(F.count(F.lit(1)).alias("c"))
+    xs = cells.select("qx").distinct()
+    ys = cells.select("yb").distinct()
+    dense = (
+        xs.crossJoin(ys)
+        .join(cells, ["qx", "yb"], "left")
+        .select("qx", "yb", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_gt = (
+        Window.partitionBy("qx")
+        .orderBy("yb")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w_lt = (
+        Window.partitionBy("qx")
+        .orderBy("yb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = dense.select(
+        "qx",
+        "yb",
+        "c",
+        F.coalesce(F.sum("c").over(w_gt), F.lit(0)).alias("a_gt"),
+        F.coalesce(F.sum("c").over(w_lt), F.lit(0)).alias("a_lt"),
+    )
+    w_x = (
+        Window.partitionBy("yb")
+        .orderBy("qx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    s = a.select(
+        "c",
+        F.coalesce(F.sum("a_gt").over(w_x), F.lit(0)).alias("s_cc"),
+        F.coalesce(F.sum("a_lt").over(w_x), F.lit(0)).alias("s_dd"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = s.agg(
+        F.sum(d38(F.col("c"))).alias("n"),
+        F.sum(d38(F.col("c")) * d38(F.col("s_cc"))).alias("conc"),
+        F.sum(d38(F.col("c")) * d38(F.col("s_dd"))).alias("disc"),
+    )
+    tx_m = (
+        cells.groupBy("qx")
+        .agg(F.sum("c").alias("t"))
+        .agg(F.sum(d38(F.col("t")) * d38(F.col("t") - 1)).alias("t2x"))
+    )
+    ty_m = (
+        cells.groupBy("yb")
+        .agg(F.sum("c").alias("t"))
+        .agg(F.sum(d38(F.col("t")) * d38(F.col("t") - 1)).alias("t2y"))
+    )
+    j = m.crossJoin(tx_m).crossJoin(ty_m)
+    n = F.col("n")
+    denom = F.sqrt(
+        (n * (n - 1) - F.col("t2x")).cast("double")
+        * (n * (n - 1) - F.col("t2y")).cast("double")
+        / F.lit(4.0)
+    )
+    return j.select(
+        n.cast("long").alias("n"),
+        F.col("conc").cast("double").alias("concordant"),
+        F.col("disc").cast("double").alias("discordant"),
+        trunc6(
+            (F.col("conc") - F.col("disc")).cast("double") / denom
+        ).alias("tau_b"),
+    )

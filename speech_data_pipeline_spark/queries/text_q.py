@@ -3966,3 +3966,197 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.col("n").cast("double"))
         ).alias("simpson"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law vocabulary-growth fit (corpus-prefix buckets, integer OLS)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_heaps_law",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    mx AS (SELECT max(doc_id) AS max_id FROM toks),
+    db AS (
+      SELECT doc_id,
+             least(9, (doc_id * 10) // (mx.max_id + 1)) AS b,
+             greatest(len(t) - 1, 0) AS nb, t
+      FROM toks CROSS JOIN mx
+    ),
+    base AS (SELECT b, sum(nb) AS toks_in FROM db GROUP BY b),
+    bg AS (
+      SELECT b, t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1]
+               AS term
+      FROM (
+        SELECT b, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+        FROM db
+      )
+    ),
+    nv AS (
+      SELECT fb AS b, count(*) AS vocab_new
+      FROM (SELECT term, min(b) AS fb FROM bg GROUP BY term)
+      GROUP BY fb
+    ),
+    pts AS (
+      SELECT b,
+             sum(toks_in) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_toks,
+             sum(coalesce(vocab_new, 0)) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_vocab
+      FROM base LEFT JOIN nv USING (b)
+    ),
+    lp AS (
+      SELECT CAST(floor(ln(CAST(cum_toks AS DOUBLE)) * 1000000000.0)
+                  AS BIGINT) AS xq,
+             CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * 1000000000.0)
+                  AS BIGINT) AS yq,
+             cum_toks, cum_vocab
+      FROM pts WHERE cum_toks > 0 AND cum_vocab > 0
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS k,
+             CAST(sum(CAST(xq AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(yq AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(yq AS HUGEINT) * yq) AS HUGEINT) AS syy,
+             CAST(sum(CAST(xq AS HUGEINT) * yq) AS HUGEINT) AS sxy,
+             CAST(max(cum_toks) AS BIGINT) AS tokens_total,
+             CAST(max(cum_vocab) AS BIGINT) AS vocab_total
+      FROM lp
+    )
+    SELECT CAST(k AS BIGINT) AS n_points, tokens_total, vocab_total,
+           floor(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS beta,
+           floor((CAST(sy AS DOUBLE)
+                  - CAST(k * sxy - sx * sy AS DOUBLE)
+                    / CAST(k * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / (CAST(k AS DOUBLE) * 1000000000.0)
+                 * 1000000.0) / 1000000.0 AS ln_k,
+           floor(CAST(k * sxy - sx * sy AS DOUBLE)
+                 * CAST(k * sxy - sx * sy AS DOUBLE)
+                 / (CAST(k * sxx - sx * sx AS DOUBLE)
+                    * CAST(k * syy - sy * sy AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS r2
+    FROM m
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit ``V(N) ≈ K·N^β`` of word-BIGRAM vocabulary growth
+    over ten corpus prefixes — the growth-curve companion of
+    text_zipf_slope (Zipf reads the frequency axis, Heaps the
+    vocabulary axis; β ≈ 1/Zipf-α under the classic derivation), and a
+    planning signal a 100 TB curation run needs: how fast does the
+    open vocabulary keep growing as data is added?
+
+    Construction: documents are cut into 10 corpus-prefix buckets by
+    doc_id range (a documented prefix contract — ids are the corpus
+    order); per bucket, token mass is the doc-level bigram count
+    (Σ max(len−1, 0), so empty-bucket holes can't drop rows) and new
+    vocabulary is the count of bigrams whose FIRST bucket is that
+    bucket (min-aggregate per term — no quadratic distinct-per-prefix
+    rescan). Cumulative (N_d, V_d) come off the ≤10-row bucket table
+    (whitelisted bounded window); each point is quantized per-row as
+    ``floor(ln·10⁹)`` so the OLS moment sums are INTEGER
+    (DECIMAL(38,0), order-immune across engines and partitionings);
+    β, ln K and r² are single float assemblies from those sums.
+    K itself is deliberately reported as ln K — one exp() would be the
+    only cross-engine-fragile op in the query.
+
+    Plan shape at 100 TB: one max(doc_id) scalar attach (broadcast),
+    one bigram explode feeding two grouped aggregates (term table is
+    vocabulary-sized, orders below the corpus), a 10-row window, a
+    1-row fit. No corpus-sized sort, join or window anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tx.tokens(F.col("text")).alias("t"))
+    mx = toks.agg(F.max("doc_id").alias("max_id"))
+    db = toks.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.lit(9), F.expr("(doc_id * 10) div (max_id + 1)")
+        ).alias("b"),
+        F.greatest(F.size("t") - 1, F.lit(0)).alias("nb"),
+        "t",
+    )
+    base = db.groupBy("b").agg(F.sum("nb").alias("toks_in"))
+    n = F.greatest(F.size("t") - 1, F.lit(0))
+    bg = db.select(
+        "b",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n).alias("w1"), F.slice("t", 2, n).alias("w2")
+            )
+        ).alias("p"),
+    ).select(
+        "b", F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("term")
+    )
+    nv = (
+        bg.groupBy("term")
+        .agg(F.min("b").alias("fb"))
+        .groupBy("fb")
+        .agg(F.count(F.lit(1)).alias("vocab_new"))
+        .withColumnRenamed("fb", "b")
+    )
+    w_cum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pts = (
+        base.join(nv, "b", "left")
+        .select(
+            "b",
+            F.sum("toks_in").over(w_cum).alias("cum_toks"),
+            F.sum(F.coalesce(F.col("vocab_new"), F.lit(0)))
+            .over(w_cum)
+            .alias("cum_vocab"),
+        )
+        .where((F.col("cum_toks") > 0) & (F.col("cum_vocab") > 0))
+    )
+    lnq = lambda c: F.floor(  # noqa: E731
+        F.log(F.col(c).cast("double")) * F.lit(1_000_000_000.0)
+    ).cast("long")
+    lp = pts.select(
+        lnq("cum_toks").alias("xq"),
+        lnq("cum_vocab").alias("yq"),
+        "cum_toks",
+        "cum_vocab",
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = lp.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum(d38(F.col("xq"))).alias("sx"),
+        F.sum(d38(F.col("yq"))).alias("sy"),
+        F.sum(d38(F.col("xq")) * d38(F.col("xq"))).alias("sxx"),
+        F.sum(d38(F.col("yq")) * d38(F.col("yq"))).alias("syy"),
+        F.sum(d38(F.col("xq")) * d38(F.col("yq"))).alias("sxy"),
+        F.max("cum_toks").cast("long").alias("tokens_total"),
+        F.max("cum_vocab").cast("long").alias("vocab_total"),
+    )
+    num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    beta = num / dx
+    return m.select(
+        F.col("k").cast("long").alias("n_points"),
+        "tokens_total",
+        "vocab_total",
+        trunc6(beta).alias("beta"),
+        trunc6(
+            (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+            / (F.col("k").cast("double") * F.lit(1_000_000_000.0))
+        ).alias("ln_k"),
+        trunc6(num * num / (dx * dy)).alias("r2"),
+    )

@@ -114,6 +114,10 @@ SCALAR_CROSS_WHITELIST = {
     # cross-attached, plus the brute side's broadcast nested-loop of
     # the BOUNDED 1-in-17 anchor slice against the corpus —
     # |corpus|×|anchors| by the sampled-audit contract, never corpus²
+    "stats_kendall_tau",  # grid densify: DISTINCT-quantity (≤50) ×
+    # DISTINCT-price-band (~105) cross, both sides value-domain
+    # bounded aggregates, plus 1-row tie-correction scalars
+    "text_heaps_law",  # max(doc_id) prefix-bucket scalar: 1 row
 }
 
 
@@ -179,6 +183,11 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     "text_zipf_slope",  # rank window over the LIMIT-100 vocabulary head
     "privacy_t_closeness",  # global-CDF running sum over the ≤~15-row
     # balance-band table, value-domain bounded, never corpus
+    "stats_spearman",  # midrank running sums over the two DISTINCT
+    # value tables (stats_ks_test contract: ≤50 quantities, cent-grid
+    # prices), value-domain bounded, never corpus
+    "text_heaps_law",  # cumulative (tokens, vocab) over the 10-row
+    # corpus-prefix bucket table, bounded by construction
 }
 
 

@@ -157,3 +157,128 @@ class TestBlockedPrecision:
         ).count()
         r = sim_blocked_precision(spark, SF).collect()[0]
         assert r["n_qualifying"] == n_blocked
+
+
+# ---------------------------------------------------------------------------
+# Rank correlations + Heaps' law (round-7 batch 2)
+# ---------------------------------------------------------------------------
+
+
+def _midrank(a):
+    import numpy as np
+
+    order = np.argsort(a, kind="stable")
+    r = np.empty(len(a), float)
+    sa = a[order]
+    i = 0
+    while i < len(a):
+        j = i
+        while j + 1 < len(a) and sa[j + 1] == sa[i]:
+            j += 1
+        r[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    return r
+
+
+def test_spearman_matches_numpy_midranks(spark):
+    import numpy as np
+
+    from speech_data_pipeline_spark.queries.stats_q import stats_spearman
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    row = stats_spearman(spark, SF).collect()[0]
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .select("l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    qx = pdf.l_quantity.to_numpy().astype(np.int64)
+    qy = np.floor(pdf.l_extendedprice.to_numpy() * 100.0 + 0.5).astype(
+        np.int64
+    )
+    ref = np.corrcoef(_midrank(qx), _midrank(qy))[0, 1]
+    assert row["n"] == len(qx)
+    assert abs(row["rho"] - ref) < 2e-6
+    assert -1.0 <= row["rho"] <= 1.0
+
+
+def test_kendall_tau_matches_brute_pairs(spark):
+    import collections
+
+    import numpy as np
+
+    from speech_data_pipeline_spark.queries.stats_q import stats_kendall_tau
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    row = stats_kendall_tau(spark, SF).collect()[0]
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .select("l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    x = pdf.l_quantity.to_numpy().astype(np.int64)
+    y = np.floor(pdf.l_extendedprice.to_numpy() / 1000.0).astype(np.int64)
+    dx = np.sign(x[:, None] - x[None, :]).astype(np.int8)
+    dy = np.sign(y[:, None] - y[None, :]).astype(np.int8)
+    prod = dx.astype(np.int16) * dy
+    conc = int((prod > 0).sum() // 2)
+    disc = int((prod < 0).sum() // 2)
+    assert row["concordant"] == conc
+    assert row["discordant"] == disc
+    n = len(x)
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in collections.Counter(x).values())
+    n2 = sum(t * (t - 1) // 2 for t in collections.Counter(y).values())
+    ref = (conc - disc) / math.sqrt(float(n0 - n1) * float(n0 - n2))
+    assert abs(row["tau_b"] - ref) < 2e-6
+
+
+def test_heaps_law_fit_matches_numpy_ols(spark):
+    import numpy as np
+
+    from speech_data_pipeline_spark.queries.text_q import text_heaps_law
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    row = text_heaps_law(spark, SF).collect()[0]
+
+    # Driver replay of the bucket construction (document order = id).
+    pdf = load_table(spark, SF, "documents").select("doc_id", "text").toPandas()
+    max_id = int(pdf.doc_id.max())
+    cum_t: dict = {}
+    for _, r in pdf.iterrows():
+        b = min(9, int(r.doc_id) * 10 // (max_id + 1))
+        toks = [t for t in r.text.split() if t]
+        cum_t[b] = cum_t.get(b, 0) + max(len(toks) - 1, 0)
+    # first-seen bucket during an id-ascending scan == min bucket
+    firstb: dict = {}
+    for _, r in pdf.sort_values("doc_id").iterrows():
+        b = min(9, int(r.doc_id) * 10 // (max_id + 1))
+        toks = [t for t in r.text.split() if t]
+        for w1, w2 in zip(toks, toks[1:]):
+            k = f"{w1} {w2}"
+            if k not in firstb:
+                firstb[k] = b
+    xs, ys = [], []
+    ct = cv = 0
+    for b in sorted(cum_t):
+        ct += cum_t[b]
+        cv += sum(1 for v in firstb.values() if v == b)
+        if ct > 0 and cv > 0:
+            # the query's per-point ppb quantization
+            xs.append(math.floor(math.log(ct) * 1e9) / 1e9)
+            ys.append(math.floor(math.log(cv) * 1e9) / 1e9)
+    k = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    ln_k = (sy - beta * sx) / k
+    assert row["n_points"] == k
+    assert row["tokens_total"] == ct
+    assert row["vocab_total"] == cv
+    assert abs(row["beta"] - beta) < 2e-6
+    assert abs(row["ln_k"] - ln_k) < 2e-6
+    assert 0.0 <= row["r2"] <= 1.0
+    # vocabulary growth is monotone; with a closed 31-word synthetic
+    # vocab the bigram curve saturates, so beta is small but >= 0
+    assert row["beta"] >= 0.0
