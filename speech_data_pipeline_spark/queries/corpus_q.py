@@ -3172,3 +3172,105 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             one(F.expr("(ts div 1000) div 86400000000"), "day")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman's r) over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.p AS x, b.p AS y
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ), deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e)
+      GROUP BY n
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS m,
+             CAST(sum(CAST(dx.d AS HUGEINT) + dy.d) AS HUGEINT) AS sx,
+             CAST(sum(CAST(dx.d AS HUGEINT) * dx.d
+                      + CAST(dy.d AS HUGEINT) * dy.d) AS HUGEINT) AS sxx,
+             CAST(sum(2 * CAST(dx.d AS HUGEINT) * dy.d) AS HUGEINT) AS sxy
+      FROM e JOIN deg dx ON e.x = dx.n JOIN deg dy ON e.y = dy.n
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+           CAST(m AS BIGINT) AS n_edges,
+           floor(CAST(2 * m * sxy - sx * sx AS DOUBLE)
+                 / CAST(2 * m * sxx - sx * sx AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the part co-purchase graph (the
+    same edge set as graph_triangle_count): Pearson correlation of the
+    degrees at the two ends of every edge, with each undirected edge
+    contributing both orientations — r > 0 means hubs attach to hubs
+    (assortative), r < 0 the hub-and-spoke shape typical of
+    co-occurrence graphs. The fourth graph-shape primitive beside
+    triangles, clustering coefficient and k-core: together they answer
+    "is this dedup/co-purchase graph clustered, hierarchical, or
+    hub-dominated?" before committing a partitioning strategy.
+
+    Exactness: with both orientations summed, Sx = Σ(dx+dy),
+    Sxx = Σ(dx²+dy²), Sxy = 2Σ dx·dy over the k = 2m edge-end points
+    are pure integers in DECIMAL(38,0) (d ≤ n ⇒ Σd·d' ≤ m·n² — exact
+    far past any real graph); r = (k·Sxy − Sx²)/(k·Sxx − Sx²) is one
+    float assembly.
+
+    Plan shape at 100 TB: the edge build is the triangle-count
+    contract (pairs only within one ≤7-item order — never a global
+    pair join); degrees are one grouped count; the degree attach is
+    two equi-joins on vertex id (shuffle-hash, skew-safe under AQE);
+    one 1-row aggregate ends the plan. No windows, no sorts, no
+    cross joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = op.select(F.col("o"), F.col("p").alias("y"))
+    e = (
+        op.join(b, "o")
+        .where(F.col("p") < F.col("y"))
+        .select(F.col("p").alias("x"), "y")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("x").alias("n_"))
+        .unionAll(e.select(F.col("y").alias("n_")))
+        .groupBy("n_")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dx = deg.select(F.col("n_").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n_").alias("y"), F.col("d").alias("dy"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = (
+        e.join(dx, "x")
+        .join(dy, "y")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+            F.sum(d38(F.col("dx")) + d38(F.col("dy"))).alias("sx"),
+            F.sum(
+                d38(F.col("dx")) * d38(F.col("dx"))
+                + d38(F.col("dy")) * d38(F.col("dy"))
+            ).alias("sxx"),
+            F.sum(2 * d38(F.col("dx")) * d38(F.col("dy"))).alias("sxy"),
+        )
+    )
+    nv = deg.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    k = 2 * F.col("m")
+    return s.crossJoin(F.broadcast(nv)).select(
+        "n_vertices",
+        F.col("m").cast("long").alias("n_edges"),
+        trunc6(
+            (k * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+            / (k * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("assortativity"),
+    )

@@ -2171,3 +2171,122 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("conc") - F.col("disc")).cast("double") / denom
         ).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (categorical association strength)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_cramers_v",
+    oracle="""
+    WITH o AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS obs
+      FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (SELECT rf, sum(obs) AS rt FROM o GROUP BY 1),
+    c AS (SELECT ls, sum(obs) AS ct FROM o GROUP BY 1),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS tot FROM o),
+    cells AS (
+      SELECT CAST(floor(
+               CAST((CAST(obs AS HUGEINT) * tot - CAST(rt AS HUGEINT) * ct)
+                    * (CAST(obs AS HUGEINT) * tot - CAST(rt AS HUGEINT) * ct)
+                    AS DOUBLE)
+               / (CAST(tot AS DOUBLE) * CAST(CAST(rt AS HUGEINT) * ct
+                                             AS DOUBLE))
+               * 1000000000.0) AS HUGEINT) AS dev_nano
+      FROM o JOIN r USING (rf) JOIN c USING (ls) CROSS JOIN n
+    ),
+    m AS (
+      SELECT CAST(sum(dev_nano) AS HUGEINT) AS chi2_nano,
+             (SELECT tot FROM n) AS tot,
+             (SELECT count(*) FROM r) AS nr,
+             (SELECT count(*) FROM c) AS nc
+      FROM cells
+    )
+    SELECT CAST(tot AS BIGINT) AS n,
+           CAST(nr AS BIGINT) AS n_rows_cat,
+           CAST(nc AS BIGINT) AS n_cols_cat,
+           floor(CAST(chi2_nano AS DOUBLE) / 1000000000.0 * 1000000.0)
+             / 1000000.0 AS chi2,
+           floor(sqrt(CAST(chi2_nano AS DOUBLE) / 1000000000.0
+                      / (CAST(tot AS DOUBLE)
+                         * least(nr - 1, nc - 1)))
+                 * 1000000.0) / 1000000.0 AS cramers_v
+    FROM m
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0,1]-normalized strength companion of the
+    chi-square independence test (chisq_type_by_day reports the raw
+    statistic; V makes tables of different size comparable):
+    ``V = √(χ² / (n · min(r−1, c−1)))`` over the lineitem
+    returnflag × linestatus contingency table, where the two flags are
+    structurally dependent (returns only close as 'F'), so V is
+    meaningfully away from 0 and the normalization is what the oracle
+    checks.
+
+    Exactness: per-cell deviation uses the integer identity
+    ``(O·n − rm·cm)² / (n·rm·cm)`` — numerator exact in DECIMAL(38,0),
+    ONE per-row float divide, quantized per-cell to nano units so the
+    cross-cell sum is an integer (order-immune across engines and
+    partitionings, unlike a float Σ); χ² and V are single assemblies
+    from that one integer.
+
+    Plan shape at 100 TB: one grouped count (≤ r·c = 6 cells), two
+    marginal re-aggregates of the CELL table, a 1-row total attach —
+    never a second corpus pass, no windows, no sorts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("rf").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("ls").agg(F.sum("obs").alias("ct"))
+    n = o.agg(
+        F.sum("obs").cast("long").alias("tot"),
+        F.countDistinct("rf").alias("nr"),
+        F.countDistinct("ls").alias("nc"),
+    )
+    d38 = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
+    num = d38(F.col("obs")) * d38(F.col("tot")) - d38(F.col("rt")) * d38(
+        F.col("ct")
+    )
+    dev_nano = F.floor(
+        (num * num).cast("double")
+        / (
+            F.col("tot").cast("double")
+            * (d38(F.col("rt")) * d38(F.col("ct"))).cast("double")
+        )
+        * F.lit(1_000_000_000.0)
+    ).cast("decimal(38,0)")
+    m = (
+        o.join(r, "rf")
+        .join(c, "ls")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(dev_nano).alias("chi2_nano"),
+            F.max("tot").alias("tot"),
+            F.max("nr").alias("nr"),
+            F.max("nc").alias("nc"),
+        )
+    )
+    chi2 = F.col("chi2_nano").cast("double") / F.lit(1_000_000_000.0)
+    return m.select(
+        F.col("tot").cast("long").alias("n"),
+        F.col("nr").cast("long").alias("n_rows_cat"),
+        F.col("nc").cast("long").alias("n_cols_cat"),
+        trunc6(chi2).alias("chi2"),
+        trunc6(
+            F.sqrt(
+                chi2
+                / (
+                    F.col("tot").cast("double")
+                    * F.least(F.col("nr") - 1, F.col("nc") - 1).cast(
+                        "double"
+                    )
+                )
+            )
+        ).alias("cramers_v"),
+    )

@@ -4160,3 +4160,90 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ln_k"),
         trunc6(num * num / (dx * dy)).alias("r2"),
     )
+
+
+@query(
+    "eval_ece",
+    oracle=f"""
+    WITH feat AS (
+      {_QUALITY_FEAT_SQL}
+    ), scored AS (
+      SELECT doc_id,
+             CAST(floor({_QUALITY_RAW01_SQL} * 1000000.0) AS BIGINT) AS q_ppm,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS pos
+      FROM feat
+    ), binned AS (
+      SELECT least(9, q_ppm // 100000) AS bin, q_ppm, pos FROM scored
+    ), bins AS (
+      SELECT bin, count(*) AS n_docs,
+             CAST(abs(sum(q_ppm) // count(*)
+                      - (1000000 * sum(pos)) // count(*)) AS HUGEINT)
+               AS gap_ppm
+      FROM binned GROUP BY bin
+    )
+    SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           floor(CAST(sum(CAST(n_docs AS HUGEINT) * gap_ppm) AS DOUBLE)
+                 / CAST(sum(n_docs) AS DOUBLE) / 1000000.0
+                 * 1000000.0) / 1000000.0 AS ece,
+           floor(CAST(max(gap_ppm) AS DOUBLE) / 1000000.0 * 1000000.0)
+             / 1000000.0 AS mce
+    FROM bins
+    """,
+)
+def eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error — the scalar summary of
+    the eval_calibration_bins reliability diagram (the number a
+    curation gate actually thresholds on): ``ECE = Σ_b (n_b/N)·|mean
+    predicted − observed|``, ``MCE = max_b |·|``, over the same 10
+    equal-width probability bins and weak length label.
+
+    Exactness: the per-bin gap is the SAME integer-division ppm gap
+    the bins query reports, so ECE's weighted sum ``Σ n_b·gap_ppm``
+    is pure integer (DECIMAL(38,0)) and the statistic is one divide —
+    no float accumulation anywhere, bit-stable on any engine or
+    partitioning.
+
+    Plan shape at 100 TB: identical to eval_calibration_bins (in-row
+    score algebra + one ≤10-group aggregate) plus a 1-row
+    re-aggregate of the bin table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = tx.quality_score(d).select(
+        F.round(F.col("quality") * F.lit(1000000.0))
+        .cast("long")
+        .alias("q_ppm"),
+        F.when(F.length("text") >= 200, 1).otherwise(0).alias("pos"),
+    )
+    bins = (
+        scored.select(
+            F.least(
+                F.lit(9).cast("long"), F.expr("q_ppm div 100000")
+            ).alias("bin"),
+            "q_ppm",
+            "pos",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "abs(sum(q_ppm) div count(*)"
+                " - (1000000 * sum(pos)) div count(*))"
+            )
+            .cast("decimal(38,0)")
+            .alias("gap_ppm"),
+        )
+    )
+    return bins.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        trunc6(
+            F.sum(F.col("n_docs").cast("decimal(38,0)") * F.col("gap_ppm"))
+            .cast("double")
+            / F.sum("n_docs").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("ece"),
+        trunc6(
+            F.max("gap_ppm").cast("double") / F.lit(1_000_000.0)
+        ).alias("mce"),
+    )

@@ -118,6 +118,10 @@ SCALAR_CROSS_WHITELIST = {
     # DISTINCT-price-band (~105) cross, both sides value-domain
     # bounded aggregates, plus 1-row tie-correction scalars
     "text_heaps_law",  # max(doc_id) prefix-bucket scalar: 1 row
+    "stats_cramers_v",  # grand-total/category-count scalar: 1 row
+    # onto the ≤6-cell contingency table
+    "graph_assortativity",  # n_vertices count scalar: 1 row onto the
+    # 1-row moment aggregate
 }
 
 

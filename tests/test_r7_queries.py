@@ -282,3 +282,84 @@ def test_heaps_law_fit_matches_numpy_ols(spark):
     # vocabulary growth is monotone; with a closed 31-word synthetic
     # vocab the bigram curve saturates, so beta is small but >= 0
     assert row["beta"] >= 0.0
+
+
+def test_cramers_v_matches_numpy(spark):
+    import numpy as np
+
+    from speech_data_pipeline_spark.queries.stats_q import stats_cramers_v
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    row = stats_cramers_v(spark, SF).collect()[0]
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .toPandas()
+    )
+    tab = pdf.groupby(["l_returnflag", "l_linestatus"]).size().unstack(
+        fill_value=0
+    )
+    M = tab.to_numpy().astype(float)
+    n = M.sum()
+    E = np.outer(M.sum(1), M.sum(0)) / n
+    chi2 = ((M - E) ** 2 / E)[E > 0].sum()
+    v = math.sqrt(chi2 / (n * min(M.shape[0] - 1, M.shape[1] - 1)))
+    assert row["n"] == int(n)
+    assert abs(row["chi2"] - chi2) < 1e-5
+    assert abs(row["cramers_v"] - v) < 2e-6
+    assert 0.0 <= row["cramers_v"] <= 1.0
+
+
+def test_assortativity_matches_numpy(spark):
+    import collections
+
+    import numpy as np
+
+    from speech_data_pipeline_spark.queries.corpus_q import (
+        graph_assortativity,
+    )
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    row = graph_assortativity(spark, SF).collect()[0]
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    edges = set()
+    for _, grp in pdf.groupby("l_orderkey"):
+        ps = sorted(set(grp.l_partkey))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg = collections.Counter()
+    for x, y in edges:
+        deg[x] += 1
+        deg[y] += 1
+    pts = []
+    for x, y in edges:
+        pts.append((deg[x], deg[y]))
+        pts.append((deg[y], deg[x]))
+    a = np.array(pts, dtype=float)
+    ref = np.corrcoef(a[:, 0], a[:, 1])[0, 1]
+    assert row["n_edges"] == len(edges)
+    assert row["n_vertices"] == len(deg)
+    assert abs(row["assortativity"] - ref) < 2e-6
+
+
+def test_ece_consistent_with_calibration_bins(spark):
+    from speech_data_pipeline_spark.queries.text_q import (
+        eval_calibration_bins,
+        eval_ece,
+    )
+
+    bins = eval_calibration_bins(spark, SF).collect()
+    row = eval_ece(spark, SF).collect()[0]
+    n = sum(b["n_docs"] for b in bins)
+    ece = sum(b["n_docs"] * b["gap_ppm"] for b in bins) / n / 1e6
+    mce = max(b["gap_ppm"] for b in bins) / 1e6
+    assert row["n"] == n
+    assert row["n_bins"] == len(bins)
+    assert abs(row["ece"] - ece) < 2e-6
+    assert abs(row["mce"] - mce) < 2e-6
