@@ -4247,3 +4247,69 @@ def eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_ppm").cast("double") / F.lit(1_000_000.0)
         ).alias("mce"),
     )
+
+
+@query(
+    "eval_brier_score",
+    oracle=f"""
+    WITH feat AS (
+      {_QUALITY_FEAT_SQL}
+    ), scored AS (
+      SELECT CAST(floor({_QUALITY_RAW01_SQL} * 1000000.0) AS BIGINT) AS q_ppm,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS pos
+      FROM feat
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(CAST(q_ppm - 1000000 * pos AS HUGEINT)
+                          * (q_ppm - 1000000 * pos)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1000000000000.0
+                 * 1000000.0) / 1000000.0 AS brier,
+           floor(CAST(sum(CAST(q_ppm AS HUGEINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1000000.0
+                 * 1000000.0) / 1000000.0 AS mean_pred,
+           floor(CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS base_rate
+    FROM scored
+    """,
+)
+def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the composite quality score against the weak
+    length label — the strictly-proper scoring rule beside the
+    reliability diagram (eval_calibration_bins) and its scalar
+    summaries (eval_ece): ECE can be gamed by a constant predictor,
+    the Brier score cannot, so a curation gate reads both.
+
+    Exactness: the score is lifted to its exact ppm integer, so
+    ``Σ (p_ppm − 10⁶·y)²`` is a pure integer in DECIMAL(38,0)
+    (≤ 10¹² per row — exact past 10²⁵ rows) and the statistic is one
+    divide; mean prediction and base rate (the Brier decomposition's
+    anchors) ride the same sums.
+
+    Plan shape at 100 TB: in-row score algebra + ONE 1-row aggregate —
+    the cheapest query in the eval battery.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = tx.quality_score(d).select(
+        F.round(F.col("quality") * F.lit(1000000.0))
+        .cast("long")
+        .alias("q_ppm"),
+        F.when(F.length("text") >= 200, 1).otherwise(0).alias("pos"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    diff = d38(F.col("q_ppm") - 1000000 * F.col("pos"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        trunc6(
+            F.sum(diff * diff).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1e12)
+        ).alias("brier"),
+        trunc6(
+            F.sum(d38(F.col("q_ppm"))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1e6)
+        ).alias("mean_pred"),
+        trunc6(
+            F.sum("pos").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("base_rate"),
+    )

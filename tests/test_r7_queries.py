@@ -363,3 +363,27 @@ def test_ece_consistent_with_calibration_bins(spark):
     assert row["n_bins"] == len(bins)
     assert abs(row["ece"] - ece) < 2e-6
     assert abs(row["mce"] - mce) < 2e-6
+
+
+def test_brier_score_matches_direct_mean(spark):
+    from speech_data_pipeline_spark.operators import text as tx
+    from speech_data_pipeline_spark.queries.text_q import eval_brier_score
+    from speech_data_pipeline_spark.sources.catalog import load_table
+
+    row = eval_brier_score(spark, SF).collect()[0]
+    d = load_table(spark, SF, "documents")
+    pdf = tx.quality_score(d).select(
+        F.round(F.col("quality") * 1e6).cast("long").alias("q_ppm"),
+        F.when(F.length("text") >= 200, 1).otherwise(0).alias("pos"),
+    ).toPandas()
+    ref = (
+        ((pdf.q_ppm - 1_000_000 * pdf.pos) ** 2).sum() / len(pdf) / 1e12
+    )
+    assert row["n"] == len(pdf)
+    assert abs(row["brier"] - ref) < 2e-6
+    assert 0.0 <= row["brier"] <= 1.0
+    # sanity: a proper score is bounded below by the calibration-free
+    # variance floor base_rate*(1-base_rate) only for the BEST
+    # predictor; here just check internal consistency of the anchors
+    assert 0.0 <= row["base_rate"] <= 1.0
+    assert 0.0 <= row["mean_pred"] <= 1.0
