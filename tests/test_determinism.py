@@ -44,6 +44,13 @@ PERTURB_QUERIES = [
     "rfm_customer_segments",  # exact-percentile thresholds on integer features
     "text_pmi_collocations",  # trunc6 ln over exact counts + tie-broken top-k
     "users_cumulative_distinct",  # two-level paged running sum
+    "stats_spearman",  # doubled-integer midrank moment sums
+    "stats_kendall_tau",  # integer grid suffix sums + tie corrections
+    "text_heaps_law",  # integer-ppb OLS over the prefix buckets
+    "stats_cramers_v",  # nano-quantized per-cell chi-square sum
+    "graph_assortativity",  # integer edge-end degree moments
+    "eval_ece",  # integer ppm bin gaps to one divide
+    "eval_brier_score",  # integer ppm squared-error sum
 ]
 
 
