@@ -2181,3 +2181,105 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("strength"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung–Box portmanteau test (white-noise check over the ACF battery)
+# ---------------------------------------------------------------------------
+
+#: chi-square 95% critical values (ppm) for df = 1..5 — shared literal
+#: table with the oracle; reject when Q_ppm exceeds the df'th entry.
+_LB_CRIT_PPM = (3841459, 5991465, 7814728, 9487729, 11070498)
+
+
+def _ljung_box_oracle() -> str:
+    crit = ", ".join(str(c) for c in _LB_CRIT_PPM)
+    return f"""
+    WITH acf AS ({_acf_oracle()}),
+    terms AS (
+      SELECT event_type, n,
+             CAST(floor(acf * acf / (n - lag) * 1000000000000.0)
+                  AS HUGEINT) AS t_pico
+      FROM acf
+    ),
+    q AS (
+      SELECT event_type, max(n) AS n, count(*) AS df,
+             CAST(floor(CAST(max(n) AS DOUBLE)
+                        * (CAST(max(n) AS DOUBLE) + 2.0)
+                        * CAST(sum(t_pico) AS DOUBLE) / 1000000000000.0
+                        * 1000000.0) AS BIGINT) AS q_ppm
+      FROM terms GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(df AS BIGINT) AS df,
+           CAST(q_ppm AS DOUBLE) / 1000000.0 AS q_stat,
+           CASE WHEN q_ppm > ([{crit}])[CAST(df AS INTEGER)]
+                THEN 1 ELSE 0 END AS reject_white_noise
+    FROM q
+    """
+
+
+@query("ts_ljung_box", oracle=_ljung_box_oracle())
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test per event type: is the daily value
+    series distinguishable from white noise? ``Q = n(n+2) Σ_{k≤h}
+    r_k²/(n−k)`` over the same lag-1..5 autocorrelations ts_acf_lags
+    reports, compared against the χ²(0.05, df) critical value — the
+    standard pre-flight before fitting any AR model (ts_ar1_forecast)
+    or reading the ACF table as structure.
+
+    Determinism: the r_k inputs are ts_acf_lags' OUTPUT values —
+    already trunc6-quantized and oracle-hash-matched — so each term
+    ``r_k²/(n−k)`` is one per-row float expression quantized to
+    integer pico units before the cross-lag sum; Q is a single
+    assembly from that integer, and the reject decision compares
+    integer ppm against a shared literal critical-value table. No
+    cross-engine float accumulation anywhere.
+
+    Plan shape: everything rides the ACF plan (|types|·|days| cells,
+    partitioned lead windows) plus one |types|-row aggregate.
+    """
+    acf = ts_acf_lags(spark, sf_dir)
+    terms = acf.select(
+        "event_type",
+        "n",
+        F.floor(
+            F.col("acf")
+            * F.col("acf")
+            / (F.col("n") - F.col("lag")).cast("double")
+            * F.lit(1e12)
+        )
+        .cast("decimal(38,0)")
+        .alias("t_pico"),
+    )
+    q = terms.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    qs = terms.groupBy("event_type").agg(
+        F.floor(
+            F.max("n").cast("double")
+            * (F.max("n").cast("double") + F.lit(2.0))
+            * F.sum("t_pico").cast("double")
+            / F.lit(1e12)
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("q_ppm"),
+    )
+    crit = F.array(*[F.lit(c).cast("long") for c in _LB_CRIT_PPM])
+    return (
+        q.join(qs, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("df").cast("long").alias("df"),
+            (F.col("q_ppm").cast("double") / F.lit(1e6)).alias("q_stat"),
+            F.when(
+                F.col("q_ppm")
+                > F.element_at(crit, F.col("df").cast("int")),
+                1,
+            )
+            .otherwise(0)
+            .alias("reject_white_noise"),
+        )
+    )

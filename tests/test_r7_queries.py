@@ -387,3 +387,32 @@ def test_brier_score_matches_direct_mean(spark):
     # predictor; here just check internal consistency of the anchors
     assert 0.0 <= row["base_rate"] <= 1.0
     assert 0.0 <= row["mean_pred"] <= 1.0
+
+
+def test_ljung_box_composes_acf_outputs(spark):
+    from speech_data_pipeline_spark.queries.behavior_q import (
+        _LB_CRIT_PPM,
+        ts_acf_lags,
+        ts_ljung_box,
+    )
+
+    acf = ts_acf_lags(spark, SF).collect()
+    got = {r["event_type"]: r for r in ts_ljung_box(spark, SF).collect()}
+    by_type: dict = {}
+    for r in acf:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert set(got) == set(by_type)
+    for t, rows in by_type.items():
+        n = rows[0]["n"]
+        pico = sum(
+            math.floor(r["acf"] * r["acf"] / (n - r["lag"]) * 1e12)
+            for r in rows
+        )
+        q_ppm = math.floor(n * (n + 2.0) * pico / 1e12 * 1e6)
+        assert got[t]["n"] == n
+        assert got[t]["df"] == len(rows)
+        assert got[t]["q_stat"] == q_ppm / 1e6
+        assert got[t]["reject_white_noise"] == int(
+            q_ppm > _LB_CRIT_PPM[len(rows) - 1]
+        )
+        assert got[t]["q_stat"] >= 0.0
