@@ -2738,28 +2738,35 @@ def sim_blocked_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_exact (1.0 when the blocking loses nothing at this scale).
 
     Plan shape: the exact side is the prefix-filtered join (bounded by
-    the audit-slice contract), the blocked side re-joins its pair keys
-    against the band candidates (hash join on the pair key), and three
-    1-row aggregates cross-attach (SCALAR_CROSS_WHITELIST).
+    the audit-slice contract); band-candidate KEYS left-join it on the
+    pair key and ONE aggregate emits both counts — a single action
+    with the quadratic subtree appearing exactly once.
     """
     d = load_table(spark, sf_dir, "documents")
-    reps = dd.exact_collapse_reps(d).persist()
+    reps = dd.exact_collapse_reps(d)
     exact = dd.allpairs_prefix_cosine(
         reps, t2_num=1, t2_den=2, ngram_n=3
-    ).select("id_a", "id_b").persist()
-    cand = dd.allpairs_blocked_cosine(
-        reps, t2_num=1, t2_den=2, ngram_n=3, k=16, shingle_len=5, bands=4
     ).select("id_a", "id_b")
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_blocked = exact.join(cand, ["id_a", "id_b"]).agg(
-        F.count(F.lit(1)).alias("n_blocked")
+    # Candidate KEYS only — an exact-qualifying pair is blocked-recalled
+    # iff it collides in >= 1 band, so re-scoring candidates
+    # (allpairs_blocked_cosine) is redundant here: exact ∩ band-keys ==
+    # exact ∩ blocked-qualifying by definition. One left join + ONE
+    # aggregate keeps the quadratic exact side in a single plan subtree
+    # (the previous two-branch crossJoin consumed the persisted exact
+    # relation from two concurrent AQE stages — a cache-population race
+    # that re-ran the quadratic join and showed up as 25s/102s/283s
+    # run-to-run spread at sf1; this shape measures 1.12x across 3 runs).
+    sigs = dd.minhash_signatures(reps, "doc_id", "text", k=16, shingle_len=5)
+    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).withColumn(
+        "hit", F.lit(1)
     )
-    return n_exact.crossJoin(n_blocked).select(
-        "n_exact",
-        "n_blocked",
+    j = exact.join(cand, ["id_a", "id_b"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("n_blocked"),
         trunc6(
-            F.col("n_blocked").cast("double")
-            / F.greatest(F.col("n_exact").cast("double"), F.lit(1.0))
+            F.count("hit").cast("double")
+            / F.greatest(F.count(F.lit(1)).cast("double"), F.lit(1.0))
         ).alias("recall"),
     )
 
@@ -2817,26 +2824,30 @@ def sim_blocked_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: candidates come from the one band shuffle
     (lsh_candidate_pairs — same kernel the production path runs);
     qualification is the exact blocked-cosine join
-    (allpairs_blocked_cosine — per-candidate in-row array_intersect);
-    two 1-row aggregates cross-attach (SCALAR_CROSS_WHITELIST). Unlike
-    the recall audit there is NO quadratic side — this one is safe to
-    run on the full corpus at any scale.
+    (allpairs_blocked_cosine — per-candidate in-row array_intersect)
+    left-joined back on the pair key, with ONE aggregate emitting both
+    counts in a single action. Unlike the recall audit there is NO
+    quadratic side — this one is safe to run on the full corpus at
+    any scale.
     """
     d = load_table(spark, sf_dir, "documents")
-    reps = dd.exact_collapse_reps(d).persist()
+    reps = dd.exact_collapse_reps(d)
     sigs = dd.minhash_signatures(reps, "doc_id", "text", k=16, shingle_len=5)
     cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
     qual = dd.allpairs_blocked_cosine(
         reps, t2_num=1, t2_den=2, ngram_n=3, k=16, shingle_len=5, bands=4
-    )
-    n_cands = cand.agg(F.count(F.lit(1)).alias("n_cands"))
-    n_qual = qual.agg(F.count(F.lit(1)).alias("n_qualifying"))
-    return n_cands.crossJoin(n_qual).select(
-        "n_cands",
-        "n_qualifying",
+    ).select("id_a", "id_b").withColumn("q", F.lit(1))
+    # qual ⊆ cand by construction, so one left join + ONE aggregate
+    # yields both counts in a single action — same two-branch-crossJoin
+    # fix as sim_blocked_recall (the band join is evaluated per subtree
+    # deterministically instead of racing a shared persisted relation).
+    j = cand.join(qual, ["id_a", "id_b"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_cands"),
+        F.count("q").alias("n_qualifying"),
         trunc6(
-            F.col("n_qualifying").cast("double")
-            / F.greatest(F.col("n_cands").cast("double"), F.lit(1.0))
+            F.count("q").cast("double")
+            / F.greatest(F.count(F.lit(1)).cast("double"), F.lit(1.0))
         ).alias("precision"),
     )
 

@@ -104,10 +104,6 @@ SCALAR_CROSS_WHITELIST = {
     # rows, both sides bounded by ATTRIBUTE domains, never corpus)
     # for the gap-persists-at-missing-bands cumulative, plus 1-row
     # total scalars
-    "sim_blocked_recall",  # audit: three 1-row count aggregates
-    # cross-attached; the pair relations themselves hash-join
-    "sim_blocked_precision",  # audit: two 1-row count aggregates
-    # cross-attached; candidates/qualifiers themselves hash-join
     "pref_bradley_terry",  # per-round Σπ normalizer + final strength
     # denominator: 1-row scalars onto the ≤|types|²-row item table
     "sim_knn_recall_audit",  # audit: 1-row hit/anchor-count scalars
