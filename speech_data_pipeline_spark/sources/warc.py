@@ -136,24 +136,48 @@ _SCHEMA = (
 )
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+#: Records per emitted Arrow batch in read_warc's kernel. A CC archive
+#: (~1 GB gzip → 3-5 GB HTML) must never materialize as ONE pandas
+#: frame / Arrow batch on an executor core; bounding the batch at ~1k
+#: records (~tens of MB of HTML) caps kernel-resident memory at
+#: batch-size × mean-record, independent of archive size.
+WARC_BATCH_RECORDS = 1024
+
+_COLUMNS = [
+    "warc_file", "record_id", "target_uri", "warc_date",
+    "http_status", "content_type", "html",
+]
+
+
+def record_batches(
+    batches: Iterator[pd.DataFrame], batch_records: int = WARC_BATCH_RECORDS
+) -> Iterator[pd.DataFrame]:
+    """The mapInPandas kernel behind :func:`read_warc`, module-level so
+    tests can drive its chunking contract directly: explode
+    (content, path) archive rows into response-record frames of at most
+    ``batch_records`` rows each."""
+    rows: list[dict] = []
+    for pdf in batches:
+        for payload, p in zip(pdf["content"], pdf["path"]):
+            for row in iter_response_rows(bytes(payload), p):
+                rows.append(row)
+                if len(rows) >= batch_records:
+                    yield pd.DataFrame(rows, columns=_COLUMNS)
+                    rows = []
+    yield pd.DataFrame(rows, columns=_COLUMNS)
+
+
+def read_warc(
+    spark: SparkSession, path: str, batch_records: int = WARC_BATCH_RECORDS
+) -> DataFrame:
     """Load WARC archive(s) at ``path`` (file/dir/glob) into one row
-    per 200-OK text/html response record."""
+    per 200-OK text/html response record. Records stream out of the
+    kernel in ≤``batch_records``-row pandas frames so an archive's
+    decompressed HTML is never resident all at once (the gzip members
+    already decompress one record at a time)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                row
-                for payload, p in zip(pdf["content"], pdf["path"])
-                for row in iter_response_rows(bytes(payload), p)
-            ]
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "warc_file", "record_id", "target_uri", "warc_date",
-                    "http_status", "content_type", "html",
-                ],
-            )
+        yield from record_batches(batches, batch_records)
 
     return (
         spark.read.format("binaryFile")
