@@ -651,11 +651,14 @@ def sample_frames(
 
 def decode_image_bytes(payload: bytes) -> "np.ndarray":  # noqa: F821
     """Magic-byte image decode to a float64 grayscale (H, W) array in
-    [0, 1]. PNG and GIF are REAL (pure NumPy + stdlib zlib,
-    operators/png.py — all color types, 1-16 bit, all filters, CRC-
-    verified — and operators/gif.py — LZW, interlace, transparency;
-    first frame for animations); multi-channel images collapse to luma
-    by mean. JPEG/WebP/AVIF raise — perceptual codecs stay the
+    [0, 1]. PNG, GIF, baseline JPEG, and lossless WebP are REAL (pure
+    NumPy + stdlib zlib: operators/png.py — all color types, 1-16 bit,
+    all filters, CRC-verified; operators/gif.py — LZW, interlace,
+    transparency, first frame for animations; operators/jpeg.py —
+    sequential DCT, Huffman, 4:2:0/4:2:2/4:4:4, restart markers;
+    operators/webp.py — VP8L transforms, color cache, LZ77,
+    meta-Huffman); multi-channel images collapse to luma by mean.
+    Lossy WebP (VP8)/AVIF/progressive-JPEG raise — those stay the
     documented external-backend seam.
     """
     import numpy as np
@@ -674,9 +677,25 @@ def decode_image_bytes(payload: bytes) -> "np.ndarray":  # noqa: F821
 
         px = decode_gif_bytes(b)["frames"][0]["pixels"].astype(np.float64)
         return px[..., :3].mean(axis=2) / 255.0
+    if b[:2] == b"\xff\xd8":
+        from speech_data_pipeline_spark.operators.jpeg import (
+            decode_jpeg_bytes,
+        )
+
+        d = decode_jpeg_bytes(b)
+        px = d["pixels"].astype(np.float64)
+        gray = px[..., :3].mean(axis=2) if d["channels"] >= 3 else px[..., 0]
+        return gray / 255.0
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from speech_data_pipeline_spark.operators.webp import (
+            decode_webp_bytes,
+        )
+
+        px = decode_webp_bytes(b)["pixels"].astype(np.float64)
+        return px[..., :3].mean(axis=2) / 255.0
     raise NotImplementedError(
-        "non-PNG/GIF image decode requires codec libraries not in this "
-        "environment (PIL/libjpeg)"
+        "non-PNG/GIF/JPEG/lossless-WebP image decode requires codec "
+        "libraries not in this environment (PIL/libwebp-VP8)"
     )
 
 
