@@ -84,3 +84,61 @@ def budgeted_topk(
         .where(F.col("_cum") <= budget)
         .drop("_cum")
     )
+
+
+def ranged_cumsum_before(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out: str = "cum_before",
+    bucket_width: int = 65536,
+) -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum of ``val_col`` in ``order_col``
+    order — the scalable replacement for an unpartitioned
+    ``sum().over(Window.orderBy(...))`` when the ordered relation is
+    too large for one task (e.g. a DISTINCT-value table whose domain is
+    millions of grid points, not a driver-known constant).
+
+    Two-level scan over DETERMINISTIC value buckets ``order_col div
+    bucket_width`` (order-preserving, computed from the value itself —
+    no range-exchange sampling, no spark_partition_id, so the bucket
+    of a row can never disagree between the two plan branches even if
+    the shared subtree is re-evaluated): the running sum runs LOCALLY
+    within each bucket, then each bucket's offset — the prefix sum of
+    per-bucket totals — is computed by a window over only the
+    bucket-total table and broadcast back. The only partition-less
+    window in the plan therefore sorts |domain| / bucket_width rows,
+    never the input relation.
+
+    Intended for integer ``order_col`` with a value-domain-bounded
+    range (distinct-value/grid tables): per-bucket rows ≤ bucket_width
+    when the input holds distinct values, and the offset table is
+    domain/width rows (e.g. a 10⁷-cent price grid at the default
+    width → ≤153 bucket rows).
+
+    Returns ``df``'s columns plus ``out``.
+    """
+    b = df.withColumn(
+        "_bkt", (F.col(order_col) - (F.col(order_col) % bucket_width))
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn(
+        "_lcum", F.coalesce(F.sum(val_col).over(w_in), F.lit(0).cast("long"))
+    )
+    ptot = b.groupBy("_bkt").agg(F.sum(val_col).alias("_pc"))
+    w_p = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = ptot.select(
+        "_bkt",
+        F.coalesce(F.sum("_pc").over(w_p), F.lit(0).cast("long")).alias(
+            "_poff"
+        ),
+    )
+    return (
+        local.join(F.broadcast(off), "_bkt")
+        .withColumn(out, F.col("_lcum") + F.col("_poff"))
+        .drop("_bkt", "_lcum", "_poff")
+    )

@@ -2236,7 +2236,11 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine float accumulation anywhere.
 
     Plan shape: everything rides the ACF plan (|types|·|days| cells,
-    partitioned lead windows) plus one |types|-row aggregate.
+    partitioned lead windows) plus ONE |types|-row aggregate — n/df
+    and the Q ppm come out of the same groupBy, so the events-scan ACF
+    subtree appears exactly once in the plan (a second aggregate +
+    self-join would duplicate it per action — the same two-branch
+    shape the blocking audits removed).
     """
     acf = ts_acf_lags(spark, sf_dir)
     terms = acf.select(
@@ -2254,8 +2258,6 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = terms.groupBy("event_type").agg(
         F.max("n").alias("n"),
         F.count(F.lit(1)).alias("df"),
-    )
-    qs = terms.groupBy("event_type").agg(
         F.floor(
             F.max("n").cast("double")
             * (F.max("n").cast("double") + F.lit(2.0))
@@ -2267,19 +2269,15 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q_ppm"),
     )
     crit = F.array(*[F.lit(c).cast("long") for c in _LB_CRIT_PPM])
-    return (
-        q.join(qs, "event_type")
-        .select(
-            "event_type",
-            F.col("n").cast("long").alias("n"),
-            F.col("df").cast("long").alias("df"),
-            (F.col("q_ppm").cast("double") / F.lit(1e6)).alias("q_stat"),
-            F.when(
-                F.col("q_ppm")
-                > F.element_at(crit, F.col("df").cast("int")),
-                1,
-            )
-            .otherwise(0)
-            .alias("reject_white_noise"),
+    return q.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("df").cast("long").alias("df"),
+        (F.col("q_ppm").cast("double") / F.lit(1e6)).alias("q_stat"),
+        F.when(
+            F.col("q_ppm") > F.element_at(crit, F.col("df").cast("int")),
+            1,
         )
+        .otherwise(0)
+        .alias("reject_white_noise"),
     )

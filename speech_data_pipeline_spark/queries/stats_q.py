@@ -1955,13 +1955,23 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ(2r)² ≤ 4n³ — exact past 10¹¹ rows) and ρ is one float assembly
     (the ×2 scale cancels in the Pearson ratio).
 
-    Plan shape at 100 TB: two grouped counts (value-domain bounded:
-    quantity ≤ 50 distinct, cent prices bounded by the price grid),
-    two whitelisted rank windows over those DISTINCT-value tables
-    (never corpus rows), two equi-joins back to the fact rows (the
+    Plan shape at 100 TB: two grouped counts over the DISTINCT value
+    domains (quantity ≤ 50 distinct; cent prices are a ~10⁶-10⁷-point
+    grid — value-domain bounded but NOT one-task small), so the
+    midrank running sums go through ``ranged_cumsum_before``:
+    deterministic width-65536 value buckets (no sampling, no
+    partition ids — bucket assignment can never diverge between plan
+    branches), local per-bucket cumsums, and a bucket-offset window
+    over only the ≤|domain|/65536 bucket-total rows (≤153 for the
+    cent grid) — the single partition-less window in the plan, never
+    the value table. Then two equi-joins back to the fact rows (the
     50-row quantity side broadcasts; the price side is an ordinary
     shuffle join on a bounded key domain), one 1-row aggregate.
     """
+    from speech_data_pipeline_spark.operators.windows import (
+        ranged_cumsum_before,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     rows_q = li.select(
         F.col("l_quantity").cast("long").alias("qx"),
@@ -1972,16 +1982,9 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rank2(col: str, out: str) -> DataFrame:
         byv = rows_q.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
-        w_prev = Window.orderBy(col).rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        return byv.select(
+        return ranged_cumsum_before(byv, col, "c", out="_cb").select(
             col,
-            (
-                2 * F.coalesce(F.sum("c").over(w_prev), F.lit(0))
-                + F.col("c")
-                + 1
-            ).alias(out),
+            (2 * F.col("_cb") + F.col("c") + 1).alias(out),
         )
 
     joined = rows_q.join(rank2("qx", "rx2"), "qx").join(
@@ -2190,9 +2193,10 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT CAST(sum(obs) AS BIGINT) AS tot FROM o),
     cells AS (
       SELECT CAST(floor(
-               CAST((CAST(obs AS HUGEINT) * tot - CAST(rt AS HUGEINT) * ct)
-                    * (CAST(obs AS HUGEINT) * tot - CAST(rt AS HUGEINT) * ct)
+               CAST(CAST(obs AS HUGEINT) * tot - CAST(rt AS HUGEINT) * ct
                     AS DOUBLE)
+               * CAST(CAST(obs AS HUGEINT) * tot - CAST(rt AS HUGEINT) * ct
+                      AS DOUBLE)
                / (CAST(tot AS DOUBLE) * CAST(CAST(rt AS HUGEINT) * ct
                                              AS DOUBLE))
                * 1000000000.0) AS HUGEINT) AS dev_nano
@@ -2227,9 +2231,17 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     meaningfully away from 0 and the normalization is what the oracle
     checks.
 
-    Exactness: per-cell deviation uses the integer identity
-    ``(O·n − rm·cm)² / (n·rm·cm)`` — numerator exact in DECIMAL(38,0),
-    ONE per-row float divide, quantized per-cell to nano units so the
+    Exactness + validity bound: the per-cell deviation uses the
+    integer identity ``(O·n − rm·cm)² / (n·rm·cm)``. The LINEAR
+    numerator ``O·n − rm·cm`` is computed exactly in DECIMAL(38,0) /
+    HUGEINT — |num| ≤ n², so it stays exact to n ≈ 1.3·10¹⁹ rows —
+    then cast to double and squared in FLOAT space on both engines
+    (identical IEEE round-to-nearest of the same integer → identical
+    doubles → identical squares). Squaring inside the integer type
+    would bound validity at n⁴ < 10³⁸ ⇒ n ≲ 3·10⁹ rows — inside the
+    100 TB envelope, with Spark decimal overflow yielding silent NULLs;
+    the double-square form keeps the whole pipeline valid at any
+    realistic corpus size. Each cell quantizes to nano units so the
     cross-cell sum is an integer (order-immune across engines and
     partitionings, unlike a float Σ); χ² and V are single assemblies
     from that one integer.
@@ -2250,11 +2262,13 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("ls").alias("nc"),
     )
     d38 = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
-    num = d38(F.col("obs")) * d38(F.col("tot")) - d38(F.col("rt")) * d38(
-        F.col("ct")
-    )
+    num = (
+        d38(F.col("obs")) * d38(F.col("tot"))
+        - d38(F.col("rt")) * d38(F.col("ct"))
+    ).cast("double")
     dev_nano = F.floor(
-        (num * num).cast("double")
+        num
+        * num
         / (
             F.col("tot").cast("double")
             * (d38(F.col("rt")) * d38(F.col("ct"))).cast("double")
@@ -2289,4 +2303,221 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F (between-groups variance test)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_anova_f",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS mv
+      FROM events
+    ), g AS (
+      SELECT event_type, count(*) AS ng,
+             CAST(sum(CAST(mv AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(mv AS HUGEINT) * mv) AS HUGEINT) AS s2
+      FROM q GROUP BY event_type
+    ), cells AS (
+      SELECT ng, s1, s2,
+             CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(ng AS DOUBLE) AS t
+      FROM g
+    ), m AS (
+      SELECT CAST(sum(ng) AS HUGEINT) AS n, count(*) AS k,
+             CAST(sum(s1) AS HUGEINT) AS gs1,
+             CAST(sum(s2) AS HUGEINT) AS gs2,
+             list_reduce(list_prepend(0.0, list(t ORDER BY t)),
+                         (a, b) -> a + b) AS tsum
+      FROM cells
+    ), d AS (
+      SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+             tsum
+               - CAST(gs1 AS DOUBLE) * CAST(gs1 AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS ssb_milli2,
+             CAST(gs2 AS DOUBLE) - tsum AS ssw_milli2
+      FROM m
+    )
+    SELECT n, k,
+           floor(ssb_milli2 / 1000000.0 * 1000000.0) / 1000000.0
+             AS ss_between,
+           floor(ssw_milli2 / 1000000.0 * 1000000.0) / 1000000.0
+             AS ss_within,
+           floor((ssb_milli2 / (k - 1)) / (ssw_milli2 / (n - k))
+                 * 1000000.0) / 1000000.0 AS f_stat
+    FROM d
+    """,
+)
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test: does mean event ``value`` differ across
+    event types? The k-group generalization of ``ab_welch_ttest``'s
+    two-arm comparison — the screening test a corpus owner runs before
+    pairwise drill-downs.
+
+    Exactness: per-group integer moment sums (n_g, Σx, Σx²) on the
+    milli-unit grid ride DECIMAL(38,0)/HUGEINT (exact at any corpus
+    size); the ONE float expression per group, (Σx)²/n_g (linear sum
+    exact, squared in DOUBLE — the stats_cramers_v discipline), is
+    summed across groups by a SORTED FOLD: collect the ≤|types| terms,
+    sort ascending, fold left-to-right from 0.0 — both engines execute
+    the identical IEEE addition sequence, so the sum is bit-equal
+    without any fixed-point quantization (a nano grid would overflow
+    BIGINT here: ANOVA sums of squares span too many decades for one
+    fixed scale). SSB/SSW are then single assemblies; ss_between/
+    ss_within are reported in natural value units (the milli² grid
+    de-scales by 10⁶; F itself is scale-free).
+
+    Plan shape at 100 TB: ONE grouped aggregate over the corpus
+    (|types| rows out, map-side partial), one |types|-row re-aggregate
+    (the collect_list is the bounded group-term list, never rows),
+    one 1-row assembly — no windows, no joins, no second pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mv = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    q = ev.select("event_type", mv.alias("mv"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(d38(F.col("mv"))).alias("s1"),
+        F.sum(d38(F.col("mv")) * d38(F.col("mv"))).alias("s2"),
+    )
+    s1_d = F.col("s1").cast("double")
+    term = s1_d * s1_d / F.col("ng").cast("double")
+    m = g.agg(
+        F.sum("ng").cast("decimal(38,0)").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s1").alias("gs1"),
+        F.sum("s2").alias("gs2"),
+        F.sort_array(F.collect_list(term)).alias("ts"),
+    )
+    tsum = F.aggregate("ts", F.lit(0.0), lambda a, x: a + x)
+    n_d = F.col("n").cast("double")
+    gs1_d = F.col("gs1").cast("double")
+    ssb = tsum - gs1_d * gs1_d / n_d
+    ssw = F.col("gs2").cast("double") - tsum
+    kk = F.col("k").cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        trunc6(ssb / F.lit(1e6)).alias("ss_between"),
+        trunc6(ssw / F.lit(1e6)).alias("ss_within"),
+        trunc6(
+            (ssb / (kk - F.lit(1.0)))
+            / (ssw / (n_d - kk))
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test (daily activity series)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON a.day < b.day
+    ), nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM daily
+    ), ties AS (
+      SELECT coalesce(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+               AS tie_term
+      FROM (SELECT count(*) AS t FROM daily GROUP BY x)
+      WHERE t > 1
+    )
+    SELECT n, s_stat,
+           floor((CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                  / 18.0) * 1000000.0) / 1000000.0 AS var_s,
+           floor((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                       ELSE 0.0 END
+                  / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term
+                              AS DOUBLE) / 18.0))
+                 * 1000000.0) / 1000000.0 AS z_stat
+    FROM s CROSS JOIN nn CROSS JOIN ties
+    """,
+)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test over the daily total event
+    value series — the nonparametric companion of ``stats_theil_sen``
+    (that query estimates the slope; this one tests whether ANY
+    monotone trend is distinguishable from noise): ``S = Σ_{i<j}
+    sign(x_j − x_i)`` over day pairs, tie-corrected variance, and the
+    continuity-corrected z statistic.
+
+    Exactness: daily totals are exact milli-grid integers (one grouped
+    sum), S and the tie term are pure integer aggregates, and var_s/z
+    are single float assemblies — nothing accumulates in float.
+
+    Plan shape at 100 TB: one corpus pass groups to the DAY grid
+    (observation-window bounded — weeks, never rows); the pair join
+    and tie grouping run over that bounded day table (|days|² pairs ≈
+    10³-10⁴ for a quarter, broadcast-joined); three 1-row aggregates
+    cross-attach.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mv = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    daily = (
+        ev.select(
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+            mv.alias("mv"),
+        )
+        .groupBy("day")
+        .agg(F.sum("mv").cast("long").alias("x"))
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(t > 1)
+        .agg(
+            F.coalesce(
+                F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    j = s.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    var_num = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double")
+    z_num = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "n",
+        "s_stat",
+        trunc6(var_num / F.lit(18.0)).alias("var_s"),
+        trunc6(z_num / F.sqrt(var_num / F.lit(18.0))).alias("z_stat"),
     )

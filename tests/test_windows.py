@@ -37,3 +37,41 @@ def test_budgeted_topk_longest_first(spark):
     # 50 + 40 = 90 <= 100; +30 would exceed -> stops (cumsum semantics:
     # 30 makes 120 > 100, 20 makes 110 > 100 - neither admitted)
     assert out == [(1, 50), (2, 40)]
+
+
+def test_ranged_cumsum_before_matches_naive(spark):
+    """The two-level value-bucketed scan must equal the naive global
+    exclusive prefix sum for every row, regardless of where the sampled
+    bucket boundaries fall (here: 200 distinct keys in [0, 10000)
+    over width-1024 value buckets → 10 buckets)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from speech_data_pipeline_spark.operators.windows import (
+        ranged_cumsum_before,
+    )
+
+    rng = random.Random(7)
+    rows = [(k, rng.randrange(1, 100)) for k in rng.sample(range(10_000), 200)]
+    df = spark.createDataFrame(rows, "v long, c long")
+    got = {
+        r["v"]: r["cum_before"]
+        for r in ranged_cumsum_before(df, "v", "c", bucket_width=1024).collect()
+    }
+    run, want = 0, {}
+    for v, c in sorted(rows):
+        want[v] = run
+        run += c
+    assert got == want
+
+
+def test_ranged_cumsum_before_single_row_and_empty(spark):
+    from speech_data_pipeline_spark.operators.windows import (
+        ranged_cumsum_before,
+    )
+
+    one = spark.createDataFrame([(5, 3)], "v long, c long")
+    assert ranged_cumsum_before(one, "v", "c").collect()[0]["cum_before"] == 0
+    empty = spark.createDataFrame([], "v long, c long")
+    assert ranged_cumsum_before(empty, "v", "c").count() == 0
