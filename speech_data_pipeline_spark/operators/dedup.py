@@ -845,9 +845,71 @@ def allpairs_blocked_cosine(
     (``t²·max(na,nb) ≤ min(na,nb)``, same bound as the prefix
     operator) prunes candidates BEFORE the array-carrying joins.
     """
+    ver = blocked_overlap_pairs(
+        df, id_col, text_col,
+        ngram_n=ngram_n, k=k, shingle_len=shingle_len, bands=bands,
+        size_ratio=(t2_num, t2_den),
+    ).where(
+        F.col("ov") * F.col("ov") * t2_den
+        >= F.lit(t2_num) * F.col("na") * F.col("nb")
+    )
+    return ver.select(
+        "id_a",
+        "id_b",
+        F.col("ov").alias("n_overlap"),
+        trunc6(
+            F.col("ov").cast("double")
+            / F.sqrt(
+                F.col("na").cast("double") * F.col("nb").cast("double")
+            )
+        ).alias("cosine"),
+    )
+
+
+def blocked_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+    k: int = 16,
+    shingle_len: int = 5,
+    bands: int = 4,
+    size_ratio: tuple[int, int] | None = None,
+    candidates: str = "bands",
+    max_df: int = 20,
+) -> DataFrame:
+    """Shared blocked overlap core: every candidate pair with its
+    exact word-``ngram_n``-gram set overlap — ``(id_a, id_b, ov, na,
+    nb)`` — from which callers derive cosine
+    (:func:`allpairs_blocked_cosine`), containment
+    (:func:`allpairs_blocked_containment`), or score histograms
+    without re-deriving the candidate/verify chain.
+
+    ``candidates`` picks the blocking, matched to the score's geometry:
+
+    - ``"bands"`` — MinHash/LSH band collisions (the
+      lsh_candidate_pairs kernel). Right for SYMMETRIC scores
+      (cosine/Jaccard): collision probability tracks Jaccard.
+    - ``"rare-grams"`` — pairs sharing ≥1 globally RARE word n-gram
+      (document frequency ≤ ``max_df``; the ngram_jaccard_pairs
+      stop-shingle discipline). Right for CONTAINMENT: a paragraph
+      embedded in a much longer page has near-zero Jaccard with it —
+      MinHash bands almost never collide BY DESIGN — but its rare
+      grams all occur in the host, so any one of them keys the pair.
+      Join cost is Σ_{rare} df² ≤ max_df·|grams| — linear in corpus.
+
+    ``size_ratio=(t2_num, t2_den)`` applies the cosine size bound
+    ``t²·max(na,nb) ≤ min(na,nb)`` on lean (id, n) rows BEFORE the
+    array-carrying joins (valid only for symmetric scores; containment
+    has no size prune: a tiny document fully contained in a huge one
+    is exactly the signal). ``None`` keeps all candidates.
+
+    100 TB shape: one candidate shuffle (band hash or rare-gram key),
+    two hash joins on id attaching gram arrays, in-row
+    ``array_intersect`` — the allpairs_blocked_cosine plan minus its
+    threshold filter.
+    """
     df = _ensure_parallelism(df).persist()
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_len)
-    cand = lsh_candidate_pairs(sigs, bands, k // bands)
     features = (
         word_ngrams(F.col(text_col), ngram_n)
         if ngram_n > 1
@@ -864,24 +926,43 @@ def allpairs_blocked_cosine(
         .where(F.col("n") > 0)
         .persist()
     )
-    sa = sets.select(
-        F.col("id").alias("id_a"), F.col("n").alias("na")
-    )
-    sb = sets.select(
-        F.col("id").alias("id_b"), F.col("n").alias("nb")
-    )
-    # size filter on lean (id, n) rows first: cos >= t forces
-    # t2_num*max <= t2_den*min (exact integers) — candidates failing
-    # it never touch the array-carrying verify joins
-    sized = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(
-            (F.col("na") * t2_num <= F.col("nb") * t2_den)
-            & (F.col("nb") * t2_num <= F.col("na") * t2_den)
+    if candidates == "bands":
+        sigs = minhash_signatures(df, id_col, text_col, k, shingle_len)
+        cand = lsh_candidate_pairs(sigs, bands, k // bands)
+    elif candidates == "rare-grams":
+        from pyspark.sql import Window as _W
+
+        ex = sets.select("id", F.explode("arr").alias("g"))
+        w_g = _W.partitionBy("g")
+        rare = ex.withColumn("_df", F.count(F.lit(1)).over(w_g)).where(
+            F.col("_df") <= max_df
         )
-        .select("id_a", "id_b")
-    )
+        ra = rare.select(F.col("id").alias("id_a"), "g")
+        rb = rare.select(F.col("id").alias("id_b"), "g")
+        cand = (
+            ra.join(rb, "g")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown candidate mode {candidates!r}")
+    if size_ratio is not None:
+        t2_num, t2_den = size_ratio
+        sa = sets.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+        sb = sets.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+        # size filter on lean (id, n) rows first: cos >= t forces
+        # t2_num*max <= t2_den*min (exact integers) — candidates
+        # failing it never touch the array-carrying verify joins
+        cand = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .where(
+                (F.col("na") * t2_num <= F.col("nb") * t2_den)
+                & (F.col("nb") * t2_num <= F.col("na") * t2_den)
+            )
+            .select("id_a", "id_b")
+        )
     va = sets.select(
         F.col("id").alias("id_a"),
         F.col("arr").alias("arr_a"),
@@ -892,25 +973,60 @@ def allpairs_blocked_cosine(
         F.col("arr").alias("arr_b"),
         F.col("n").alias("nb"),
     )
-    ver = (
-        sized.join(va, "id_a")
+    return (
+        cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "ov", F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
         )
-        .where(
-            F.col("ov") * F.col("ov") * t2_den
-            >= F.lit(t2_num) * F.col("na") * F.col("nb")
-        )
+        .select("id_a", "id_b", "ov", "na", "nb")
     )
-    return ver.select(
+
+
+def allpairs_blocked_containment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    c_num: int = 4,
+    c_den: int = 5,
+    ngram_n: int = 3,
+    max_df: int = 20,
+) -> DataFrame:
+    """ASYMMETRIC containment dedup over rare-gram blocks: emit
+    candidate pairs whose exact word-``ngram_n``-gram CONTAINMENT
+    ``|A∩B| / min(|A|, |B|)`` is ≥ ``c_num/c_den`` — the sub-document
+    duplication signal cosine misses (a paragraph pasted into a much
+    longer page scores high containment but low cosine, because the
+    √(na·nb) denominator punishes the size gap). The standard
+    complement to near-dup cosine in web-corpus curation
+    (boilerplate, quote-heavy mirrors, partial scrapes).
+
+    Candidates come from the RARE-GRAM join, not MinHash bands —
+    containment pairs have near-zero Jaccard by construction, so band
+    collision probability is ~0 for exactly the pairs this operator
+    exists to find; sharing one globally rare gram (df ≤ ``max_df``)
+    is the right key (see blocked_overlap_pairs ``candidates``).
+
+    Output: ``(id_a, id_b, n_overlap, containment)`` with containment
+    exact (trunc6) — NO size prune (smallness of one side is the
+    point; see blocked_overlap_pairs).
+
+    100 TB shape: one gram explode + df window + rare-key equi-join
+    (Σ df² ≤ max_df·|grams| — linear), then the shared verify joins.
+    """
+    pairs = blocked_overlap_pairs(
+        df, id_col, text_col,
+        ngram_n=ngram_n, size_ratio=None,
+        candidates="rare-grams", max_df=max_df,
+    )
+    return pairs.where(
+        F.col("ov") * c_den >= F.lit(c_num) * F.least("na", "nb")
+    ).select(
         "id_a",
         "id_b",
         F.col("ov").alias("n_overlap"),
         trunc6(
             F.col("ov").cast("double")
-            / F.sqrt(
-                F.col("na").cast("double") * F.col("nb").cast("double")
-            )
-        ).alias("cosine"),
+            / F.least("na", "nb").cast("double")
+        ).alias("containment"),
     )

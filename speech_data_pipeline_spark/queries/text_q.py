@@ -2684,19 +2684,34 @@ def sim_allpairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sim_blocked_recall slice knobs: the audit's ground-truth side is the
+#: Σdf² exact all-pairs join, affordable only on a BOUNDED document
+#: slice — so the bound lives in code, not prose (the sim_knn_recall
+#: audit's anchor-cap pattern): reps with ``doc_id % MOD == 0 AND
+#: doc_id < MOD·CAP``. At sf0.01 that is ~half the corpus (ids 0-499);
+#: from sf0.1 on it is a FIXED ≤2000-rep slice, so the exact side is
+#: ≤2000² prefix-filtered work at every scale, never corpus-quadratic.
+_BLK_RECALL_MOD = 2
+_BLK_RECALL_CAP = 2000
+
+
 @query(
     "sim_blocked_recall",
     oracle=f"""
     WITH reps AS (
       {_EXACT_COLLAPSE}
-    ), {_minhash_sigs_cte(k=16, shingle_len=5, src="reps")}, cands AS (
+    ), srep AS (
+      SELECT * FROM reps
+      WHERE doc_id % {_BLK_RECALL_MOD} = 0
+        AND doc_id < {_BLK_RECALL_MOD * _BLK_RECALL_CAP}
+    ), {_minhash_sigs_cte(k=16, shingle_len=5, src="srep")}, cands AS (
       SELECT a.id AS id_a, b.id AS id_b
       FROM sigs a JOIN sigs b ON a.id < b.id
       WHERE ({_band_share_sql(k=16, bands=4)})
     ), toks AS (
       SELECT doc_id AS id,
              regexp_extract_all(lower(text), '[a-z]+') AS t
-      FROM reps
+      FROM srep
     ), sets AS (
       SELECT id,
              list_distinct(list_transform(
@@ -2722,28 +2737,47 @@ def sim_allpairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * 1000000.0) / 1000000.0 AS recall
     """,
 )
-def sim_blocked_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_blocked_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    slice_mod: int | None = _BLK_RECALL_MOD,
+    slice_cap: int = _BLK_RECALL_CAP,
+) -> DataFrame:
     """Measured pair RECALL of the LSH blocking behind
-    ``sim_allpairs_blocked``: what fraction of the global exact-join's
+    ``sim_allpairs_blocked``: what fraction of the exact join's
     qualifying pairs (``sim_allpairs_prefix`` semantics, t = 1/√2)
     survive the band-collision candidate filter. Turns the 'recall is
     the LSH collision probability' contract into a number the corpus
     owner can track — the standard production audit before trusting an
-    approximate path at full scale (run it on a sampled slice; the
-    exact side is the quadratic diagnostic, affordable there only).
+    approximate path at full scale.
+
+    The quadratic ground-truth side runs on a CODE-ENFORCED document
+    slice (rep ids with ``doc_id % slice_mod == 0 AND doc_id <
+    slice_mod·slice_cap`` — the ``sim_knn_recall_audit`` anchor-cap
+    pattern), so the exact join is ≤ slice_cap² prefix-filtered work at
+    every scale instead of corpus-quadratic. Band collision of a pair
+    depends only on the two endpoints' signatures, so restricting BOTH
+    sides to the slice leaves the recall definition unchanged on the
+    slice. Pass ``slice_mod=None`` to run the full-corpus diagnostic
+    form deliberately (the pre-round-8 behavior) — never the gate row.
 
     Output: one row ``(n_exact, n_blocked, recall)``. ``n_blocked``
     counts exact-qualifying pairs that are ALSO band candidates, so
     n_blocked ≤ n_exact by construction and recall = n_blocked /
     n_exact (1.0 when the blocking loses nothing at this scale).
 
-    Plan shape: the exact side is the prefix-filtered join (bounded by
-    the audit-slice contract); band-candidate KEYS left-join it on the
-    pair key and ONE aggregate emits both counts — a single action
-    with the quadratic subtree appearing exactly once.
+    Plan shape: the exact side is the prefix-filtered join over the
+    ≤ slice_cap-rep slice; band-candidate KEYS (same slice) left-join
+    it on the pair key and ONE aggregate emits both counts — a single
+    action with the bounded-quadratic subtree appearing exactly once.
     """
     d = load_table(spark, sf_dir, "documents")
     reps = dd.exact_collapse_reps(d)
+    if slice_mod is not None:
+        reps = reps.where(
+            ((F.col("doc_id") % slice_mod) == 0)
+            & (F.col("doc_id") < slice_mod * slice_cap)
+        )
     exact = dd.allpairs_prefix_cosine(
         reps, t2_num=1, t2_den=2, ngram_n=3
     ).select("id_a", "id_b")
@@ -2821,32 +2855,62 @@ def sim_blocked_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row ``(n_cands, n_qualifying, precision)`` with
     n_qualifying ≤ n_cands by construction.
 
-    Plan shape: candidates come from the one band shuffle
-    (lsh_candidate_pairs — same kernel the production path runs);
-    qualification is the exact blocked-cosine join
-    (allpairs_blocked_cosine — per-candidate in-row array_intersect)
-    left-joined back on the pair key, with ONE aggregate emitting both
-    counts in a single action. Unlike the recall audit there is NO
-    quadratic side — this one is safe to run on the full corpus at
-    any scale.
+    Plan shape: ONE pass over blocked_overlap_pairs — the band kernel
+    runs once, every candidate carries its exact (ov, na, nb), and a
+    single aggregate counts candidates and in-row evaluates the
+    qualification predicate (round 8: the previous shape evaluated
+    the candidate chain twice — once bare for n_cands, once inside
+    the scoring composition for n_qualifying — making this the most
+    expensive registry row at 7.4s/sf0.1; the one-pass form halves
+    the work with identical counts, since qual ⊆ cand and the
+    predicate is a per-row integer comparison). The count keeps the
+    original contract — every band-collision pair counts, including
+    pairs whose side has an empty gram set (left-joined, never
+    qualifying). Unlike the recall audit there is NO quadratic side —
+    safe on the full corpus at any scale.
     """
     d = load_table(spark, sf_dir, "documents")
     reps = dd.exact_collapse_reps(d)
     sigs = dd.minhash_signatures(reps, "doc_id", "text", k=16, shingle_len=5)
     cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
-    qual = dd.allpairs_blocked_cosine(
-        reps, t2_num=1, t2_den=2, ngram_n=3, k=16, shingle_len=5, bands=4
-    ).select("id_a", "id_b").withColumn("q", F.lit(1))
-    # qual ⊆ cand by construction, so one left join + ONE aggregate
-    # yields both counts in a single action — same two-branch-crossJoin
-    # fix as sim_blocked_recall (the band join is evaluated per subtree
-    # deterministically instead of racing a shared persisted relation).
-    j = cand.join(qual, ["id_a", "id_b"], "left")
-    return j.agg(
+    features = dd.word_ngrams(F.col("text"), 3)
+    sets = (
+        reps.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(features).alias("arr"),
+        )
+        .withColumn("n", F.size("arr").cast("long"))
+        .where(F.col("n") > 0)
+    )
+    va = sets.select(
+        F.col("id").alias("id_a"), F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
+    )
+    vb = sets.select(
+        F.col("id").alias("id_b"), F.col("arr").alias("arr_b"),
+        F.col("n").alias("nb"),
+    )
+    scored = (
+        cand.join(va, "id_a", "left")
+        .join(vb, "id_b", "left")
+        .select(
+            F.when(
+                F.col("arr_a").isNotNull() & F.col("arr_b").isNotNull(),
+                F.size(F.array_intersect("arr_a", "arr_b")).cast("long"),
+            ).alias("ov"),
+            "na",
+            "nb",
+        )
+    )
+    q = (
+        F.col("ov").isNotNull()
+        & (F.col("ov") * F.col("ov") * 2 >= F.col("na") * F.col("nb"))
+    )
+    return scored.agg(
         F.count(F.lit(1)).alias("n_cands"),
-        F.count("q").alias("n_qualifying"),
+        F.sum(q.cast("long")).alias("n_qualifying"),
         trunc6(
-            F.count("q").cast("double")
+            F.sum(q.cast("long")).cast("double")
             / F.greatest(F.count(F.lit(1)).cast("double"), F.lit(1.0))
         ).alias("precision"),
     )
@@ -4323,4 +4387,251 @@ def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(
             F.sum("pos").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("base_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup + blocking score histogram (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH reps AS (
+      {_EXACT_COLLAPSE}
+    ), toks AS (
+      SELECT doc_id AS id,
+             regexp_extract_all(lower(text), '[a-z]+') AS t
+      FROM reps
+    ), sets AS (
+      SELECT id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS arr
+      FROM toks
+    ), sized AS (
+      SELECT id, arr, len(arr) AS n FROM sets WHERE len(arr) > 0
+    ), ex AS (
+      SELECT id, unnest(arr) AS g FROM sized
+    ), gdf AS (
+      SELECT g, count(*) AS d FROM ex GROUP BY g
+    ), rare AS (
+      SELECT e.id, e.g FROM ex e JOIN gdf USING (g) WHERE d <= 20
+    ), cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM rare a JOIN rare b ON a.g = b.g AND a.id < b.id
+    ), scored AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(a.arr, b.arr)) AS ov,
+             a.n AS na, b.n AS nb
+      FROM cands c
+      JOIN sized a ON a.id = c.id_a
+      JOIN sized b ON b.id = c.id_b
+    )
+    SELECT id_a, id_b, ov AS n_overlap,
+           floor(CAST(ov AS DOUBLE) / CAST(least(na, nb) AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS containment
+    FROM scored
+    WHERE ov * 5 >= 4 * least(na, nb)
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication: rare-gram candidate pairs whose
+    word-3-gram CONTAINMENT ``|A∩B|/min(|A|,|B|)`` is ≥ 0.8
+    (operators/dedup.py:allpairs_blocked_containment). The asymmetric
+    complement of ``sim_allpairs_blocked``: a paragraph pasted into a
+    much longer page scores high here and LOW on cosine (the √(na·nb)
+    denominator punishes the size gap), which is why web-corpus
+    curation runs both. Candidates come from sharing ≥1 globally RARE
+    gram (df ≤ 20) instead of MinHash bands — containment pairs have
+    near-zero Jaccard by construction, so band collisions would miss
+    exactly the pairs this query exists to find. Identical texts
+    exact-collapse first (the shared mega-cluster contract); no size
+    prune — the small side being small IS the signal.
+
+    100 TB shape: gram explode + df window + rare-key equi-join
+    (Σ df² ≤ max_df·|grams| — linear in corpus, the
+    ngram_jaccard_pairs stop-shingle discipline), then the shared
+    verify joins with one in-row array_intersect per candidate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    reps = dd.exact_collapse_reps(d)
+    return dd.allpairs_blocked_containment(
+        reps, c_num=4, c_den=5, ngram_n=3, max_df=20
+    )
+
+
+@query(
+    "sim_cosine_histogram",
+    oracle=f"""
+    WITH reps AS (
+      {_EXACT_COLLAPSE}
+    ), {_minhash_sigs_cte(k=16, shingle_len=5, src="reps")}, cands AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sigs a JOIN sigs b ON a.id < b.id
+      WHERE ({_band_share_sql(k=16, bands=4)})
+    ), toks AS (
+      SELECT doc_id AS id,
+             regexp_extract_all(lower(text), '[a-z]+') AS t
+      FROM reps
+    ), sets AS (
+      SELECT id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS arr
+      FROM toks
+    ), scored AS (
+      SELECT len(list_intersect(a.arr, b.arr)) AS ov,
+             a.n AS na, b.n AS nb
+      FROM cands c
+      JOIN (SELECT id, arr, len(arr) AS n FROM sets
+            WHERE len(arr) > 0) a ON a.id = c.id_a
+      JOIN (SELECT id, arr, len(arr) AS n FROM sets
+            WHERE len(arr) > 0) b ON b.id = c.id_b
+    )
+    SELECT CAST(floor(CAST(ov AS DOUBLE)
+                      / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                      * 10.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM scored GROUP BY 1
+    """,
+)
+def sim_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity PROFILE of the LSH blocking: the decile histogram of
+    exact word-3-gram cosine over ALL band-collision candidate pairs
+    (no threshold) — the tuning artifact behind
+    ``sim_blocked_precision``'s single number. A corpus owner reads
+    the shape before picking t: mass in low buckets = the banding
+    wastes exact-scoring work (loosen bands); mass at bucket 10 =
+    exact-duplicate leakage past the collapse. Buckets are
+    ``floor(10·cos)`` ∈ 0..10 (10 = cos exactly 1.0).
+
+    100 TB shape: blocked_overlap_pairs (banding-bounded candidates)
+    + one ≤11-row aggregate — no quadratic side, full-corpus safe like
+    the precision audit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    reps = dd.exact_collapse_reps(d)
+    pairs = dd.blocked_overlap_pairs(
+        reps, ngram_n=3, k=16, shingle_len=5, bands=4, size_ratio=None
+    )
+    bucket = F.floor(
+        F.col("ov").cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+        * F.lit(10.0)
+    ).cast("long")
+    return (
+        pairs.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon divergence between corpus halves (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_js_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id % 2 AS half, unnest(
+               regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ), c AS (
+      SELECT w,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+      FROM toks GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS vocab
+      FROM c
+    ), terms AS (
+      SELECT CAST(floor((
+               CASE WHEN ca > 0 THEN
+                 0.5 * (CAST(ca AS DOUBLE) / na)
+                     * ln((CAST(ca AS DOUBLE) / na)
+                          / (0.5 * (CAST(ca AS DOUBLE) / na
+                                    + CAST(cb AS DOUBLE) / nb)))
+               ELSE 0.0 END
+               +
+               CASE WHEN cb > 0 THEN
+                 0.5 * (CAST(cb AS DOUBLE) / nb)
+                     * ln((CAST(cb AS DOUBLE) / nb)
+                          / (0.5 * (CAST(ca AS DOUBLE) / na
+                                    + CAST(cb AS DOUBLE) / nb)))
+               ELSE 0.0 END
+             ) * 1000000000000.0) AS BIGINT) AS t_pico
+      FROM c CROSS JOIN tot
+    )
+    SELECT (SELECT vocab FROM tot) AS vocab,
+           (SELECT na FROM tot) AS n_tokens_a,
+           (SELECT nb FROM tot) AS n_tokens_b,
+           floor(CAST(sum(t_pico) AS DOUBLE) / 1000000000000.0
+                 * 1000000.0) / 1000000.0 AS jsd_nats
+    FROM terms
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (nats) between the unigram
+    distributions of the two doc_id-parity halves of the corpus — the
+    symmetric, bounded [0, ln 2] distribution-shift measure a corpus
+    owner tracks between crawls/sources before mixing them (the text
+    sibling of ``drift_psi_value``; on a homogeneous synthetic corpus
+    the value sits near 0, which is itself the check).
+
+    Exactness: per-word JSD contribution ``½p·ln(p/m) + ½q·ln(q/m)``
+    (m the mixture) is ONE float expression from exact integer counts,
+    pico-quantized per word so the cross-vocabulary sum is an integer
+    (order-immune; the text_unigram_entropy discipline); the final
+    value is a single assembly.
+
+    Plan shape at 100 TB: one tokenize-explode pass → word-grouped
+    conditional counts (vocabulary-sized table), one 1-row total
+    attach, one vocabulary-sized integer sum. No windows, no joins on
+    corpus rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("([a-z]+)"), 1
+            )
+        ).alias("w"),
+    )
+    c = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    tot = c.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    pa = F.col("ca").cast("double") / F.col("na").cast("double")
+    pb = F.col("cb").cast("double") / F.col("nb").cast("double")
+    mix = F.lit(0.5) * (pa + pb)
+    term = F.when(
+        F.col("ca") > 0, F.lit(0.5) * pa * F.log(pa / mix)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("cb") > 0, F.lit(0.5) * pb * F.log(pb / mix)
+    ).otherwise(F.lit(0.0))
+    terms = j.select(
+        "vocab",
+        "na",
+        "nb",
+        F.floor(term * F.lit(1e12)).cast("long").alias("t_pico"),
+    )
+    return terms.groupBy("vocab", "na", "nb").agg(
+        F.sum("t_pico").alias("sp")
+    ).select(
+        "vocab",
+        F.col("na").alias("n_tokens_a"),
+        F.col("nb").alias("n_tokens_b"),
+        trunc6(F.col("sp").cast("double") / F.lit(1e12)).alias("jsd_nats"),
     )

@@ -371,3 +371,96 @@ class TestAllpairsBlocked:
         assert (1, 3) in out
         # unrelated texts never pair
         assert (1, 4) not in out and (3, 4) not in out
+
+
+class TestBlockedContainment:
+    """allpairs_blocked_containment: sub-document duplication over LSH
+    candidates — the asymmetric score cosine misses."""
+
+    def test_embedded_paragraph_high_containment_low_cosine(self, spark):
+        from speech_data_pipeline_spark.operators.dedup import (
+            allpairs_blocked_cosine,
+            allpairs_blocked_containment,
+        )
+
+        para = (
+            "the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm window sill nearby quietly"
+        )
+        filler = (
+            "unrelated filler sentences about database engines and "
+            "columnar storage formats with vectorized execution and "
+            "adaptive query planning across many worker nodes in a "
+            "cluster that scales elastically under load variations "
+        )
+        page = para + " " + filler * 6
+        d = spark.createDataFrame(
+            [(1, para), (2, page), (3, "totally disjoint words here")],
+            ["doc_id", "text"],
+        )
+        cont = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in allpairs_blocked_containment(d, c_num=4, c_den=5).collect()
+        }
+        # the paragraph is fully contained in the page -> containment 1.0
+        assert cont.get((1, 2)) == 1.0
+        # ...but the size gap keeps cosine below the 1/sqrt(2) gate
+        cos = {
+            (r["id_a"], r["id_b"])
+            for r in allpairs_blocked_cosine(d).collect()
+        }
+        assert (1, 2) not in cos
+        assert all(3 not in p for p in cont)
+
+    def test_containment_threshold_excludes_partial(self, spark):
+        from speech_data_pipeline_spark.operators.dedup import (
+            allpairs_blocked_containment,
+            blocked_overlap_pairs,
+        )
+
+        a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        b = "alpha beta gamma delta epsilon zeta other words entirely differ"
+        d = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+        # shared 6-token prefix -> rare-gram candidates MUST key the
+        # pair; 4 shared 3-grams of 8 each = containment 0.5 < 0.8
+        ov = {
+            (r["id_a"], r["id_b"]): (r["ov"], r["na"], r["nb"])
+            for r in blocked_overlap_pairs(
+                d, candidates="rare-grams"
+            ).collect()
+        }
+        o, na, nb = ov[(1, 2)]
+        assert (o, na, nb) == (4, 8, 8)
+        out = allpairs_blocked_containment(d, c_num=4, c_den=5).collect()
+        assert not any(r["id_a"] == 1 and r["id_b"] == 2 for r in out)
+
+    def test_overlap_core_matches_cosine_path(self, spark):
+        """blocked_overlap_pairs is the shared core: reconstructing
+        cosine from (ov, na, nb) must reproduce allpairs_blocked_cosine
+        exactly (same candidates, same counts)."""
+        import math
+
+        from speech_data_pipeline_spark.operators.dedup import (
+            allpairs_blocked_cosine,
+            blocked_overlap_pairs,
+            exact_collapse_reps,
+        )
+        from speech_data_pipeline_spark.sources.catalog import load_table
+
+        d = exact_collapse_reps(
+            load_table(spark, "/root/testdata/sf0.001", "documents")
+        )
+        core = {
+            (r["id_a"], r["id_b"]): (r["ov"], r["na"], r["nb"])
+            for r in blocked_overlap_pairs(d).collect()
+        }
+        gated = {
+            (r["id_a"], r["id_b"]): (r["n_overlap"], r["cosine"])
+            for r in allpairs_blocked_cosine(d).collect()
+        }
+        rebuilt = {}
+        for key, (ov, na, nb) in core.items():
+            if ov * ov * 2 >= na * nb:
+                c = math.floor(ov / math.sqrt(na * nb) * 1e6) / 1e6
+                rebuilt[key] = (ov, c)
+        assert rebuilt == gated
