@@ -3274,3 +3274,143 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (k * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: Adamic–Adar over hub-capped wedges (round 8)
+# ---------------------------------------------------------------------------
+
+#: Wedge centers above this degree are excluded from Adamic–Adar
+#: evidence: their 1/ln(d) weight is tiny BY THE MEASURE'S OWN DESIGN
+#: while their d² wedge fan-out is what makes common-neighbor joins
+#: quadratic — capping centers bounds candidate generation at
+#: Σ_{d≤cap} d² ≤ cap·m (linear in edges) at any scale.
+_AA_HUB_CAP = 64
+_AA_TOPK = 20
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.p AS x, b.p AS y
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ), deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e)
+      GROUP BY n
+    ), adj AS (
+      SELECT x AS n, y AS nbr FROM e
+      UNION ALL SELECT y AS n, x AS nbr FROM e
+    ), ctr AS (
+      SELECT a.n, a.nbr,
+             CAST(floor(1000000000000.0 / ln(CAST(d.d AS DOUBLE)))
+                  AS BIGINT) AS w_pico
+      FROM adj a JOIN deg d ON d.n = a.n
+      WHERE d.d BETWEEN 2 AND {_AA_HUB_CAP}
+    ), wedges AS (
+      SELECT a.nbr AS u, b.nbr AS v, a.w_pico
+      FROM ctr a JOIN ctr b ON a.n = b.n AND a.nbr < b.nbr
+    ), scored AS (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(w_pico) AS BIGINT) AS s_pico
+      FROM wedges GROUP BY u, v
+    ), nonedge AS (
+      SELECT s.* FROM scored s
+      LEFT JOIN e ON e.x = s.u AND e.y = s.v
+      WHERE e.x IS NULL
+    )
+    SELECT u, v, n_common,
+           floor(CAST(s_pico AS DOUBLE) / 1000000000000.0
+                 * 1000000.0) / 1000000.0 AS aa_score
+    FROM nonedge
+    ORDER BY s_pico DESC, u, v LIMIT {_AA_TOPK}
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph: top-20
+    NON-adjacent pairs by Adamic–Adar score ``Σ over common neighbors
+    w of 1/ln(d_w)`` with wedge centers hub-capped at degree 64 — the
+    recommender/graph-completion primitive beside the descriptive
+    graph battery (clustering coeff says how dense a neighborhood IS;
+    this says which edge is most likely MISSING).
+
+    The hub cap is the scale contract, and it is principled, not a
+    shortcut: Adamic–Adar itself downweights high-degree common
+    neighbors to ~0 (1/ln d), while their wedge fan-out d² is exactly
+    what blows up common-neighbor joins — excluding centers above the
+    cap bounds candidate generation at Σ over d≤cap of d² ≤ cap·m
+    (linear in edges at every scale) and changes scores only by the
+    discarded ≤1/ln(cap) per-hub dust. Per-wedge weights are pico-quantized
+    integers before the per-pair sum (order-immune; ranking compares
+    integers), and the top-k total order (score, u, v) is tie-free.
+
+    Plan shape at 100 TB: edge derivation + degree count (two grouped
+    aggregates), one self-join of the CAPPED adjacency on the center
+    (the bounded wedge join), one pair-grouped sum, an anti-join
+    against the edge list, TakeOrdered(k).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("u"))
+    b_ = op.select("o", F.col("p").alias("v"))
+    edges = (
+        a.join(b_, "o")
+        .where(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("x").alias("n"))
+        .unionAll(edges.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    adj = edges.select(F.col("x").alias("n"), F.col("y").alias("nbr")).unionAll(
+        edges.select(F.col("y").alias("n"), F.col("x").alias("nbr"))
+    )
+    ctr = (
+        adj.join(deg, "n")
+        .where((F.col("d") >= 2) & (F.col("d") <= _AA_HUB_CAP))
+        .select(
+            "n",
+            "nbr",
+            F.floor(F.lit(1e12) / F.log(F.col("d").cast("double")))
+            .cast("long")
+            .alias("w_pico"),
+        )
+    )
+    # the wedge weight is the CENTER's 1/ln(d) — identical on both
+    # legs of a wedge, so only the left leg carries it
+    cb = ctr.select(F.col("n"), F.col("nbr").alias("v"))
+    wedges = (
+        ctr.select("n", F.col("nbr").alias("u"), "w_pico")
+        .join(cb, "n")
+        .where(F.col("u") < F.col("v"))
+    )
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("w_pico").cast("long").alias("s_pico"),
+    )
+    nonedge = scored.join(
+        edges,
+        (scored["u"] == edges["x"]) & (scored["v"] == edges["y"]),
+        "left_anti",
+    )
+    return (
+        nonedge.orderBy(F.col("s_pico").desc(), "u", "v")
+        .limit(_AA_TOPK)
+        .select(
+            "u",
+            "v",
+            "n_common",
+            trunc6(F.col("s_pico").cast("double") / F.lit(1e12)).alias(
+                "aa_score"
+            ),
+        )
+    )

@@ -1808,3 +1808,207 @@ def search_fuzzy_symdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return subs.unionByName(insdel)
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval (Dirichlet smoothing) — round 8
+# ---------------------------------------------------------------------------
+
+#: Same query terms as BM25 so the two ranked lists are comparable;
+#: μ = 2000 is the standard Dirichlet prior (Zhai & Lafferty 2001).
+_QL_TERMS = ("hash", "window", "spark")
+_QL_MU = 2000.0
+_QL_TOPK = 10
+
+
+def _ql_oracle() -> str:
+    tfs = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_QL_TERMS)
+    )
+    cfs = ", ".join(f"sum(tf{i}) AS cf{i}" for i in range(len(_QL_TERMS)))
+    parts = []
+    for i in range(len(_QL_TERMS)):
+        pc = f"(CAST(cf{i} AS DOUBLE) / CAST(total_dl AS DOUBLE))"
+        parts.append(
+            f"ln((CAST(tf{i} AS DOUBLE) + {_QL_MU!r} * {pc})"
+            f" / (CAST(dl AS DOUBLE) + {_QL_MU!r}))"
+        )
+    score = " + ".join(parts)
+    any_tf = " + ".join(f"tf{i}" for i in range(len(_QL_TERMS)))
+    tf_out = ", ".join(
+        f"CAST(tf{i} AS BIGINT) AS tf{i}" for i in range(len(_QL_TERMS))
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS w
+      FROM documents
+    ), per AS (
+      SELECT doc_id, len(w) AS dl, {tfs} FROM t
+    ), scal AS (
+      SELECT sum(dl) AS total_dl, {cfs} FROM per
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl, {tf_out},
+           floor(score * 1000000.0) / 1000000.0 AS score
+    FROM (
+      SELECT per.*, {score} AS score FROM per CROSS JOIN scal
+      WHERE {any_tf} > 0
+    )
+    ORDER BY score DESC, doc_id
+    LIMIT {_QL_TOPK}
+    """
+
+
+@query("search_query_likelihood", oracle=_ql_oracle())
+def search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood ranked retrieval with Dirichlet smoothing
+    (Zhai–Lafferty μ=2000) for the same literal query as
+    ``search_bm25_topk`` — the language-modeling retrieval family
+    beside the probabilistic-relevance one, so a corpus owner can
+    compare the two rankings (and feed both to ``sim_rrf_fusion``).
+    ``score(d) = Σ_t ln((tf_t + μ·cf_t/|C|) / (dl + μ))`` over docs
+    matching ≥1 term.
+
+    ZERO-shuffle scoring, the BM25 contract: per-term tf and dl are
+    in-row array folds; collection statistics (Σdl, per-term cf) are
+    ONE 1-row aggregate broadcast back; the score is a single literal
+    expression tree (identical IEEE op sequence on both engines),
+    ranked on raw doubles, truncated on output; top-10 is
+    TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+)"), 1)
+
+    def term_eq(term):
+        # single-parameter lambda: see search_bm25_topk note
+        return lambda x: x == F.lit(term)
+
+    per = d.select(
+        "doc_id",
+        F.size(w).alias("dl"),
+        *[
+            F.size(F.filter(w, term_eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(_QL_TERMS)
+        ],
+    )
+    scal = per.agg(
+        F.sum("dl").alias("total_dl"),
+        *[F.sum(f"tf{i}").alias(f"cf{i}") for i in range(len(_QL_TERMS))],
+    )
+    j = per.crossJoin(F.broadcast(scal))
+    score = None
+    for i in range(len(_QL_TERMS)):
+        tf = F.col(f"tf{i}").cast("double")
+        pc = F.col(f"cf{i}").cast("double") / F.col("total_dl").cast(
+            "double"
+        )
+        part = F.log(
+            (tf + F.lit(_QL_MU) * pc)
+            / (F.col("dl").cast("double") + F.lit(_QL_MU))
+        )
+        score = part if score is None else score + part
+    any_tf = None
+    for i in range(len(_QL_TERMS)):
+        c = F.col(f"tf{i}")
+        any_tf = c if any_tf is None else any_tf + c
+    ranked = (
+        j.where(any_tf > 0)
+        .withColumn("_score", score)
+        .orderBy(F.col("_score").desc(), "doc_id")
+        .limit(_QL_TOPK)
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("dl").cast("long").alias("dl"),
+        *[
+            F.col(f"tf{i}").cast("long").alias(f"tf{i}")
+            for i in range(len(_QL_TERMS))
+        ],
+        trunc6(F.col("_score")).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pass@k estimator — round 8
+# ---------------------------------------------------------------------------
+
+#: pass@k geometry: problems = users, trials = events, success =
+#: 'purchase'; the unbiased estimator needs n ≥ k trials per problem.
+_PASSK_K = 5
+
+
+@query(
+    "eval_pass_at_k",
+    oracle=f"""
+    WITH per AS (
+      SELECT user_id, count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      FROM events GROUP BY user_id
+    ), ok AS (
+      SELECT n, c FROM per WHERE n >= {_PASSK_K}
+    ), est AS (
+      SELECT CAST(floor((CASE WHEN n - c < {_PASSK_K} THEN 1.0
+               ELSE 1.0 - (
+                 {" * ".join(
+                     f"(CAST(n - c - {i} AS DOUBLE) / CAST(n - {i} AS DOUBLE))"
+                     for i in range(_PASSK_K)
+                 )}
+               ) END) * 1000000000000.0) AS BIGINT) AS p_pico
+      FROM ok
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ok) AS n_problems,
+           CAST({_PASSK_K} AS BIGINT) AS k,
+           floor(CAST(sum(p_pico) AS DOUBLE) / 1000000000000.0
+                 / (SELECT count(*) FROM ok)
+                 * 1000000.0) / 1000000.0 AS pass_at_k
+    FROM est
+    """,
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pass@k estimator (Chen et al. 2021, HumanEval): for each
+    problem with n trials and c successes, the unbiased probability
+    that at least one of k sampled trials succeeds — ``1 −
+    C(n−c,k)/C(n,k)`` computed as the stable telescoped product
+    ``1 − Π over i<k of (n−c−i)/(n−i)`` — averaged over problems with
+    n ≥ k. The standard generation-eval aggregate an LLM pipeline
+    reports beside MRR/NDCG's retrieval view; here problems = users,
+    trials = events, success = 'purchase' on the synthetic corpus.
+
+    Exactness: (n, c) are exact integer counts; the per-problem
+    estimator is ONE fixed-k float expression (k literal factors —
+    identical IEEE sequence on both engines), pico-quantized per
+    problem so the cross-problem mean is an integer sum divided once.
+
+    Plan shape at 100 TB: one user-grouped count (map-side partial),
+    one filtered 1-row aggregate — no windows, no joins, no second
+    corpus pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("c"),
+    )
+    ok = per.where(F.col("n") >= _PASSK_K)
+    prod = None
+    for i in range(_PASSK_K):
+        f = (F.col("n") - F.col("c") - F.lit(i)).cast("double") / (
+            F.col("n") - F.lit(i)
+        ).cast("double")
+        prod = f if prod is None else prod * f
+    p = F.when(
+        (F.col("n") - F.col("c")) < _PASSK_K, F.lit(1.0)
+    ).otherwise(F.lit(1.0) - prod)
+    est = ok.select(
+        F.floor(p * F.lit(1e12)).cast("long").alias("p_pico")
+    )
+    return est.agg(
+        F.count(F.lit(1)).cast("long").alias("n_problems"),
+        F.lit(_PASSK_K).cast("long").alias("k"),
+        trunc6(
+            F.sum("p_pico").cast("double")
+            / F.lit(1e12)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("pass_at_k"),
+    )
