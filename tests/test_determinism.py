@@ -51,6 +51,14 @@ PERTURB_QUERIES = [
     "graph_assortativity",  # integer edge-end degree moments
     "eval_ece",  # integer ppm bin gaps to one divide
     "eval_brier_score",  # integer ppm squared-error sum
+    "stats_anova_f",  # sorted-fold cross-group term sum (the one
+    # deliberate float accumulation — deterministic by ordered fold)
+    "stats_mann_kendall",  # integer day-pair sign sums + tie terms
+    "text_js_divergence",  # pico-quantized per-word JSD terms
+    "graph_adamic_adar",  # pico-quantized wedge weights + tie-free top-k
+    "eval_pass_at_k",  # pico-quantized fixed-k product per problem
+    "search_query_likelihood",  # raw-double ln ranking, trunc6 output
+    "sim_cosine_histogram",  # float decile bucket from exact integers
 ]
 
 

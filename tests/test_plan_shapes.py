@@ -118,6 +118,13 @@ SCALAR_CROSS_WHITELIST = {
     # onto the ≤6-cell contingency table
     "graph_assortativity",  # n_vertices count scalar: 1 row onto the
     # 1-row moment aggregate
+    "stats_mann_kendall",  # 1-row S / n / tie-term aggregates
+    # cross-attached; the day-pair join itself is a conditioned BNLJ
+    # over the broadcast DAY grid (observation-window bounded)
+    "search_query_likelihood",  # collection-stats scalar (Σdl,
+    # per-term cf): 1 row — the search_bm25_topk contract
+    "text_js_divergence",  # corpus token/vocab totals scalar: 1 row
+    # onto the vocabulary-sized count table
 }
 
 
@@ -183,9 +190,11 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     "text_zipf_slope",  # rank window over the LIMIT-100 vocabulary head
     "privacy_t_closeness",  # global-CDF running sum over the ≤~15-row
     # balance-band table, value-domain bounded, never corpus
-    "stats_spearman",  # midrank running sums over the two DISTINCT
-    # value tables (stats_ks_test contract: ≤50 quantities, cent-grid
-    # prices), value-domain bounded, never corpus
+    "stats_spearman",  # midranks via ranged_cumsum_before: the only
+    # partition-less window is the bucket-offset prefix sum over the
+    # ≤|domain|/65536 bucket-total rows (≤153 for the 1e7-cent price
+    # grid); the grid itself scans inside deterministic value buckets,
+    # never one task
     "text_heaps_law",  # cumulative (tokens, vocab) over the 10-row
     # corpus-prefix bucket table, bounded by construction
 }
@@ -307,3 +316,34 @@ def test_whole_stage_codegen_on_relational_core(spark):
     assert "*(" in plan
     # map-side partial aggregation before the exchange
     assert "partial_sum" in plan
+
+
+def test_shuffle_census_is_current_and_clean():
+    """SHUFFLES.md (the static exchange census tools/shuffle_census.py
+    regenerates per round) must cover the LIVE registry — a census that
+    says '258 plans' while the registry holds more has silently gone
+    stale — and its red-flag columns (cartesian, row-Python UDF) must
+    be zero for every row, mirroring the live-plan assertions above so
+    the published evidence cannot drift from what the tests enforce."""
+    import re
+    from pathlib import Path
+
+    txt = Path(__file__).resolve().parent.parent.joinpath(
+        "SHUFFLES.md"
+    ).read_text()
+    m = re.search(r"- (\d+) queries analyzed", txt)
+    assert m, "SHUFFLES.md missing the 'N queries analyzed' summary line"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"SHUFFLES.md census covers {m.group(1)} queries but the registry "
+        f"holds {len(QUERIES)} — rerun tools/shuffle_census.py"
+    )
+    rows = re.findall(
+        r"^\| (\w+) \| \d+ \| \d+ \| \d+ \| (\d+) \| (\d+) \| \d+ \|$",
+        txt,
+        re.M,
+    )
+    assert len(rows) == len(QUERIES), (
+        f"census table has {len(rows)} rows for {len(QUERIES)} queries"
+    )
+    dirty = [(q, c, p) for q, c, p in rows if c != "0" or p != "0"]
+    assert dirty == [], f"census red flags (cartesian/pyUDF): {dirty}"
