@@ -2012,3 +2012,122 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("pass_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level BLEU-2 between corpus halves — round 8
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "eval_corpus_bleu2",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id % 2 AS half,
+             regexp_extract_all(lower(text), '[a-z]+') AS t
+      FROM documents
+    ), uni AS (
+      SELECT half, unnest(t) AS g FROM toks
+    ), bi AS (
+      SELECT half, unnest(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks
+    ), uc AS (
+      SELECT g,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+      FROM uni GROUP BY g
+    ), bc AS (
+      SELECT g,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+      FROM bi GROUP BY g
+    ), m AS (
+      SELECT
+        (SELECT CAST(sum(ca) AS BIGINT) FROM uc) AS len_a,
+        (SELECT CAST(sum(cb) AS BIGINT) FROM uc) AS len_b,
+        (SELECT CAST(sum(least(ca, cb)) AS BIGINT) FROM uc) AS hit1,
+        (SELECT CAST(sum(ca) AS BIGINT) FROM bc) AS n2_a,
+        (SELECT CAST(sum(least(ca, cb)) AS BIGINT) FROM bc) AS hit2
+    )
+    SELECT len_a, len_b,
+           floor(CAST(hit1 AS DOUBLE) / len_a * 1000000.0) / 1000000.0
+             AS p1,
+           floor(CAST(hit2 AS DOUBLE) / n2_a * 1000000.0) / 1000000.0
+             AS p2,
+           floor((CASE WHEN len_a >= len_b THEN 1.0
+                       ELSE exp(1.0 - CAST(len_b AS DOUBLE) / len_a) END)
+                 * sqrt((CAST(hit1 AS DOUBLE) / len_a)
+                        * (CAST(hit2 AS DOUBLE) / n2_a))
+                 * 1000000.0) / 1000000.0 AS bleu2
+    FROM m
+    """,
+)
+def eval_corpus_bleu2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-2 of the even-doc_id half against the odd
+    half: clipped unigram/bigram precision (candidate n-gram counts
+    clipped by the reference half's counts) with the brevity penalty,
+    geometric-mean combined. The distribution-overlap generation
+    metric an LLM pipeline reports beside per-sample evals — between
+    two halves of the SAME corpus it reads as a diversity/overlap
+    audit (the complement of ``text_js_divergence``'s divergence
+    view; near-identical halves → BLEU → 1).
+
+    Exactness: every count is an exact integer from two grouped
+    counts (unigram + bigram tables, vocabulary-sized); clipping is
+    integer least() per gram summed exactly; p1/p2/BP/BLEU are one
+    float assembly on the 1-row result.
+
+    Plan shape at 100 TB: two tokenize-explode grouped counts
+    (map-side combinable, vocabulary-sized outputs), five bounded
+    scalar aggregates — no joins on corpus rows, no windows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("([a-z]+)"), 1
+        ).alias("t"),
+    )
+    uni = toks.select("half", F.explode("t").alias("g"))
+    bi = toks.select(
+        "half",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 1, 0)),"
+                " i -> concat(t[i-1], ' ', t[i]))"
+            )
+        ).alias("g"),
+    )
+
+    def counts(df):
+        return df.groupBy("g").agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+        )
+
+    uc = counts(uni).agg(
+        F.sum("ca").cast("long").alias("len_a"),
+        F.sum("cb").cast("long").alias("len_b"),
+        F.sum(F.least("ca", "cb")).cast("long").alias("hit1"),
+    )
+    bc = counts(bi).agg(
+        F.sum("ca").cast("long").alias("n2_a"),
+        F.sum(F.least("ca", "cb")).cast("long").alias("hit2"),
+    )
+    j = uc.crossJoin(F.broadcast(bc))
+    la = F.col("len_a").cast("double")
+    lb = F.col("len_b").cast("double")
+    p1 = F.col("hit1").cast("double") / la
+    p2 = F.col("hit2").cast("double") / F.col("n2_a").cast("double")
+    bp = F.when(F.col("len_a") >= F.col("len_b"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - lb / la)
+    )
+    return j.select(
+        "len_a",
+        "len_b",
+        trunc6(p1).alias("p1"),
+        trunc6(p2).alias("p2"),
+        trunc6(bp * F.sqrt(p1 * p2)).alias("bleu2"),
+    )

@@ -2521,3 +2521,150 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(var_num / F.lit(18.0)).alias("var_s"),
         trunc6(z_num / F.sqrt(var_num / F.lit(18.0))).alias("z_stat"),
     )
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test (randomness of the daily series)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT day, x,
+             row_number() OVER (ORDER BY x, day) AS rn,
+             count(*) OVER () AS n
+      FROM daily
+    ), med AS (
+      SELECT CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN x ELSE 0 END)
+                  + sum(CASE WHEN rn = (n + 2) // 2 THEN x ELSE 0 END)
+                  AS BIGINT) AS med2
+      FROM ranked
+    ), signs AS (
+      SELECT day, CASE WHEN 2 * x > med2 THEN 1 ELSE 0 END AS s
+      FROM daily CROSS JOIN med
+      WHERE 2 * x <> med2
+    ), runs AS (
+      SELECT s,
+             CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                  OR lag(s) OVER (ORDER BY day) <> s
+                  THEN 1 ELSE 0 END AS is_start
+      FROM signs
+    ), m AS (
+      SELECT CAST(sum(s) AS BIGINT) AS n1,
+             CAST(sum(1 - s) AS BIGINT) AS n2,
+             CAST(sum(is_start) AS BIGINT) AS r
+      FROM runs
+    )
+    SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+           floor((CAST(r AS DOUBLE)
+                  - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / (CAST(n1 + n2 AS DOUBLE)
+                           * (n1 + n2) * (n1 + n2 - 1)))
+                 * 1000000.0) / 1000000.0 AS z_stat
+    FROM m
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily total value series: are
+    above-median and below-median days RANDOMLY interleaved, or do
+    they clump (trend/regime) or alternate (oscillation)? The
+    randomness companion of ``stats_mann_kendall`` (that test asks
+    "is there a monotone trend"; this one asks "is the sequence
+    exchangeable at all") — together the standard pre-flight pair
+    before reading any time-series model's fit as structure.
+
+    Exactness: daily totals are exact milli-grid integers; the median
+    is the DOUBLED order statistic ``v[(n+1)/2] + v[(n+2)/2]`` (no .5
+    floats; ties with the median are excluded, the standard
+    convention); run starts, n1, n2 are integer window/aggregate
+    algebra; z is one float assembly.
+
+    Plan shape at 100 TB: one corpus pass groups to the DAY grid;
+    everything after runs over that bounded table (rank + lag windows
+    over ≤|days| rows — observation-window bounded, whitelisted), one
+    1-row aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mv = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    daily = (
+        ev.select(
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+            mv.alias("mv"),
+        )
+        .groupBy("day")
+        .agg(F.sum("mv").cast("long").alias("x"))
+    )
+    w_rank = Window.orderBy("x", "day")
+    ranked = daily.select(
+        "day",
+        "x",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    med = ranked.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"), F.col("x")
+                ).otherwise(F.lit(0))
+            )
+            + F.sum(
+                F.when(
+                    F.col("rn") == F.expr("(n + 2) div 2"), F.col("x")
+                ).otherwise(F.lit(0))
+            )
+        )
+        .cast("long")
+        .alias("med2")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(2 * F.col("x") != F.col("med2"))
+        .select(
+            "day",
+            F.when(2 * F.col("x") > F.col("med2"), 1).otherwise(0).alias("s"),
+        )
+    )
+    w_day = Window.orderBy("day")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(w_day).isNull()
+            | (F.lag("s").over(w_day) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    m = runs.agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        F.sum("is_start").cast("long").alias("r"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nn = n1 + n2
+    e_r = F.lit(2.0) * n1 * n2 / nn + F.lit(1.0)
+    var_r = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / (nn * nn * (nn - F.lit(1.0)))
+    )
+    return m.select(
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        trunc6((F.col("r").cast("double") - e_r) / F.sqrt(var_r)).alias(
+            "z_stat"
+        ),
+    )

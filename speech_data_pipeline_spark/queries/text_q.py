@@ -4635,3 +4635,268 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").alias("n_tokens_b"),
         trunc6(F.col("sp").cast("double") / F.lit(1e12)).alias("jsd_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix + vocabulary coverage (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_source_matrix",
+    oracle=f"""
+    WITH dg AS (
+      SELECT doc_id AS id, md5(text) AS _dg FROM documents
+    ), grp AS (
+      SELECT _dg, min(id) AS rep FROM dg GROUP BY _dg
+    ), repdocs AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN grp g ON g.rep = d.doc_id
+    ), {_minhash_pairs_cte(16, 5, 4, src="repdocs")}, allpairs AS (
+      SELECT id_a, id_b FROM pairs
+      UNION ALL
+      SELECT d.id AS id_a, g.rep AS id_b
+      FROM dg d JOIN grp g ON g._dg = d._dg
+      WHERE d.id <> g.rep
+    )
+    SELECT least(a.source, b.source) AS source_a,
+           greatest(a.source, b.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM allpairs p
+    JOIN documents a ON a.doc_id = p.id_a
+    JOIN documents b ON b.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO copies from WHOM: the near-duplicate pair counts of the
+    production MinHash composition (``dedup_minhash_lsh`` — collapse +
+    banded LSH + member→rep star links) attributed to unordered
+    (source, source) cells. The curation report a corpus owner reads
+    before deciding which source to drop or down-weight: a heavy
+    off-diagonal cell means two feeds mirror each other; a heavy
+    diagonal means one feed re-publishes itself.
+
+    Plan shape at 100 TB: the production pair stream (linear by the
+    collapse contract) + two hash joins on doc_id attaching sources +
+    one grouped count bounded by |sources|² cells.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs_collapsed(
+        d, k=16, shingle_len=5, bands=4, threshold=0.5, with_scores=True
+    ).select("id_a", "id_b")
+    sa = d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+_VOCAB_COVERAGE_K = 1000
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ), c AS (
+      SELECT w, count(*) AS cnt FROM toks GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size
+      FROM c
+    ), topk AS (
+      SELECT cnt FROM c ORDER BY cnt DESC, w LIMIT {_VOCAB_COVERAGE_K}
+    )
+    SELECT CAST({_VOCAB_COVERAGE_K} AS BIGINT) AS k,
+           vocab_size, total_tokens,
+           (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM topk)
+             AS covered_tokens,
+           floor(CAST((SELECT coalesce(sum(cnt), 0) FROM topk) AS DOUBLE)
+                 / CAST(total_tokens AS DOUBLE) * 1000000.0) / 1000000.0
+             AS coverage
+    FROM tot
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of token OCCURRENCES the top-K vocabulary covers —
+    the practical question behind every fixed-vocabulary decision
+    (tokenizer size, embedding table, stop-list length), and the
+    integral counterpart of ``text_zipf_slope``'s exponent (a steeper
+    Zipf slope ⇒ higher coverage at the same K).
+
+    Plan shape at 100 TB: one tokenize-explode grouped count
+    (vocabulary-sized, map-side combinable); top-K is
+    TakeOrderedAndProject (per-partition heap, never a global sort of
+    the vocabulary); two bounded aggregates assemble the row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("([a-z]+)"), 1
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = c.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    topk = (
+        c.orderBy(F.col("cnt").desc(), "w")
+        .limit(_VOCAB_COVERAGE_K)
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("cov"))
+    )
+    return tot.crossJoin(F.broadcast(topk)).select(
+        F.lit(_VOCAB_COVERAGE_K).cast("long").alias("k"),
+        "vocab_size",
+        "total_tokens",
+        F.col("cov").alias("covered_tokens"),
+        trunc6(
+            F.col("cov").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (round 8)
+# ---------------------------------------------------------------------------
+
+#: RAKE stopword delimiter set (fixed literal list shared with the
+#: oracle — phrase boundaries, not content).
+_RAKE_STOP = (
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "at", "by", "an", "be", "this", "are", "or",
+    "from", "was", "were", "but", "not", "have", "has", "had",
+)
+_RAKE_TOPK = 20
+
+
+def _rake_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+    return f"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
+      FROM documents
+    ), phr AS (
+      SELECT trim(p) AS phrase
+      FROM toks, unnest(string_split(array_to_string(
+             list_transform(t, w -> CASE WHEN w IN ({stop})
+                                         THEN '|' ELSE w END), ' '),
+             '|')) AS u(p)
+      WHERE trim(p) <> ''
+    ), occ AS (
+      SELECT phrase, count(*) AS n_occurrences FROM phr GROUP BY phrase
+    ), wrows AS (
+      SELECT len(string_split(phrase, ' ')) AS plen, w
+      FROM phr, unnest(string_split(phrase, ' ')) AS uw(w)
+    ), wscore AS (
+      SELECT w,
+             CAST(floor(CAST(sum(plen) AS DOUBLE) * 1000000.0
+                        / count(*)) AS BIGINT) AS score_ppm
+      FROM wrows GROUP BY w
+    ), pscore AS (
+      SELECT o.phrase, o.n_occurrences,
+             CAST(len(string_split(o.phrase, ' ')) AS BIGINT) AS n_words,
+             CAST(sum(s.score_ppm) AS BIGINT) AS score_ppm
+      FROM occ o, unnest(string_split(o.phrase, ' ')) AS uw(w)
+      JOIN wscore s ON s.w = uw.w
+      GROUP BY o.phrase, o.n_occurrences
+    )
+    SELECT phrase, n_words, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(score_ppm AS DOUBLE) / 1000000.0 AS score
+    FROM pscore
+    ORDER BY score_ppm DESC, phrase
+    LIMIT {_RAKE_TOPK}
+    """
+
+
+@query("text_rake_keywords", oracle=_rake_oracle())
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs; each
+    word's score is degree/frequency (degree = Σ length of the phrases
+    it appears in — co-occurrence weight); a phrase scores the sum of
+    its member word scores; top-20 phrases by score. The
+    phrase-level keyword view beside ``text_textrank_keywords``'s
+    word-graph view and ``text_pmi_collocations``'s pair view —
+    the standard cheap keyword extractor for corpus labeling.
+
+    Exactness: phrase segmentation is one in-row expression (mark
+    stopwords, join, split — both engines run the identical string
+    algebra on the same fixed stopword literal); degree/freq are
+    exact integer sums; the word score quantizes to ppm by ONE float
+    floor per word (exact while degree ≤ ~9·10⁹ — the double holds
+    deg·10⁶ exactly below 2⁵³; beyond that the ppm floor may differ
+    in the last unit, documented bound); phrase scores are integer
+    ppm sums and the top-k total order (score_ppm, phrase) is
+    tie-free.
+
+    Plan shape at 100 TB: one tokenize pass, one phrase-grouped count
+    (distinct-phrase-sized), one word-grouped aggregate
+    (vocabulary-sized), one explode of DISTINCT phrases joined to the
+    word-score table, TakeOrdered(k).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+    phrases = d.select(
+        F.explode(
+            F.expr(
+                f"""filter(transform(split(array_join(transform(
+                      regexp_extract_all(lower(text), '([a-z]+)', 1),
+                      w -> CASE WHEN w IN ({stop_arr}) THEN '|'
+                                ELSE w END), ' '), '\\\\|'),
+                      p -> trim(p)), p -> p != '')"""
+            )
+        ).alias("phrase")
+    )
+    occ = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    wrows = phrases.select(
+        F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    wscore = wrows.groupBy("w").agg(
+        F.floor(
+            F.sum("plen").cast("double")
+            * F.lit(1e6)
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("score_ppm")
+    )
+    pw = occ.select(
+        "phrase",
+        "n_occurrences",
+        F.size(F.split("phrase", " ")).cast("long").alias("n_words"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    pscore = (
+        pw.join(wscore, "w")
+        .groupBy("phrase", "n_occurrences", "n_words")
+        .agg(F.sum("score_ppm").cast("long").alias("score_ppm"))
+    )
+    return (
+        pscore.orderBy(F.col("score_ppm").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            (F.col("score_ppm").cast("double") / F.lit(1e6)).alias("score"),
+        )
+    )

@@ -59,6 +59,14 @@ PERTURB_QUERIES = [
     "eval_pass_at_k",  # pico-quantized fixed-k product per problem
     "search_query_likelihood",  # raw-double ln ranking, trunc6 output
     "sim_cosine_histogram",  # float decile bucket from exact integers
+    "text_rake_keywords",  # ppm word scores (one float floor each) +
+    # integer phrase sums + tie-free top-k
+    "eval_corpus_bleu2",  # integer clipped-precision sums, one float
+    # assembly
+    "text_vocab_coverage",  # TakeOrdered(K) head with (cnt, w) total
+    # order + integer coverage sums
+    "dedup_source_matrix",  # production pair stream + grouped counts
+    "stats_runs_test",  # doubled-median order statistic + integer runs
 ]
 
 

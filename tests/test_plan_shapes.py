@@ -125,6 +125,12 @@ SCALAR_CROSS_WHITELIST = {
     # per-term cf): 1 row — the search_bm25_topk contract
     "text_js_divergence",  # corpus token/vocab totals scalar: 1 row
     # onto the vocabulary-sized count table
+    "text_vocab_coverage",  # top-K covered-token scalar (1 row from a
+    # TakeOrdered(K) head) onto the 1-row totals aggregate
+    "stats_runs_test",  # doubled-median scalar (1 row off the day
+    # grid) cross-attached to the day table
+    "eval_corpus_bleu2",  # bigram-precision scalar (1 row) onto the
+    # 1-row unigram aggregate — two bounded count-table collapses
 }
 
 
@@ -197,6 +203,8 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     # never one task
     "text_heaps_law",  # cumulative (tokens, vocab) over the 10-row
     # corpus-prefix bucket table, bounded by construction
+    "stats_runs_test",  # rank/lag/count windows over the DAY grid
+    # (observation-window bounded, never corpus rows)
 }
 
 
