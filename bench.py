@@ -70,6 +70,17 @@ def main() -> None:
                 timings.setdefault(name, -1.0)
                 rows.setdefault(name, -1)
                 print(f"# {name}: ERROR {e}", file=sys.stderr)
+            finally:
+                # Several operators persist() bounded relations inside
+                # their plan (collapsed reps, gram sets, edge lists).
+                # Across a couple hundred queries in ONE session those
+                # caches accumulate and, at sf>=1, push the storage
+                # pool into eviction thrash that bills later queries
+                # for earlier queries' leftovers (measured: the same
+                # query 5.6s solo vs 140s after a cache-heavy batch).
+                # Clearing between queries bills each query its OWN
+                # cost — including its own cache population.
+                spark.catalog.clearCache()
     total = sum(v for v in timings.values() if v > 0)
 
     try:

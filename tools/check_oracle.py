@@ -73,6 +73,11 @@ def main() -> int:
             traceback.print_exc(limit=4)
             n_fail += 1
             continue
+        finally:
+            # operators persist() bounded relations inside their plans;
+            # across the whole registry in one session those accumulate
+            # into storage-pool eviction thrash (see bench.py)
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
