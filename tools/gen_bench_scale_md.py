@@ -70,6 +70,21 @@ def main() -> None:
         for k, v in load(os.path.relpath(p, ROOT)).items():
             if v > 0:
                 r8_skew.setdefault(k, []).append(v)
+    # Round-8 NEW-query evidence: sf0.1 base (min-of-2 in-run passes)
+    # plus min across the sf1 / sf1skew repeat files.
+    r8n_base = load("bench_scale/r8_new_sf01.json")
+    r8n_sf1: dict[str, list[float]] = {}
+    r8n_skew: dict[str, list[float]] = {}
+    for pat, acc in (
+        ("bench_scale/r8_new_sf1.json", r8n_sf1),
+        ("bench_scale/r8_new_sf1_rep*.json", r8n_sf1),
+        ("bench_scale/r8_new_sf1skew.json", r8n_skew),
+        ("bench_scale/r8_new_sf1skew_rep*.json", r8n_skew),
+    ):
+        for p in sorted(glob.glob(os.path.join(ROOT, pat))):
+            for k, v in load(os.path.relpath(p, ROOT)).items():
+                if v > 0:
+                    acc.setdefault(k, []).append(v)
     AUDIT_REPLACED = {"sim_blocked_recall", "sim_blocked_precision"}
     for k in AUDIT_REPLACED:
         if k in r8_sf1 and k in sf1:
@@ -249,6 +264,35 @@ def main() -> None:
                 + f" | {r:.2f}× |"
             )
         out.append("")
+    if r8n_base and r8n_sf1:
+        out.append("### Round-8 new-query scale evidence (sf0.1 → sf1, skewed sf1)\n")
+        out.append(
+            "Dedicated runs for the queries added in round 8 (absent"
+            " from the round-7 full-registry files): sf0.1 is"
+            " min-of-2 in-run passes; sf1 / sf1skew are min across"
+            " serialized repeat runs (single-pass each) under the"
+            " cache-clearing bench. Ratios ≳10× on 10× data flag a"
+            " superlinear plan; everything below is linear-or-better"
+            " except where noted in Reading the tables.\n"
+        )
+        out.append("| query | sf0.1 s | sf1 s (min) | ratio | sf1skew s (min) | skew/sf1 |")
+        out.append("|---|---|---|---|---|---|")
+        nrows = []
+        for k in sorted(r8n_base):
+            b = r8n_base.get(k, -1)
+            s1v = min(r8n_sf1[k]) if k in r8n_sf1 else -1
+            skv = min(r8n_skew[k]) if k in r8n_skew else -1
+            if b > 0 and s1v > 0:
+                nrows.append((s1v / b, k, b, s1v, skv))
+        nrows.sort(reverse=True)
+        for r, k, b, s1v, skv in nrows:
+            sk_cell = f"{skv:.2f}" if skv > 0 else "—"
+            sk_ratio = f"{skv / s1v:.1f}×" if skv > 0 else "—"
+            out.append(
+                f"| {k} | {b:.2f} | {s1v:.2f} | {r:.1f}× |"
+                f" {sk_cell} | {sk_ratio} |"
+            )
+        out.append("")
     if sf10_rows:
         ob = []
         for k in sorted(sf10_rows):
@@ -388,15 +432,36 @@ def main() -> None:
         " id-bounded ≤2000-representative slice"
         " (queries/text_q.py _BLK_RECALL_MOD/_BLK_RECALL_CAP, the"
         " sim_knn_recall_audit anchor-cap pattern), so the audit is"
-        " ≤cap² at every scale. Every cell for these two rows is a"
-        " round-8 min-of-3 serialized measurement of the SHIPPED"
-        " query (pre-r8 cells measured shapes that no longer exist):"
-        " recall sf1 4.42/4.46/4.55s, sf1skew 4.14/4.22/4.76s —"
-        " the former 131.96s skew cell was the UNSLICED truth side"
-        " on the planted ~10k-duplicate corpus, exactly the 100 TB"
-        " trap the code bound now prevents; precision sf1"
-        " 11.43/11.77/12.35s, sf1skew 8.65/9.51/9.75s (no quadratic"
-        " side by design — full-corpus safe, unchanged semantics)."
+        " ≤cap² at every scale, and rewrote the precision audit to"
+        " evaluate its candidate chain ONCE. Every cell for these two"
+        " rows is a round-8 min-of-3 serialized measurement of the"
+        " SHIPPED shapes (pre-r8 cells measured shapes that no longer"
+        " exist): recall sf1 "
+        + "/".join(f"{v:.2f}" for v in sorted(r8_sf1.get("sim_blocked_recall", [])))
+        + "s, sf1skew "
+        + "/".join(f"{v:.2f}" for v in sorted(r8_skew.get("sim_blocked_recall", [])))
+        + "s — the former 131.96s skew cell was the UNSLICED truth"
+        " side on the planted ~10k-duplicate corpus, exactly the"
+        " 100 TB trap the code bound now prevents; precision sf1 "
+        + "/".join(f"{v:.2f}" for v in sorted(r8_sf1.get("sim_blocked_precision", [])))
+        + "s, sf1skew "
+        + "/".join(f"{v:.2f}" for v in sorted(r8_skew.get("sim_blocked_precision", [])))
+        + "s (no quadratic side by design — full-corpus safe,"
+        " unchanged semantics)."
+    )
+    out.append(
+        "- Round-8 new-query rows: with min-of-reps on a quiet box,"
+        " every addition is sublinear per decade (worst 5.2×/10× —"
+        " RAKE, whose distinct-phrase table grows with the corpus"
+        " until phrase vocabulary saturates) and skew-flat (≤1.2×):"
+        " the duplicate cluster costs `dedup_containment`/`"
+        "dedup_source_matrix` one collapsed representative, and"
+        " `graph_adamic_adar`'s hub cap bounds the densified"
+        " co-purchase wedges. Single-pass cells measured during"
+        " ambient load had shown up to 5× inflation on exactly these"
+        " rows (e.g. QL 34.5s → 6.1s); the repeat protocol is what"
+        " makes these numbers quotable — same lesson as round 6's"
+        " BFS case."
     )
     out.append("")
     print("\n".join(out))
