@@ -742,3 +742,187 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression by fixed-round batch gradient descent (round 8)
+# ---------------------------------------------------------------------------
+
+_LOGREG_ROUNDS = 3
+_LOGREG_LR = 4.0
+
+
+def _logreg_oracle(rounds: int = _LOGREG_ROUNDS) -> str:
+    """Chained-CTE replay of the micro-quantized GD trajectory — the
+    ml_perceptron_quality pattern with a float link function: z and
+    the per-row gradient use the IDENTICAL expression tree as the
+    Spark plan (one exp per row — the accepted ln/exp hazard class),
+    and every cross-row sum is an exact integer in MICRO units."""
+    z = (
+        "(CAST(s.w0 AS DOUBLE)"
+        " + CAST(s.w1 AS DOUBLE) * (CAST(x1 AS DOUBLE) / 50.0)"
+        " + CAST(s.w2 AS DOUBLE) * (CAST(x2 AS DOUBLE) / 10.0))"
+        " / 1000000.0"
+    )
+    r = f"(1.0 / (1.0 + exp(-({z}))) - CAST(y AS DOUBLE))"
+    parts = [
+        """
+    WITH feat AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x2,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ), s0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                     CAST(0 AS BIGINT) AS w2)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""", u{t} AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(floor({r} * 1000000.0) AS HUGEINT))
+                  AS HUGEINT) AS g0,
+             CAST(sum(CAST(floor({r} * (CAST(x1 AS DOUBLE) / 50.0)
+                                 * 1000000.0) AS HUGEINT))
+                  AS HUGEINT) AS g1,
+             CAST(sum(CAST(floor({r} * (CAST(x2 AS DOUBLE) / 10.0)
+                                 * 1000000.0) AS HUGEINT))
+                  AS HUGEINT) AS g2
+      FROM feat CROSS JOIN s{t - 1} s
+    ), s{t} AS (
+      SELECT CAST(s.w0 - floor({_LOGREG_LR!r} * CAST(u.g0 AS DOUBLE)
+                               / CAST(u.n AS DOUBLE)) AS BIGINT) AS w0,
+             CAST(s.w1 - floor({_LOGREG_LR!r} * CAST(u.g1 AS DOUBLE)
+                               / CAST(u.n AS DOUBLE)) AS BIGINT) AS w1,
+             CAST(s.w2 - floor({_LOGREG_LR!r} * CAST(u.g2 AS DOUBLE)
+                               / CAST(u.n AS DOUBLE)) AS BIGINT) AS w2
+      FROM s{t - 1} s CROSS JOIN u{t} u
+    )"""
+        )
+    return "".join(parts) + f"""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM feat) AS n,
+           CAST(s.w0 AS DOUBLE) / 1000000.0 AS w_bias,
+           CAST(s.w1 AS DOUBLE) / 1000000.0 AS w_quantity,
+           CAST(s.w2 AS DOUBLE) / 1000000.0 AS w_discount,
+           floor(CAST((SELECT sum(CASE WHEN ({z}) > 0.0 THEN y
+                                       ELSE 1 - y END)
+                       FROM feat CROSS JOIN s{rounds} s) AS DOUBLE)
+                 / (SELECT count(*) FROM feat)
+                 * 1000000.0) / 1000000.0 AS train_acc
+    FROM s{rounds} s
+    """
+
+
+@query("ml_logreg_gd", oracle=_logreg_oracle())
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression by FIXED-ROUND batch gradient descent
+    (3 rounds, lr 4.0) predicting returned lineitems from quantity
+    and discount — the probabilistic trainer beside the perceptron's
+    mistake-driven one (same one-aggregate-per-round shape, now with
+    a float link): model state is a 1-row broadcast of MICRO-integer
+    weights; each round computes ONE corpus aggregate of per-row
+    gradients ``(σ(w·x) − y)·x``, micro-floored per row so the
+    cross-row sums are exact integers (order-immune; the integer
+    trajectory replays as chained CTEs in DuckDB). The per-row σ uses
+    the same expression tree on both engines (one exp — the registry's
+    accepted ln/exp hazard class); gradient-sum doubles stay exact
+    below ~9·10⁹ rows (micro grid × 2⁵³ — the documented validity
+    bound, the stats_spearman convention).
+
+    On this corpus returnflag is independent of the features, so the
+    fit converges toward the base-rate bias with near-zero feature
+    weights and train_acc ≈ the majority class — the null-result
+    check (a spuriously large weight here would flag a broken
+    gradient).
+
+    Plan shape at 100 TB: ``rounds`` corpus aggregates (map-side
+    partial, 1-row state between rounds — the pagerank fixed-round
+    contract), one final accuracy aggregate. No windows, no joins
+    beyond the 1-row state attach.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    feat = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    ).persist()
+
+    def z_expr():
+        x1d = F.col("x1").cast("double")
+        x2d = F.col("x2").cast("double")
+        return (
+            F.col("w0").cast("double")
+            + F.col("w1").cast("double") * (x1d / F.lit(50.0))
+            + F.col("w2").cast("double") * (x2d / F.lit(10.0))
+        ) / F.lit(1e6)
+
+    w = feat.sparkSession.createDataFrame(
+        [(0, 0, 0)], "w0 long, w1 long, w2 long"
+    )
+    for _ in range(_LOGREG_ROUNDS):
+        j = feat.crossJoin(F.broadcast(w))
+        rr = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-z_expr())
+        ) - F.col("y").cast("double")
+        x1d = F.col("x1").cast("double")
+        x2d = F.col("x2").cast("double")
+        u = j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(rr * F.lit(1e6)).cast("decimal(38,0)")
+            ).alias("g0"),
+            F.sum(
+                F.floor(rr * (x1d / F.lit(50.0)) * F.lit(1e6)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("g1"),
+            F.sum(
+                F.floor(rr * (x2d / F.lit(10.0)) * F.lit(1e6)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("g2"),
+            F.max(F.col("w0")).alias("w0"),
+            F.max(F.col("w1")).alias("w1"),
+            F.max(F.col("w2")).alias("w2"),
+        )
+        n_d = F.col("n").cast("double")
+        w = u.select(
+            (
+                F.col("w0")
+                - F.floor(
+                    F.lit(_LOGREG_LR) * F.col("g0").cast("double") / n_d
+                )
+            )
+            .cast("long")
+            .alias("w0"),
+            (
+                F.col("w1")
+                - F.floor(
+                    F.lit(_LOGREG_LR) * F.col("g1").cast("double") / n_d
+                )
+            )
+            .cast("long")
+            .alias("w1"),
+            (
+                F.col("w2")
+                - F.floor(
+                    F.lit(_LOGREG_LR) * F.col("g2").cast("double") / n_d
+                )
+            )
+            .cast("long")
+            .alias("w2"),
+        )
+    jf = feat.crossJoin(F.broadcast(w))
+    hit = F.when(
+        z_expr() > F.lit(0.0), F.col("y")
+    ).otherwise(1 - F.col("y"))
+    return jf.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.col("w0").cast("double") / F.lit(1e6)).alias("w_bias"),
+        F.max(F.col("w1").cast("double") / F.lit(1e6)).alias("w_quantity"),
+        F.max(F.col("w2").cast("double") / F.lit(1e6)).alias("w_discount"),
+        trunc6(
+            F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("train_acc"),
+    )

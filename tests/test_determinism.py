@@ -67,6 +67,8 @@ PERTURB_QUERIES = [
     # order + integer coverage sums
     "dedup_source_matrix",  # production pair stream + grouped counts
     "stats_runs_test",  # doubled-median order statistic + integer runs
+    "ml_logreg_gd",  # micro-integer GD weight trajectory (per-row
+    # sigmoid floored to the grid before every cross-row sum)
 ]
 
 

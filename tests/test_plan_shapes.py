@@ -131,6 +131,8 @@ SCALAR_CROSS_WHITELIST = {
     # grid) cross-attached to the day table
     "eval_corpus_bleu2",  # bigram-precision scalar (1 row) onto the
     # 1-row unigram aggregate — two bounded count-table collapses
+    "ml_logreg_gd",  # 1-row micro-integer weight state attached per
+    # GD round (the perceptron/pagerank fixed-round contract)
 }
 
 

@@ -75,11 +75,13 @@ def main() -> None:
     r8n_base = load("bench_scale/r8_new_sf01.json")
     r8n_sf1: dict[str, list[float]] = {}
     r8n_skew: dict[str, list[float]] = {}
+    r8n_sf10: dict[str, list[float]] = {}
     for pat, acc in (
         ("bench_scale/r8_new_sf1.json", r8n_sf1),
         ("bench_scale/r8_new_sf1_rep*.json", r8n_sf1),
         ("bench_scale/r8_new_sf1skew.json", r8n_skew),
         ("bench_scale/r8_new_sf1skew_rep*.json", r8n_skew),
+        ("bench_scale/r8_new_sf10*.json", r8n_sf10),
     ):
         for p in sorted(glob.glob(os.path.join(ROOT, pat))):
             for k, v in load(os.path.relpath(p, ROOT)).items():
@@ -108,8 +110,14 @@ def main() -> None:
         up to ~4× ambient spread; min is the engine cost)."""
         if k in AUDIT_REPLACED:
             return sf1.get(k, -1.0)  # r8 reps only; pre-r8 cells stale
-        vals = [v for v in (sf1.get(k), rep2.get(k), rep3.get(k))
-                if v is not None and v > 0]
+        # Round 8 changed bench semantics (cache cleared between
+        # queries — each query pays its own cache population), so the
+        # ratio numerator uses the NEW-semantics full-registry run
+        # plus the new-semantics r8 repeat files ONLY; the round-7
+        # worst-set reps (old semantics: later passes free-rode on
+        # earlier passes' persisted state) remain displayed as
+        # historical variance but no longer pull the min down.
+        vals = [v for v in (sf1.get(k),) if v is not None and v > 0]
         vals += r8_sf1.get(k, [])
         return min(vals) if vals else -1.0
 
@@ -147,7 +155,19 @@ def main() -> None:
         " exact-by-contract Σdf² diagnostic, measured once in round 6"
         " at 2674s (90×/decade — the documented\nquadratic wall; its"
         " bounded production sibling `sim_allpairs_blocked` IS in the"
-        " set). Raw per-query maps:\n`bench_scale/*.json`.\n"
+        " set). Raw per-query maps:\n`bench_scale/*.json`.\n\n"
+        "SEMANTICS NOTE (round 8): bench.py now clears the Spark"
+        " cache between queries, so each query pays its OWN cache"
+        " population — the old accumulate-everything sessions let"
+        " later passes free-ride on earlier passes' persisted state"
+        " and, worse, let a cache-heavy batch thrash later queries at"
+        " sf≥1 (measured 5.6s vs 140s for the same plan). Totals are"
+        " therefore NOT comparable across the change (sf0.1 full"
+        " registry: 243s warm-accounting → 380s honest-cold); the"
+        " sf0.1 / sf1 / sf1skew full-registry files and every r8_*"
+        " evidence file are new-semantics, while the round-7"
+        " worst-set reps and the sf10 worst-set spot-bench remain"
+        " old-semantics and are marked where shown.\n"
     )
     out.append(
         f"- Full-registry totals over {len(common)} queries:"
@@ -269,28 +289,42 @@ def main() -> None:
         out.append(
             "Dedicated runs for the queries added in round 8 (absent"
             " from the round-7 full-registry files): sf0.1 is"
-            " min-of-2 in-run passes; sf1 / sf1skew are min across"
-            " serialized repeat runs (single-pass each) under the"
-            " cache-clearing bench. Ratios ≳10× on 10× data flag a"
-            " superlinear plan; everything below is linear-or-better"
-            " except where noted in Reading the tables.\n"
+            " min-of-2 in-run passes; sf1 / sf1skew / sf10 are min"
+            " across serialized repeat runs (single-pass each) under"
+            " the cache-clearing bench. The second decade (sf10,"
+            " 100× sf0.1) includes the two blocking audits —"
+            " `sim_blocked_recall`'s 1.9×/decade is the code-enforced"
+            " slice bound doing exactly what it was added for."
+            " Superlinear second-decade rows are explained in Reading"
+            " the tables.\n"
         )
-        out.append("| query | sf0.1 s | sf1 s (min) | ratio | sf1skew s (min) | skew/sf1 |")
-        out.append("|---|---|---|---|---|---|")
+        out.append(
+            "| query | sf0.1 s | sf1 s (min) | ratio |"
+            " sf1skew s (min) | skew/sf1 | sf10 s | sf10/sf1 |"
+        )
+        out.append("|---|---|---|---|---|---|---|---|")
         nrows = []
-        for k in sorted(r8n_base):
-            b = r8n_base.get(k, -1)
-            s1v = min(r8n_sf1[k]) if k in r8n_sf1 else -1
-            skv = min(r8n_skew[k]) if k in r8n_skew else -1
-            if b > 0 and s1v > 0:
-                nrows.append((s1v / b, k, b, s1v, skv))
+        for k in sorted(set(r8n_base) | set(r8n_sf10)):
+            b = r8n_base.get(k, base.get(k, -1))
+            s1_vals = r8n_sf1.get(k, []) + r8_sf1.get(k, [])
+            s1v = min(s1_vals) if s1_vals else -1
+            skv = min(r8n_skew[k]) if k in r8n_skew else (
+                min(r8_skew[k]) if k in r8_skew else -1
+            )
+            s10v = min(r8n_sf10[k]) if k in r8n_sf10 else -1
+            if s1v > 0:
+                nrows.append((s1v / b if b > 0 else 0, k, b, s1v, skv, s10v))
         nrows.sort(reverse=True)
-        for r, k, b, s1v, skv in nrows:
+        for r, k, b, s1v, skv, s10v in nrows:
+            b_cell = f"{b:.2f}" if b > 0 else "—"
+            r_cell = f"{r:.1f}×" if b > 0 else "—"
             sk_cell = f"{skv:.2f}" if skv > 0 else "—"
             sk_ratio = f"{skv / s1v:.1f}×" if skv > 0 else "—"
+            s10_cell = f"{s10v:.2f}" if s10v > 0 else "—"
+            s10_ratio = f"{s10v / s1v:.1f}×" if s10v > 0 else "—"
             out.append(
-                f"| {k} | {b:.2f} | {s1v:.2f} | {r:.1f}× |"
-                f" {sk_cell} | {sk_ratio} |"
+                f"| {k} | {b_cell} | {s1v:.2f} | {r_cell} |"
+                f" {sk_cell} | {sk_ratio} | {s10_cell} | {s10_ratio} |"
             )
         out.append("")
     if sf10_rows:
@@ -462,6 +496,27 @@ def main() -> None:
         " rows (e.g. QL 34.5s → 6.1s); the repeat protocol is what"
         " makes these numbers quotable — same lesson as round 6's"
         " BFS case."
+    )
+    out.append(
+        "- Round-8 second decade (sf10): `sim_cosine_histogram`'s"
+        " exhaustive form measured 47.7×/decade — CANDIDATE-bound"
+        " (it scores EVERY band-collision pair with no threshold or"
+        " size prune while candidates grow ~97×/decade on this"
+        " densifying corpus; per-candidate work FELL ~2×). Since a"
+        " distribution PROFILE loses nothing statistical to a"
+        " deterministic sample, the gate row now runs on a"
+        " code-enforced ≤20000-rep slice (the sim_blocked_recall"
+        " pattern; `slice_mod=None` recovers the exhaustive"
+        " diagnostic), and the table shows the sliced row's"
+        " measurements. `graph_adamic_adar` 12.0×/decade is"
+        " EDGE-bound: the part co-purchase graph itself densifies"
+        " (the same growth graph_triangle_count measures at"
+        " 12.5×/decade) and the hub cap keeps work ≤cap·m — linear"
+        " in the grown edge set. `search_query_likelihood` measures"
+        " 11.6×/decade (solo rep) — linear in corpus chars within"
+        " ambient noise, like its BM25 sibling. `sim_blocked_recall`"
+        " at 1.9×/decade is the headline: the sliced truth side is"
+        " CONSTANT work, so only the corpus-side band pass grows."
     )
     out.append("")
     print("\n".join(out))
