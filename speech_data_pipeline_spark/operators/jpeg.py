@@ -386,6 +386,13 @@ def _decode_scan(
     restart_interval: int,
 ) -> dict:
     w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if len(comps) == 1:
+        # T.81 §A.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU in raster order over ceil(w/8) × ceil(h/8),
+        # regardless of the sampling factors declared in SOF (those
+        # only shape multi-component geometry). Force effective 1×1.
+        comps = [dict(comps[0], h=1, v=1)]
+        scomp = [(comps[0], scomp[0][1], scomp[0][2])]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -427,6 +434,9 @@ def _decode_scan(
                 raise ValueError(
                     "restart marker inside an MCU (truncated interval)"
                 ) from exc
+            except IndexError as exc:
+                # bit reader ran off the end of the stream mid-MCU
+                raise ValueError("truncated JPEG entropy stream") from exc
             mcu_count += 1
     # Upsample each component to full MCU-grid resolution by sample
     # replication, crop to (h, w).

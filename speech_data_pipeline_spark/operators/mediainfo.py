@@ -17,6 +17,9 @@ estimate to real metadata for every extension the reference accepts
 - Ogg  — page walk: codec id from the first packet (Vorbis
   identification header rate; OpusHead pre-skip at the fixed 48 kHz
   granule clock), duration from the LAST page's granule position
+- AAC  — raw ADTS frame walk (syncword 0xFFF with layer bits 00,
+  13-bit frame length, 1024 samples per raw data block, 13818-7
+  sampling-frequency-index table)
 - MP4/M4A — ISO-BMFF box walk to moov/mvhd (version 0 and 1),
   duration = duration/timescale; channels/rate from mdia/mdhd-level
   audio sample entries are NOT needed for duration so the walk stays
@@ -160,11 +163,10 @@ def probe_ogg(b: bytes) -> dict | None:
         clock = 48000  # opus granule positions always tick at 48 kHz
     else:
         return None
-    channels = body[11] if codec == "opus" else (
-        body[11] if len(body) > 11 else None
-    )
-    if codec == "vorbis" and len(body) >= 12:
-        channels = body[11]
+    # RFC 7845 §5.1: OpusHead channel count is ID-header byte 9 (byte
+    # 11 is the HIGH byte of the little-endian pre-skip field);
+    # Vorbis I §4.2.2 puts audio_channels at byte 11.
+    channels = body[9] if codec == "opus" else body[11]
     # walk pages to the last granule position
     last_granule = 0
     pos = 0
@@ -219,7 +221,7 @@ def probe_mp4(b: bytes) -> dict | None:
             if t2 != b"mvhd":
                 continue
             ver = b[l2]
-            if ver == 1 and h2 - l2 >= 28:
+            if ver == 1 and h2 - l2 >= 32:  # reads b[l2+24 : l2+32]
                 scale = struct.unpack(">I", b[l2 + 20 : l2 + 24])[0]
                 dur = struct.unpack(">Q", b[l2 + 24 : l2 + 32])[0]
             elif ver == 0 and h2 - l2 >= 20:
@@ -234,6 +236,74 @@ def probe_mp4(b: bytes) -> dict | None:
                 "duration": dur / float(scale),
             }
     return None
+
+
+#: ADTS sampling-frequency-index table (ISO/IEC 13818-7 / 14496-3).
+_AAC_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+)
+
+
+def _adts_frame(b: bytes, pos: int):
+    """Parse one ADTS frame header at ``pos``; returns
+    (frame_bytes, samples, sample_rate, channels) or None."""
+    if pos + 7 > len(b):
+        return None
+    if b[pos] != 0xFF or (b[pos + 1] & 0xF6) != 0xF0:
+        return None  # syncword 0xFFF with layer bits 00
+    sf_idx = (b[pos + 2] >> 2) & 0x0F
+    if sf_idx >= len(_AAC_RATES):
+        return None
+    chan = ((b[pos + 2] & 1) << 2) | (b[pos + 3] >> 6)
+    frame = (
+        ((b[pos + 3] & 0x03) << 11) | (b[pos + 4] << 3) | (b[pos + 5] >> 5)
+    )
+    if frame < 7:
+        return None
+    # raw_data_blocks: each carries 1024 samples per channel
+    blocks = (b[pos + 6] & 0x03) + 1
+    return frame, 1024 * blocks, _AAC_RATES[sf_idx], chan
+
+
+def probe_aac(b: bytes) -> dict | None:
+    """Raw ADTS-AAC frame walk: syncword 0xFFF, 13-bit frame length,
+    1024 samples per raw data block, sampling-frequency-index table
+    (ISO/IEC 13818-7 §6.2). The sixth extension the reference's glob
+    accepts (modules/models/utils.py:11-16)."""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        sz = (
+            (b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+            | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
+        )
+        pos = 10 + sz
+    # resync within a bounded window; require a second valid header
+    limit = min(len(b), pos + 4096)
+    first = None
+    while pos < limit:
+        first = _adts_frame(b, pos)
+        if first:
+            nxt = pos + first[0]
+            if nxt >= len(b) or _adts_frame(b, nxt):
+                break
+            first = None
+        pos += 1
+    if not first:
+        return None
+    sr, channels = first[2], first[3]
+    total_samples = 0
+    while pos < len(b):
+        fr = _adts_frame(b, pos)
+        if not fr:
+            break
+        total_samples += fr[1]
+        pos += fr[0]
+    return {
+        "format": "aac", "sample_rate": sr,
+        "channels": channels if channels else None,
+        "duration": total_samples / float(sr),
+    }
 
 
 def probe_wav(b: bytes) -> dict | None:
@@ -294,5 +364,8 @@ def probe_media_bytes(payload: bytes) -> dict | None:
     if b[:3] == b"ID3" or (
         len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
     ):
-        return probe_mp3(b)
+        # ADTS-AAC shares the 0xFFF sync but sets the layer bits to 00
+        # (reserved in MPEG audio), so the two probes are disjoint:
+        # probe_mp3 rejects ADTS frames and vice versa.
+        return probe_mp3(b) or probe_aac(b)
     return None

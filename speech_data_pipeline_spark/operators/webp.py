@@ -317,7 +317,12 @@ def _clamp_add_subtract_full(a: int, b: int, c: int) -> int:
 
 
 def _clamp_add_subtract_half(a: int, b: int) -> int:
-    return min(255, max(0, a + ((a - b) >> 1)))
+    # spec/libwebp AddSubtractComponentHalf: a + (a - b) / 2 with C
+    # integer division (truncation toward ZERO, not a floor shift) —
+    # for a negative odd delta the two differ by one and the error
+    # would propagate through every later prediction.
+    d = a - b
+    return min(255, max(0, a + (d // 2 if d >= 0 else -((-d) // 2))))
 
 
 def _inv_predictor(img: np.ndarray, modes: np.ndarray, bits: int) -> np.ndarray:

@@ -321,3 +321,28 @@ def test_fill_bytes_before_marker():
     padded = s[:2] + b"\xff\xff" + s[2:]
     d = decode_jpeg_bytes(padded)
     assert np.all(d["pixels"] == 132)
+
+
+def test_single_component_scan_ignores_declared_sampling():
+    """T.81 §A.2: single-component scans are non-interleaved (one data
+    unit per MCU in raster order) regardless of SOF sampling factors.
+    Patching the grayscale component's h/v byte from 1x1 to 2x2 must
+    not change the decoded pixels."""
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    data = encode_jpeg_bytes(img, quality=95)
+    ref = decode_jpeg_bytes(data)["pixels"]
+    i = data.find(b"\xff\xc0")
+    assert i >= 0 and data[i + 11] == 0x11
+    patched = bytearray(data)
+    patched[i + 11] = 0x22
+    got = decode_jpeg_bytes(bytes(patched))["pixels"]
+    assert np.array_equal(got, ref)
+
+
+def test_truncated_entropy_stream_raises_valueerror():
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    data = encode_jpeg_bytes(img, quality=95)
+    i = data.find(b"\xff\xda")
+    assert i >= 0
+    with pytest.raises(ValueError):
+        decode_jpeg_bytes(data[: i + 2 + 8 + 2])

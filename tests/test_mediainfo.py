@@ -229,3 +229,90 @@ def test_probe_durations_real_headers(spark, tmp_path):
     assert got["d"] == pytest.approx(4.0)
     # unparseable falls back to the byte-length estimate, not 0
     assert got["junk"] == pytest.approx(27 / 32000.0)
+
+
+# ---------------------------------------------------------------------------
+# round-9 fixes: opus channel byte, mvhd short box, ADTS-AAC, FLAC 36-bit
+# ---------------------------------------------------------------------------
+
+from speech_data_pipeline_spark.operators.mediainfo import probe_aac
+
+
+def _adts(n_frames=5, sf_idx=4, channels=2, payload=100) -> bytes:
+    """Hand-built ADTS frames: 7-byte headers, LC profile, no CRC."""
+    out = b""
+    flen = 7 + payload
+    for _ in range(n_frames):
+        b0 = 0xFF
+        b1 = 0xF1  # sync low nibble: MPEG-4, layer 00, protection absent
+        b2 = (1 << 6) | (sf_idx << 2) | ((channels >> 2) & 1)
+        b3 = ((channels & 3) << 6) | ((flen >> 11) & 3)
+        b4 = (flen >> 3) & 0xFF
+        b5 = ((flen & 7) << 5) | 0x1F
+        b6 = 0xFC  # buffer fullness low bits; raw_data_blocks-1 = 0
+        out += bytes([b0, b1, b2, b3, b4, b5, b6]) + b"\x00" * payload
+    return out
+
+
+def test_opus_channel_byte_not_preskip_high_byte():
+    """RFC 7845 §5.1: channel count is ID-header byte 9; byte 11 is the
+    HIGH byte of little-endian pre-skip. channels=2 with pre_skip=3840
+    (high byte 15) exposes a probe reading the wrong byte."""
+    pages = (
+        _ogg_page(0, _opus_head(pre_skip=3840, rate=48000, channels=2),
+                  bos=True)
+        + _ogg_page(48000 + 3840, b"z" * 10, eos=True, seq=1)
+    )
+    info = probe_ogg(pages)
+    assert info["channels"] == 2
+    assert info["duration"] == pytest.approx(1.0)
+
+
+def test_mvhd_v1_short_box_returns_none():
+    """A 28-byte version-1 mvhd body truncates the 8-byte duration:
+    the probe must return None rather than read past the box."""
+    ftyp = struct.pack(">I", 16) + b"ftypM4A " + b"\x00" * 4
+    body = (
+        b"\x01" + b"\x00" * 3 + b"\x00" * 16
+        + struct.pack(">I", 600) + struct.pack(">I", 1800)
+    )
+    assert len(body) == 28
+    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    assert probe_mp4(ftyp + moov) is None
+
+
+def test_aac_adts_probe():
+    info = probe_aac(_adts(n_frames=5, sf_idx=4, channels=2))
+    assert info["format"] == "aac"
+    assert (info["sample_rate"], info["channels"]) == (44100, 2)
+    assert info["duration"] == pytest.approx(5 * 1024 / 44100)
+
+
+def test_aac_dispatch_and_id3_skip():
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    info = probe_media_bytes(id3 + _adts(3, sf_idx=8, channels=1))
+    assert info["format"] == "aac"
+    assert info["sample_rate"] == 16000
+    assert info["duration"] == pytest.approx(3 * 1024 / 16000)
+
+
+def test_aac_rejects_mp3_and_vice_versa():
+    # layer bits are 00 in ADTS (reserved in MPEG audio): disjoint syncs
+    assert probe_mp3(_adts(3)) is None
+    assert probe_aac(_mp3_cbr(3)) is None
+
+
+def test_flac_total_samples_full_36_bits():
+    """STREAMINFO layout: sr(20)+ch(3)+bps(5) = 28 bits, so the 36-bit
+    total-samples field is exactly the low nibble of si[13] plus the
+    next 4 bytes. si[12] bit 0 is the bps HIGH bit (bps is a 5-bit
+    field — 24/32-bit streams need it), NOT a total-samples bit."""
+    total = (1 << 35) + 44100
+    info = probe_flac(_flac(sr=44100, channels=1, total=total))
+    assert info["duration"] == pytest.approx(total / 44100)
+    blob = bytearray(_flac(sr=44100, channels=1, total=total))
+    blob[8 + 12] |= 1  # flip the bps high bit
+    assert probe_flac(bytes(blob))["duration"] == pytest.approx(
+        total / 44100
+    )

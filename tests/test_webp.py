@@ -327,3 +327,44 @@ def test_decode_image_bytes_dispatches_webp():
     gray = decode_image_bytes(encode_webp_bytes(img))
     assert gray.shape == (6, 6)
     assert np.abs(gray - 120.0 / 255.0).max() < 1e-9
+
+
+def test_handbuilt_predictor_mode_13_truncates_toward_zero():
+    """ClampAddSubtractHalf (mode 13) uses C integer division for
+    (a - b) / 2 — truncation toward ZERO. 2×2 image whose bottom-right
+    pixel has a NEGATIVE ODD delta: avg2(L,T)=10, TL=13 ⇒ pred green
+    = clamp(10 + trunc(-3/2)) = 9; a floor shift would give 8 and the
+    difference would propagate through later predictions."""
+    w = _LsbWriter()
+    _header(w, 2, 2)
+    w.write(1, 1)
+    w.write(0, 2)  # PREDICTOR
+    w.write(0, 3)  # bits-2=0 -> block size 4 -> 1x1 mode image
+    _write_simple_one(w, 13)  # green = mode 13
+    _write_simple_one(w, 0)   # red
+    _write_simple_one(w, 0)   # blue
+    _write_simple_one(w, 0)   # alpha
+    _write_simple_one(w, 0)   # distance
+    w.write(0, 1)  # no more transforms
+    w.write(0, 1)  # no color cache
+    w.write(0, 1)  # no meta huffman
+    # residual greens: (0,0) border pred green 0 -> 13; (0,1) predicts
+    # L -> target 10 needs 253; (1,0) predicts T -> 253; (1,1) mode 13
+    # pred 9, target 9 -> residual 0
+    lengths = [0] * (256 + 24)
+    lengths[13] = 1
+    lengths[253] = 2
+    lengths[0] = 2
+    _write_code_lengths(w, lengths)
+    gcodes = _canonical_codes({13: 1, 253: 2, 0: 2})
+    _write_simple_one(w, 0)    # red residuals all 0
+    _write_simple_one(w, 0)    # blue
+    _write_simple_one(w, 0)    # alpha residuals all 0 (border A=255)
+    _write_simple_one(w, 0)    # distance (unused)
+    for g in (13, 253, 253, 0):
+        _write_symbol(w, gcodes, g)
+    px = decode_webp_bytes(_wrap_vp8l(w))["pixels"]
+    assert tuple(px[0, 0]) == (0, 13, 0, 255)
+    assert tuple(px[0, 1]) == (0, 10, 0, 255)
+    assert tuple(px[1, 0]) == (0, 10, 0, 255)
+    assert tuple(px[1, 1]) == (0, 9, 0, 255)  # 8 under a floor shift
