@@ -1,0 +1,671 @@
+"""Pure-NumPy MPEG-1 Audio Layer I/II codec (ISO/IEC 11172-3).
+
+The reference pipeline's corpora arrive as MPEG audio (podcast mp3s:
+``modules/models/utils.py:11-16`` lists mp3 first among the accepted
+extensions, and every decode shells to librosa/ffmpeg). This module
+moves the MPEG-audio seam from "no decode at all" to "Layer III
+spectral decode only", natively decoding Layers I and II — the same
+frame machinery Layer III shares — with no codec library:
+
+- frame headers (sync, version, layer, bitrate/samplerate tables,
+  padding, mode/mode-extension, CRC skip)
+- Layer I:  4-bit allocations, 6-bit scalefactors, 12 samples/subband,
+  requantization ``s''' = (s'' + 2^(1-nb)) * 2^nb/(2^nb - 1)``
+  (ISO 11172-3 §2.4.3.3 — closed form, no tables)
+- Layer II: bit-allocation tables, scfsi scalefactor sharing,
+  granule-grouped sample codes (3/5/9-level degrouping), classed
+  requantization ``s''' = C * (s'' + D)`` where ``C = 2^nb/steps``
+  and ``D = 2^(1-nb)`` (0.5 for the grouped classes) — the closed
+  forms behind ISO Table B.4
+- intensity (joint) stereo above the mode-extension bound
+- the 32-band polyphase synthesis filterbank with the spec's exact
+  matrixing ``N[i][k] = cos((16+i)(2k+1)*pi/64)`` and V/U fifo
+  structure (§2.4.3.2 / Annex A flow chart)
+- a matching analysis filterbank + deterministic encoder (fixed
+  allocation, max-magnitude scalefactors) used to synthesize test
+  fixtures and as a Layer II export sink
+
+DOCUMENTED DEVIATION (offline-container seam): the spec's 512-tap
+window (Annex B Table 3-B.3) is pure tabular data with no closed form
+and is not derivable in this container (no network, no codec library
+to lift it from). This module uses a root-raised-cosine PQMF
+prototype (exactly power-complementary in the ideal limit) with the
+same length, structure, sign pattern, and scaling in its place. The
+filterbank algebra, frame syntax, and requantization are exact to the
+spec; decoding a stream produced by an ISO encoder therefore carries a
+small extra aliasing floor from the window mismatch (the tests measure
+round-trip SNR > 55 dB through this module's own analysis/synthesis
+pair). Dropping the 512 Table 3-B.3 values into ``_SPEC_WINDOW``
+removes the deviation without touching any other code.
+
+Layer III remains a seam: its side-info/scalefactor syntax is
+structural, but the spectral Huffman code tables (ISO Tables B.7.x)
+are likewise pure tabular data — ``decode_mpeg_audio_bytes`` raises a
+loud NotImplementedError naming exactly that.
+
+Reference behavior parity: modules/models/utils.py:11-16 (accepted
+extensions), modules/vad_multi.py:12-16 (duration probing before
+decode — see operators/mediainfo.py).
+
+Scale shape: decode is a per-payload Arrow kernel behind
+``mapInPandas`` (operators/multimodal.py:decode_media) — map-only, no
+shuffle; 100 TB of Layer II audio decodes embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# frame header (shared with Layer III streams)
+# ---------------------------------------------------------------------------
+
+_BITRATES_V1 = {  # kbps, MPEG-1, index 1..14
+    1: (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2: (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    3: (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+}
+_RATES_V1 = (44100, 48000, 32000)
+
+#: mode field: 0 stereo, 1 joint stereo, 2 dual channel, 3 single (mono)
+_MODE_NCH = (2, 2, 2, 1)
+
+
+def parse_frame_header(b: bytes, pos: int = 0) -> dict | None:
+    """Parse one MPEG-1 audio frame header; None if not a valid sync."""
+    if pos + 4 > len(b):
+        return None
+    h = struct.unpack(">I", b[pos : pos + 4])[0]
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None
+    version = (h >> 19) & 3
+    if version != 3:  # MPEG-1 only (2/2.5 are the LSF extension)
+        return None
+    layer_code = (h >> 17) & 3
+    if layer_code == 0:
+        return None
+    layer = 4 - layer_code
+    protection = (h >> 16) & 1  # 0 = CRC present
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if br_idx in (0, 0xF) or sr_idx == 3:
+        return None
+    bitrate = _BITRATES_V1[layer][br_idx - 1] * 1000
+    sr = _RATES_V1[sr_idx]
+    padding = (h >> 9) & 1
+    mode = (h >> 6) & 3
+    mode_ext = (h >> 4) & 3
+    if layer == 1:
+        frame_len = (12 * bitrate // sr + padding) * 4
+        samples = 384
+    else:
+        frame_len = 144 * bitrate // sr + padding
+        samples = 1152
+    return {
+        "layer": layer, "bitrate": bitrate, "sr": sr, "sr_idx": sr_idx,
+        "padding": padding, "mode": mode, "mode_ext": mode_ext,
+        "nch": _MODE_NCH[mode], "crc": protection == 0,
+        "frame_len": frame_len, "samples": samples,
+    }
+
+
+# ---------------------------------------------------------------------------
+# bit reader / writer (MSB-first, as the frame syntax is defined)
+# ---------------------------------------------------------------------------
+
+
+class _Bits:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, bitpos: int = 0):
+        self.data = data
+        self.pos = bitpos
+
+    def read(self, n: int) -> int:
+        v = 0
+        p = self.pos
+        d = self.data
+        for _ in range(n):
+            v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return v
+
+
+class _BitWriter:
+    __slots__ = ("buf", "cur", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.cur = (self.cur << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.cur >> self.nbits) & 0xFF)
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+# ---------------------------------------------------------------------------
+# scalefactors and requantization (closed forms per §2.4.3.3 / Table B.1/B.4)
+# ---------------------------------------------------------------------------
+
+#: Table B.1 closed form: scf[idx] = 2 * 2^(-idx/3), idx 0..62
+_SCF = 2.0 ** (1.0 - np.arange(63) / 3.0)
+
+
+def _quant_params(steps: int) -> tuple[int, float, float]:
+    """(nb, C, D) for a ``steps``-level midtread class — the closed
+    forms behind ISO Table B.4: nb = ceil(log2(steps+1)),
+    C = 2^nb / steps, D = 2^(1-nb) except 0.5 for the grouped
+    classes (3-, 5-, 9-level)."""
+    nb = max(2, int(steps).bit_length())
+    c = (1 << nb) / steps
+    d = 0.5 if steps in (3, 5, 9) else 2.0 ** (1 - nb)
+    return nb, c, d
+
+
+def _dequant(v: int, nb: int, c: float, d: float) -> float:
+    """s''' = C * (s'' + D); s'' = code with MSB inverted, two's
+    complement, scaled to [-1, 1)."""
+    u = v ^ (1 << (nb - 1))
+    if u & (1 << (nb - 1)):
+        u -= 1 << nb
+    return c * (u / float(1 << (nb - 1)) + d)
+
+
+def _quant(x: float, steps: int, nb: int, c: float, d: float) -> int:
+    """Inverse of :func:`_dequant` (encoder side): round to the
+    nearest of the ``steps`` levels. Valid codes map to
+    u in [-half, steps - 1 - half] (e.g. the 5-level class uses
+    u in {-4..0}), so the clamp is class-dependent."""
+    half = 1 << (nb - 1)
+    u = int(np.floor(x / c * half - d * half + 0.5))
+    u = max(-half, min(steps - 1 - half, u))
+    return (u & ((1 << nb) - 1)) ^ half
+
+
+# ---------------------------------------------------------------------------
+# Layer II bit-allocation tables (ISO 11172-3 Annex B Table B.2a/b/c/d)
+# ---------------------------------------------------------------------------
+# Each table: list over subbands of (nbal, steps-per-allocation-index)
+# where index 0 means "no bits". Structure per the published tables:
+# the high-band rows narrow to {3, 5, 65535} and the mid rows to
+# {3,5,7,9,15,31,65535}.
+
+_B2_ROW_LO = (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+              16383, 32767, 65535)
+_B2_ROW_MID = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+               8191, 65535)
+_B2_ROW_HI = (3, 5, 7, 9, 15, 31, 65535)
+_B2_ROW_TOP = (3, 5, 65535)
+_B2_ROW_CD = (3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+              16383, 32767)
+
+
+def _table_a() -> list[tuple[int, tuple]]:
+    return (
+        [(4, _B2_ROW_LO)] * 3 + [(4, _B2_ROW_MID)] * 8
+        + [(3, _B2_ROW_HI)] * 12 + [(2, _B2_ROW_TOP)] * 4
+    )
+
+
+def _table_b() -> list[tuple[int, tuple]]:
+    return _table_a() + [(2, _B2_ROW_TOP)] * 3  # sblimit 30
+
+
+def _table_c() -> list[tuple[int, tuple]]:
+    return [(4, _B2_ROW_CD)] * 2 + [(3, _B2_ROW_CD[:7])] * 6  # sblimit 8
+
+
+def _table_d() -> list[tuple[int, tuple]]:
+    return [(4, _B2_ROW_CD)] * 2 + [(3, _B2_ROW_CD[:7])] * 10  # sblimit 12
+
+
+def layer2_alloc_table(sr: int, bitrate: int, nch: int):
+    """Table selection per §2.4.2.6: high rates use the 27-subband
+    table at 48 kHz and the 30-subband table at 44.1/32 kHz; low
+    per-channel rates (<= 48 kbps) use the narrow 8/12-subband tables."""
+    per_ch = bitrate // nch
+    if per_ch <= 48000:
+        return _table_d() if sr == 32000 else _table_c()
+    if per_ch <= 80000:
+        return _table_a()
+    return _table_a() if sr == 48000 else _table_b()
+
+
+# ---------------------------------------------------------------------------
+# polyphase filterbank (§2.4.3.2; window = documented PQMF approximation)
+# ---------------------------------------------------------------------------
+
+#: Drop the 512 Table 3-B.3 values here to make the window bit-exact.
+_SPEC_WINDOW: np.ndarray | None = None
+
+
+def _prototype() -> np.ndarray:
+    """512-tap PQMF prototype: root-raised-cosine response centered at
+    pi/64 (half a subband) with full-width rolloff — EXACTLY
+    power-complementary across the band edge in the ideal limit
+    (cos^2 x + cos^2(pi/2 - x) = 1), which is the near-PR condition
+    of this pseudo-QMF structure; a mild Kaiser taper controls the
+    512-tap truncation. Measured absolute round-trip SNR through the
+    analysis+synthesis cascade: ~59 dB at unity gain (the parameters
+    below were grid-tuned against that measurement; see
+    tests/test_mpegaudio.py). Same design family as the MUSICAM
+    prototype the spec tabulates."""
+    if _SPEC_WINDOW is not None:
+        return _SPEC_WINDOW
+    nf = 1 << 16
+    w = np.linspace(0.0, np.pi, nf // 2 + 1)
+    wc = np.pi / 64.0
+    mask = w < 2.0 * wc
+    resp = np.zeros_like(w)
+    resp[mask] = np.cos(np.pi * w[mask] / (4.0 * wc))
+    h = np.fft.irfft(resp, nf)
+    h = np.roll(h, 256)[:512] * np.kaiser(512, 2.0)
+    h /= np.sum(h)
+    return h
+
+
+_PROTO = _prototype()
+#: The V/U fifo computes each 64-point matrixing ONCE and reuses it for
+#: 4 block periods, so the ideal cosine modulation's phase advance
+#: (a(2k+1)pi/2 per block) must be folded into the window as a sign
+#: flip every 64 taps: cos(x + (2k+1)pi*floor(a/2)) =
+#: (-1)^floor(a/2) cos(x). This is exactly the alternating-sign
+#: structure of the spec's Table 3-B.3 / 3-C.1.
+_SIGNS = np.where((np.arange(512) // 64) % 2 == 0, 1.0, -1.0)
+#: synthesis window D: the spec scales the shared prototype by 32; the
+#: extra 4.0 makes the cascade exactly unit-gain under this module's
+#: sum(h)=1 prototype normalization (measured gain 0.9999 on noise).
+_D_WIN = _PROTO * _SIGNS * 32.0 * 4.0
+#: analysis window C
+_C_WIN = _PROTO * _SIGNS
+
+#: synthesis matrixing N[i, k] = cos((16 + i)(2k + 1) pi / 64)
+_N_MAT = np.cos(
+    (16.0 + np.arange(64)[:, None]) * (2.0 * np.arange(32)[None, :] + 1.0)
+    * np.pi / 64.0
+)
+#: analysis matrixing M[k, r] = cos((2k + 1)(r - 16) pi / 64)
+_M_MAT = np.cos(
+    (2.0 * np.arange(32)[:, None] + 1.0) * (np.arange(64)[None, :] - 16.0)
+    * np.pi / 64.0
+)
+
+
+class SynthesisFilterbank:
+    """V-fifo polyphase synthesis (one instance per channel)."""
+
+    def __init__(self):
+        self.v = np.zeros(1024, dtype=np.float64)
+
+    def run(self, s: np.ndarray) -> np.ndarray:
+        """32 subband samples -> 32 PCM samples."""
+        self.v[64:] = self.v[:-64]
+        self.v[:64] = _N_MAT @ s
+        # build U: for j in 0..7: U[64j+i]    = V[128j+i]      (i<32)
+        #                        U[64j+32+i] = V[128j+96+i]
+        v2 = self.v.reshape(8, 128)
+        u = np.concatenate([v2[:, :32], v2[:, 96:128]], axis=1).reshape(512)
+        w = u * _D_WIN
+        return w.reshape(16, 32).sum(axis=0)
+
+
+class AnalysisFilterbank:
+    """X-fifo polyphase analysis (encoder side)."""
+
+    def __init__(self):
+        self.x = np.zeros(512, dtype=np.float64)
+
+    def run(self, pcm32: np.ndarray) -> np.ndarray:
+        """32 PCM samples -> 32 subband samples."""
+        self.x[32:] = self.x[:-32]
+        self.x[:32] = pcm32[::-1]
+        # spec §2.4.3.2 analysis: Z = C*X, Y[r] = sum_j Z[r + 64j],
+        # S[k] = sum_r M[k, r] Y[r]
+        y64 = (self.x * _C_WIN).reshape(8, 64).sum(axis=0)
+        return _M_MAT @ y64
+
+
+# ---------------------------------------------------------------------------
+# Layer I / II frame decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_layer1(bits: _Bits, hdr: dict) -> np.ndarray:
+    nch = hdr["nch"]
+    bound = (hdr["mode_ext"] + 1) * 4 if hdr["mode"] == 1 else 32
+    alloc = [[0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        if sb < bound:
+            for ch in range(nch):
+                a = bits.read(4)
+                if a == 15:
+                    raise ValueError("forbidden Layer I allocation 15")
+                alloc[ch][sb] = a
+        else:
+            a = bits.read(4)
+            if a == 15:
+                raise ValueError("forbidden Layer I allocation 15")
+            for ch in range(nch):
+                alloc[ch][sb] = a
+    scf = [[0.0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                scf[ch][sb] = _SCF[bits.read(6)]
+    out = np.zeros((nch, 12, 32), dtype=np.float64)
+    for s in range(12):
+        for sb in range(32):
+            if sb < bound:
+                for ch in range(nch):
+                    a = alloc[ch][sb]
+                    if a:
+                        nb = a + 1
+                        v = bits.read(nb)
+                        f = (v ^ (1 << (nb - 1)))
+                        if f & (1 << (nb - 1)):
+                            f -= 1 << nb
+                        s2 = f / float(1 << (nb - 1))
+                        s3 = (s2 + 2.0 ** (1 - nb)) * (1 << nb) / ((1 << nb) - 1)
+                        out[ch, s, sb] = s3 * scf[ch][sb]
+            else:
+                a = alloc[0][sb]
+                if a:
+                    nb = a + 1
+                    v = bits.read(nb)
+                    f = v ^ (1 << (nb - 1))
+                    if f & (1 << (nb - 1)):
+                        f -= 1 << nb
+                    s2 = f / float(1 << (nb - 1))
+                    s3 = (s2 + 2.0 ** (1 - nb)) * (1 << nb) / ((1 << nb) - 1)
+                    for ch in range(nch):
+                        out[ch, s, sb] = s3 * scf[ch][sb]
+    return out
+
+
+def _read_l2_code(bits: _Bits, steps: int) -> list[int]:
+    """Read one granule's 3 sample codes, degrouping 3/5/9-level."""
+    nb, _, _ = _quant_params(steps)
+    if steps in (3, 5, 9):
+        total = {3: 5, 5: 7, 9: 10}[steps]
+        c = bits.read(total)
+        vals = []
+        for _ in range(3):
+            vals.append(c % steps)
+            c //= steps
+        return vals
+    return [bits.read(nb) for _ in range(3)]
+
+
+def _decode_layer2(bits: _Bits, hdr: dict) -> np.ndarray:
+    nch = hdr["nch"]
+    table = layer2_alloc_table(hdr["sr"], hdr["bitrate"], nch)
+    sblimit = len(table)
+    bound = min((hdr["mode_ext"] + 1) * 4, sblimit) if hdr["mode"] == 1 else sblimit
+    alloc = [[0] * sblimit for _ in range(nch)]
+    for sb in range(sblimit):
+        nbal = table[sb][0]
+        if sb < bound:
+            for ch in range(nch):
+                alloc[ch][sb] = bits.read(nbal)
+        else:
+            a = bits.read(nbal)
+            for ch in range(nch):
+                alloc[ch][sb] = a
+    scfsi = [[0] * sblimit for _ in range(nch)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                scfsi[ch][sb] = bits.read(2)
+    scf = [[(0.0, 0.0, 0.0)] * sblimit for _ in range(nch)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if not alloc[ch][sb]:
+                continue
+            si = scfsi[ch][sb]
+            if si == 0:
+                f = [_SCF[bits.read(6)] for _ in range(3)]
+            elif si == 1:
+                a, b = _SCF[bits.read(6)], _SCF[bits.read(6)]
+                f = [a, a, b]
+            elif si == 2:
+                a = _SCF[bits.read(6)]
+                f = [a, a, a]
+            else:
+                a, b = _SCF[bits.read(6)], _SCF[bits.read(6)]
+                f = [a, b, b]
+            scf[ch][sb] = tuple(f)
+    out = np.zeros((nch, 36, 32), dtype=np.float64)
+    for gr in range(12):
+        part = gr // 4
+        for sb in range(sblimit):
+            steps_row = table[sb][1]
+            if sb < bound:
+                for ch in range(nch):
+                    a = alloc[ch][sb]
+                    if not a:
+                        continue
+                    steps = steps_row[a - 1]
+                    nb, c, d = _quant_params(steps)
+                    vals = _read_l2_code(bits, steps)
+                    for k, v in enumerate(vals):
+                        out[ch, 3 * gr + k, sb] = (
+                            _dequant(v, nb, c, d) * scf[ch][sb][part]
+                        )
+            else:
+                a = alloc[0][sb]
+                if not a:
+                    continue
+                steps = steps_row[a - 1]
+                nb, c, d = _quant_params(steps)
+                vals = _read_l2_code(bits, steps)
+                for k, v in enumerate(vals):
+                    s3 = _dequant(v, nb, c, d)
+                    for ch in range(nch):
+                        out[ch, 3 * gr + k, sb] = s3 * scf[ch][sb][part]
+    return out
+
+
+def decode_mpeg_frame(b: bytes, pos: int) -> tuple[dict, np.ndarray] | None:
+    """Decode one frame at ``pos``; returns (header, subband samples
+    (nch, n_granule_samples, 32)) or None on bad sync."""
+    hdr = parse_frame_header(b, pos)
+    if hdr is None:
+        return None
+    if hdr["layer"] == 3:
+        raise NotImplementedError(
+            "MPEG-1 Layer III spectral decode needs the ISO Huffman code "
+            "tables (11172-3 Tables B.7.x) — pure tabular data this "
+            "offline container cannot derive; Layers I/II decode natively "
+            "(operators/mpegaudio.py) and mp3 metadata probes are real "
+            "(operators/mediainfo.py)"
+        )
+    body = b[pos + 4 : pos + hdr["frame_len"]]
+    if hdr["crc"]:
+        body = body[2:]  # CRC16 skipped (not verified)
+    bits = _Bits(body)
+    if hdr["layer"] == 1:
+        return hdr, _decode_layer1(bits, hdr)
+    return hdr, _decode_layer2(bits, hdr)
+
+
+def decode_mpeg_audio_bytes(
+    payload: bytes, mono: bool = True
+) -> tuple[list, int]:
+    """Decode a whole MPEG-1 Layer I/II stream (ID3v2 skipped) to
+    float samples in [-1, 1]; same ``(samples_or_channels, sr)``
+    contract as :func:`~...multimodal.decode_wav_bytes`."""
+    b = bytes(payload)
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        sz = (
+            (b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+            | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
+        )
+        pos = 10 + sz
+    # resync within a bounded window; require a second valid header
+    # right after the frame (a lone 11-bit sync in noise is common)
+    limit = min(len(b), pos + 4096)
+    while pos < limit:
+        hdr = parse_frame_header(b, pos)
+        if hdr is not None:
+            nxt = pos + hdr["frame_len"]
+            if nxt >= len(b) or parse_frame_header(b, nxt):
+                break
+        pos += 1
+    synth = None
+    chans: list[list] = []
+    sr = None
+    while pos + 4 <= len(b):
+        got = decode_mpeg_frame(b, pos)
+        if got is None:
+            break
+        hdr, sub = got
+        if synth is None:
+            sr = hdr["sr"]
+            synth = [SynthesisFilterbank() for _ in range(hdr["nch"])]
+            chans = [[] for _ in range(hdr["nch"])]
+        for ch in range(hdr["nch"]):
+            for g in range(sub.shape[1]):
+                chans[ch].extend(synth[ch].run(sub[ch, g]).tolist())
+        pos += hdr["frame_len"]
+    if sr is None:
+        raise ValueError("no MPEG-1 Layer I/II frames found")
+    if len(chans) > 1:
+        if mono:
+            return (
+                np.mean(np.array(chans), axis=0).tolist(), int(sr)
+            )
+        return [c for c in chans], int(sr)
+    if not mono:
+        return [chans[0]], int(sr)
+    return chans[0], int(sr)
+
+
+# ---------------------------------------------------------------------------
+# Layer II encoder (deterministic fixed-allocation; fixture + export sink)
+# ---------------------------------------------------------------------------
+
+
+def _scf_index(max_abs: float) -> int:
+    """Smallest idx with scf[idx] >= max_abs (Table B.1 closed form)."""
+    if max_abs <= 0:
+        return 62
+    idx = int(np.floor(3.0 * (1.0 - np.log2(max_abs))))
+    return max(0, min(62, idx))
+
+
+def encode_layer2_frame(
+    sub: np.ndarray, sr: int, bitrate: int, alloc_plan: list[int]
+) -> bytes:
+    """Encode one frame of subband samples (nch, 36, 32) with a fixed
+    allocation plan (allocation INDEX per subband, same for every
+    channel — a deterministic test/export encoder, not a
+    psychoacoustic one)."""
+    nch = sub.shape[0]
+    sr_idx = _RATES_V1.index(sr)
+    br_idx = _BITRATES_V1[2].index(bitrate // 1000) + 1
+    table = layer2_alloc_table(sr, bitrate, nch)
+    sblimit = len(table)
+    w = _BitWriter()
+    w.write(0x7FF, 11)
+    w.write(3, 2)       # MPEG-1
+    w.write(2, 2)       # Layer II
+    w.write(1, 1)       # no CRC
+    w.write(br_idx, 4)
+    w.write(sr_idx, 2)
+    w.write(0, 1)       # padding (encoder always emits unpadded frames)
+    w.write(0, 1)       # private
+    w.write(0 if nch == 2 else 3, 2)  # stereo / single
+    w.write(0, 2)       # mode extension
+    w.write(0, 1)       # copyright
+    w.write(1, 1)       # original
+    w.write(0, 2)       # emphasis
+    alloc = [alloc_plan[sb] if sb < len(alloc_plan) else 0
+             for sb in range(sblimit)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            w.write(alloc[sb], table[sb][0])
+    # scfsi: always 0 (three scalefactors) — simplest valid syntax
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[sb]:
+                w.write(0, 2)
+    scf_idx = np.zeros((nch, sblimit, 3), dtype=np.int64)
+    for sb in range(sblimit):
+        if not alloc[sb]:
+            continue
+        for ch in range(nch):
+            for part in range(3):
+                seg = sub[ch, 12 * part : 12 * (part + 1), sb]
+                scf_idx[ch, sb, part] = _scf_index(float(np.max(np.abs(seg))))
+                w.write(int(scf_idx[ch, sb, part]), 6)
+    for gr in range(12):
+        part = gr // 4
+        for sb in range(sblimit):
+            if not alloc[sb]:
+                continue
+            steps = table[sb][1][alloc[sb] - 1]
+            nb, c, d = _quant_params(steps)
+            for ch in range(nch):
+                scf = _SCF[scf_idx[ch, sb, part]]
+                vals = [
+                    _quant(
+                        float(sub[ch, 3 * gr + k, sb]) / scf, steps, nb, c, d
+                    )
+                    for k in range(3)
+                ]
+                if steps in (3, 5, 9):
+                    total = {3: 5, 5: 7, 9: 10}[steps]
+                    code = vals[0] + steps * (vals[1] + steps * vals[2])
+                    w.write(code, total)
+                else:
+                    for v in vals:
+                        w.write(v, nb)
+    w.pad_to_byte()
+    frame_len = 144 * bitrate // sr
+    out = bytearray(w.bytes())
+    if len(out) > frame_len:
+        raise ValueError(
+            f"allocation plan overflows the frame ({len(out)} > {frame_len})"
+        )
+    out.extend(b"\x00" * (frame_len - len(out)))
+    return bytes(out)
+
+
+def encode_mpeg2_audio(
+    channels: list[np.ndarray], sr: int, bitrate: int = 192_000,
+    alloc_plan: list[int] | None = None,
+) -> bytes:
+    """Encode PCM channels ([-1,1] float arrays) as an MPEG-1 Layer II
+    stream. Deterministic: fixed allocation (default: index 4 in the
+    12 low/mid subbands — 15-step quantization — nothing above),
+    max-magnitude scalefactors, scfsi 0."""
+    if alloc_plan is None:
+        alloc_plan = [4] * 12
+    nch = len(channels)
+    n = min(len(c) for c in channels)
+    analysis = [AnalysisFilterbank() for _ in range(nch)]
+    out = bytearray()
+    nframes = n // 1152
+    for f in range(nframes):
+        sub = np.zeros((nch, 36, 32), dtype=np.float64)
+        for ch in range(nch):
+            seg = np.asarray(channels[ch][f * 1152 : (f + 1) * 1152])
+            for g in range(36):
+                sub[ch, g] = analysis[ch].run(seg[g * 32 : (g + 1) * 32])
+        out.extend(encode_layer2_frame(sub, sr, bitrate, alloc_plan))
+    return bytes(out)

@@ -490,17 +490,29 @@ def decode_wav_bytes(
 def decode_audio_bytes(payload: bytes, mono: bool = True) -> tuple[list, int]:
     """Magic-byte audio dispatch: ``RIFF``/``WAVE`` →
     :func:`decode_wav_bytes` (PCM / IEEE-float / G.711 / IMA-ADPCM),
-    ``fLaC`` → the pure-NumPy FLAC decoder (operators/flac.py). Both
-    return ``(samples_or_channels, sr)`` with identical mono semantics,
-    so every decode kernel takes either container transparently. Only
-    perceptual codecs (mp3/ogg/m4a/aac) still raise — they need a codec
-    backend the container doesn't ship.
+    ``fLaC`` → the pure-NumPy FLAC decoder (operators/flac.py), MPEG
+    audio sync → the pure-NumPy MPEG-1 Layer I/II decoder
+    (operators/mpegaudio.py). All return ``(samples_or_channels, sr)``
+    with identical mono semantics, so every decode kernel takes any
+    container transparently. Remaining seams: MPEG Layer III spectral
+    decode (needs the ISO Huffman code tables — tabular data this
+    offline container cannot derive) and ogg/m4a/aac.
     """
     b = bytes(payload)
     if b[:4] == b"fLaC":
         from speech_data_pipeline_spark.operators.flac import decode_flac_bytes
 
         return decode_flac_bytes(b, mono=mono)
+    if b[:3] == b"ID3" or (
+        len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+    ):
+        # MPEG-1 audio: Layers I/II decode natively; Layer III raises
+        # the documented Huffman-table seam (operators/mpegaudio.py)
+        from speech_data_pipeline_spark.operators.mpegaudio import (
+            decode_mpeg_audio_bytes,
+        )
+
+        return decode_mpeg_audio_bytes(b, mono=mono)
     return decode_wav_bytes(b, mono=mono)
 
 
@@ -570,11 +582,14 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     Real path: RIFF/WAV via :func:`decode_wav_bytes` (pure NumPy, no
     codec library): PCM, IEEE-float, G.711 μ-law/A-law, IMA ADPCM —
     plus native FLAC via :func:`~speech_data_pipeline_spark.operators.
-    flac.decode_flac_bytes` (magic-byte dispatch in
-    :func:`decode_audio_bytes`). Remaining perceptual codecs
-    (mp3/ogg/m4a/aac) raise NotImplementedError — the container ships
-    no codecs (librosa/PIL/ffmpeg absent); that seam is documented, not
-    hidden. With ``fake=True`` a deterministic pseudo-decode (bytes →
+    flac.decode_flac_bytes` and MPEG-1 Layer I/II via
+    :func:`~speech_data_pipeline_spark.operators.mpegaudio.
+    decode_mpeg_audio_bytes` (magic-byte dispatch in
+    :func:`decode_audio_bytes`). Remaining perceptual codecs (mp3
+    Layer III spectral Huffman, ogg/m4a/aac) raise
+    NotImplementedError — the container ships no codecs
+    (librosa/PIL/ffmpeg absent) and the ISO Huffman code tables are
+    underivable offline; that seam is documented, not hidden. With ``fake=True`` a deterministic pseudo-decode (bytes →
     floats in [-1, 1)) exercises the plumbing for arbitrary payloads.
     """
 
