@@ -114,6 +114,7 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 16,
     shingle_len: int = 5,
+    include_base: bool = False,
 ) -> DataFrame:
     """Per-document k-wide MinHash signature.
 
@@ -123,7 +124,9 @@ def minhash_signatures(
     universal-hashing construction, and ~k× less hashing than
     rehashing every shingle per family. All column algebra: the
     shingle array never leaves its row, no shuffle until someone
-    groups.
+    groups. With ``include_base`` the distinct shingle-hash array
+    ``hs`` is kept beside the signature (the estimate-accuracy audit
+    needs both to compare estimated vs exact Jaccard).
     """
     sh = F.array_distinct(char_shingles(F.col(text_col), shingle_len))
     base = F.transform(
@@ -138,6 +141,8 @@ def minhash_signatures(
     sig = F.array(
         *[F.array_min(F.transform(F.col("hs"), affine(a, b))) for a, b in coeffs]
     )
+    if include_base:
+        return with_base.select("id", "hs", sig.alias("sig"))
     return with_base.select("id", sig.alias("sig"))
 
 

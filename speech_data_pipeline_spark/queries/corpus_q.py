@@ -3414,3 +3414,145 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction battery: Jaccard / common-neighbors / preferential
+# attachment over the same hub-capped wedge join (round 9)
+# ---------------------------------------------------------------------------
+
+_LP_TOPK = 20
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.p AS x, b.p AS y
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ), deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e)
+      GROUP BY n
+    ), ctr AS (
+      SELECT a.n, a.nbr
+      FROM (SELECT x AS n, y AS nbr FROM e
+            UNION ALL SELECT y AS n, x AS nbr FROM e) a
+      JOIN deg d ON d.n = a.n
+      WHERE d.d BETWEEN 2 AND {_AA_HUB_CAP}
+    ), scored AS (
+      SELECT a.nbr AS u, b.nbr AS v, CAST(count(*) AS BIGINT) AS n_common
+      FROM ctr a JOIN ctr b ON a.n = b.n AND a.nbr < b.nbr
+      GROUP BY u, v
+    ), nonedge AS (
+      SELECT s.u, s.v, s.n_common,
+             du.d AS deg_u, dv.d AS deg_v,
+             CAST(floor(CAST(s.n_common AS DOUBLE) * 1000000000000.0
+                        / CAST(du.d + dv.d - s.n_common AS DOUBLE))
+                  AS BIGINT) AS jac_pico
+      FROM scored s
+      JOIN deg du ON du.n = s.u
+      JOIN deg dv ON dv.n = s.v
+      LEFT JOIN e ON e.x = s.u AND e.y = s.v
+      WHERE e.x IS NULL
+    )
+    SELECT u, v, n_common,
+           CAST(deg_u AS BIGINT) AS deg_u, CAST(deg_v AS BIGINT) AS deg_v,
+           floor(CAST(jac_pico AS DOUBLE) / 1000000.0) / 1000000.0
+             AS jaccard,
+           CAST(deg_u AS BIGINT) * CAST(deg_v AS BIGINT) AS pref_attach
+    FROM nonedge
+    ORDER BY jac_pico DESC, u, v LIMIT {_LP_TOPK}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction battery over the part co-purchase graph: the
+    top-20 NON-adjacent pairs by Jaccard coefficient
+    ``|N(u)∩N(v)| / |N(u)∪N(v)|``, reported beside the raw
+    common-neighbor count and the preferential-attachment product
+    ``d_u·d_v`` — the three classical unsupervised predictors
+    (Liben-Nowell & Kleinberg) on ``graph_adamic_adar``'s graph, so a
+    user can compare rankings across measures on identical candidates.
+
+    Candidate generation shares the Adamic–Adar hub cap: wedges form
+    only through centers with degree ≤ 64, bounding the self-join at
+    Σ_{{d≤cap}} d² ≤ cap·m (linear in edges at any scale). The Jaccard
+    DENOMINATOR uses FULL endpoint degrees (the union size is exact;
+    only the common-neighbor evidence is center-capped — same contract
+    as Adamic–Adar, documented, conservative). Ranking compares the
+    pico-quantized integer ratio; (u, v) breaks ties totally.
+
+    Plan shape at 100 TB: the edge/degree aggregates, ONE capped wedge
+    self-join, a pair-grouped count, two degree joins (shuffle joins on
+    vertex id), an anti-join against the edge list, TakeOrdered(k).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("u"))
+    b_ = op.select("o", F.col("p").alias("v"))
+    edges = (
+        a.join(b_, "o")
+        .where(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("x").alias("n"))
+        .unionAll(edges.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    adj = edges.select(
+        F.col("x").alias("n"), F.col("y").alias("nbr")
+    ).unionAll(edges.select(F.col("y").alias("n"), F.col("x").alias("nbr")))
+    ctr = (
+        adj.join(deg, "n")
+        .where((F.col("d") >= 2) & (F.col("d") <= _AA_HUB_CAP))
+        .select("n", "nbr")
+    )
+    cb = ctr.select("n", F.col("nbr").alias("v"))
+    scored = (
+        ctr.select("n", F.col("nbr").alias("u"))
+        .join(cb, "n")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("deg_v"))
+    cand = scored.join(du, "u").join(dv, "v")
+    nonedge = cand.join(
+        edges,
+        (cand["u"] == edges["x"]) & (cand["v"] == edges["y"]),
+        "left_anti",
+    )
+    jac_pico = F.floor(
+        F.col("n_common").cast("double")
+        * F.lit(1e12)
+        / (F.col("deg_u") + F.col("deg_v") - F.col("n_common")).cast(
+            "double"
+        )
+    ).cast("long")
+    return (
+        nonedge.withColumn("jac_pico", jac_pico)
+        .orderBy(F.col("jac_pico").desc(), "u", "v")
+        .limit(_LP_TOPK)
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_v").cast("long").alias("deg_v"),
+            trunc6(F.col("jac_pico").cast("double") / F.lit(1e12)).alias(
+                "jaccard"
+            ),
+            (
+                F.col("deg_u").cast("long") * F.col("deg_v").cast("long")
+            ).alias("pref_attach"),
+        )
+    )

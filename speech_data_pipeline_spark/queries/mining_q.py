@@ -2131,3 +2131,314 @@ def eval_corpus_bleu2(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(p2).alias("p2"),
         trunc6(bp * F.sqrt(p1 * p2)).alias("bleu2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback query expansion (round 9)
+# ---------------------------------------------------------------------------
+
+#: RM3 parameters: feedback depth (the BM25 top-k), expansion count,
+#: and the original-query interpolation weight.
+_RM3_FB_DOCS = 10
+_RM3_TOPK = 15
+_RM3_LAMBDA = 0.5
+
+
+def _rm3_oracle() -> str:
+    # the BM25 scoring CTEs are re-derived from the same constants as
+    # _bm25_oracle so the two retrieval rows cannot drift
+    tfs = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    parts = []
+    for i in range(len(_BM25_TERMS)):
+        idf = (
+            f"ln((CAST(n_docs - df{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+        )
+        norm = (
+            f"(CAST(tf{i} AS DOUBLE) * ({_BM25_K1} + 1.0))"
+            f" / (CAST(tf{i} AS DOUBLE) + {_BM25_K1}"
+            f" * (1.0 - {_BM25_B} + {_BM25_B}"
+            f" * (CAST(dl AS DOUBLE) / {avgdl})))"
+        )
+        parts.append(
+            f"(CASE WHEN tf{i} > 0 THEN {idf} * {norm} ELSE 0.0 END)"
+        )
+    score = " + ".join(parts)
+    in_q = " OR ".join(f"term = '{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS w
+      FROM documents
+    ), per AS (
+      SELECT doc_id, len(w) AS dl, {tfs} FROM t
+    ), scal AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_dl, {dfs} FROM per
+    ), fb AS (
+      -- score truncated to the ppm grid exactly as search_bm25_topk
+      -- RETURNS it (the Spark side reuses that query's output)
+      SELECT doc_id, dl,
+             floor(score * 1000000.0) / 1000000.0 AS score
+      FROM (
+        SELECT per.*, {score} AS score FROM per CROSS JOIN scal
+      ) WHERE score > 0.0
+      ORDER BY score DESC, doc_id
+      LIMIT {_RM3_FB_DOCS}
+    ), fbtok AS (
+      SELECT fb.doc_id, fb.dl, fb.score,
+             unnest(regexp_extract_all(lower(d.text), '([a-z]+)', 1))
+               AS term
+      FROM fb JOIN documents d USING (doc_id)
+    ), tfw AS (
+      SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl,
+             any_value(score) AS score
+      FROM fbtok GROUP BY term, doc_id
+    ), pr AS (
+      SELECT term,
+             list_reduce(list_prepend(0.0,
+               list(score * CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)
+                    ORDER BY doc_id)),
+               (a, b) -> a + b) AS mass
+      FROM tfw GROUP BY term
+    ), tot AS (
+      SELECT sum(score) AS fb_mass FROM fb
+    )
+    SELECT term,
+           floor(({_RM3_LAMBDA} * (CASE WHEN {in_q}
+                    THEN 1.0 / {len(_BM25_TERMS)} ELSE 0.0 END)
+                  + (1.0 - {_RM3_LAMBDA}) * mass / fb_mass)
+                 * 1000000.0) / 1000000.0 AS weight,
+           CASE WHEN {in_q} THEN 1 ELSE 0 END AS in_query
+    FROM pr CROSS JOIN tot
+    ORDER BY ({_RM3_LAMBDA} * (CASE WHEN {in_q}
+                THEN 1.0 / {len(_BM25_TERMS)} ELSE 0.0 END)
+              + (1.0 - {_RM3_LAMBDA}) * mass / fb_mass) DESC, term
+    LIMIT {_RM3_TOPK}
+    """
+
+
+@query("search_rm3_expansion", oracle=_rm3_oracle())
+def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance-feedback expansion for the shared BM25
+    query: retrieve the BM25 top-10 (identical constants and ranking
+    convention as ``search_bm25_topk``), build the relevance model
+    ``p(w|R) ∝ Σ_{d∈fb} score_d · tf(w,d)/dl_d``, and interpolate with
+    the uniform original query at λ = 0.5 — the classic two-stage
+    retrieval loop (Lavrenko–Croft relevance models as deployed in
+    Indri/Anserini).
+
+    Parity: feedback-doc selection reuses BM25's raw-double ordering
+    contract (score DESC, doc_id); per-doc mass terms are summed in a
+    DETERMINISTIC doc_id-ordered fold (both engines execute the same
+    IEEE addition sequence — the stats_anova_f discipline applied to a
+    ≤10-term list); weights truncate only on output.
+
+    Plan shape at 100 TB: ONE corpus pass scores BM25 in-row
+    (zero-shuffle; the 1-row stats broadcast), TakeOrdered(10) picks
+    the feedback set, and everything after runs on TEN documents —
+    the re-tokenize join is a 10-row broadcast against the corpus'
+    doc_id (pushed-down point lookups), the relevance model
+    aggregates the vocabulary of ten docs. Expansion cost is
+    independent of corpus size by construction.
+    """
+    fb = search_bm25_topk(spark, sf_dir).select(
+        "doc_id", "dl", F.col("score").alias("fb_score")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.join(F.broadcast(fb), "doc_id").select(
+        "doc_id",
+        "dl",
+        "fb_score",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("([a-z]+)"), 1
+            )
+        ).alias("term"),
+    )
+    tfw = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.first("dl").alias("dl"),
+        F.first("fb_score").alias("fb_score"),
+    )
+    mass_term = F.col("fb_score") * F.col("tf").cast("double") / F.col(
+        "dl"
+    ).cast("double")
+    pr = tfw.groupBy("term").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc_id"), mass_term.alias("mt")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["mt"],
+        ).alias("mass")
+    )
+    tot = fb.agg(F.sum("fb_score").alias("fb_mass"))
+    in_q = F.col("term").isin(*_BM25_TERMS)
+    weight = F.lit(_RM3_LAMBDA) * F.when(
+        in_q, F.lit(1.0 / len(_BM25_TERMS))
+    ).otherwise(F.lit(0.0)) + F.lit(1.0 - _RM3_LAMBDA) * F.col(
+        "mass"
+    ) / F.col("fb_mass")
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            weight.alias("_w"),
+            F.when(in_q, 1).otherwise(0).alias("in_query"),
+        )
+        .orderBy(F.col("_w").desc(), "term")
+        .limit(_RM3_TOPK)
+        .select("term", trunc6(F.col("_w")).alias("weight"), "in_query")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level chrF2 between corpus halves (round 9)
+# ---------------------------------------------------------------------------
+
+#: chrF character n-gram orders and the recall weight (beta = 2).
+_CHRF_ORDERS = (1, 2, 3)
+_CHRF_BETA2 = 4.0
+
+
+def _chrf_oracle() -> str:
+    per_n = []
+    for n in _CHRF_ORDERS:
+        per_n.append(f"""
+    g{n} AS (
+      SELECT half, unnest(list_transform(
+               range(1, greatest(length(s) - {n - 1}, 0) + 1),
+               i -> substr(s, CAST(i AS INTEGER), {n}))) AS g
+      FROM norm
+    ), c{n} AS (
+      SELECT
+        (SELECT CAST(sum(ca) AS BIGINT) FROM (
+           SELECT sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca
+           FROM g{n} GROUP BY g)) AS len_a,
+        (SELECT CAST(sum(cb) AS BIGINT) FROM (
+           SELECT sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+           FROM g{n} GROUP BY g)) AS len_b,
+        (SELECT CAST(sum(least(ca, cb)) AS BIGINT) FROM (
+           SELECT sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+                  sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+           FROM g{n} GROUP BY g)) AS hit
+    )""")
+    ctes = ", ".join(per_n)
+    k = len(_CHRF_ORDERS)
+    p_terms = " + ".join(
+        f"CAST(c{n}.hit AS DOUBLE) / c{n}.len_a" for n in _CHRF_ORDERS
+    )
+    r_terms = " + ".join(
+        f"CAST(c{n}.hit AS DOUBLE) / c{n}.len_b" for n in _CHRF_ORDERS
+    )
+    froms = " CROSS JOIN ".join(f"c{n}" for n in _CHRF_ORDERS)
+    return f"""
+    WITH norm AS (
+      SELECT doc_id % 2 AS half,
+             regexp_replace(lower(text), '[^a-z]', '', 'g') AS s
+      FROM documents
+    ), {ctes}
+    SELECT floor(({p_terms}) / {k}.0 * 1000000.0) / 1000000.0
+             AS precision_avg,
+           floor(({r_terms}) / {k}.0 * 1000000.0) / 1000000.0
+             AS recall_avg,
+           floor((1.0 + {_CHRF_BETA2})
+                 * (({p_terms}) / {k}.0) * (({r_terms}) / {k}.0)
+                 / ({_CHRF_BETA2} * (({p_terms}) / {k}.0)
+                    + (({r_terms}) / {k}.0))
+                 * 1000000.0) / 1000000.0 AS chrf2
+    FROM {froms}
+    """
+
+
+@query("eval_chrf", oracle=_chrf_oracle())
+def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level chrF2 (Popović 2015) of the even-doc_id half
+    against the odd half: clipped CHARACTER n-gram precision and
+    recall (n = 1..3 over the letters-only normalized text), averaged
+    over orders, combined with β = 2 recall weighting —
+    ``(1+β²)PR / (β²P + R)``. The tokenization-free companion of
+    ``eval_corpus_bleu2`` (BLEU breaks on morphology-rich text; chrF
+    is the standard robust alternative an LLM eval stack reports
+    beside it).
+
+    Exactness: all n-gram counts are exact integers from per-order
+    grouped counts (clipping is integer ``least`` per gram); P, R and
+    chrF2 are one float assembly over exact integer ratios on the
+    1-row result.
+
+    Plan shape at 100 TB: one normalize pass feeds three
+    explode→grouped-count subtrees (map-side combinable, each output
+    bounded by the char n-gram vocabulary, tiny for n ≤ 3); the final
+    row is a cross join of three 1-row aggregates — no joins on
+    corpus rows, no windows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "").alias("s"),
+    )
+    stats = []
+    for n in _CHRF_ORDERS:
+        grams = norm.select(
+            "half",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(s) - {n - 1},"
+                    f" 0)), i -> substring(s, i, {n}))"
+                )
+            ).alias("g"),
+        )
+        c = (
+            grams.groupBy("g")
+            .agg(
+                F.sum(
+                    F.when(F.col("half") == 0, 1).otherwise(0)
+                ).alias("ca"),
+                F.sum(
+                    F.when(F.col("half") == 1, 1).otherwise(0)
+                ).alias("cb"),
+            )
+            .agg(
+                F.sum("ca").cast("long").alias(f"len_a{n}"),
+                F.sum("cb").cast("long").alias(f"len_b{n}"),
+                F.sum(F.least("ca", "cb")).cast("long").alias(f"hit{n}"),
+            )
+        )
+        stats.append(c)
+    j = stats[0]
+    for c in stats[1:]:
+        j = j.crossJoin(F.broadcast(c))
+    k = float(len(_CHRF_ORDERS))
+    p_avg = sum(
+        [
+            F.col(f"hit{n}").cast("double") / F.col(f"len_a{n}").cast("double")
+            for n in _CHRF_ORDERS
+        ],
+        F.lit(0.0),
+    ) / F.lit(k)
+    r_avg = sum(
+        [
+            F.col(f"hit{n}").cast("double") / F.col(f"len_b{n}").cast("double")
+            for n in _CHRF_ORDERS
+        ],
+        F.lit(0.0),
+    ) / F.lit(k)
+    chrf = (
+        (F.lit(1.0) + F.lit(_CHRF_BETA2))
+        * p_avg
+        * r_avg
+        / (F.lit(_CHRF_BETA2) * p_avg + r_avg)
+    )
+    return j.select(
+        trunc6(p_avg).alias("precision_avg"),
+        trunc6(r_avg).alias("recall_avg"),
+        trunc6(chrf).alias("chrf2"),
+    )

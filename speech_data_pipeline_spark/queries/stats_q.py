@@ -2668,3 +2668,452 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_stat"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis H (rank-based one-way test, round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), gv AS (
+      SELECT event_type, v, count(*) AS c FROM q GROUP BY 1, 2
+    ), byv AS (
+      SELECT v, CAST(sum(c) AS BIGINT) AS t FROM gv GROUP BY v
+    ), ranked AS (
+      SELECT v, t,
+             1 + coalesce(sum(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS min_rank
+      FROM byv
+    ), grp AS (
+      SELECT event_type,
+             CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS ng,
+             CAST(sum(CAST(c AS HUGEINT)
+                      * (2 * r.min_rank + r.t - 1)) AS HUGEINT) AS two_r
+      FROM gv JOIN ranked r USING (v) GROUP BY event_type
+    ), ties AS (
+      SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+               AS tie_cubes
+      FROM byv
+    ), m AS (
+      SELECT CAST(sum(ng) AS HUGEINT) AS n, count(*) AS k,
+             list_reduce(list_prepend(0.0,
+               list((CAST(two_r AS DOUBLE) / 2.0)
+                    * (CAST(two_r AS DOUBLE) / 2.0)
+                    / CAST(ng AS DOUBLE) ORDER BY
+                 (CAST(two_r AS DOUBLE) / 2.0)
+                 * (CAST(two_r AS DOUBLE) / 2.0) / CAST(ng AS DOUBLE))),
+               (a, b) -> a + b) AS rsum
+      FROM grp
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           floor((12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+                  * rsum - 3.0 * CAST(n + 1 AS DOUBLE))
+                 * 1000000.0) / 1000000.0 AS h_stat,
+           floor((12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+                  * rsum - 3.0 * CAST(n + 1 AS DOUBLE))
+                 / (1.0 - CAST(tie_cubes AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+                 * 1000000.0) / 1000000.0 AS h_adj
+    FROM m CROSS JOIN ties
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H: the k-group rank-based generalization of
+    ``stats_mannwhitney_u`` (as ``stats_anova_f`` generalizes the
+    Welch pair) over event ``value`` by event type — the distribution-
+    free screening test when group variances rule the F test out.
+    Midrank ties via ``2·avg_rank = 2·min_rank + t − 1`` (integer),
+    tie-corrected ``H / (1 − Σ(t³−t)/(N³−N))``.
+
+    Exactness: everything through Σ c·(2·min_rank+t−1) is integer on
+    DECIMAL(38,0)/HUGEINT; the one float term per group,
+    (R_g)²/n_g, is summed by the stats_anova_f SORTED FOLD (identical
+    IEEE sequence on both engines); H is a 1-row assembly.
+
+    Plan shape at 100 TB: one corpus pass groups to the (type, cent)
+    grid (bounded: k · value-domain rows); the rank window runs over
+    the DISTINCT cent-value table (stats_ks_test contract, value-
+    domain bounded, never corpus rows); one bounded join, one k-row
+    aggregate, one 1-row assembly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    gv = q.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    byv = gv.groupBy("v").agg(F.sum("c").alias("t"))
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byv.select(
+        "v",
+        "t",
+        (F.lit(1) + F.coalesce(F.sum("t").over(w_prev), F.lit(0))).alias(
+            "min_rank"
+        ),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    grp = (
+        gv.join(ranked, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum(d38(F.col("c"))).alias("ng"),
+            F.sum(
+                d38(F.col("c"))
+                * (2 * d38(F.col("min_rank")) + d38(F.col("t")) - 1)
+            ).alias("two_r"),
+        )
+    )
+    r_d = F.col("two_r").cast("double") / F.lit(2.0)
+    term = r_d * r_d / F.col("ng").cast("double")
+    m = grp.agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sort_array(F.collect_list(term)).alias("terms"),
+    )
+    ties = byv.agg(
+        F.sum(
+            d38(F.col("t")) * d38(F.col("t")) * d38(F.col("t"))
+            - d38(F.col("t"))
+        ).alias("tie_cubes")
+    )
+    rsum = F.aggregate("terms", F.lit(0.0), lambda a, x: a + x)
+    n_d = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) / (n_d * (n_d + F.lit(1.0))) * rsum
+        - F.lit(3.0) * (n_d + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tie_cubes").cast("double") / (
+        n_d * n_d * n_d - n_d
+    )
+    return m.crossJoin(F.broadcast(ties)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        trunc6(h).alias("h_stat"),
+        trunc6(h / corr).alias("h_adj"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe (median-based Levene) variance-homogeneity test (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_levene_bf",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), gv AS (
+      SELECT event_type, v, count(*) AS c FROM q GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, v, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cc,
+             sum(c) OVER (PARTITION BY event_type) AS ng
+      FROM gv
+    ), med AS (
+      SELECT event_type, min(CASE WHEN 2 * cc >= ng THEN v END) AS mv
+      FROM cum GROUP BY event_type
+    ), z AS (
+      SELECT gv.event_type, abs(gv.v - med.mv) AS z, gv.c
+      FROM gv JOIN med USING (event_type)
+    ), g AS (
+      SELECT event_type, CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS ng,
+             CAST(sum(CAST(c AS HUGEINT) * z) AS HUGEINT) AS s1,
+             CAST(sum(CAST(c AS HUGEINT) * z * z) AS HUGEINT) AS s2
+      FROM z GROUP BY event_type
+    ), m AS (
+      SELECT CAST(sum(ng) AS HUGEINT) AS n, count(*) AS k,
+             CAST(sum(s1) AS HUGEINT) AS gs1,
+             CAST(sum(s2) AS HUGEINT) AS gs2,
+             list_reduce(list_prepend(0.0,
+               list(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(ng AS DOUBLE) ORDER BY
+                 CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(ng AS DOUBLE))),
+               (a, b) -> a + b) AS tsum
+      FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           floor(((tsum - CAST(gs1 AS DOUBLE) * CAST(gs1 AS DOUBLE)
+                          / CAST(n AS DOUBLE)) / (k - 1))
+                 / ((CAST(gs2 AS DOUBLE) - tsum) / (CAST(n AS BIGINT) - k))
+                 * 1000000.0) / 1000000.0 AS w_stat
+    FROM m
+    """,
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene with group MEDIANS): are event
+    ``value`` variances homogeneous across event types? The
+    gatekeeper assumption check for ``stats_anova_f`` — W is exactly
+    the one-way F statistic applied to the absolute deviations
+    ``z = |x − median_g|``.
+
+    Exactness: group medians come off the (type, cent) grid by a
+    PARTITIONED cumulative count (lower median: first cent value with
+    2·cum ≥ n_g — a deterministic convention shared by both engines);
+    z is then integer cents, its ANOVA moments ride HUGEINT/
+    DECIMAL(38,0), and the per-group (Σz)²/n_g terms are summed by the
+    stats_anova_f sorted fold.
+
+    Plan shape at 100 TB: ONE corpus pass to the (type, cent) grid;
+    medians, moments, and the F assembly all run over bounded grids
+    (k · value-domain rows); the only windows are PARTITIONED BY
+    event_type over the grid — no global window, no second corpus
+    pass, no join back to raw rows (deviations are computed on the
+    grid itself).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    gv = q.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = gv.select(
+        "event_type",
+        "v",
+        "c",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("ng"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("cc") >= F.col("ng"), F.col("v"))).alias(
+            "mv"
+        )
+    )
+    z = gv.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("mv")).alias("z"), "c"
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = z.groupBy("event_type").agg(
+        F.sum(d38(F.col("c"))).alias("ng"),
+        F.sum(d38(F.col("c")) * d38(F.col("z"))).alias("s1"),
+        F.sum(
+            d38(F.col("c")) * d38(F.col("z")) * d38(F.col("z"))
+        ).alias("s2"),
+    )
+    s1_d = F.col("s1").cast("double")
+    term = s1_d * s1_d / F.col("ng").cast("double")
+    m = g.agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s1").alias("gs1"),
+        F.sum("s2").alias("gs2"),
+        F.sort_array(F.collect_list(term)).alias("terms"),
+    )
+    tsum = F.aggregate("terms", F.lit(0.0), lambda a, x: a + x)
+    n_d = F.col("n").cast("double")
+    k_d = F.col("k").cast("double")
+    gs1_d = F.col("gs1").cast("double")
+    ssb = tsum - gs1_d * gs1_d / n_d
+    ssw = F.col("gs2").cast("double") - tsum
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        trunc6(
+            (ssb / (k_d - F.lit(1.0))) / (ssw / (n_d - k_d))
+        ).alias("w_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR over per-type mean tests (round 9)
+# ---------------------------------------------------------------------------
+
+#: Abramowitz & Stegun 7.1.26 erf coefficients (|error| < 1.5e-7) —
+#: ONE definition drives both the Spark expression and the SQL text so
+#: the two engines evaluate the identical IEEE tree.
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_FDR_ALPHA = 0.05
+
+
+def _erfc_sql(x: str) -> str:
+    """DuckDB text for erfc(x), x >= 0, via A&S 7.1.26:
+    erfc(x) = poly(t) * exp(-x²), t = 1/(1 + p·x)."""
+    t = f"(1.0 / (1.0 + {_AS_P} * ({x})))"
+    a1, a2, a3, a4, a5 = _AS_A
+    poly = f"((((({a5} * {t} + {a4}) * {t} + {a3}) * {t} + {a2}) * {t} + {a1}) * {t})"
+    return f"({poly} * exp(-(({x}) * ({x}))))"
+
+
+def _erfc_col(x):
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    a1, a2, a3, a4, a5 = _AS_A
+    poly = (
+        (
+            (
+                (F.lit(a5) * t + F.lit(a4)) * t + F.lit(a3)
+            ) * t + F.lit(a2)
+        ) * t + F.lit(a1)
+    ) * t
+    return poly * F.exp(-(x * x))
+
+
+def _fdr_oracle() -> str:
+    z_abs = "abs_z"
+    p_expr = _erfc_sql(f"({z_abs} / sqrt(2.0))")
+    return f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS mv
+      FROM events
+    ), g AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS ng,
+             CAST(sum(CAST(mv AS HUGEINT)) AS HUGEINT) AS s1
+      FROM q GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(sum(CAST(mv AS HUGEINT)) AS HUGEINT) AS gs1,
+             CAST(sum(CAST(mv AS HUGEINT) * mv) AS HUGEINT) AS gs2,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM q
+    ), zs AS (
+      SELECT event_type, CAST(ng AS BIGINT) AS n_g,
+             abs((CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)
+                  - CAST(gs1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (sqrt((CAST(gs2 AS DOUBLE)
+                          - CAST(gs1 AS DOUBLE) * CAST(gs1 AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                         / CAST(n - 1 AS DOUBLE))
+                    / sqrt(CAST(ng AS DOUBLE)))) AS abs_z
+      FROM g CROSS JOIN tot
+    ), ps AS (
+      SELECT event_type, n_g, abs_z, {p_expr} AS p
+      FROM zs
+    ), ranked AS (
+      SELECT event_type, n_g, abs_z, p,
+             row_number() OVER (ORDER BY p, event_type) AS rnk,
+             count(*) OVER () AS m
+      FROM ps
+    ), cut AS (
+      SELECT coalesce(max(CASE WHEN p <= {_FDR_ALPHA} * rnk / m
+                                THEN rnk END), 0) AS cutoff
+      FROM ranked
+    )
+    SELECT event_type, n_g,
+           floor(abs_z * 1000000.0) / 1000000.0 AS abs_z,
+           floor(p * 1000000.0) / 1000000.0 AS p_value,
+           CAST(rnk AS BIGINT) AS rnk,
+           CASE WHEN rnk <= cutoff THEN 1 ELSE 0 END AS reject
+    FROM ranked CROSS JOIN cut
+    ORDER BY rnk
+    """
+
+
+@query("stats_fdr_bh", oracle=_fdr_oracle())
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over the per-event-type family
+    of mean tests: each type's mean event value is z-tested against
+    the corpus mean (corpus sd as the known σ — the screening
+    convention), p-values from the Abramowitz–Stegun 7.1.26 erfc
+    polynomial (|err| < 1.5e-7, far inside the ppm output grid), and
+    the BH step-up rule rejects ranks ≤ max{i : p_(i) ≤ αi/m} at
+    α = 0.05. The multiple-testing companion the per-test battery
+    (welch/anova/mannwhitney) needs once k families are screened.
+
+    Exactness: milli-grid integer moments on HUGEINT/DECIMAL(38,0);
+    z and p are per-GROUP float assemblies over identical exact
+    operands (the erfc polynomial is one shared literal tree — both
+    engines run the same IEEE sequence); ordering ties break on
+    event_type.
+
+    Plan shape at 100 TB: one corpus grouped aggregate (k rows out) +
+    one 1-row total, broadcast-joined; the rank window and the BH
+    cutoff run over the k-row family table (bounded by |event types|,
+    never corpus rows — whitelisted global window).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("mv"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("ng"),
+        F.sum(d38(F.col("mv"))).alias("s1"),
+    )
+    tot = q.agg(
+        F.sum(d38(F.col("mv"))).alias("gs1"),
+        F.sum(d38(F.col("mv")) * d38(F.col("mv"))).alias("gs2"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    ng_d = F.col("ng").cast("double")
+    n_d = F.col("n").cast("double")
+    gs1_d = F.col("gs1").cast("double")
+    mean_g = F.col("s1").cast("double") / ng_d
+    mean_all = gs1_d / n_d
+    sd = F.sqrt(
+        (F.col("gs2").cast("double") - gs1_d * gs1_d / n_d)
+        / (n_d - F.lit(1.0))
+    )
+    abs_z = F.abs((mean_g - mean_all) / (sd / F.sqrt(ng_d)))
+    ps = j.select(
+        "event_type",
+        F.col("ng").cast("long").alias("n_g"),
+        abs_z.alias("abs_z"),
+        _erfc_col(abs_z / F.sqrt(F.lit(2.0))).alias("p"),
+    )
+    w_rank = Window.orderBy("p", "event_type")
+    ranked = ps.select(
+        "event_type",
+        "n_g",
+        "abs_z",
+        "p",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ).alias("m"),
+    )
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p")
+                    <= F.lit(_FDR_ALPHA)
+                    * F.col("rnk")
+                    / F.col("m"),
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("cutoff")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .select(
+            "event_type",
+            "n_g",
+            trunc6(F.col("abs_z")).alias("abs_z"),
+            trunc6(F.col("p")).alias("p_value"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.when(F.col("rnk") <= F.col("cutoff"), 1)
+            .otherwise(0)
+            .alias("reject"),
+        )
+        .orderBy("rnk")
+    )

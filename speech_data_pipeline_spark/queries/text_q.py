@@ -4934,3 +4934,139 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score_ppm").cast("double") / F.lit(1e6)).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate-accuracy audit (round 9)
+# ---------------------------------------------------------------------------
+
+#: Code-enforced slice for the audit's exact-Jaccard side (the
+#: sim_blocked_recall pattern): candidate generation is the production
+#: banded join, but exact shingle-set Jaccard is evaluated only for
+#: pairs inside this id-bounded slice, so the per-pair exact work is
+#: constant at every corpus scale.
+_MH_AUDIT_MOD = 2
+_MH_AUDIT_CAP = 2000
+
+
+def _mh_audit_oracle(k: int = 16, shingle_len: int = 5, bands: int = 4) -> str:
+    share_band = _band_share_sql(k, bands)
+    eq_count = " + ".join(
+        f"CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(k)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % {_MH_AUDIT_MOD} = 0
+        AND doc_id < {_MH_AUDIT_MOD * _MH_AUDIT_CAP}
+    ), {_minhash_sigs_cte(k, shingle_len, src="docs")}, pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, ({eq_count}) AS matches
+      FROM sigs a JOIN sigs b ON a.id < b.id
+      WHERE ({share_band})
+    ), ex AS (
+      SELECT p.matches,
+             len(list_intersect(x.hs, y.hs)) AS inter,
+             len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))
+               AS uni
+      FROM pairs p
+      JOIN sh x ON x.id = p.id_a
+      JOIN sh y ON y.id = p.id_b
+    ), scored AS (
+      SELECT least((matches * 10) // {k}, 9) AS decile,
+             CAST(floor(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)
+                        * 1000000000000.0) AS BIGINT) AS ex_pico,
+             CAST(floor(abs(CAST(matches AS DOUBLE) / {float(k)}
+                            - CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE))
+                        * 1000000000000.0) AS BIGINT) AS err_pico
+      FROM ex
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(CAST(sum(ex_pico) AS DOUBLE) / count(*) / 1000000.0)
+             / 1000000.0 AS mean_exact,
+           floor(CAST(sum(err_pico) AS DOUBLE) / count(*) / 1000000.0)
+             / 1000000.0 AS mean_abs_err
+    FROM scored GROUP BY decile ORDER BY decile
+    """
+
+
+@query("dedup_minhash_estimate_audit", oracle=_mh_audit_oracle())
+def dedup_minhash_estimate_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Estimate-accuracy audit for the MinHash signature behind every
+    LSH dedup row: over the banded candidate pairs of a CODE-ENFORCED
+    id slice, compare the signature's Jaccard ESTIMATE (matching
+    positions / k) against the EXACT distinct-shingle-set Jaccard, per
+    estimate decile — n_pairs, mean exact similarity, mean |error|.
+    The companion of ``sim_blocked_recall`` (that row audits the
+    BLOCKING's recall; this one audits the ESTIMATOR's accuracy — the
+    two independent error sources of approximate dedup).
+
+    Exactness: the estimate is the integer match count over k = 16;
+    exact Jaccard is a ratio of exact integers (|∩| / |∪| of the
+    md5-derived shingle-hash sets both engines replay identically);
+    per-pair values are pico-quantized integers before the decile
+    means (order-immune sums), truncated to ppm on output.
+
+    Plan shape at 100 TB: signatures + shingle sets in one map pass
+    over the ≤ ``_MH_AUDIT_CAP`` slice; the banded self-join and the
+    two hs lookups run on slice-sized relations (constant work at any
+    corpus scale by the slice contract); one ≤10-row grouped output.
+    """
+    d = load_table(spark, sf_dir, "documents").where(
+        ((F.col("doc_id") % _MH_AUDIT_MOD) == 0)
+        & (F.col("doc_id") < _MH_AUDIT_MOD * _MH_AUDIT_CAP)
+    )
+    k = 16
+    both = dd.minhash_signatures(d, include_base=True).persist()
+    sigs = both.select("id", "sig")
+    cands = dd.lsh_candidate_pairs(sigs)
+    xa = both.select(
+        F.col("id").alias("id_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    xb = both.select(
+        F.col("id").alias("id_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    ex = cands.join(xa, "id_a").join(xb, "id_b")
+    matches = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    uni = F.size("hs_a") + F.size("hs_b") - inter
+    exact = inter.cast("double") / uni.cast("double")
+    est = matches.cast("double") / F.lit(float(k))
+    scored = ex.select(
+        F.least(
+            F.floor(matches * 10 / k).cast("int"), F.lit(9)
+        ).alias("decile"),
+        F.floor(exact * F.lit(1e12)).cast("long").alias("ex_pico"),
+        F.floor(F.abs(est - exact) * F.lit(1e12))
+        .cast("long")
+        .alias("err_pico"),
+    )
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            trunc6(
+                F.sum("ex_pico").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e12)
+            ).alias("mean_exact"),
+            trunc6(
+                F.sum("err_pico").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e12)
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("decile")
+    )

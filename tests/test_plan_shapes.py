@@ -51,6 +51,11 @@ def test_no_cartesian_products(plans):
 SCALAR_CROSS_WHITELIST = {
     "sim_ivf_topk",  # centroid table: n_cells=8 rows
     "ml_kmeans_assign",  # centroid table per iteration: n_cells=8 rows
+    "stats_kruskal_wallis",  # tie-term scalar: 1 row onto the 1-row H
+    "stats_fdr_bh",  # BH cutoff scalar: 1 row onto the k-row family table
+    "search_rm3_expansion",  # feedback-mass scalar: 1 row onto the
+    # ten-doc relevance-model vocabulary
+    "eval_chrf",  # three 1-row per-order count aggregates cross-joined
     "text_bigram_xent",  # vocabulary-size scalar: 1 row
     "text_tfidf_topk",  # corpus-count scalar: 1 row
     "sketch_bloom_membership",  # bloom bit-set: 1 row, O(m)=4096 array
@@ -207,6 +212,10 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     # corpus-prefix bucket table, bounded by construction
     "stats_runs_test",  # rank/lag/count windows over the DAY grid
     # (observation-window bounded, never corpus rows)
+    "stats_kruskal_wallis",  # rank running sum over the DISTINCT
+    # cent-value table (stats_ks_test contract), never corpus
+    "stats_fdr_bh",  # BH rank + family count over the |event types|-row
+    # per-family test table, bounded by the type domain, never corpus
 }
 
 

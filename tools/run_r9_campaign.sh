@@ -28,11 +28,30 @@ for rep in 1 2 3; do
     python bench.py $VAR_ROWS
 done
 
-echo "=== 3. canonical sf0.1 headline x2 ==="
+echo "=== 3. canonical sf0.1 headline x2 (full 280-query registry) ==="
 for rep in 1 2; do
   SPARK_GRAFT_PASSES=1 \
     SPARK_GRAFT_BENCH_OUT=bench_scale/r9_sf01_rep${rep}.json \
     python bench.py
+done
+
+NEW="stats_kruskal_wallis stats_levene_bf stats_fdr_bh \
+search_rm3_expansion graph_link_prediction dedup_minhash_estimate_audit \
+eval_chrf"
+
+echo "=== 4. round-9 new queries: two-decade + skew evidence ==="
+for rep in 1 2 3; do
+  SPARK_GRAFT_SF_DIR=stress_data/sf1 SPARK_GRAFT_PASSES=1 \
+    SPARK_GRAFT_BENCH_OUT=bench_scale/r9_new_sf1_rep${rep}.json \
+    python bench.py $NEW
+done
+SPARK_GRAFT_SF_DIR=stress_data/sf1skew SPARK_GRAFT_PASSES=1 \
+  SPARK_GRAFT_BENCH_OUT=bench_scale/r9_new_sf1skew.json \
+  python bench.py $NEW
+for rep in 1 2; do
+  SPARK_GRAFT_SF_DIR=stress_data/sf10 SPARK_GRAFT_PASSES=1 \
+    SPARK_GRAFT_BENCH_OUT=bench_scale/r9_new_sf10_rep${rep}.json \
+    python bench.py $NEW
 done
 
 echo "campaign done"
