@@ -669,3 +669,197 @@ def encode_mpeg2_audio(
                 sub[ch, g] = analysis[ch].run(seg[g * 32 : (g + 1) * 32])
         out.extend(encode_layer2_frame(sub, sr, bitrate, alloc_plan))
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Layer III structural parsing (side info, bit reservoir, scalefactors)
+# ---------------------------------------------------------------------------
+# Everything SYNTACTIC about Layer III is implemented here — the frame
+# is fully cracked open up to (and excluding) the spectral Huffman
+# stage, so the remaining seam is EXACTLY the ISO tabular data this
+# offline container cannot derive: the Huffman code tables (11172-3
+# Tables B.7.x) and the per-samplerate scalefactor-band edge tables
+# (Table B.8). Drop those tables in and the rest of the decode chain
+# (requantization, stereo, alias reduction, IMDCT — all formulaic, and
+# the polyphase synthesis above) completes mp3.
+
+#: ISO 11172-3 §2.4.2.7 scalefac_compress -> (slen1, slen2)
+_L3_SLEN = (
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+)
+
+
+def parse_layer3_side_info(b: bytes, pos: int, hdr: dict) -> dict:
+    """Parse the Layer III side information block that follows the
+    (CRC-skipped) header: main_data_begin (bit-reservoir backpointer),
+    scfsi, and per-granule/channel subblock descriptors. MPEG-1
+    layout: 17 bytes mono / 32 bytes stereo."""
+    nch = hdr["nch"]
+    start = pos + 4 + (2 if hdr["crc"] else 0)
+    size = 17 if nch == 1 else 32
+    if start + size > len(b):
+        raise ValueError("truncated Layer III side info")
+    bits = _Bits(b[start : start + size])
+    info: dict = {
+        "main_data_begin": bits.read(9),
+        "side_info_end": start + size,
+    }
+    bits.read(5 if nch == 1 else 3)  # private bits
+    info["scfsi"] = [
+        [bits.read(1) for _ in range(4)] for _ in range(nch)
+    ]
+    granules = []
+    for _gr in range(2):
+        chans = []
+        for _ch in range(nch):
+            g = {
+                "part2_3_length": bits.read(12),
+                "big_values": bits.read(9),
+                "global_gain": bits.read(8),
+                "scalefac_compress": bits.read(4),
+                "window_switching": bits.read(1),
+            }
+            if g["window_switching"]:
+                g["block_type"] = bits.read(2)
+                g["mixed_block"] = bits.read(1)
+                g["table_select"] = [bits.read(5) for _ in range(2)]
+                g["subblock_gain"] = [bits.read(3) for _ in range(3)]
+                if g["block_type"] == 0:
+                    raise ValueError(
+                        "window_switching with block_type 0 is forbidden"
+                    )
+                # spec-fixed region boundaries under window switching
+                g["region0_count"] = (
+                    8 if g["block_type"] == 2 and not g["mixed_block"]
+                    else 7
+                )
+                g["region1_count"] = 20 - g["region0_count"]
+            else:
+                g["block_type"] = 0
+                g["mixed_block"] = 0
+                g["table_select"] = [bits.read(5) for _ in range(3)]
+                g["region0_count"] = bits.read(4)
+                g["region1_count"] = bits.read(3)
+            g["preflag"] = bits.read(1)
+            g["scalefac_scale"] = bits.read(1)
+            g["count1table_select"] = bits.read(1)
+            chans.append(g)
+        granules.append(chans)
+    info["granules"] = granules
+    return info
+
+
+def assemble_layer3_main_data(frames: list[tuple[dict, bytes, dict]]) -> list[bytes | None]:
+    """Bit-reservoir assembly (§2.4.2.7 main_data_begin): each frame's
+    logical main data starts ``main_data_begin`` bytes BEFORE its own
+    main-data section, inside previous frames' unused bytes. Input:
+    [(hdr, frame_bytes, side_info)] in stream order; output: one
+    assembled main-data byte string per frame (None when the
+    backpointer reaches before the start of the kept window)."""
+    out: list[bytes | None] = []
+    reservoir = b""
+    for hdr, fb, si in frames:
+        # main data = frame minus header, CRC, and side info
+        skip = 4 + (2 if hdr["crc"] else 0) + (17 if hdr["nch"] == 1 else 32)
+        this_main = fb[skip:]
+        back = si["main_data_begin"]
+        if back > len(reservoir):
+            out.append(None)  # reservoir underrun (cut stream)
+        else:
+            prefix = reservoir[len(reservoir) - back :] if back else b""
+            out.append(prefix + this_main)
+        reservoir = (reservoir + this_main)[-511:]
+    return out
+
+
+def decode_layer3_scalefactors(
+    bits: _Bits, g: dict, gr: int, scfsi_ch: list[int],
+    prev: list[int] | None,
+) -> dict:
+    """Read one granule/channel's scalefactors from (assembled) main
+    data. Long blocks: 21 bands (0-10 slen1, 11-20 slen2) with scfsi
+    group reuse in granule 1; short blocks: 12 bands × 3 windows
+    (bands 0-5 slen1, 6-11 slen2); mixed: 8 long + short from band 3.
+    Returns {"long": [21], "short": [[3]×12] or None, "part2_bits"}.
+    """
+    slen1, slen2 = _L3_SLEN[g["scalefac_compress"]]
+    start = bits.pos
+    short_blocks = g["window_switching"] and g["block_type"] == 2
+    if short_blocks and not g["mixed_block"]:
+        short = [
+            [bits.read(slen1 if sfb < 6 else slen2) for _w in range(3)]
+            for sfb in range(12)
+        ]
+        return {
+            "long": None, "short": short, "part2_bits": bits.pos - start,
+        }
+    if short_blocks and g["mixed_block"]:
+        long_part = [bits.read(slen1) for _ in range(8)]
+        short = [
+            [bits.read(slen1 if sfb < 6 else slen2) for _w in range(3)]
+            for sfb in range(3, 12)
+        ]
+        return {
+            "long": long_part, "short": short,
+            "part2_bits": bits.pos - start,
+        }
+    # long blocks: scfsi groups are bands 0-5, 6-10, 11-15, 16-20
+    groups = ((0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2))
+    vals = [0] * 21
+    for gi, (lo, hi, sl) in enumerate(groups):
+        if gr == 1 and scfsi_ch[gi] and prev is not None:
+            for sfb in range(lo, hi):
+                vals[sfb] = prev[sfb]
+        else:
+            for sfb in range(lo, hi):
+                vals[sfb] = bits.read(sl)
+    return {"long": vals, "short": None, "part2_bits": bits.pos - start}
+
+
+def probe_layer3_stream(payload: bytes, max_frames: int = 64) -> dict:
+    """Structural audit of a Layer III stream: walk frames, parse side
+    info, assemble the bit reservoir, decode scalefactors, and report
+    per-frame syntax facts (granule gains, block types, reservoir
+    health) WITHOUT spectral decode. The metadata a pipeline can mine
+    from mp3 corpora today; spectral samples stay behind the
+    documented Huffman-table seam."""
+    b = bytes(payload)
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        sz = (
+            (b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+            | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
+        )
+        pos = 10 + sz
+    frames: list[tuple[dict, bytes, dict]] = []
+    while pos + 4 <= len(b) and len(frames) < max_frames:
+        hdr = parse_frame_header(b, pos)
+        if hdr is None or hdr["layer"] != 3:
+            break
+        fb = b[pos : pos + hdr["frame_len"]]
+        if len(fb) < hdr["frame_len"]:
+            break
+        si = parse_layer3_side_info(b, pos, hdr)
+        frames.append((hdr, fb, si))
+        pos += hdr["frame_len"]
+    if not frames:
+        raise ValueError("no Layer III frames found")
+    main = assemble_layer3_main_data(frames)
+    n_underrun = sum(1 for m in main if m is None)
+    gains = []
+    block_types = {0: 0, 1: 0, 2: 0, 3: 0}
+    for (hdr, _fb, si), md in zip(frames, main):
+        for gr in range(2):
+            for ch in range(hdr["nch"]):
+                g = si["granules"][gr][ch]
+                gains.append(g["global_gain"])
+                block_types[g["block_type"]] += 1
+    return {
+        "n_frames": len(frames),
+        "sr": frames[0][0]["sr"],
+        "nch": frames[0][0]["nch"],
+        "reservoir_underruns": n_underrun,
+        "mean_global_gain": sum(gains) / len(gains),
+        "block_type_counts": block_types,
+    }

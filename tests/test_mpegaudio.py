@@ -353,3 +353,205 @@ def test_decode_audio_bytes_dispatches_mpeg():
     blob = encode_mpeg2_audio([x], SR, bitrate=192_000)
     y, sr = decode_audio_bytes(blob)
     assert sr == SR and len(y) == 1152 * 4
+
+
+# ---------------------------------------------------------------------------
+# Layer III structural parsing (round 9): side info, reservoir,
+# scalefactors — hand-built bitstreams, expectations derived from the
+# spec field widths independently of the parser
+# ---------------------------------------------------------------------------
+
+from speech_data_pipeline_spark.operators.mpegaudio import (
+    _Bits,
+    assemble_layer3_main_data,
+    decode_layer3_scalefactors,
+    parse_layer3_side_info,
+    probe_layer3_stream,
+)
+
+
+def _l3_header(mono=True, bitrate_idx=9) -> bytes:
+    w = _BitWriter()
+    w.write(0x7FF, 11)
+    w.write(3, 2)   # MPEG-1
+    w.write(1, 2)   # Layer III
+    w.write(1, 1)   # no CRC
+    w.write(bitrate_idx, 4)
+    w.write(0, 2)   # 44100
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(3 if mono else 0, 2)
+    w.write(0, 2)
+    w.write(0, 4)
+    return w.bytes()
+
+
+def _granule_bits(
+    w, part23=100, bigv=50, gain=200, scfc=5, short=False
+):
+    w.write(part23, 12)
+    w.write(bigv, 9)
+    w.write(gain, 8)
+    w.write(scfc, 4)
+    if short:
+        w.write(1, 1)   # window switching
+        w.write(2, 2)   # block_type 2
+        w.write(0, 1)   # not mixed
+        w.write(7, 5)
+        w.write(9, 5)
+        w.write(1, 3)
+        w.write(2, 3)
+        w.write(3, 3)
+    else:
+        w.write(0, 1)
+        w.write(7, 5)
+        w.write(9, 5)
+        w.write(11, 5)
+        w.write(6, 4)   # region0_count
+        w.write(3, 3)   # region1_count
+    w.write(1, 1)   # preflag
+    w.write(0, 1)   # scalefac_scale
+    w.write(1, 1)   # count1table_select
+
+
+def _mono_side_info(main_data_begin=0, scfsi=(0, 1, 0, 1), short_gr1=False):
+    w = _BitWriter()
+    w.write(main_data_begin, 9)
+    w.write(0, 5)   # private
+    for bit in scfsi:
+        w.write(bit, 1)
+    _granule_bits(w, part23=100, gain=200)
+    _granule_bits(w, part23=120, gain=210, short=short_gr1)
+    w.pad_to_byte()
+    out = w.bytes()
+    assert len(out) == 17  # MPEG-1 mono side info is exactly 17 bytes
+    return out
+
+
+def test_side_info_mono_long_blocks():
+    hdr_b = _l3_header()
+    frame = hdr_b + _mono_side_info(main_data_begin=37) + b"\x00" * 396
+    hdr = parse_frame_header(frame)
+    si = parse_layer3_side_info(frame, 0, hdr)
+    assert si["main_data_begin"] == 37
+    assert si["scfsi"] == [[0, 1, 0, 1]]
+    g0 = si["granules"][0][0]
+    assert g0["part2_3_length"] == 100
+    assert g0["big_values"] == 50
+    assert g0["global_gain"] == 200
+    assert g0["scalefac_compress"] == 5
+    assert g0["block_type"] == 0
+    assert g0["table_select"] == [7, 9, 11]
+    assert (g0["region0_count"], g0["region1_count"]) == (6, 3)
+    assert (g0["preflag"], g0["scalefac_scale"]) == (1, 0)
+
+
+def test_side_info_short_blocks_fixed_regions():
+    frame = (
+        _l3_header() + _mono_side_info(short_gr1=True) + b"\x00" * 396
+    )
+    hdr = parse_frame_header(frame)
+    g1 = parse_layer3_side_info(frame, 0, hdr)["granules"][1][0]
+    assert g1["block_type"] == 2 and not g1["mixed_block"]
+    assert g1["table_select"] == [7, 9]
+    assert g1["subblock_gain"] == [1, 2, 3]
+    # spec fixes region0/1 under window switching: 8 / 12 for pure short
+    assert (g1["region0_count"], g1["region1_count"]) == (8, 12)
+
+
+def test_bit_reservoir_assembly():
+    hdr_b = _l3_header()
+    hdr = parse_frame_header(hdr_b + b"\x00" * 430)
+    mains = [bytes([i]) * 396 for i in (1, 2, 3)]
+    frames = []
+    for i, (mdb) in enumerate((0, 100, 300)):
+        fb = hdr_b + _mono_side_info(main_data_begin=mdb) + mains[i]
+        frames.append((hdr, fb, parse_layer3_side_info(fb, 0, hdr)))
+    out = assemble_layer3_main_data(frames)
+    assert out[0] == mains[0]
+    # frame 1 starts 100 bytes back inside frame 0's main data
+    assert out[1] == mains[0][-100:] + mains[1]
+    # frame 2 reaches 300 bytes back into the 511-byte reservoir window
+    reservoir_after_1 = (mains[0] + mains[1])[-511:]
+    assert out[2] == reservoir_after_1[-300:] + mains[2]
+
+
+def test_bit_reservoir_underrun_is_none():
+    hdr_b = _l3_header()
+    hdr = parse_frame_header(hdr_b + b"\x00" * 430)
+    fb = hdr_b + _mono_side_info(main_data_begin=50) + b"\x07" * 396
+    out = assemble_layer3_main_data([(hdr, fb, parse_layer3_side_info(fb, 0, hdr))])
+    assert out == [None]
+
+
+def test_scalefactors_long_with_scfsi_reuse():
+    # scalefac_compress 5 -> (slen1, slen2) = (1, 1): 21 one-bit factors
+    g = {
+        "scalefac_compress": 5, "window_switching": 0,
+        "block_type": 0, "mixed_block": 0,
+    }
+    w = _BitWriter()
+    pattern = [i % 2 for i in range(21)]
+    for v in pattern:
+        w.write(v, 1)
+    w.pad_to_byte()
+    got0 = decode_layer3_scalefactors(
+        _Bits(w.bytes()), g, gr=0, scfsi_ch=[0, 0, 0, 0], prev=None
+    )
+    assert got0["long"] == pattern
+    assert got0["part2_bits"] == 21
+    # granule 1 with scfsi = [1, 0, 1, 0]: bands 0-5 and 11-15 reuse
+    # granule 0's values; only groups 1 and 3 (5 + 5 bands) are read
+    w2 = _BitWriter()
+    for _ in range(10):
+        w2.write(1, 1)
+    w2.pad_to_byte()
+    got1 = decode_layer3_scalefactors(
+        _Bits(w2.bytes()), g, gr=1, scfsi_ch=[1, 0, 1, 0],
+        prev=got0["long"],
+    )
+    assert got1["part2_bits"] == 10
+    assert got1["long"][:6] == pattern[:6]          # reused
+    assert got1["long"][6:11] == [1] * 5            # read
+    assert got1["long"][11:16] == pattern[11:16]    # reused
+    assert got1["long"][16:21] == [1] * 5           # read
+
+
+def test_scalefactors_short_blocks():
+    # scalefac_compress 10 -> (slen1, slen2) = (2, 3)
+    g = {
+        "scalefac_compress": 10, "window_switching": 1,
+        "block_type": 2, "mixed_block": 0,
+    }
+    w = _BitWriter()
+    for sfb in range(12):
+        for win in range(3):
+            w.write((sfb + win) % (4 if sfb < 6 else 8), 2 if sfb < 6 else 3)
+    w.pad_to_byte()
+    got = decode_layer3_scalefactors(
+        _Bits(w.bytes()), g, gr=0, scfsi_ch=[0] * 4, prev=None
+    )
+    assert got["long"] is None
+    assert got["part2_bits"] == 6 * 3 * 2 + 6 * 3 * 3
+    for sfb in range(12):
+        for win in range(3):
+            want = (sfb + win) % (4 if sfb < 6 else 8)
+            assert got["short"][sfb][win] == want, (sfb, win)
+
+
+def test_probe_layer3_stream_counts():
+    hdr_b = _l3_header()
+    blob = b""
+    for i in range(4):
+        blob += (
+            hdr_b
+            + _mono_side_info(main_data_begin=0, short_gr1=(i % 2 == 1))
+            + b"\x00" * 396
+        )
+    info = probe_layer3_stream(blob)
+    assert info["n_frames"] == 4
+    assert info["sr"] == 44100 and info["nch"] == 1
+    assert info["reservoir_underruns"] == 0
+    # 8 granules total: granule 1 short in frames 1 and 3
+    assert info["block_type_counts"] == {0: 6, 1: 0, 2: 2, 3: 0}
+    assert info["mean_global_gain"] == pytest.approx(205.0)
