@@ -926,3 +926,204 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("train_acc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form ridge regression (3 features, normal equations) — round 9
+# ---------------------------------------------------------------------------
+
+#: Ridge penalty on the cent² covariance scale (fixed by convention).
+_RIDGE_LAMBDA = 1000.0
+
+
+def _ridge_assembly_sql() -> str:
+    """The ENTIRE float assembly — centered covariances, the 3×3
+    Cramer solve of (S + λI)β = s, intercept, R² — as ONE SQL
+    expression list over the exact integer moment columns
+    (n, s1..s3, sy, s11, s12, s13, s22, s23, s33, s1y, s2y, s3y, syy).
+    Shared TEXTUALLY by the Spark side (F.expr) and the DuckDB oracle,
+    so the two engines evaluate the identical IEEE tree by
+    construction."""
+    nd = "CAST(n AS DOUBLE)"
+
+    def cov(ij: str, i: str, j: str) -> str:
+        return (
+            f"(CAST(s{ij} AS DOUBLE) - CAST(s{i} AS DOUBLE)"
+            f" * CAST(s{j} AS DOUBLE) / {nd})"
+        )
+
+    lam = f"CAST({_RIDGE_LAMBDA} AS DOUBLE)"
+    a11 = f"({cov('11', '1', '1')} + {lam})"
+    a22 = f"({cov('22', '2', '2')} + {lam})"
+    a33 = f"({cov('33', '3', '3')} + {lam})"
+    a12 = cov("12", "1", "2")
+    a13 = cov("13", "1", "3")
+    a23 = cov("23", "2", "3")
+    c1 = (
+        f"(CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)"
+        f" * CAST(sy AS DOUBLE) / {nd})"
+    )
+    c2 = (
+        f"(CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)"
+        f" * CAST(sy AS DOUBLE) / {nd})"
+    )
+    c3 = (
+        f"(CAST(s3y AS DOUBLE) - CAST(s3 AS DOUBLE)"
+        f" * CAST(sy AS DOUBLE) / {nd})"
+    )
+    syy = (
+        f"(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)"
+        f" * CAST(sy AS DOUBLE) / {nd})"
+    )
+
+    def det3(m) -> str:
+        (a, b, c), (d, e, f_), (g, h, i) = m
+        return (
+            f"({a} * ({e} * {i} - {f_} * {h})"
+            f" - {b} * ({d} * {i} - {f_} * {g})"
+            f" + {c} * ({d} * {h} - {e} * {g}))"
+        )
+
+    s_mat = ((a11, a12, a13), (a12, a22, a23), (a13, a23, a33))
+    det = det3(s_mat)
+    det1 = det3(((c1, a12, a13), (c2, a22, a23), (c3, a23, a33)))
+    det2 = det3(((a11, c1, a13), (a12, c2, a23), (a13, c3, a33)))
+    det3_ = det3(((a11, a12, c1), (a12, a22, c2), (a13, a23, c3)))
+    b1 = f"({det1} / {det})"
+    b2 = f"({det2} / {det})"
+    b3 = f"({det3_} / {det})"
+    icept = (
+        f"((CAST(sy AS DOUBLE) - ({b1} * CAST(s1 AS DOUBLE)"
+        f" + {b2} * CAST(s2 AS DOUBLE)"
+        f" + {b3} * CAST(s3 AS DOUBLE))) / {nd})"
+    )
+    # ridge SSE from moments: Syy - 2 βᵀc + βᵀ S β (centered, WITHOUT
+    # the λ inflation — λ only biases the solve)
+    bsb = (
+        f"({b1} * ({cov('11', '1', '1')} * {b1} + {a12} * {b2}"
+        f" + {a13} * {b3})"
+        f" + {b2} * ({a12} * {b1} + {cov('22', '2', '2')} * {b2}"
+        f" + {a23} * {b3})"
+        f" + {b3} * ({a13} * {b1} + {a23} * {b2}"
+        f" + {cov('33', '3', '3')} * {b3}))"
+    )
+    sse = (
+        f"({syy} - CAST(2 AS DOUBLE) * ({b1} * {c1} + {b2} * {c2} + {b3} * {c3})"
+        f" + {bsb})"
+    )
+    r2 = f"(CAST(1 AS DOUBLE) - {sse} / {syy})"
+    # NB: literals are CAST(... AS DOUBLE) because Spark SQL parses a
+    # bare 1000000.0 as DECIMAL (DuckDB as DOUBLE) — the shared text
+    # must type identically in both dialects.
+    t6 = lambda e: (  # noqa: E731
+        f"floor({e} * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE)"
+    )
+    return (
+        f"CAST(n AS BIGINT) AS n, {t6(b1)} AS b_quantity,"
+        f" {t6(b2)} AS b_discount, {t6(b3)} AS b_tax,"
+        f" {t6(icept)} AS intercept, {t6(r2)} AS r2"
+    )
+
+
+@query(
+    "ml_ridge_closed_form",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x1,
+             CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x2,
+             CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS x3,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x1 AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(x2 AS HUGEINT)) AS HUGEINT) AS s2,
+             CAST(sum(CAST(x3 AS HUGEINT)) AS HUGEINT) AS s3,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+             CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+             CAST(sum(CAST(x1 AS HUGEINT) * x3) AS HUGEINT) AS s13,
+             CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+             CAST(sum(CAST(x2 AS HUGEINT) * x3) AS HUGEINT) AS s23,
+             CAST(sum(CAST(x3 AS HUGEINT) * x3) AS HUGEINT) AS s33,
+             CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+             CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y,
+             CAST(sum(CAST(x3 AS HUGEINT) * y) AS HUGEINT) AS s3y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM q
+    )
+    SELECT {_ridge_assembly_sql()} FROM m
+    """,
+)
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression in closed form: predict line-item price (cents)
+    from quantity/discount/tax via the normal equations
+    ``(S + λI)β = s`` solved by 3×3 Cramer expansion, with intercept
+    and R² from the same moment table — the multi-feature upgrade of
+    ``stats_linreg`` (simple OLS) and the convex sibling of
+    ``ml_logreg_gd`` (which iterates; ridge needs no iterations at
+    ANY scale).
+
+    Exactness: one corpus pass collects the 15 integer moment sums on
+    DECIMAL(38,0)/HUGEINT (exact under any partitioning); the ENTIRE
+    float assembly — centered covariances, determinants, coefficients,
+    intercept, R² — is ONE SQL expression string shared TEXTUALLY
+    between the Spark plan (F.expr) and the DuckDB oracle, so both
+    engines execute the identical IEEE tree by construction (the
+    strongest form of the repo's shared-literal-tree discipline).
+
+    Plan shape at 100 TB: ONE map-side-combinable grouped aggregate
+    (15 columns, 1 row out) and a 1-row projection. Training cost is
+    a single corpus scan regardless of scale — the textbook reason
+    closed-form GLMs are the first model a warehouse fits.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(  # noqa: E731
+        F.col(c) * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    q = li.select(
+        cents("l_quantity").alias("x1"),
+        cents("l_discount").alias("x2"),
+        cents("l_tax").alias("x3"),
+        cents("l_extendedprice").alias("y"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = q.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38("x1")).alias("s1"),
+        F.sum(d38("x2")).alias("s2"),
+        F.sum(d38("x3")).alias("s3"),
+        F.sum(d38("y")).alias("sy"),
+        F.sum(d38("x1") * d38("x1")).alias("s11"),
+        F.sum(d38("x1") * d38("x2")).alias("s12"),
+        F.sum(d38("x1") * d38("x3")).alias("s13"),
+        F.sum(d38("x2") * d38("x2")).alias("s22"),
+        F.sum(d38("x2") * d38("x3")).alias("s23"),
+        F.sum(d38("x3") * d38("x3")).alias("s33"),
+        F.sum(d38("x1") * d38("y")).alias("s1y"),
+        F.sum(d38("x2") * d38("y")).alias("s2y"),
+        F.sum(d38("x3") * d38("y")).alias("s3y"),
+        F.sum(d38("y") * d38("y")).alias("syy"),
+    )
+    return m.selectExpr(*[
+        e.strip() for e in _split_top_level(_ridge_assembly_sql())
+    ])
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a SELECT-list string on top-level commas (the assembly
+    text is shared with the SQL oracle verbatim, so the Spark side
+    splits it into selectExpr items rather than re-deriving it)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out

@@ -3117,3 +3117,111 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran–Armitage trend test (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_cochran_armitage",
+    oracle="""
+    WITH q AS (
+      SELECT (epoch_us(ts) // 86400000000) % 7 AS w,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r
+      FROM events
+    ), g AS (
+      SELECT w, CAST(count(*) AS HUGEINT) AS ni,
+             CAST(sum(r) AS HUGEINT) AS ri
+      FROM q GROUP BY w
+    ), m AS (
+      SELECT CAST(sum(ni) AS HUGEINT) AS n,
+             CAST(sum(ri) AS HUGEINT) AS rr,
+             CAST(sum(w * ri) AS HUGEINT) AS swr,
+             CAST(sum(w * ni) AS HUGEINT) AS swn,
+             CAST(sum(w * w * ni) AS HUGEINT) AS swwn
+      FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           floor((CAST(swr AS DOUBLE)
+                  - CAST(rr AS DOUBLE) * CAST(swn AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / sqrt((CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(swwn AS DOUBLE)
+                           - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+                             / CAST(n AS DOUBLE)))
+                 * 1000000.0) / 1000000.0 AS z_trend,
+           CASE WHEN abs(floor((CAST(swr AS DOUBLE)
+                  - CAST(rr AS DOUBLE) * CAST(swn AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / sqrt((CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(swwn AS DOUBLE)
+                           - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+                             / CAST(n AS DOUBLE)))
+                 * 1000000.0)) > 1959963 THEN 1 ELSE 0 END AS reject
+    FROM m
+    """,
+)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: does the purchase PROPORTION trend
+    monotonically across the day-of-week exposure grades (scores
+    w = 0..6)? The TREND companion of ``chisq_type_by_day``'s
+    unordered association test — with ordered categories the 1-df
+    trend statistic has far more power than the omnibus χ².
+    ``z = Σw(r_w − n_w·p̄) / √(p̄(1−p̄)(Σw²n_w − (Σwn_w)²/N))``,
+    rejecting two-sided at α = 0.05 on the shared ppm grid.
+
+    Exactness: all five moments (N, R, Σwr, Σwn, Σw²n) are exact
+    integers on HUGEINT/DECIMAL(38,0) off a 7-row grade table; z is a
+    1-row float assembly.
+
+    Plan shape at 100 TB: ONE map-side-combinable grouped aggregate to
+    the 7-row day-of-week table, one 1-row re-aggregate — no windows,
+    no joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        (F.expr("(ts div 1000) div 86400000000") % 7).alias("w"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "r"
+        ),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = q.groupBy("w").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("ni"),
+        F.sum(d38(F.col("r"))).alias("ri"),
+    )
+    m = g.agg(
+        F.sum("ni").alias("n"),
+        F.sum("ri").alias("rr"),
+        F.sum(d38(F.col("w")) * F.col("ri")).alias("swr"),
+        F.sum(d38(F.col("w")) * F.col("ni")).alias("swn"),
+        F.sum(d38(F.col("w")) * d38(F.col("w")) * F.col("ni")).alias(
+            "swwn"
+        ),
+    )
+    n_d = F.col("n").cast("double")
+    rr_d = F.col("rr").cast("double")
+    p = rr_d / n_d
+    num = F.col("swr").cast("double") - rr_d * F.col("swn").cast(
+        "double"
+    ) / n_d
+    den = F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.col("swwn").cast("double")
+            - F.col("swn").cast("double")
+            * F.col("swn").cast("double")
+            / n_d
+        )
+    )
+    z_ppm = F.floor(num / den * F.lit(1e6))
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        (z_ppm / F.lit(1e6)).alias("z_trend"),
+        F.when(F.abs(z_ppm) > 1959963, 1).otherwise(0).alias("reject"),
+    )

@@ -218,6 +218,7 @@ def test_probe_durations_real_headers(spark, tmp_path):
         + _ogg_page(22050 * 2, b"q", eos=True, seq=1)
     )
     (tmp_path / "d.m4a").write_bytes(_mp4(1000, 4000))
+    (tmp_path / "e.aac").write_bytes(_adts(n_frames=10, sf_idx=7))
     (tmp_path / "junk.flac").write_bytes(b"not really flac bytes here!")
     got = {
         r["audio_id"]: r["duration"]
@@ -227,6 +228,7 @@ def test_probe_durations_real_headers(spark, tmp_path):
     assert got["b"] == pytest.approx(200 * 1152 / 44100, rel=1e-6)
     assert got["c"] == pytest.approx(2.0)
     assert got["d"] == pytest.approx(4.0)
+    assert got["e"] == pytest.approx(10 * 1024 / 22050)
     # unparseable falls back to the byte-length estimate, not 0
     assert got["junk"] == pytest.approx(27 / 32000.0)
 

@@ -555,3 +555,26 @@ def test_probe_layer3_stream_counts():
     # 8 granules total: granule 1 short in frames 1 and 3
     assert info["block_type_counts"] == {0: 6, 1: 0, 2: 2, 3: 0}
     assert info["mean_global_gain"] == pytest.approx(205.0)
+
+
+def test_decode_media_spark_path_mpeg(spark):
+    """End-to-end through the Spark mapInPandas kernel: a Layer II
+    payload lands in a binary column and comes out as waveform rows
+    with the right sample count and rate."""
+    from speech_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    t = np.arange(1152 * 3)
+    x = 0.4 * np.sin(2 * np.pi * 440 * t / SR)
+    blob = encode_mpeg2_audio([x], SR, bitrate=192_000)
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, payload binary")
+    rows = decode_media(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["sr"] == SR
+    assert len(rows[0]["samples"]) == 1152 * 3
+    got = np.array(rows[0]["samples"])
+    d = FILTERBANK_DELAY
+    sx, sy = x[1000:2500], got[1000 + d : 2500 + d]
+    err = sy - sx
+    assert 10 * np.log10(np.dot(sx, sx) / np.dot(err, err)) > 25.0
