@@ -1127,3 +1127,150 @@ def _split_top_level(s: str) -> list[str]:
             cur.append(ch)
     out.append("".join(cur))
     return out
+
+
+# ---------------------------------------------------------------------------
+# k-NN label-accuracy eval over a code-bounded embedding slice — round 9
+# ---------------------------------------------------------------------------
+
+_KNN_ACC_MOD = 2
+_KNN_ACC_CAP = 500
+_KNN_ACC_K = 5
+
+
+@query(
+    "ml_knn_label_accuracy",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id % {_KNN_ACC_MOD} = 0
+        AND vec_id < {_KNN_ACC_MOD * _KNN_ACC_CAP}
+    ), pairs AS (
+      SELECT a.vec_id AS aid, a.label AS alabel,
+             b.vec_id AS bid, b.label AS blabel,
+             CAST(floor(
+               list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE)
+                      * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               * 1000000000000.0) AS BIGINT) AS sim_pico
+      FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ), topk AS (
+      SELECT * FROM (
+        SELECT aid, alabel, blabel, sim_pico,
+               row_number() OVER (PARTITION BY aid
+                 ORDER BY sim_pico DESC, bid) AS rnk
+        FROM pairs
+      ) WHERE rnk <= {_KNN_ACC_K}
+    ), votes AS (
+      SELECT aid, alabel, blabel,
+             count(*) AS c, CAST(sum(sim_pico) AS BIGINT) AS ssum
+      FROM topk GROUP BY aid, alabel, blabel
+    ), pred AS (
+      SELECT aid, alabel, blabel AS plabel FROM (
+        SELECT aid, alabel, blabel,
+               row_number() OVER (PARTITION BY aid
+                 ORDER BY c DESC, ssum DESC, blabel) AS r
+        FROM votes
+      ) WHERE r = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST({_KNN_ACC_K} AS BIGINT) AS k,
+           floor(CAST(sum(CASE WHEN plabel = alabel THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1000000.0) / 1000000.0
+             AS accuracy
+    FROM pred
+    """,
+)
+def ml_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN label accuracy over a CODE-ENFORCED
+    embedding slice: for each anchor in the slice, the 5 cosine-
+    nearest OTHER slice vectors vote on its label (majority, ties by
+    summed similarity then label), and the query reports the fraction
+    of anchors whose vote matches their true label — the standard
+    embedding-quality probe (does the space cluster by label?) that
+    completes the eval family beside ``sim_knn_recall_audit`` (that
+    row audits an ANN index's recall; this one audits the EMBEDDING's
+    semantic structure).
+
+    The slice is id-bounded in code (vec_id % 2 = 0 AND vec_id <
+    1000 — the sim_blocked_recall pattern), so the all-pairs scoring
+    is ≤ cap² work at EVERY corpus scale: this is an audit over a
+    deterministic sample by contract, never a corpus-quadratic join.
+
+    Parity: similarities are pico-quantized integers before ranking;
+    both rank windows carry total tie-breaks (neighbor id; then label).
+
+    Plan shape at 100 TB: slice scan (partition-pruned filter), one
+    bounded self-join (≤ cap² rows), two PARTITIONED rank windows, a
+    1-row aggregate.
+    """
+    e = load_table(spark, sf_dir, "embeddings").where(
+        ((F.col("vec_id") % _KNN_ACC_MOD) == 0)
+        & (F.col("vec_id") < _KNN_ACC_MOD * _KNN_ACC_CAP)
+    )
+    a = e.select(
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("ea"),
+        F.col("label").alias("alabel"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("bid"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("blabel"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = (
+        a.join(b, F.col("aid") != F.col("bid"))
+        .select(
+            "aid",
+            "alabel",
+            "bid",
+            "blabel",
+            F.floor(dot / (norm(F.col("ea")) * norm(F.col("eb"))) * F.lit(1e12))
+            .cast("long")
+            .alias("sim_pico"),
+        )
+    )
+    w_rank = Window.partitionBy("aid").orderBy(
+        F.col("sim_pico").desc(), "bid"
+    )
+    topk = pairs.withColumn("rnk", F.row_number().over(w_rank)).where(
+        F.col("rnk") <= _KNN_ACC_K
+    )
+    votes = topk.groupBy("aid", "alabel", "blabel").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("sim_pico").cast("long").alias("ssum"),
+    )
+    w_vote = Window.partitionBy("aid").orderBy(
+        F.col("c").desc(), F.col("ssum").desc(), "blabel"
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(w_vote))
+        .where(F.col("r") == 1)
+        .select("aid", "alabel", F.col("blabel").alias("plabel"))
+    )
+    return pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.lit(_KNN_ACC_K).cast("long").alias("k"),
+        trunc6(
+            F.sum(
+                F.when(F.col("plabel") == F.col("alabel"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("accuracy"),
+    )

@@ -3225,3 +3225,141 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (z_ppm / F.lit(1e6)).alias("z_trend"),
         F.when(F.abs(z_ppm) > 1959963, 1).otherwise(0).alias("reject"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Granger causality (lag-1, daily purchase vs view counts) — round 9
+# ---------------------------------------------------------------------------
+
+
+def _granger_assembly_sql() -> str:
+    """The float assembly (centered moments → restricted/unrestricted
+    OLS → F) as ONE SQL string over the exact integer moment columns
+    (n, sy, s1, s2, syy, s11, s22, s12, s1y, s2y) — shared textually
+    by the Spark plan and the DuckDB oracle (the ml_ridge_closed_form
+    discipline). Literals are CAST(... AS DOUBLE): Spark parses bare
+    float literals as DECIMAL."""
+    nd = "CAST(n AS DOUBLE)"
+
+    def cen(ij, i, j):
+        return (
+            f"(CAST(s{ij} AS DOUBLE) - CAST(s{i} AS DOUBLE)"
+            f" * CAST(s{j} AS DOUBLE) / {nd})"
+        )
+
+    s11 = cen("11", "1", "1")
+    s22 = cen("22", "2", "2")
+    s12 = cen("12", "1", "2")
+    s1y = cen("1y", "1", "y")
+    s2y = cen("2y", "2", "y")
+    syy = cen("yy", "y", "y")
+    det = f"({s11} * {s22} - {s12} * {s12})"
+    b1 = f"(({s1y} * {s22} - {s2y} * {s12}) / {det})"
+    b2 = f"(({s2y} * {s11} - {s1y} * {s12}) / {det})"
+    sse_u = f"({syy} - ({b1} * {s1y} + {b2} * {s2y}))"
+    sse_r = f"({syy} - {s1y} * {s1y} / {s11})"
+    f_stat = (
+        f"(({sse_r} - {sse_u})"
+        f" * (CAST(n AS DOUBLE) - CAST(3 AS DOUBLE)) / {sse_u})"
+    )
+    t6 = lambda e: (  # noqa: E731
+        f"floor({e} * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE)"
+    )
+    return (
+        f"CAST(n AS BIGINT) AS n, {t6(b1)} AS b_p_lag,"
+        f" {t6(b2)} AS b_v_lag, {t6(f_stat)} AS f_granger"
+    )
+
+
+@query(
+    "ts_granger",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT p AS y,
+             lag(p) OVER (ORDER BY day) AS x1,
+             lag(v) OVER (ORDER BY day) AS x2
+      FROM daily
+    ), m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x1 AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(x2 AS HUGEINT)) AS HUGEINT) AS s2,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+             CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+             CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+             CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+             CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
+      FROM lagged WHERE x1 IS NOT NULL
+    )
+    SELECT {_granger_assembly_sql()} FROM m
+    """,
+)
+def ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality: do yesterday's VIEW counts improve the
+    prediction of today's PURCHASE counts beyond yesterday's purchases
+    alone? Restricted model ``p_t ~ p_{{t-1}}`` vs unrestricted
+    ``p_t ~ p_{{t-1}} + v_{{t-1}}`` over the OBSERVED day sequence;
+    ``F = (SSE_r − SSE_u)(n−3)/SSE_u`` with 1 numerator df — the
+    causal-screening companion of ``ts_ar1_forecast`` (same day grid,
+    same lag construction) and ``stats_linreg``.
+
+    Exactness: daily counts are integers, so ALL ten moments are exact
+    on HUGEINT/DECIMAL(38,0); the entire float assembly (centered
+    moments, the 2×2 Cramer solve, both SSEs, F) is ONE SQL string
+    shared textually between F.expr and the oracle — identical IEEE
+    tree by construction.
+
+    Plan shape at 100 TB: one corpus grouped aggregate to the DAY grid
+    (observation-window bounded); the lag window and the moment
+    aggregate run over that bounded grid (whitelisted global window,
+    the ts_ar1_forecast argument); one 1-row projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_p"),
+            F.when(F.col("event_type") == "view", 1)
+            .otherwise(0)
+            .alias("is_v"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("is_p").alias("p"),
+            F.sum("is_v").alias("v"),
+        )
+    )
+    w_day = Window.orderBy("day")
+    lagged = daily.select(
+        F.col("p").alias("y"),
+        F.lag("p").over(w_day).alias("x1"),
+        F.lag("v").over(w_day).alias("x2"),
+    ).where(F.col("x1").isNotNull())
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38("y")).alias("sy"),
+        F.sum(d38("x1")).alias("s1"),
+        F.sum(d38("x2")).alias("s2"),
+        F.sum(d38("y") * d38("y")).alias("syy"),
+        F.sum(d38("x1") * d38("x1")).alias("s11"),
+        F.sum(d38("x2") * d38("x2")).alias("s22"),
+        F.sum(d38("x1") * d38("x2")).alias("s12"),
+        F.sum(d38("x1") * d38("y")).alias("s1y"),
+        F.sum(d38("x2") * d38("y")).alias("s2y"),
+    )
+    from speech_data_pipeline_spark.queries.ml_q import _split_top_level
+
+    return m.selectExpr(
+        *[e.strip() for e in _split_top_level(_granger_assembly_sql())]
+    )

@@ -216,6 +216,8 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     # cent-value table (stats_ks_test contract), never corpus
     "stats_fdr_bh",  # BH rank + family count over the |event types|-row
     # per-family test table, bounded by the type domain, never corpus
+    "ts_granger",  # lag window over the observed day grid,
+    # date-domain bounded, never corpus (the ts_ar1_forecast argument)
 }
 
 
