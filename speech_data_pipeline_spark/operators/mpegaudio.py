@@ -538,6 +538,8 @@ def decode_mpeg_audio_bytes(
             sr = hdr["sr"]
             synth = [SynthesisFilterbank() for _ in range(hdr["nch"])]
             chans = [[] for _ in range(hdr["nch"])]
+        elif hdr["nch"] != len(synth) or hdr["sr"] != sr:
+            break  # mode/rate change mid-stream: stop at the boundary
         for ch in range(hdr["nch"]):
             for g in range(sub.shape[1]):
                 chans[ch].extend(synth[ch].run(sub[ch, g]).tolist())

@@ -9,10 +9,13 @@ pattern — and reassembled ordered via ``collect_list(struct(...))``.
 
 Audio decode is REAL for every container the repo can verify without
 external codecs: RIFF/WAV (PCM 8-32, IEEE float, G.711 μ-law/A-law,
-IMA-ADPCM — :func:`decode_wav_bytes`) and native FLAC (pure-NumPy
-decoder with CRC + MD5 verification, operators/flac.py), dispatched by
-magic bytes in :func:`decode_audio_bytes`. Only perceptual codecs
-(mp3/ogg/m4a/aac) and image decode remain clearly-marked seams
+IMA-ADPCM — :func:`decode_wav_bytes`), native FLAC (pure-NumPy decoder
+with CRC + MD5 verification, operators/flac.py), and MPEG-1 Audio
+Layers I/II (operators/mpegaudio.py), dispatched by magic bytes in
+:func:`decode_audio_bytes`; images decode natively too (PNG, GIF,
+baseline JPEG, WebP-VP8L — :func:`decode_image_bytes`). The remaining
+clearly-marked seams are MPEG Layer III spectral Huffman (ISO tabular
+data underivable offline), ogg/m4a/aac, and lossy-VP8 WebP
 (NotImplementedError, deterministic fake behind ``fake=True``); the
 Spark-side plumbing — schema, batch iteration, chunking, reassembly —
 is real and tested either way.
@@ -857,3 +860,58 @@ def parse_wav_header(payload: bytes) -> dict:
         "n_frames": int(frames),
         "duration": (frames / sr) if sr else 0.0,
     }
+
+
+def encode_media_mp2(
+    df: DataFrame,
+    bitrate: int = 192_000,
+    id_col: str = "media_id",
+    samples_col: str = "samples",
+    sr_col: str = "sr",
+) -> DataFrame:
+    """Lossy MPEG-1 Layer II export stage: ``(media_id, samples
+    array<double>, sr)`` → ``(media_id, payload binary, n_samples,
+    pcm_bytes, mp2_bytes)`` — the compressed-audio sibling of
+    :func:`encode_media_flac` (same sink contract; fixed bitrate
+    instead of lossless). Sample rate must be an MPEG-1 rate
+    (32/44.1/48 kHz); trailing samples short of a 1152-frame are
+    dropped (frame-granular container).
+
+    Arrow-batched ``mapInPandas``, one row per media id — a 100 TB
+    export is a map-only stage with no shuffle; emitted size columns
+    make the compression ratio queryable.
+    """
+    from speech_data_pipeline_spark.operators.mpegaudio import (
+        encode_mpeg2_audio,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, n_s, raw_b, mp2_b = [], [], [], []
+            for samples, sr in zip(pdf[samples_col], pdf[sr_col]):
+                x = np.asarray(samples, dtype=np.float64)
+                blob = encode_mpeg2_audio([x], int(sr), bitrate=bitrate)
+                payloads.append(blob)
+                kept = (len(x) // 1152) * 1152
+                n_s.append(kept)
+                raw_b.append(kept * 2)  # 16-bit PCM equivalent
+                mp2_b.append(len(blob))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": payloads,
+                    "n_samples": n_s,
+                    "pcm_bytes": raw_b,
+                    "mp2_bytes": mp2_b,
+                }
+            )
+
+    return df.select(id_col, samples_col, sr_col).mapInPandas(
+        kernel,
+        schema=(
+            f"{id_col} long, payload binary, n_samples long, "
+            "pcm_bytes long, mp2_bytes long"
+        ),
+    )

@@ -3363,3 +3363,161 @@ def ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.selectExpr(
         *[e.strip() for e in _split_top_level(_granger_assembly_sql())]
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly periodogram (spectral seasonality detection) — round 9
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+#: Fourier weights at the weekly (p=7) and control (p=11) periods,
+#: NANO-quantized INTEGER constants computed ONCE here and inlined as
+#: literals in BOTH engines — no libm cos/sin at query time, so the
+#: per-day products are exact integers and the cross-row sums are
+#: order-immune DECIMAL arithmetic.
+_PGRAM_PERIODS = (7, 11)
+_PGRAM_W = {
+    p: (
+        tuple(round(_math.cos(2 * _math.pi * k / p) * 1e9) for k in range(p)),
+        tuple(round(_math.sin(2 * _math.pi * k / p) * 1e9) for k in range(p)),
+    )
+    for p in _PGRAM_PERIODS
+}
+
+
+def _pgram_case_sql(p: int, table: tuple) -> str:
+    whens = " ".join(
+        f"WHEN {k} THEN {table[k]}" for k in range(p)
+    )
+    return f"(CASE day % {p} {whens} END)"
+
+
+def _pgram_oracle() -> str:
+    moms = []
+    for p in _PGRAM_PERIODS:
+        wc, ws = _PGRAM_W[p]
+        moms.append(
+            f"CAST(sum(CAST(x AS HUGEINT) * {_pgram_case_sql(p, wc)})"
+            f" AS HUGEINT) AS a{p},"
+            f" CAST(sum(CAST(x AS HUGEINT) * {_pgram_case_sql(p, ws)})"
+            f" AS HUGEINT) AS b{p},"
+            f" CAST(sum(CAST({_pgram_case_sql(p, wc)} AS HUGEINT))"
+            f" AS HUGEINT) AS wc{p},"
+            f" CAST(sum(CAST({_pgram_case_sql(p, ws)} AS HUGEINT))"
+            f" AS HUGEINT) AS ws{p}"
+        )
+    mom_sql = ", ".join(moms)
+    outs = []
+    for p in _PGRAM_PERIODS:
+        ac = (
+            f"((CAST(a{p} AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" * CAST(wc{p} AS DOUBLE)) / 1000000000.0)"
+        )
+        bc = (
+            f"((CAST(b{p} AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" * CAST(ws{p} AS DOUBLE)) / 1000000000.0)"
+        )
+        pw = f"(2.0 * ({ac} * {ac} + {bc} * {bc}) / CAST(n AS DOUBLE))"
+        outs.append(
+            f"floor({pw} * 1000000.0) / 1000000.0 AS power_{p},"
+            f" floor({pw} / ((CAST(sxx AS DOUBLE)"
+            f" - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+            f" / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+            f" * 1000000.0) / 1000000.0 AS ratio_{p}"
+        )
+    out_sql = ", ".join(outs)
+    return f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             {mom_sql}
+      FROM daily
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, {out_sql} FROM m
+    """
+
+
+@query("ts_periodogram_weekly", oracle=_pgram_oracle())
+def ts_periodogram_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral seasonality detection: the periodogram of the daily
+    event-count series at the WEEKLY frequency (period 7) beside a
+    non-seasonal control (period 11) — ``I_p = 2(A_p² + B_p²)/n`` with
+    mean-corrected Fourier sums, plus each power as a fraction of the
+    series variance. The frequency-domain companion of
+    ``ts_seasonal_profile`` (that row shows the day-of-week SHAPE;
+    this one quantifies how much variance the weekly line carries vs a
+    control frequency).
+
+    Exactness trick: the only transcendental inputs, cos/sin(2πk/p),
+    take exactly p distinct values — they are computed ONCE in Python,
+    NANO-quantized to integers, and inlined as CASE literals in BOTH
+    engines. Per-day products and all cross-row sums are therefore
+    exact integers on HUGEINT/DECIMAL(38,0) (no libm at query time, no
+    float accumulation across partitions); the mean correction and the
+    two power assemblies are 1-row float expressions.
+
+    Plan shape at 100 TB: one corpus grouped aggregate to the DAY grid,
+    one grid aggregate (the CASE weights are in-row literals), one
+    1-row projection — no windows, no joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.expr("(ts div 1000) div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def case_col(p: int, table: tuple):
+        expr = F.lit(None)
+        c = None
+        for k in range(p):
+            cond = (F.col("day") % p) == k
+            c = (
+                F.when(cond, F.lit(table[k]))
+                if c is None
+                else c.when(cond, F.lit(table[k]))
+            )
+        return c
+
+    aggs = [
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38(F.col("x"))).alias("sx"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("sxx"),
+    ]
+    for p in _PGRAM_PERIODS:
+        wc, ws = _PGRAM_W[p]
+        aggs.append(
+            F.sum(d38(F.col("x")) * d38(case_col(p, wc))).alias(f"a{p}")
+        )
+        aggs.append(
+            F.sum(d38(F.col("x")) * d38(case_col(p, ws))).alias(f"b{p}")
+        )
+        aggs.append(F.sum(d38(case_col(p, wc))).alias(f"wc{p}"))
+        aggs.append(F.sum(d38(case_col(p, ws))).alias(f"ws{p}"))
+    m = daily.agg(*aggs)
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    var = (
+        F.col("sxx").cast("double") - sx_d * sx_d / n_d
+    ) / n_d
+    cols = [F.col("n").cast("long").alias("n_days")]
+    for p in _PGRAM_PERIODS:
+        ac = (
+            F.col(f"a{p}").cast("double")
+            - sx_d / n_d * F.col(f"wc{p}").cast("double")
+        ) / F.lit(1e9)
+        bc = (
+            F.col(f"b{p}").cast("double")
+            - sx_d / n_d * F.col(f"ws{p}").cast("double")
+        ) / F.lit(1e9)
+        pw = F.lit(2.0) * (ac * ac + bc * bc) / n_d
+        cols.append(trunc6(pw).alias(f"power_{p}"))
+        cols.append(trunc6(pw / var).alias(f"ratio_{p}"))
+    return m.select(*cols)

@@ -578,3 +578,35 @@ def test_decode_media_spark_path_mpeg(spark):
     sx, sy = x[1000:2500], got[1000 + d : 2500 + d]
     err = sy - sx
     assert 10 * np.log10(np.dot(sx, sx) / np.dot(err, err)) > 25.0
+
+
+def test_encode_media_mp2_spark_sink(spark):
+    """Export sink round trip: waveform rows -> Layer II payloads ->
+    decode back within the fixed-allocation quantization budget."""
+    from speech_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        encode_media_mp2,
+    )
+
+    t = np.arange(1152 * 3)
+    x = (0.4 * np.sin(2 * np.pi * 440 * t / SR)).tolist()
+    df = spark.createDataFrame(
+        [(7, x, SR)], "media_id long, samples array<double>, sr int"
+    )
+    enc = encode_media_mp2(df).collect()
+    assert len(enc) == 1
+    row = enc[0]
+    assert row["n_samples"] == 1152 * 3
+    assert row["mp2_bytes"] == 3 * (144 * 192000 // SR)
+    dec = decode_media(
+        spark.createDataFrame(
+            [(7, bytearray(row["payload"]))], "media_id long, payload binary"
+        )
+    ).collect()[0]
+    assert dec["sr"] == SR and len(dec["samples"]) == 1152 * 3
+    got = np.array(dec["samples"])
+    d = FILTERBANK_DELAY
+    sx = np.array(x)[1000:2500]
+    sy = got[1000 + d : 2500 + d]
+    err = sy - sx
+    assert 10 * np.log10(np.dot(sx, sx) / np.dot(err, err)) > 25.0
