@@ -3475,7 +3475,6 @@ def ts_periodogram_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
 
     def case_col(p: int, table: tuple):
-        expr = F.lit(None)
         c = None
         for k in range(p):
             cond = (F.col("day") % p) == k
