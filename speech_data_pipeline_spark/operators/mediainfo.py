@@ -56,6 +56,20 @@ _MP3_RATES = {
 }
 
 
+def skip_id3v2(b: bytes) -> int:
+    """Offset past a leading ID3v2 tag (0 when none): 10-byte header +
+    syncsafe size + 10 more when the v2.4 footer flag (b[5] & 0x10) is
+    set. ONE definition shared by every MPEG/AAC prober and decoder so
+    the skip logic cannot drift."""
+    if b[:3] != b"ID3" or len(b) < 10:
+        return 0
+    size = (
+        (b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+        | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
+    )
+    return 10 + size + (10 if b[5] & 0x10 else 0)
+
+
 def _mp3_frame(b: bytes, pos: int):
     """Parse one MPEG audio frame header at ``pos``; returns
     (frame_bytes, samples_per_frame, sample_rate, channels, bitrate)
@@ -92,13 +106,7 @@ def _mp3_frame(b: bytes, pos: int):
 
 
 def probe_mp3(b: bytes) -> dict | None:
-    pos = 0
-    if b[:3] == b"ID3" and len(b) >= 10:
-        sz = (
-            (b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
-            | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
-        )
-        pos = 10 + sz
+    pos = skip_id3v2(b)
     # resync: scan forward a bounded window for the first valid frame
     limit = min(len(b), pos + 4096)
     first = None
@@ -271,13 +279,7 @@ def probe_aac(b: bytes) -> dict | None:
     1024 samples per raw data block, sampling-frequency-index table
     (ISO/IEC 13818-7 §6.2). The sixth extension the reference's glob
     accepts (modules/models/utils.py:11-16)."""
-    pos = 0
-    if b[:3] == b"ID3" and len(b) >= 10:
-        sz = (
-            (b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
-            | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
-        )
-        pos = 10 + sz
+    pos = skip_id3v2(b)
     # resync within a bounded window; require a second valid header
     limit = min(len(b), pos + 4096)
     first = None

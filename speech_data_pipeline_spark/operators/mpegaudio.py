@@ -508,14 +508,10 @@ def decode_mpeg_audio_bytes(
     """Decode a whole MPEG-1 Layer I/II stream (ID3v2 skipped) to
     float samples in [-1, 1]; same ``(samples_or_channels, sr)``
     contract as :func:`~...multimodal.decode_wav_bytes`."""
+    from speech_data_pipeline_spark.operators.mediainfo import skip_id3v2
+
     b = bytes(payload)
-    pos = 0
-    if b[:3] == b"ID3" and len(b) >= 10:
-        sz = (
-            (b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
-            | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
-        )
-        pos = 10 + sz
+    pos = skip_id3v2(b)
     # resync within a bounded window; require a second valid header
     # right after the frame (a lone 11-bit sync in noise is common)
     limit = min(len(b), pos + 4096)
@@ -530,6 +526,9 @@ def decode_mpeg_audio_bytes(
     chans: list[list] = []
     sr = None
     while pos + 4 <= len(b):
+        peek = parse_frame_header(b, pos)
+        if peek is None or pos + peek["frame_len"] > len(b):
+            break  # bad sync or a final frame cut mid-body: stop cleanly
         got = decode_mpeg_frame(b, pos)
         if got is None:
             break
@@ -545,6 +544,14 @@ def decode_mpeg_audio_bytes(
                 chans[ch].extend(synth[ch].run(sub[ch, g]).tolist())
         pos += hdr["frame_len"]
     if sr is None:
+        from speech_data_pipeline_spark.operators.mediainfo import probe_aac
+
+        if probe_aac(b) is not None:
+            raise NotImplementedError(
+                "ADTS-AAC payload: AAC spectral decode needs a codec "
+                "backend the container doesn't ship (documented seam; "
+                "header metadata via operators/mediainfo.probe_aac)"
+            )
         raise ValueError("no MPEG-1 Layer I/II frames found")
     if len(chans) > 1:
         if mono:
@@ -826,14 +833,10 @@ def probe_layer3_stream(payload: bytes, max_frames: int = 64) -> dict:
     health) WITHOUT spectral decode. The metadata a pipeline can mine
     from mp3 corpora today; spectral samples stay behind the
     documented Huffman-table seam."""
+    from speech_data_pipeline_spark.operators.mediainfo import skip_id3v2
+
     b = bytes(payload)
-    pos = 0
-    if b[:3] == b"ID3" and len(b) >= 10:
-        sz = (
-            (b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
-            | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
-        )
-        pos = 10 + sz
+    pos = skip_id3v2(b)
     frames: list[tuple[dict, bytes, dict]] = []
     while pos + 4 <= len(b) and len(frames) < max_frames:
         hdr = parse_frame_header(b, pos)

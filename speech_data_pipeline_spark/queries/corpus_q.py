@@ -3460,8 +3460,8 @@ _LP_TOPK = 20
     )
     SELECT u, v, n_common,
            CAST(deg_u AS BIGINT) AS deg_u, CAST(deg_v AS BIGINT) AS deg_v,
-           floor(CAST(jac_pico AS DOUBLE) / 1000000.0) / 1000000.0
-             AS jaccard,
+           floor(CAST(jac_pico AS DOUBLE) / 1000000000000.0
+                 * 1000000.0) / 1000000.0 AS jaccard,
            CAST(deg_u AS BIGINT) * CAST(deg_v AS BIGINT) AS pref_attach
     FROM nonedge
     ORDER BY jac_pico DESC, u, v LIMIT {_LP_TOPK}

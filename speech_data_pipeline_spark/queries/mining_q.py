@@ -1485,11 +1485,11 @@ def _bm25_oracle() -> str:
       SELECT count(*) AS n_docs, sum(dl) AS total_dl, {dfs} FROM per
     )
     SELECT doc_id, CAST(dl AS BIGINT) AS dl, {tf_out},
-           floor(score * 1000000.0) / 1000000.0 AS score
+           floor(raw_score * 1000000.0) / 1000000.0 AS score
     FROM (
-      SELECT per.*, {score} AS score FROM per CROSS JOIN scal
-    ) WHERE score > 0.0
-    ORDER BY score DESC, doc_id
+      SELECT per.*, {score} AS raw_score FROM per CROSS JOIN scal
+    ) WHERE raw_score > 0.0
+    ORDER BY raw_score DESC, doc_id
     LIMIT {_BM25_TOPK}
     """
 
@@ -2091,12 +2091,16 @@ def eval_corpus_bleu2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     uni = toks.select("half", F.explode("t").alias("g"))
+    # same descending-sequence guard as eval_chrf: a 0/1-token doc
+    # must emit NO bigrams, not two null-padded ones
     bi = toks.select(
         "half",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(t) - 1, 0)),"
-                " i -> concat(t[i-1], ' ', t[i]))"
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(t[i-1], ' ', t[i])) "
+                "ELSE array() END"
             )
         ).alias("g"),
     )
@@ -2182,14 +2186,17 @@ def _rm3_oracle() -> str:
     ), scal AS (
       SELECT count(*) AS n_docs, sum(dl) AS total_dl, {dfs} FROM per
     ), fb AS (
-      -- score truncated to the ppm grid exactly as search_bm25_topk
-      -- RETURNS it (the Spark side reuses that query's output)
+      -- mass-weighting score truncated to the ppm grid exactly as
+      -- search_bm25_topk RETURNS it (the Spark side reuses that
+      -- query's output), but the feedback set is ORDERED on the RAW
+      -- score — the alias would otherwise bind the floored output
+      -- column in ORDER BY and flip floored ties at the rank-10 edge
       SELECT doc_id, dl,
-             floor(score * 1000000.0) / 1000000.0 AS score
+             floor(raw_score * 1000000.0) / 1000000.0 AS score
       FROM (
-        SELECT per.*, {score} AS score FROM per CROSS JOIN scal
-      ) WHERE score > 0.0
-      ORDER BY score DESC, doc_id
+        SELECT per.*, {score} AS raw_score FROM per CROSS JOIN scal
+      ) WHERE raw_score > 0.0
+      ORDER BY raw_score DESC, doc_id
       LIMIT {_RM3_FB_DOCS}
     ), fbtok AS (
       SELECT fb.doc_id, fb.dl, fb.score,
@@ -2387,12 +2394,18 @@ def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = []
     for n in _CHRF_ORDERS:
+        # NB: guard the empty case explicitly — Spark's sequence(1, 0)
+        # yields the DESCENDING [1, 0] (default step -1), which would
+        # emit two spurious grams for strings shorter than n where the
+        # oracle's range(1, ...) emits none.
         grams = norm.select(
             "half",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(length(s) - {n - 1},"
-                    f" 0)), i -> substring(s, i, {n}))"
+                    f"CASE WHEN length(s) >= {n} THEN "
+                    f"transform(sequence(1, length(s) - {n - 1}),"
+                    f" i -> substring(s, i, {n})) "
+                    f"ELSE array() END"
                 )
             ).alias("g"),
         )

@@ -4982,10 +4982,11 @@ def _mh_audit_oracle(k: int = 16, shingle_len: int = 5, bands: int = 4) -> str:
       FROM ex
     )
     SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
-           floor(CAST(sum(ex_pico) AS DOUBLE) / count(*) / 1000000.0)
-             / 1000000.0 AS mean_exact,
-           floor(CAST(sum(err_pico) AS DOUBLE) / count(*) / 1000000.0)
-             / 1000000.0 AS mean_abs_err
+           floor(CAST(sum(ex_pico) AS DOUBLE) / count(*)
+                 / 1000000000000.0 * 1000000.0) / 1000000.0 AS mean_exact,
+           floor(CAST(sum(err_pico) AS DOUBLE) / count(*)
+                 / 1000000000000.0 * 1000000.0) / 1000000.0
+             AS mean_abs_err
     FROM scored GROUP BY decile ORDER BY decile
     """
 
