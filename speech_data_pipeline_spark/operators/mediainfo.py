@@ -299,6 +299,9 @@ def probe_aac(b: bytes) -> dict | None:
         fr = _adts_frame(b, pos)
         if not fr:
             break
+        if pos + fr[0] > len(b):
+            break  # final frame cut mid-body: don't count its samples,
+            # mirroring decode_mpeg_audio_bytes's truncation check
         total_samples += fr[1]
         pos += fr[0]
     return {

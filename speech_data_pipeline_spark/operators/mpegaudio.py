@@ -249,7 +249,10 @@ def layer2_alloc_table(sr: int, bitrate: int, nch: int):
 # polyphase filterbank (§2.4.3.2; window = documented PQMF approximation)
 # ---------------------------------------------------------------------------
 
-#: Drop the 512 Table 3-B.3 values here to make the window bit-exact.
+#: Assign the 512 Table 3-B.3 prototype values here (at runtime or in
+#: source) to make the window bit-exact; the windows are derived lazily
+#: in :func:`_windows`, so a runtime assignment takes effect on the next
+#: filterbank call — no other code changes needed.
 _SPEC_WINDOW: np.ndarray | None = None
 
 
@@ -264,8 +267,6 @@ def _prototype() -> np.ndarray:
     below were grid-tuned against that measurement; see
     tests/test_mpegaudio.py). Same design family as the MUSICAM
     prototype the spec tabulates."""
-    if _SPEC_WINDOW is not None:
-        return _SPEC_WINDOW
     nf = 1 << 16
     w = np.linspace(0.0, np.pi, nf // 2 + 1)
     wc = np.pi / 64.0
@@ -278,7 +279,6 @@ def _prototype() -> np.ndarray:
     return h
 
 
-_PROTO = _prototype()
 #: The V/U fifo computes each 64-point matrixing ONCE and reuses it for
 #: 4 block periods, so the ideal cosine modulation's phase advance
 #: (a(2k+1)pi/2 per block) must be folded into the window as a sign
@@ -286,12 +286,24 @@ _PROTO = _prototype()
 #: (-1)^floor(a/2) cos(x). This is exactly the alternating-sign
 #: structure of the spec's Table 3-B.3 / 3-C.1.
 _SIGNS = np.where((np.arange(512) // 64) % 2 == 0, 1.0, -1.0)
-#: synthesis window D: the spec scales the shared prototype by 32; the
-#: extra 4.0 makes the cascade exactly unit-gain under this module's
-#: sum(h)=1 prototype normalization (measured gain 0.9999 on noise).
-_D_WIN = _PROTO * _SIGNS * 32.0 * 4.0
-#: analysis window C
-_C_WIN = _PROTO * _SIGNS
+
+#: lazy (prototype-id, C window, D window) — recomputed when
+#: _SPEC_WINDOW changes, so a runtime assignment is honored.
+_WIN_STATE: tuple | None = None
+
+
+def _windows() -> tuple[np.ndarray, np.ndarray]:
+    """(analysis window C, synthesis window D), derived from the active
+    prototype. D: the spec scales the shared prototype by 32; the extra
+    4.0 makes the cascade exactly unit-gain under this module's
+    sum(h)=1 prototype normalization (measured gain 0.9999 on noise)."""
+    global _WIN_STATE
+    key = id(_SPEC_WINDOW)
+    if _WIN_STATE is None or _WIN_STATE[0] != key:
+        proto = _SPEC_WINDOW if _SPEC_WINDOW is not None else _prototype()
+        c = proto * _SIGNS
+        _WIN_STATE = (key, c, c * (32.0 * 4.0))
+    return _WIN_STATE[1], _WIN_STATE[2]
 
 #: synthesis matrixing N[i, k] = cos((16 + i)(2k + 1) pi / 64)
 _N_MAT = np.cos(
@@ -319,7 +331,7 @@ class SynthesisFilterbank:
         #                        U[64j+32+i] = V[128j+96+i]
         v2 = self.v.reshape(8, 128)
         u = np.concatenate([v2[:, :32], v2[:, 96:128]], axis=1).reshape(512)
-        w = u * _D_WIN
+        w = u * _windows()[1]
         return w.reshape(16, 32).sum(axis=0)
 
 
@@ -335,7 +347,7 @@ class AnalysisFilterbank:
         self.x[:32] = pcm32[::-1]
         # spec §2.4.3.2 analysis: Z = C*X, Y[r] = sum_j Z[r + 64j],
         # S[k] = sum_r M[k, r] Y[r]
-        y64 = (self.x * _C_WIN).reshape(8, 64).sum(axis=0)
+        y64 = (self.x * _windows()[0]).reshape(8, 64).sum(axis=0)
         return _M_MAT @ y64
 
 
@@ -497,9 +509,14 @@ def decode_mpeg_frame(b: bytes, pos: int) -> tuple[dict, np.ndarray] | None:
     if hdr["crc"]:
         body = body[2:]  # CRC16 skipped (not verified)
     bits = _Bits(body)
-    if hdr["layer"] == 1:
-        return hdr, _decode_layer1(bits, hdr)
-    return hdr, _decode_layer2(bits, hdr)
+    try:
+        if hdr["layer"] == 1:
+            return hdr, _decode_layer1(bits, hdr)
+        return hdr, _decode_layer2(bits, hdr)
+    except IndexError:
+        # synced-but-corrupt frame whose allocation fields demand more
+        # bits than the body holds (easy at low bitrates)
+        raise ValueError("truncated MPEG audio frame") from None
 
 
 def decode_mpeg_audio_bytes(
@@ -529,6 +546,9 @@ def decode_mpeg_audio_bytes(
         peek = parse_frame_header(b, pos)
         if peek is None or pos + peek["frame_len"] > len(b):
             break  # bad sync or a final frame cut mid-body: stop cleanly
+        if peek["layer"] == 3 and synth is not None:
+            break  # layer change mid-stream: return the decoded prefix,
+            # consistent with the mode/rate-change break below
         got = decode_mpeg_frame(b, pos)
         if got is None:
             break

@@ -318,3 +318,16 @@ def test_flac_total_samples_full_36_bits():
     assert probe_flac(bytes(blob))["duration"] == pytest.approx(
         total / 44100
     )
+
+
+def test_aac_truncated_final_frame_not_counted():
+    """A final ADTS frame whose 7-byte header fits but whose body is cut
+    must not contribute a full 1024*blocks samples to the duration."""
+    full = _adts(n_frames=4, sf_idx=4, channels=2)
+    info_full = probe_aac(full)
+    # append a 5th header + half its body: duration must stay at 4 frames
+    one = _adts(n_frames=1, sf_idx=4, channels=2)
+    cut = full + one[: len(one) // 2]
+    info_cut = probe_aac(cut)
+    assert info_cut["duration"] == pytest.approx(info_full["duration"])
+    assert info_cut["duration"] == pytest.approx(4 * 1024 / 44100)

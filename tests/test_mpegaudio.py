@@ -610,3 +610,54 @@ def test_encode_media_mp2_spark_sink(spark):
     sy = got[1000 + d : 2500 + d]
     err = sy - sx
     assert 10 * np.log10(np.dot(sx, sx) / np.dot(err, err)) > 25.0
+
+
+# ---------------------------------------------------------------------------
+# round-10 hardening (ADVICE r9)
+# ---------------------------------------------------------------------------
+
+
+def test_truncated_frame_body_raises_valueerror_not_indexerror():
+    """A synced frame whose body is cut short must surface as
+    ValueError('truncated MPEG audio frame'), not a raw IndexError."""
+    t = np.arange(1152)
+    stream = encode_mpeg2_audio(
+        [0.3 * np.sin(2 * np.pi * 440 * t / SR)], SR
+    )
+    # keep the header (so parse succeeds) but only 8 body bytes — not
+    # even enough for the allocation fields, so the bit reader runs out
+    cut = stream[: 4 + 8]
+    with pytest.raises(ValueError, match="truncated MPEG audio frame"):
+        decode_mpeg_frame(cut, 0)
+
+
+def test_layer_change_midstream_returns_decoded_prefix():
+    """L2 frames followed by an L3 frame: return the decoded L2 prefix
+    (same contract as a mode/rate change), not NotImplementedError."""
+    t = np.arange(1152 * 2)
+    l2 = encode_mpeg2_audio([0.3 * np.sin(2 * np.pi * 440 * t / SR)], SR)
+    # MPEG-1 Layer III mono header, 128 kbps @ 44100 -> 417-byte frame
+    l3 = bytes([0xFF, 0xFB, 0x90, 0xC0]) + b"\x00" * (144 * 128000 // 44100 - 4)
+    samples, sr = decode_mpeg_audio_bytes(l2 + l3)
+    assert sr == SR
+    assert len(samples) == 1152 * 2
+    # but a stream that STARTS with Layer III still raises the seam:
+    with pytest.raises(NotImplementedError, match="Layer III"):
+        decode_mpeg_audio_bytes(l3 + l2)
+
+
+def test_spec_window_runtime_override_takes_effect():
+    """Assigning _SPEC_WINDOW at runtime must change the live windows
+    (they are derived lazily), and clearing it must restore them."""
+    import speech_data_pipeline_spark.operators.mpegaudio as mp
+
+    c0, d0 = mp._windows()
+    try:
+        mp._SPEC_WINDOW = np.ones(512) / 512.0
+        c1, d1 = mp._windows()
+        assert not np.allclose(c0, c1)
+        assert np.allclose(d1, c1 * 128.0)
+    finally:
+        mp._SPEC_WINDOW = None
+    c2, _ = mp._windows()
+    assert np.allclose(c0, c2)
