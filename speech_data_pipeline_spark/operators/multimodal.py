@@ -497,15 +497,25 @@ def decode_audio_bytes(payload: bytes, mono: bool = True) -> tuple[list, int]:
     audio sync → the pure-NumPy MPEG-1 Layer I/II decoder
     (operators/mpegaudio.py). All return ``(samples_or_channels, sr)``
     with identical mono semantics, so every decode kernel takes any
-    container transparently. Remaining seams: MPEG Layer III spectral
+    container transparently. ``OggS`` → the pure-NumPy Vorbis I decoder
+    (operators/vorbis.py — codebooks/floor1/residues/IMDCT, all from the
+    in-stream setup header). Remaining seams: MPEG Layer III spectral
     decode (needs the ISO Huffman code tables — tabular data this
-    offline container cannot derive) and ogg/m4a/aac.
+    offline container cannot derive), Ogg Opus, and m4a/aac.
     """
     b = bytes(payload)
     if b[:4] == b"fLaC":
         from speech_data_pipeline_spark.operators.flac import decode_flac_bytes
 
         return decode_flac_bytes(b, mono=mono)
+    if b[:4] == b"OggS":
+        # Ogg container: Vorbis decodes natively (operators/vorbis.py);
+        # Opus raises its documented CELT/SILK seam inside
+        from speech_data_pipeline_spark.operators.vorbis import (
+            decode_vorbis_bytes,
+        )
+
+        return decode_vorbis_bytes(b, mono=mono)
     if b[:3] == b"ID3" or (
         len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
     ):
@@ -913,5 +923,58 @@ def encode_media_mp2(
         schema=(
             f"{id_col} long, payload binary, n_samples long, "
             "pcm_bytes long, mp2_bytes long"
+        ),
+    )
+
+
+def encode_media_vorbis(
+    df: DataFrame,
+    id_col: str = "media_id",
+    samples_col: str = "samples",
+    sr_col: str = "sr",
+) -> DataFrame:
+    """Lossy Ogg Vorbis export stage: ``(media_id, samples
+    array<double>, sr)`` → ``(media_id, payload binary, n_samples,
+    pcm_bytes, ogg_bytes)`` — the Ogg sibling of
+    :func:`encode_media_mp2` (same sink contract). Any sample rate is
+    legal (Vorbis carries the rate verbatim); output length is exact to
+    the sample (the encoder writes the true length into the final page
+    granule, which the decoder honors).
+
+    Arrow-batched ``mapInPandas``, one row per media id — a 100 TB
+    export is a map-only stage with no shuffle; emitted size columns
+    make the compression ratio queryable.
+    """
+    from speech_data_pipeline_spark.operators.vorbis import encode_vorbis
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, n_s, raw_b, ogg_b = [], [], [], []
+            for mid, samples, sr in zip(
+                pdf[id_col], pdf[samples_col], pdf[sr_col]
+            ):
+                x = np.asarray(samples, dtype=np.float64)
+                blob = encode_vorbis([x], int(sr), serial=int(mid) & 0x7FFFFFFF)
+                payloads.append(blob)
+                n_s.append(len(x))
+                raw_b.append(len(x) * 2)  # 16-bit PCM equivalent
+                ogg_b.append(len(blob))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": payloads,
+                    "n_samples": n_s,
+                    "pcm_bytes": raw_b,
+                    "ogg_bytes": ogg_b,
+                }
+            )
+
+    return df.select(id_col, samples_col, sr_col).mapInPandas(
+        kernel,
+        schema=(
+            f"{id_col} long, payload binary, n_samples long, "
+            "pcm_bytes long, ogg_bytes long"
         ),
     )
