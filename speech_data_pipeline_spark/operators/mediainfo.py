@@ -140,12 +140,49 @@ def probe_mp3(b: bytes) -> dict | None:
     if n_frames is not None:
         dur = n_frames * samples / sr
     else:
-        # CBR estimate: audio bytes / byte rate
-        dur = (len(b) - pos) * 8.0 / bitrate
-    return {
+        # no VBR header: exact frame walk (frame-accurate for CBR and
+        # headerless VBR; a truncated final frame is not counted, same
+        # contract as probe_aac / decode_mpeg_audio_bytes)
+        total = 0
+        walked = 0
+        p = pos
+        while p < len(b):
+            fr = _mp3_frame(b, p)
+            if not fr or p + fr[0] > len(b):
+                break
+            total += fr[1]
+            p += fr[0]
+            walked += 1
+        if walked >= 1 and (p - pos) * 2 >= (len(b) - pos):
+            dur = total / sr
+        else:
+            # walk died early (corrupt middle / trailing junk dominates):
+            # fall back to the byte-rate estimate
+            dur = (len(b) - pos) * 8.0 / bitrate
+    out = {
         "format": "mp3", "sample_rate": sr, "channels": channels,
         "duration": dur,
     }
+    # Layer III structural audit (MPEG-1 only): side info, bit
+    # reservoir health, granule gains, block types — the frame syntax
+    # the pure-NumPy parser reads WITHOUT spectral decode
+    # (operators/mpegaudio.py probe_layer3_stream). Best-effort: a
+    # malformed side info never kills the duration probe.
+    h1 = b[pos + 1]
+    if (h1 >> 3) & 3 == 3 and 4 - ((h1 >> 1) & 3) == 3:
+        try:
+            from speech_data_pipeline_spark.operators.mpegaudio import (
+                probe_layer3_stream,
+            )
+
+            audit = probe_layer3_stream(b[pos:])
+            out["l3_frames_audited"] = audit["n_frames"]
+            out["l3_reservoir_underruns"] = audit["reservoir_underruns"]
+            out["l3_mean_global_gain"] = audit["mean_global_gain"]
+            out["l3_block_type_counts"] = audit["block_type_counts"]
+        except Exception:  # noqa: BLE001 — audit is supplementary
+            pass
+    return out
 
 
 def probe_ogg(b: bytes) -> dict | None:

@@ -498,6 +498,17 @@ def decode_mpeg_frame(b: bytes, pos: int) -> tuple[dict, np.ndarray] | None:
     if hdr is None:
         return None
     if hdr["layer"] == 3:
+        # Reconstruction was attempted and is not possible offline: the
+        # 32 distinct big_values tables of ISO 11172-3 Table B.7 are
+        # arbitrary design data — NOT canonical codes (lengths alone
+        # don't determine them), no closed form generates them, and
+        # internal consistency checks (prefix-freeness, linbits ranges,
+        # xlen/ylen dims) can only VALIDATE a candidate table, never
+        # derive its contents. Unlike Vorbis (whose codebooks ship in
+        # the stream and therefore decode natively — operators/
+        # vorbis.py), Layer III's tables live only in the ISO document.
+        # Everything up to the spectral Huffman IS implemented: side
+        # info, bit reservoir, scalefactors (probe_layer3_stream).
         raise NotImplementedError(
             "MPEG-1 Layer III spectral decode needs the ISO Huffman code "
             "tables (11172-3 Tables B.7.x) — pure tabular data this "

@@ -136,12 +136,31 @@ def test_flac_streaminfo_probe():
     assert info["duration"] == pytest.approx(2.0)
 
 
-def test_mp3_cbr_estimate():
+def test_mp3_cbr_exact_frame_walk():
     blob = _mp3_cbr(n_frames=3)
     info = probe_mp3(blob)
     assert (info["sample_rate"], info["channels"]) == (44100, 1)
-    # CBR: bytes * 8 / bitrate = 3*417*8/128000
-    assert info["duration"] == pytest.approx(3 * 417 * 8 / 128000, rel=1e-6)
+    # no VBR header -> exact frame walk: frames * 1152 / rate
+    assert info["duration"] == pytest.approx(3 * 1152 / 44100, rel=1e-6)
+    # MPEG-1 Layer III: the structural audit keys ride along
+    assert info["l3_frames_audited"] == 3
+    assert set(info["l3_block_type_counts"]) == {0, 1, 2, 3}
+
+
+def test_mp3_walk_falls_back_on_corrupt_middle():
+    """When valid frames cover less than half the payload, the probe
+    reverts to the byte-rate estimate instead of trusting the walk."""
+    blob = _mp3_cbr(n_frames=2) + b"\x00" * 4000
+    info = probe_mp3(blob)
+    total = 2 * 417 + 4000
+    assert info["duration"] == pytest.approx(total * 8 / 128000, rel=1e-6)
+
+
+def test_mp3_truncated_final_frame_not_counted():
+    blob = _mp3_cbr(n_frames=3)
+    cut = blob + blob[:200]  # 4th header fits, body cut
+    info = probe_mp3(cut)
+    assert info["duration"] == pytest.approx(3 * 1152 / 44100, rel=1e-6)
 
 
 def test_mp3_xing_frame_count():
@@ -154,7 +173,7 @@ def test_mp3_id3_skip_and_resync():
     id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
     info = probe_media_bytes(id3 + _mp3_cbr(2))
     assert info["format"] == "mp3"
-    assert info["duration"] == pytest.approx(2 * 417 * 8 / 128000, rel=1e-6)
+    assert info["duration"] == pytest.approx(2 * 1152 / 44100, rel=1e-6)
 
 
 def test_mp3_rejects_noise():
