@@ -99,10 +99,18 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
     )
+    protocol = (
+        f"per-query min of {n_passes} in-process pass(es), one "
+        f"SparkSession, warm JIT; registry size {len(timings)}; "
+        "cross-round CANONICAL headlines use the serialized cold-cache "
+        "protocol in BENCH_SCALE.md (separate single-pass processes)"
+    )
     with open(out_path, "w") as f:
         json.dump(
             {"metric": "total_query_wall_clock", "value": round(total, 3),
-             "unit": "sec", "queries": timings, "rows": rows, "sf": sf},
+             "unit": "sec", "protocol": protocol,
+             "registry_size": len(timings),
+             "queries": timings, "rows": rows, "sf": sf},
             f,
             indent=1,
         )
