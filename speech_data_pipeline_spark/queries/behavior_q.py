@@ -2281,3 +2281,312 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("reject_white_noise"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: Nelson–Aalen cumulative hazard, two-group log-rank test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "survival_nelson_aalen",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
+                      END) AS p_t
+      FROM events GROUP BY user_id
+    ), mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+    durs AS (
+      SELECT CASE WHEN p_t IS NOT NULL
+                  THEN (p_t - t0) // 86400000000
+                  ELSE (tmax - t0) // 86400000000 END AS dur_days,
+             CASE WHEN p_t IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM t CROSS JOIN mx
+    ), byday AS (
+      SELECT dur_days, CAST(sum(ev) AS BIGINT) AS n_event,
+             CAST(sum(1 - ev) AS BIGINT) AS n_cens
+      FROM durs GROUP BY dur_days
+    ), risk AS (
+      SELECT dur_days, n_event,
+             sum(n_event + n_cens) OVER ()
+             - coalesce(sum(n_event + n_cens) OVER (ORDER BY dur_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM byday
+    ), terms AS (
+      SELECT dur_days, n_event, at_risk,
+             CAST(floor(CAST(n_event AS DOUBLE)
+                        / CAST(at_risk AS DOUBLE) * 1e9)
+                  AS BIGINT) AS hq
+      FROM risk
+    )
+    SELECT dur_days, n_event, CAST(at_risk AS BIGINT) AS at_risk,
+           floor(CAST(sum(hq) OVER (ORDER BY dur_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / 1e9 * 1000000.0) / 1000000.0 AS cum_hazard,
+           floor(exp(-(CAST(sum(hq) OVER (ORDER BY dur_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / 1e9)) * 1000000.0) / 1000000.0 AS na_survival
+    FROM terms
+    QUALIFY n_event > 0
+    ORDER BY dur_days
+    """,
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard ``H(d) = Σ_{d'≤d} e_{d'}/r_{d'}``
+    for time-to-first-purchase (same duration construction as
+    ``survival_kaplan_meier``), with the Fleming–Harrington survivor
+    ``exp(−H)`` — the estimator of choice when hazard SHAPE (wear-in /
+    wear-out) is the question, and better-behaved than KM in small
+    risk sets.
+
+    Exactness: each day's hazard increment is floor-quantized to
+    integer nano units before the running sum (the KM lnq idiom), so
+    the cross-row accumulation is exact integer arithmetic; exp is one
+    float op per OUTPUT row.
+
+    Plan shape: identical to KM — per-user grouped min pair, 1-row
+    broadcast horizon, then day-bounded windows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.expr("ts div 1000")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(t_us).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", t_us)
+        ).alias("p_t"),
+    )
+    mx = ev.agg(F.max(t_us).alias("tmax"))
+    durs = per_user.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("p_t").isNotNull(),
+            F.expr("(p_t - t0) div 86400000000"),
+        )
+        .otherwise(F.expr("(tmax - t0) div 86400000000"))
+        .alias("dur_days"),
+        F.when(F.col("p_t").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    byday = durs.groupBy("dur_days").agg(
+        F.sum("ev").cast("long").alias("n_event"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("n_cens"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = byday.select(
+        "dur_days",
+        "n_event",
+        (
+            F.sum(F.col("n_event") + F.col("n_cens")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("n_event") + F.col("n_cens")).over(w_prev),
+                F.lit(0),
+            )
+        ).alias("at_risk"),
+    )
+    hq = F.floor(
+        F.col("n_event").cast("double")
+        / F.col("at_risk").cast("double")
+        * F.lit(1e9)
+    ).cast("long")
+    w_run = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("hq").over(w_run).cast("double") / F.lit(1e9)
+    return (
+        risk.withColumn("hq", hq)
+        .select(
+            "dur_days",
+            "n_event",
+            F.col("at_risk").cast("long").alias("at_risk"),
+            trunc6(cum).alias("cum_hazard"),
+            trunc6(F.exp(-cum)).alias("na_survival"),
+        )
+        .where(F.col("n_event") > 0)
+        .orderBy("dur_days")
+    )
+
+
+@query(
+    "survival_logrank_test",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, user_id % 2 AS grp, min(epoch_us(ts)) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
+                      END) AS p_t
+      FROM events GROUP BY user_id
+    ), mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+    durs AS (
+      SELECT grp,
+             CASE WHEN p_t IS NOT NULL
+                  THEN (p_t - t0) // 86400000000
+                  ELSE (tmax - t0) // 86400000000 END AS dur_days,
+             CASE WHEN p_t IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM t CROSS JOIN mx
+    ), byday AS (
+      SELECT dur_days,
+             CAST(sum(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS BIGINT)
+               AS e0,
+             CAST(sum(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT)
+               AS e1,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS t0c,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS t1c
+      FROM durs GROUP BY dur_days
+    ), risk AS (
+      SELECT dur_days, e0, e1,
+             sum(t0c) OVER ()
+             - coalesce(sum(t0c) OVER (ORDER BY dur_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS r0,
+             sum(t1c) OVER ()
+             - coalesce(sum(t1c) OVER (ORDER BY dur_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS r1
+      FROM byday
+    ), terms AS (
+      SELECT e0 + e1 AS e, r0 + r1 AS r, e1, r1,
+             CAST(floor(CAST((e0 + e1) * r1 AS DOUBLE)
+                        / CAST(r0 + r1 AS DOUBLE) * 1e9) AS BIGINT)
+               AS e1q,
+             CASE WHEN r0 + r1 > 1 THEN
+               CAST(floor(CAST((e0 + e1) * r1 AS DOUBLE)
+                          / CAST(r0 + r1 AS DOUBLE)
+                          * (CAST(r0 AS DOUBLE) / CAST(r0 + r1 AS DOUBLE))
+                          * (CAST(r0 + r1 - e0 - e1 AS DOUBLE)
+                             / CAST(r0 + r1 - 1 AS DOUBLE))
+                          * 1e9) AS BIGINT)
+             ELSE 0 END AS vq
+      FROM risk WHERE e0 + e1 > 0
+    ), agg AS (
+      SELECT CAST(sum(e1) AS BIGINT) AS o1,
+             CAST(sum(e1q) AS BIGINT) AS e1sum,
+             CAST(sum(vq) AS BIGINT) AS vsum
+      FROM terms
+    ), sizes AS (
+      SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM durs
+    )
+    SELECT n0, n1, o1,
+           floor(CAST(e1sum AS DOUBLE) / 1e9 * 1000000.0) / 1000000.0
+             AS e1_expected,
+           floor(CAST(vsum AS DOUBLE) / 1e9 * 1000000.0) / 1000000.0
+             AS variance,
+           floor((CAST(o1 AS DOUBLE) - CAST(e1sum AS DOUBLE) / 1e9)
+                 * (CAST(o1 AS DOUBLE) - CAST(e1sum AS DOUBLE) / 1e9)
+                 / (CAST(vsum AS DOUBLE) / 1e9) * 1000000.0) / 1000000.0
+             AS chi2
+    FROM agg CROSS JOIN sizes
+    """,
+)
+def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank (Mantel–Cox) test on time-to-first-purchase,
+    groups = ``user_id % 2`` (a deterministic A/B split), censored at
+    the corpus horizon: ``χ² = (O₁−E₁)²/V`` with the hypergeometric
+    per-day expectation ``E₁ = Σ e·r₁/r`` and variance
+    ``V = Σ e·(r₁/r)·(r₀/r)·(r−e)/(r−1)`` — THE standard test for
+    comparing survival curves, the inferential companion of the KM /
+    Nelson–Aalen estimators.
+
+    Exactness: per-day E and V contributions are floor-quantized to
+    integer nano units before summation (the KM lnq idiom); O₁ and the
+    risk sets are exact integers; χ² is one float assembly at the end.
+
+    Plan shape: per-user grouped min pair → day-grouped conditional
+    counts → day-bounded windows → 1-row output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.expr("ts div 1000")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(t_us).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", t_us)
+        ).alias("p_t"),
+    )
+    mx = ev.agg(F.max(t_us).alias("tmax"))
+    durs = per_user.crossJoin(F.broadcast(mx)).select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(
+            F.col("p_t").isNotNull(),
+            F.expr("(p_t - t0) div 86400000000"),
+        )
+        .otherwise(F.expr("(tmax - t0) div 86400000000"))
+        .alias("dur_days"),
+        F.when(F.col("p_t").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    byday = durs.groupBy("dur_days").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("ev")).otherwise(0))
+        .cast("long").alias("e0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("ev")).otherwise(0))
+        .cast("long").alias("e1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long").alias("t0c"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long").alias("t1c"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = byday.select(
+        "dur_days",
+        "e0",
+        "e1",
+        (
+            F.sum("t0c").over(w_all)
+            - F.coalesce(F.sum("t0c").over(w_prev), F.lit(0))
+        ).alias("r0"),
+        (
+            F.sum("t1c").over(w_all)
+            - F.coalesce(F.sum("t1c").over(w_prev), F.lit(0))
+        ).alias("r1"),
+    ).where((F.col("e0") + F.col("e1")) > 0)
+    e = F.col("e0") + F.col("e1")
+    r = F.col("r0") + F.col("r1")
+    e1q = F.floor(
+        (e * F.col("r1")).cast("double") / r.cast("double") * F.lit(1e9)
+    ).cast("long")
+    vq = F.when(
+        r > 1,
+        F.floor(
+            (e * F.col("r1")).cast("double")
+            / r.cast("double")
+            * (F.col("r0").cast("double") / r.cast("double"))
+            * ((r - e).cast("double") / (r - 1).cast("double"))
+            * F.lit(1e9)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = risk.select(
+        F.col("e1"), e1q.alias("e1q"), vq.alias("vq")
+    ).agg(
+        F.sum("e1").cast("long").alias("o1"),
+        F.sum("e1q").cast("long").alias("e1sum"),
+        F.sum("vq").cast("long").alias("vsum"),
+    )
+    sizes = durs.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long").alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long").alias("n1"),
+    )
+    o1d = F.col("o1").cast("double")
+    e1d = F.col("e1sum").cast("double") / F.lit(1e9)
+    vd = F.col("vsum").cast("double") / F.lit(1e9)
+    return agg.crossJoin(F.broadcast(sizes)).select(
+        "n0",
+        "n1",
+        "o1",
+        trunc6(e1d).alias("e1_expected"),
+        trunc6(vd).alias("variance"),
+        trunc6((o1d - e1d) * (o1d - e1d) / vd).alias("chi2"),
+    )

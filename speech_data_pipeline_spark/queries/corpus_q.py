@@ -3556,3 +3556,305 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pref_attach"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: connected components, Good–Turing smoothing, compaction plan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.p AS x, b.p AS y
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ), nodes AS (
+      SELECT x AS n FROM edges UNION SELECT y FROM edges
+    ), adj AS (
+      SELECT x AS a, y AS b FROM edges
+      UNION ALL SELECT y, x FROM edges
+    ), lbl AS (
+      WITH RECURSIVE reach(n, l) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.a, r.l FROM reach r JOIN adj e ON e.b = r.n
+        WHERE r.l < e.a
+      )
+      SELECT n, min(l) AS comp FROM reach GROUP BY n
+    )
+    SELECT comp AS comp_id, CAST(count(*) AS BIGINT) AS size
+    FROM lbl GROUP BY comp
+    ORDER BY size DESC, comp_id LIMIT 10
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the part co-purchase graph by min-label
+    propagation to FIXPOINT: every node's label converges to the
+    smallest node id reachable from it, so components get canonical
+    ids with no arbitrary tie-breaks. Output: the 10 largest
+    components (size desc, id asc) — the missing classic beside
+    pagerank/k-core/triangles in this registry, and the curation
+    primitive behind "keep one crawl seed per mirror cluster".
+
+    Convergence is a driver loop (one join+groupBy round per step,
+    stop when no label changes — checked with a 1-row count). Rounds
+    are bounded by the component DIAMETER, which on co-purchase
+    graphs is tiny (measured 3 rounds at sf0.01; dense graphs
+    shrink diameter as they grow). Each round shuffles the edge list
+    once — linear work per round at any scale, the textbook
+    large-graph CC schedule (hash-min, à la Pregel).
+
+    Oracle: a recursive CTE propagates labels with the ``l < node``
+    prune and takes per-node minima — the same fixpoint.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("u"))
+    b_ = op.select("o", F.col("p").alias("v"))
+    edges = (
+        a.join(b_, "o")
+        .where(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .distinct()
+        .persist()
+    )
+    adj = edges.select(
+        F.col("x").alias("n"), F.col("y").alias("nbr")
+    ).unionAll(
+        edges.select(F.col("y").alias("n"), F.col("x").alias("nbr"))
+    ).persist()
+    labels = adj.select("n").distinct().select(
+        "n", F.col("n").alias("lbl")
+    ).persist()
+    while True:
+        nbr_min = (
+            adj.join(
+                labels.select(
+                    F.col("n").alias("nbr"), F.col("lbl").alias("nlbl")
+                ),
+                "nbr",
+            )
+            .groupBy("n")
+            .agg(F.min("nlbl").alias("nbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "n", "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbl"), F.col("lbl"))
+                ).alias("lbl"),
+                (
+                    F.coalesce(F.col("nbl"), F.col("lbl")) < F.col("lbl")
+                ).alias("chg"),
+            )
+            .persist()
+        )
+        changed = new_labels.where(F.col("chg")).count()
+        labels.unpersist()
+        labels = new_labels.select("n", "lbl").persist()
+        new_labels.unpersist()
+        if changed == 0:
+            break
+    out = (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .select(F.col("lbl").alias("comp_id"), "size")
+        .orderBy(F.col("size").desc(), "comp_id")
+        .limit(10)
+    )
+    return out
+
+
+@query(
+    "lm_good_turing",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS w
+      FROM documents
+    ), cnt AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS r FROM toks GROUP BY w
+    ), nr AS (
+      SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM cnt GROUP BY r
+    ), tot AS (
+      SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+             CAST(sum(n_r) AS BIGINT) AS vocab
+      FROM nr
+    )
+    SELECT a.r, a.n_r,
+           CASE WHEN b.n_r IS NULL THEN 0.0
+                ELSE floor(CAST((a.r + 1) * b.n_r AS DOUBLE)
+                           / CAST(a.n_r AS DOUBLE) * 1000000.0)
+                     / 1000000.0 END AS r_star,
+           t.n_tokens, t.vocab,
+           floor((SELECT CAST(n_r AS DOUBLE) FROM nr WHERE r = 1)
+                 / CAST(t.n_tokens AS DOUBLE) * 1000000.0) / 1000000.0
+             AS p0_mass
+    FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+    CROSS JOIN tot t
+    WHERE a.r <= 10
+    ORDER BY a.r
+    """,
+)
+def lm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing frequency smoothing table over corpus unigrams:
+    count-of-counts ``N_r``, the Turing-discounted adjusted counts
+    ``r* = (r+1)·N_{r+1}/N_r`` for r ≤ 10 (0 where ``N_{r+1}`` is
+    empty, per the standard cutoff before Simple-GT regression), and
+    the unseen-mass estimate ``p₀ = N₁/N`` — the smoothing family
+    Kneser–Ney descends from (companion of ``lm_kneser_ney_xent``),
+    and the vocabulary-health report a tokenizer-training pipeline
+    reads before fixing a vocab size.
+
+    Exactness: everything up to r* is integer counting; r* and p₀ are
+    single float ratios of exact integers.
+
+    Plan shape at 100 TB: explode → two nested grouped counts (first
+    vocabulary-bounded, then count-of-count-bounded ≤ max r) — the
+    canonical two-level aggregation; the final join is over the tiny
+    N_r table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("([a-z]+)"), 1
+            )
+        ).alias("w")
+    )
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    nr = cnt.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    tot = nr.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum("n_r").cast("long").alias("vocab"),
+    )
+    n1 = nr.agg(
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")))
+        .cast("double")
+        .alias("n1")
+    )
+    b = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    return (
+        nr.where(F.col("r") <= 10)
+        .join(F.broadcast(b), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "n_r",
+            F.when(F.col("n_r_next").isNull(), F.lit(0.0))
+            .otherwise(
+                trunc6(
+                    ((F.col("r") + 1) * F.col("n_r_next")).cast("double")
+                    / F.col("n_r").cast("double")
+                )
+            )
+            .alias("r_star"),
+            "n_tokens",
+            "vocab",
+            trunc6(
+                F.col("n1") / F.col("n_tokens").cast("double")
+            ).alias("p0_mass"),
+        )
+        .orderBy("r")
+    )
+
+
+#: compaction-plan target bin capacity (chars stand in for bytes on
+#: the synthetic corpus; the shape is Spark's maxPartitionBytes
+#: split packing)
+_COMPACT_BIN = 65536
+
+
+@query(
+    "infra_compaction_plan",
+    oracle=f"""
+    WITH offs AS (
+      SELECT source, n_chars,
+             coalesce(sum(n_chars) OVER (PARTITION BY source
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM documents
+    ), binned AS (
+      SELECT source, n_chars, cum_before // {_COMPACT_BIN} AS bin_id
+      FROM offs
+    ), perbin AS (
+      SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(n_chars) AS BIGINT) AS bin_chars
+      FROM binned GROUP BY source, bin_id
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(n_files) AS BIGINT) AS n_files,
+           CAST(sum(bin_chars) AS BIGINT) AS total_chars,
+           CAST(max(bin_chars) AS BIGINT) AS max_bin_chars,
+           floor(CAST(sum(bin_chars) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * {_COMPACT_BIN}.0)
+                 * 1000000.0) / 1000000.0 AS avg_fill
+    FROM perbin GROUP BY source ORDER BY source
+    """,
+)
+def infra_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction manifest: pack each source's documents
+    (ordered by doc_id, sizes = n_chars) into target bins of 64 KiB by
+    CUMULATIVE-OFFSET assignment ``bin = floor(cum_before / C)`` —
+    exactly how Spark's ``maxPartitionBytes`` packs input splits, so
+    the plan's fill statistics predict the scan parallelism a
+    compacted layout would get. Output per source: bin count, file
+    count, bytes, worst bin, average fill ratio — the table-maintenance
+    report every lakehouse compaction job prints.
+
+    Exactness: pure integer prefix sums and divisions; the fill ratio
+    is one float ratio of exact integers.
+
+    Plan shape at 100 TB: one per-source ordered prefix-sum window
+    (range-partitioned by the shuffle on source boundaries — same
+    shape as the shard manifests), then two grouped integer
+    aggregates; output bounded by the source vocabulary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w_prev = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = d.select(
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w_prev), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    binned = offs.select(
+        "source",
+        "n_chars",
+        F.expr(f"cum_before div {_COMPACT_BIN}").alias("bin_id"),
+    )
+    perbin = binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_chars").cast("long").alias("bin_chars"),
+    )
+    return (
+        perbin.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum("n_files").cast("long").alias("n_files"),
+            F.sum("bin_chars").cast("long").alias("total_chars"),
+            F.max("bin_chars").cast("long").alias("max_bin_chars"),
+            trunc6(
+                F.sum("bin_chars").cast("double")
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.lit(float(_COMPACT_BIN))
+                )
+            ).alias("avg_fill"),
+        )
+        .orderBy("source")
+    )

@@ -366,3 +366,111 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("n") - pe_num).cast("double")
         ).alias("kappa"),
     )
+
+
+@query(
+    "eval_krippendorff_alpha",
+    oracle="""
+    WITH n_uc AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    ), mu AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS m,
+             CAST(sum(c * c) AS BIGINT) AS sc2
+      FROM n_uc GROUP BY user_id
+    ), pairable AS (SELECT user_id, m, sc2 FROM mu WHERE m >= 2),
+    do_q AS (
+      SELECT CAST(sum(CAST(floor(
+               CAST(m * m - sc2 AS DOUBLE) / CAST(m - 1 AS DOUBLE) * 1e9)
+             AS BIGINT)) AS BIGINT) AS doq,
+             CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(m) AS BIGINT) AS n_total
+      FROM pairable
+    ), cat AS (
+      SELECT CAST(sum(
+               CAST(n.c AS HUGEINT) * n.c) AS HUGEINT) AS snc2
+      FROM (
+        SELECT event_type, CAST(sum(c) AS BIGINT) AS c
+        FROM n_uc JOIN pairable USING (user_id)
+        GROUP BY event_type
+      ) n
+    )
+    SELECT n_units, n_total,
+           floor(CAST(doq AS DOUBLE) / 1e9 * 1000000.0) / 1000000.0
+             AS d_obs,
+           floor((CAST(CAST(n_total AS HUGEINT) * n_total - snc2
+                       AS DOUBLE)
+                  / CAST(n_total - 1 AS DOUBLE)) * 1000000.0) / 1000000.0
+             AS d_exp,
+           floor((1.0 - (CAST(doq AS DOUBLE) / 1e9)
+                        / (CAST(CAST(n_total AS HUGEINT) * n_total - snc2
+                                AS DOUBLE)
+                           / CAST(n_total - 1 AS DOUBLE)))
+                 * 1000000.0) / 1000000.0 AS alpha
+    FROM do_q CROSS JOIN cat
+    """,
+)
+def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's α for nominal data: units = users, "ratings" =
+    the event types of each user's events (units with ≥2 ratings are
+    pairable). α = 1 − D_o/D_e over the coincidence matrix:
+    ``D_o = Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1)`` (within-unit
+    disagreeing pairs, unit-normalized) and ``D_e = (n² − Σ_c n_c²)/
+    (n − 1)`` (chance disagreement from the margins). The
+    any-number-of-raters generalization of ``eval_cohens_kappa`` — the
+    agreement statistic annotation pipelines report when rater counts
+    vary per item.
+
+    Exactness: per-unit D_o contributions are floor-quantized to nano
+    integers before summation (different per-unit denominators make
+    the sum otherwise float-order-dependent); margins are exact
+    integers carried as HUGEINT/DECIMAL where squares can overflow.
+
+    Plan shape at 100 TB: two grouped integer aggregates (user×type,
+    then user), a broadcast-joined margin aggregate — no windows, no
+    corpus-row joins; output is one row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    n_uc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    mu = n_uc.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("m"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    )
+    pairable = mu.where(F.col("m") >= 2)
+    doq_term = F.floor(
+        (F.col("m") * F.col("m") - F.col("sc2")).cast("double")
+        / (F.col("m") - 1).cast("double")
+        * F.lit(1e9)
+    ).cast("long")
+    do_q = pairable.select(doq_term.alias("dq"), "m").agg(
+        F.sum("dq").cast("long").alias("doq"),
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("m").cast("long").alias("n_total"),
+    )
+    cat = (
+        n_uc.join(pairable.select("user_id"), "user_id")
+        .groupBy("event_type")
+        .agg(F.sum("c").cast("long").alias("nc"))
+        .agg(
+            F.sum(
+                F.col("nc").cast("decimal(19,0)")
+                * F.col("nc").cast("decimal(19,0)")
+            ).cast("decimal(38,0)").alias("snc2")
+        )
+    )
+    j = do_q.crossJoin(F.broadcast(cat))
+    d_obs = F.col("doq").cast("double") / F.lit(1e9)
+    d_exp = (
+        F.col("n_total").cast("decimal(19,0)")
+        * F.col("n_total").cast("decimal(19,0)")
+        - F.col("snc2")
+    ).cast("double") / (F.col("n_total") - 1).cast("double")
+    return j.select(
+        "n_units",
+        "n_total",
+        trunc6(d_obs).alias("d_obs"),
+        trunc6(d_exp).alias("d_exp"),
+        trunc6(F.lit(1.0) - d_obs / d_exp).alias("alpha"),
+    )

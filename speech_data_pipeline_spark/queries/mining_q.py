@@ -2455,3 +2455,115 @@ def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(r_avg).alias("recall_avg"),
         trunc6(chrf).alias("chrf2"),
     )
+
+
+@query(
+    "mix_waterfill_budget",
+    oracle="""
+    WITH dom AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(chars) AS BIGINT) AS total,
+             CAST(sum(chars) // 2 AS BIGINT) AS budget,
+             CAST(count(*) AS BIGINT) AS d
+      FROM dom
+    ), idx AS (
+      SELECT source, chars,
+             row_number() OVER (ORDER BY chars, source) AS i,
+             coalesce(sum(chars) OVER (ORDER BY chars, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumb
+      FROM dom
+    ), lam AS (
+      SELECT CAST(budget - cumb AS DOUBLE) / CAST(d - i + 1 AS DOUBLE)
+               AS lam
+      FROM idx CROSS JOIN tot
+      WHERE budget - cumb <= chars * (d - i + 1)
+      ORDER BY i LIMIT 1
+    )
+    SELECT dom.source, dom.chars,
+           floor(CASE WHEN lam.lam IS NULL
+                        OR CAST(dom.chars AS DOUBLE) <= lam.lam
+                      THEN CAST(dom.chars AS DOUBLE) ELSE lam.lam END
+                 * 1000000.0) / 1000000.0 AS alloc,
+           CASE WHEN lam.lam IS NOT NULL
+                 AND CAST(dom.chars AS DOUBLE) > lam.lam
+                THEN 1 ELSE 0 END AS capped
+    FROM dom LEFT JOIN lam ON true
+    ORDER BY dom.source
+    """,
+)
+def mix_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across domains: spend a
+    budget of half the corpus (chars stand in for tokens) so every
+    domain keeps min(cap λ, its size), with the water level λ chosen
+    to exhaust the budget exactly — the max-min-fair split a training
+    mix uses to stop head domains from eating the budget while never
+    up-sampling tails (the allocation behind "domain-balanced"
+    pretraining mixes; companion of ``mix_temperature_domains``, which
+    reweights instead of capping).
+
+    λ determination is exact integer arithmetic: sort domains
+    ascending, find the first prefix position where the remaining
+    budget spread over the remaining domains no longer exceeds the
+    next domain size; λ is one integer ratio there.
+
+    Plan shape at 100 TB: one grouped integer aggregate to the domain
+    vocabulary, then windows over the tiny domain table — corpus rows
+    are touched exactly once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dom = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("chars")
+    )
+    tot = dom.agg(
+        F.sum("chars").cast("long").alias("total"),
+        F.expr("sum(chars) div 2").cast("long").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("d"),
+    )
+    w_i = Window.orderBy("chars", "source")
+    w_prev = Window.orderBy("chars", "source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    idx = dom.select(
+        "source",
+        "chars",
+        F.row_number().over(w_i).alias("i"),
+        F.coalesce(F.sum("chars").over(w_prev), F.lit(0)).alias("cumb"),
+    )
+    lam = (
+        idx.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("budget") - F.col("cumb")
+            <= F.col("chars") * (F.col("d") - F.col("i") + 1)
+        )
+        .orderBy("i")
+        .limit(1)
+        .select(
+            (
+                (F.col("budget") - F.col("cumb")).cast("double")
+                / (F.col("d") - F.col("i") + 1).cast("double")
+            ).alias("lam")
+        )
+    )
+    charsd = F.col("chars").cast("double")
+    return (
+        dom.join(F.broadcast(lam), F.lit(True), "left")
+        .select(
+            "source",
+            "chars",
+            trunc6(
+                F.when(
+                    F.col("lam").isNull() | (charsd <= F.col("lam")),
+                    charsd,
+                ).otherwise(F.col("lam"))
+            ).alias("alloc"),
+            F.when(
+                F.col("lam").isNotNull() & (charsd > F.col("lam")), 1
+            )
+            .otherwise(0)
+            .alias("capped"),
+        )
+        .orderBy("source")
+    )

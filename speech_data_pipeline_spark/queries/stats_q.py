@@ -3520,3 +3520,413 @@ def ts_periodogram_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols.append(trunc6(pw).alias(f"power_{p}"))
         cols.append(trunc6(pw / var).alias(f"ratio_{p}"))
     return m.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# round 10: Wilson CIs, Friedman test, balanced two-way ANOVA
+# ---------------------------------------------------------------------------
+
+#: z for a 95% two-sided interval (fixed literal on both engines)
+_WILSON_Z = 1.959964
+
+
+@query(
+    "stats_wilson_ci",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                           > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, x,
+           floor((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0)
+             / 1000000.0 AS p_hat,
+           floor(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                   + ({_WILSON_Z} * {_WILSON_Z}) / (2.0 * CAST(n AS DOUBLE))
+                   - {_WILSON_Z} * sqrt(
+                       (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + ({_WILSON_Z} * {_WILSON_Z})
+                         / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                  / (1.0 + ({_WILSON_Z} * {_WILSON_Z}) / CAST(n AS DOUBLE)))
+                 * 1000000.0) / 1000000.0 AS lo,
+           floor(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                   + ({_WILSON_Z} * {_WILSON_Z}) / (2.0 * CAST(n AS DOUBLE))
+                   + {_WILSON_Z} * sqrt(
+                       (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + ({_WILSON_Z} * {_WILSON_Z})
+                         / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                  / (1.0 + ({_WILSON_Z} * {_WILSON_Z}) / CAST(n AS DOUBLE)))
+                 * 1000000.0) / 1000000.0 AS hi
+    FROM q ORDER BY event_type
+    """,
+)
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for the per-event-type
+    proportion of high-value events (cent-quantized value > 100.00) —
+    the interval that stays inside [0, 1] and behaves at small n,
+    which is why conversion dashboards use it over the Wald CI.
+
+    Exactness: (n, x) are exact integer aggregates; p̂, lo, hi are one
+    closed-form float assembly per output row over identical operands
+    on any engine (the z constant is a shared literal).
+
+    Plan shape at 100 TB: one grouped integer aggregate (map-side
+    combinable) over the scan; output bounded by the type vocabulary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cent = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    q = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(cent > 10000, 1).otherwise(0)).cast("long").alias("x"),
+    )
+    z = F.lit(_WILSON_Z)
+    nd = F.col("n").cast("double")
+    p = F.col("x").cast("double") / nd
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + (z * z) / (F.lit(4.0) * nd * nd)
+    )
+    denom = F.lit(1.0) + (z * z) / nd
+    center = p + (z * z) / (F.lit(2.0) * nd)
+    return q.select(
+        "event_type",
+        "n",
+        "x",
+        trunc6(p).alias("p_hat"),
+        trunc6((center - half) / denom).alias("lo"),
+        trunc6((center + half) / denom).alias("hi"),
+    ).orderBy("event_type")
+
+
+@query(
+    "stats_friedman_test",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, event_type,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM events GROUP BY user_id, event_type
+    ), kk AS (
+      SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM events
+    ), blocks AS (
+      SELECT user_id FROM obs GROUP BY user_id
+      HAVING count(*) = (SELECT k FROM kk)
+    ), ranked AS (
+      SELECT o.user_id, o.event_type,
+             2 * rank() OVER (PARTITION BY o.user_id ORDER BY o.s)
+               + count(*) OVER (PARTITION BY o.user_id, o.s) - 1 AS r2
+      FROM obs o JOIN blocks b USING (user_id)
+    ), pertreat AS (
+      SELECT event_type, CAST(sum(r2) AS BIGINT) AS rank2_sum
+      FROM ranked GROUP BY event_type
+    ), scalars AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+             CAST(sum(r2 * r2) AS BIGINT) AS a2
+      FROM ranked
+    ), qstat AS (
+      SELECT n, k,
+             CASE WHEN a2 - n * k * (k + 1) * (k + 1) = 0 THEN 0.0
+                  ELSE CAST(k - 1 AS DOUBLE)
+                       * CAST((SELECT sum((rank2_sum - n * (k + 1))
+                                          * (rank2_sum - n * (k + 1)))
+                               FROM pertreat) AS DOUBLE)
+                       / CAST(a2 - n * k * (k + 1) * (k + 1) AS DOUBLE)
+                  END AS q
+      FROM scalars CROSS JOIN kk
+    )
+    SELECT p.event_type, p.rank2_sum,
+           floor((CAST(p.rank2_sum AS DOUBLE)
+                  / (2.0 * CAST(s.n AS DOUBLE))) * 1000000.0)
+             / 1000000.0 AS mean_rank,
+           s.n, s.k,
+           floor(s.q * 1000000.0) / 1000000.0 AS q_stat
+    FROM pertreat p CROSS JOIN qstat s
+    ORDER BY p.event_type
+    """,
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test for treatment effects across matched blocks:
+    blocks = users, treatments = event types, observation = total
+    cent-quantized value per (user, type); only COMPLETE blocks (users
+    with all k types) enter, per the test's matched design. Uses the
+    tie-robust Conover form ``Q = (k−1)·Σ_j(R_j − n(k+1)/2)² /
+    (Σr² − nk(k+1)²/4)`` — the nonparametric two-way companion of
+    ``stats_kruskal_wallis`` (repeated measures instead of independent
+    groups).
+
+    Exactness: ranks live in half-unit integers (``r2 = 2·rank``:
+    average ranks of ties are exact), so every cross-row accumulation
+    is an integer sum; Q is one float assembly over exact integers.
+
+    Plan shape at 100 TB: grouped integer aggregate to (user, type)
+    rows; the rank window partitions by user over ≤k rows each —
+    perfectly parallel; everything after is vocabulary-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cent = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    obs = ev.groupBy("user_id", "event_type").agg(
+        F.sum(cent).cast("long").alias("s")
+    )
+    kk = ev.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    blocks = (
+        obs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(kk))
+        .where(F.col("c") == F.col("k"))
+        .select("user_id")
+    )
+    w_rank = Window.partitionBy("user_id").orderBy("s")
+    w_tie = Window.partitionBy("user_id", "s")
+    ranked = (
+        obs.join(blocks, "user_id")
+        .withColumn(
+            "r2",
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - F.lit(1),
+        )
+    )
+    pertreat = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("rank2_sum")
+    )
+    scalars = ranked.agg(
+        F.countDistinct("user_id").cast("long").alias("n"),
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("a2"),
+    ).crossJoin(F.broadcast(kk))
+    num = pertreat.crossJoin(F.broadcast(scalars)).agg(
+        F.sum(
+            (F.col("rank2_sum") - F.col("n") * (F.col("k") + 1))
+            * (F.col("rank2_sum") - F.col("n") * (F.col("k") + 1))
+        ).alias("ssq")
+    )
+    qstat = (
+        scalars.crossJoin(F.broadcast(num))
+        .select(
+            "n",
+            "k",
+            F.when(
+                F.col("a2")
+                - F.col("n") * F.col("k") * (F.col("k") + 1)
+                * (F.col("k") + 1)
+                == 0,
+                F.lit(0.0),
+            )
+            .otherwise(
+                (F.col("k") - 1).cast("double")
+                * F.col("ssq").cast("double")
+                / (
+                    F.col("a2")
+                    - F.col("n") * F.col("k") * (F.col("k") + 1)
+                    * (F.col("k") + 1)
+                ).cast("double")
+            )
+            .alias("q"),
+        )
+    )
+    return (
+        pertreat.crossJoin(F.broadcast(qstat))
+        .select(
+            "event_type",
+            "rank2_sum",
+            trunc6(
+                F.col("rank2_sum").cast("double")
+                / (F.lit(2.0) * F.col("n").cast("double"))
+            ).alias("mean_rank"),
+            "n",
+            "k",
+            trunc6(F.col("q")).alias("q_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stats_anova_twoway",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS fa,
+             (epoch_us(ts) // 86400000000) % 7 AS fb,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+             event_id
+      FROM events
+    ), cellcount AS (
+      SELECT fa, fb, count(*) AS c FROM base GROUP BY fa, fb
+    ), mm AS (SELECT CAST(min(c) AS BIGINT) AS m FROM cellcount),
+    trimmed AS (
+      SELECT fa, fb, v FROM (
+        SELECT fa, fb, v,
+               row_number() OVER (PARTITION BY fa, fb ORDER BY event_id)
+                 AS rn
+        FROM base
+      ) WHERE rn <= (SELECT m FROM mm)
+    ), cells AS (
+      SELECT fa, fb, CAST(sum(v) AS BIGINT) AS t FROM trimmed
+      GROUP BY fa, fb
+    ), marg AS (
+      SELECT CAST(count(DISTINCT fa) AS BIGINT) AS a,
+             CAST(count(DISTINCT fb) AS BIGINT) AS b,
+             CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS tt,
+             CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS scell
+      FROM cells
+    ), ma AS (
+      SELECT CAST(sum(CAST(ti AS HUGEINT) * ti) AS HUGEINT) AS sa
+      FROM (SELECT fa, CAST(sum(t) AS BIGINT) AS ti FROM cells GROUP BY fa)
+    ), mb AS (
+      SELECT CAST(sum(CAST(tj AS HUGEINT) * tj) AS HUGEINT) AS sb
+      FROM (SELECT fb, CAST(sum(t) AS BIGINT) AS tj FROM cells GROUP BY fb)
+    ), sv AS (
+      SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sv2
+      FROM trimmed
+    ), f AS (
+      SELECT CAST(a AS DOUBLE) AS a, CAST(b AS DOUBLE) AS b,
+             CAST(m AS DOUBLE) AS m,
+             CAST(tt AS DOUBLE) AS tt, CAST(scell AS DOUBLE) AS scell,
+             CAST(sa AS DOUBLE) AS sa, CAST(sb AS DOUBLE) AS sb,
+             CAST(sv2 AS DOUBLE) AS sv2
+      FROM marg CROSS JOIN ma CROSS JOIN mb CROSS JOIN sv CROSS JOIN mm
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(m AS BIGINT) AS m,
+           floor((sa / (b * m) - tt * tt / (a * b * m)) * 1000000.0)
+             / 1000000.0 AS ss_a,
+           floor((sb / (a * m) - tt * tt / (a * b * m)) * 1000000.0)
+             / 1000000.0 AS ss_b,
+           floor(((scell / m - tt * tt / (a * b * m))
+                  - (sa / (b * m) - tt * tt / (a * b * m))
+                  - (sb / (a * m) - tt * tt / (a * b * m))) * 1000000.0)
+             / 1000000.0 AS ss_int,
+           floor((sv2 - scell / m) * 1000000.0) / 1000000.0 AS ss_err,
+           floor(((sa / (b * m) - tt * tt / (a * b * m)) / (a - 1.0))
+                 / ((sv2 - scell / m) / (a * b * m - a * b))
+                 * 1000000.0) / 1000000.0 AS f_a,
+           floor(((sb / (a * m) - tt * tt / (a * b * m)) / (b - 1.0))
+                 / ((sv2 - scell / m) / (a * b * m - a * b))
+                 * 1000000.0) / 1000000.0 AS f_b,
+           floor((((scell / m - tt * tt / (a * b * m))
+                   - (sa / (b * m) - tt * tt / (a * b * m))
+                   - (sb / (a * m) - tt * tt / (a * b * m)))
+                  / ((a - 1.0) * (b - 1.0)))
+                 / ((sv2 - scell / m) / (a * b * m - a * b))
+                 * 1000000.0) / 1000000.0 AS f_int
+    FROM f
+    """,
+)
+def stats_anova_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced two-way ANOVA with interaction: factors = event type ×
+    weekday (epoch-day mod 7, timezone-free), response = cent-quantized
+    value. The design is balanced BY CONSTRUCTION — every cell is
+    trimmed to the global minimum cell count (first-m by event_id,
+    deterministic), which is what makes the classical closed-form
+    sums-of-squares exact (unbalanced designs need regression
+    projections that aren't closed-form).
+
+    Exactness: all sums (T, T_i, T_j, T_ij, Σv²) are exact integers
+    carried as HUGEINT/DECIMAL(38,0) (Σv² of cent-scaled values
+    overflows BIGINT at warehouse scale); SS and F terms are one float
+    assembly with identical operand structure on both engines.
+
+    Plan shape at 100 TB: one cell-count aggregate, a per-cell
+    row_number trim (a·b = 35 cell partitions — diagnostic-grade; a
+    production variant would hash-sample within cells), then grouped
+    integer aggregates; output is a single row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("fa"),
+        (F.expr("(ts div 1000) div 86400000000") % 7).alias("fb"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        "event_id",
+    )
+    mm = base.groupBy("fa", "fb").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.min("c").cast("long").alias("m")
+    )
+    w_cell = Window.partitionBy("fa", "fb").orderBy("event_id")
+    trimmed = (
+        base.withColumn("rn", F.row_number().over(w_cell))
+        .crossJoin(F.broadcast(mm))
+        .where(F.col("rn") <= F.col("m"))
+        .select("fa", "fb", "v")
+    )
+    cells = trimmed.groupBy("fa", "fb").agg(
+        F.sum("v").cast("long").alias("t")
+    )
+    dec = "decimal(38,0)"
+    marg = cells.agg(
+        F.countDistinct("fa").cast("long").alias("a"),
+        F.countDistinct("fb").cast("long").alias("b"),
+        F.sum(F.col("t").cast(dec)).cast(dec).alias("tt"),
+        F.sum(
+            F.col("t").cast("decimal(19,0)") * F.col("t").cast("decimal(19,0)")
+        ).cast(dec).alias("scell"),
+    )
+    ma = (
+        cells.groupBy("fa")
+        .agg(F.sum("t").cast("long").alias("ti"))
+        .agg(
+            F.sum(
+                F.col("ti").cast("decimal(19,0)")
+                * F.col("ti").cast("decimal(19,0)")
+            ).cast(dec).alias("sa")
+        )
+    )
+    mb = (
+        cells.groupBy("fb")
+        .agg(F.sum("t").cast("long").alias("tj"))
+        .agg(
+            F.sum(
+                F.col("tj").cast("decimal(19,0)")
+                * F.col("tj").cast("decimal(19,0)")
+            ).cast(dec).alias("sb")
+        )
+    )
+    sv = trimmed.agg(
+        F.sum(
+            F.col("v").cast("decimal(19,0)") * F.col("v").cast("decimal(19,0)")
+        ).cast(dec).alias("sv2")
+    )
+    f = (
+        marg.crossJoin(F.broadcast(ma))
+        .crossJoin(F.broadcast(mb))
+        .crossJoin(F.broadcast(sv))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.col("a").cast("double").alias("ad"),
+            F.col("b").cast("double").alias("bd"),
+            F.col("m").cast("double").alias("md"),
+            F.col("tt").cast("double").alias("ttd"),
+            F.col("scell").cast("double").alias("scelld"),
+            F.col("sa").cast("double").alias("sad"),
+            F.col("sb").cast("double").alias("sbd"),
+            F.col("sv2").cast("double").alias("sv2d"),
+        )
+    )
+    a, b, m = F.col("ad"), F.col("bd"), F.col("md")
+    tt, scell = F.col("ttd"), F.col("scelld")
+    sa, sb, sv2 = F.col("sad"), F.col("sbd"), F.col("sv2d")
+    cterm = tt * tt / (a * b * m)
+    ss_a = sa / (b * m) - cterm
+    ss_b = sb / (a * m) - cterm
+    ss_cell = scell / m - cterm
+    ss_int = ss_cell - ss_a - ss_b
+    ss_err = sv2 - scell / m
+    mse = ss_err / (a * b * m - a * b)
+    return f.select(
+        F.col("ad").cast("long").alias("a"),
+        F.col("bd").cast("long").alias("b"),
+        F.col("md").cast("long").alias("m"),
+        trunc6(ss_a).alias("ss_a"),
+        trunc6(ss_b).alias("ss_b"),
+        trunc6(ss_int).alias("ss_int"),
+        trunc6(ss_err).alias("ss_err"),
+        trunc6((ss_a / (a - F.lit(1.0))) / mse).alias("f_a"),
+        trunc6((ss_b / (b - F.lit(1.0))) / mse).alias("f_b"),
+        trunc6(
+            (ss_int / ((a - F.lit(1.0)) * (b - F.lit(1.0)))) / mse
+        ).alias("f_int"),
+    )

@@ -5071,3 +5071,209 @@ def dedup_minhash_estimate_audit(
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: Matryoshka prefix-dim recall audit, binary sign-Hamming top-k
+# ---------------------------------------------------------------------------
+
+#: fixed query slice: 10 probes at every scale (code-enforced bound —
+#: the sim_cosine_histogram slice pattern; queries × corpus stays
+#: linear in the corpus)
+_MRL_QSLICE = "vec_id % 50 = 0 AND vec_id < 500"
+_MRL_PREFIX = 16
+_MRL_K = 10
+
+_MRL_DOT = (
+    "list_sum(list_transform(range(1, {n} + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_MRL_NRM = (
+    "sqrt(list_sum(list_transform(range(1, {n} + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+@query(
+    "embed_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE {_MRL_QSLICE}
+    ), scored AS (
+      SELECT q.qid, e.vec_id,
+             CAST(floor(({_MRL_DOT.format(n=64, a='e.embedding', b='q.qv')})
+               / (({_MRL_NRM.format(n=64, a='e.embedding')})
+                  * ({_MRL_NRM.format(n=64, a='q.qv')})) * 1e12)
+               AS BIGINT) AS sf,
+             CAST(floor(({_MRL_DOT.format(n=_MRL_PREFIX, a='e.embedding',
+                                          b='q.qv')})
+               / (({_MRL_NRM.format(n=_MRL_PREFIX, a='e.embedding')})
+                  * ({_MRL_NRM.format(n=_MRL_PREFIX, a='q.qv')})) * 1e12)
+               AS BIGINT) AS sp
+      FROM embeddings e JOIN q ON e.vec_id <> q.qid
+    ), ftop AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY sf DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_MRL_K}
+    ), ptop AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY sp DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_MRL_K}
+    ), ov AS (
+      SELECT f.qid, CAST(count(*) AS BIGINT) AS n_overlap
+      FROM ftop f JOIN ptop p ON f.qid = p.qid AND f.vec_id = p.vec_id
+      GROUP BY f.qid
+    )
+    SELECT q.qid AS vec_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+           floor(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
+                 / {_MRL_K}.0 * 1000000.0) / 1000000.0 AS recall
+    FROM q LEFT JOIN ov ON ov.qid = q.qid
+    ORDER BY vec_id
+    """,
+)
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit: for 10 fixed probe vectors,
+    recall@10 of the PREFIX-16-dim cosine ranking against the full
+    64-dim ranking — the measurement behind MRL-style truncatable
+    embeddings ("can I serve the first quarter of the vector and keep
+    the neighbors?"), run before committing a corpus to a cheaper
+    index. Scores rank on pico-quantized integers with vec_id
+    tie-break (total order on any engine).
+
+    Plan shape at 100 TB: broadcast the 10 probes, one map-side score
+    pass (both dots in the same scan), two row_number windows
+    partitioned by probe (10 bounded partitions of corpus rows —
+    probe-parallel), one k×k overlap join. Probe count is
+    code-enforced constant, so candidate volume is linear in the
+    corpus at every scale.
+    """
+    from speech_data_pipeline_spark.operators import similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.expr(_MRL_QSLICE)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pre = _MRL_PREFIX
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.floor(
+                sim.cosine(F.col("embedding"), F.col("qv")) * F.lit(1e12)
+            ).cast("long").alias("sf"),
+            F.floor(
+                sim.cosine(
+                    F.slice(F.col("embedding"), 1, pre),
+                    F.slice(F.col("qv"), 1, pre),
+                )
+                * F.lit(1e12)
+            ).cast("long").alias("sp"),
+        )
+    )
+    w_f = Window.partitionBy("qid").orderBy(F.col("sf").desc(), "vec_id")
+    w_p = Window.partitionBy("qid").orderBy(F.col("sp").desc(), "vec_id")
+    ftop = (
+        scored.withColumn("rn", F.row_number().over(w_f))
+        .where(F.col("rn") <= _MRL_K)
+        .select("qid", "vec_id")
+    )
+    ptop = (
+        scored.withColumn("rn", F.row_number().over(w_p))
+        .where(F.col("rn") <= _MRL_K)
+        .select("qid", "vec_id")
+    )
+    ov = ftop.join(ptop, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return (
+        q.select("qid")
+        .join(ov, "qid", "left")
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            trunc6(
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / F.lit(float(_MRL_K))
+            ).alias("recall"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "sim_binary_hamming_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE {_MRL_QSLICE}
+    ), scored AS (
+      SELECT q.qid, e.vec_id,
+             CAST(list_sum(list_transform(range(1, 64 + 1),
+               i -> CASE WHEN (e.embedding[i] > 0) <> (q.qv[i] > 0)
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      FROM embeddings e JOIN q ON e.vec_id <> q.qid
+    )
+    SELECT qid AS query_id, vec_id, hamming, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT qid, vec_id, hamming,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY hamming, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_MRL_K}
+    ORDER BY query_id, rank
+    """,
+)
+def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-quantized retrieval: 1-bit-per-dimension embeddings
+    (bit = coordinate > 0) ranked by exact Hamming distance for the
+    same 10 fixed probes — the 32×-compression companion of
+    ``embed_quantize_int8`` and the ranking behind binary-vector
+    indexes (sign bits preserve cosine neighborhoods remarkably well;
+    this query is the audit that shows how well). Distances are
+    integers, so ranking is exact on any engine; ties break by id.
+
+    Plan shape at 100 TB: broadcast probes, one map-side XOR-popcount
+    pass, one row_number window per probe (bounded partitions),
+    TakeOrdered-k output per probe.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.expr(_MRL_QSLICE)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("qv"),
+            lambda x, y: F.when(
+                (x > F.lit(0.0)) != (y > F.lit(0.0)), 1
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", ham.cast("long").alias("hamming"))
+    )
+    w = Window.partitionBy("qid").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _MRL_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            "vec_id",
+            "hamming",
+            F.col("rn").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

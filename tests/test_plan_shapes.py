@@ -138,6 +138,23 @@ SCALAR_CROSS_WHITELIST = {
     # 1-row unigram aggregate — two bounded count-table collapses
     "ml_logreg_gd",  # 1-row micro-integer weight state attached per
     # GD round (the perceptron/pagerank fixed-round contract)
+    "stats_friedman_test",  # k-count scalar + 1-row Q-stat aggregate
+    # attached to the |types|-row rank-sum table
+    "stats_anova_twoway",  # min-cell-count + marginal sum scalars:
+    # four 1-row aggregates onto the 1-row SS assembly
+    "eval_krippendorff_alpha",  # category-margin scalar: 1 row onto
+    # the 1-row D_o aggregate
+    "survival_nelson_aalen",  # corpus max-ts horizon scalar: 1 row
+    # (the survival_kaplan_meier contract)
+    "survival_logrank_test",  # horizon + group-size scalars: 1 row each
+    "mix_waterfill_budget",  # corpus-total/budget scalar + the 1-row
+    # water-level pick onto the |sources|-row domain table
+    "lm_good_turing",  # token-total + N1 scalars: 1 row each onto the
+    # ≤10-row count-of-counts table
+    "embed_matryoshka_recall",  # broadcast probe slice: 10 rows by
+    # code-enforced bound (the sim_knn_recall_audit anchor contract) —
+    # |corpus|×10, never corpus²
+    "sim_binary_hamming_topk",  # same 10-row probe slice broadcast
 }
 
 
@@ -218,6 +235,12 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     # per-family test table, bounded by the type domain, never corpus
     "ts_granger",  # lag window over the observed day grid,
     # date-domain bounded, never corpus (the ts_ar1_forecast argument)
+    "survival_nelson_aalen",  # hazard running sums over the per-DAY
+    # life table (the survival_kaplan_meier contract), never corpus
+    "survival_logrank_test",  # per-group risk-set running sums over
+    # the per-DAY life table, never corpus
+    "mix_waterfill_budget",  # index/prefix-sum windows over the
+    # |sources|-row domain table, vocabulary bounded, never corpus
 }
 
 
