@@ -1207,3 +1207,199 @@ def encode_vorbis(
         )
         seq += 1
     return b"".join(pages)
+
+
+# ---------------------------------------------------------------------------
+# mixed long/short-block fixture encoder (exercises the hybrid-window
+# decode path through the real bitstream, not just the lap math)
+# ---------------------------------------------------------------------------
+
+_ENC_N_LONG = 2048
+
+
+def _enc_ident_mixed(channels: int, sr: int) -> bytes:
+    w = _LsbWriter()
+    w.write_bytes(b"\x01vorbis")
+    w.write(0, 32)
+    w.write(channels, 8)
+    w.write(sr, 32)
+    w.write(0, 32)
+    w.write(0, 32)
+    w.write(0, 32)
+    w.write(8, 4)   # blocksize_0 = 2^8
+    w.write(11, 4)  # blocksize_1 = 2^11
+    w.write(1, 1)
+    return w.bytes()
+
+
+def _enc_setup_mixed(channels: int) -> bytes:
+    """Two floors (rangebits 7 / 10), two residues (interleaved ends
+    for each blocksize), two mappings, two modes (blockflag 0 / 1);
+    codebooks shared with the single-blocksize setup."""
+    w = _LsbWriter()
+    w.write_bytes(b"\x05vorbis")
+    w.write(1, 8)  # 2 codebooks
+    w.write(0x564342, 24)
+    w.write(8, 16)
+    w.write(2, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(0, 5)
+    w.write(0, 5)
+    w.write(0, 4)
+    w.write(0x564342, 24)
+    w.write(1, 16)
+    w.write(257, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    for _ in range(257):
+        w.write(8, 5)
+    w.write(1, 4)
+    w.write(float32_pack(-128.0), 32)
+    w.write(float32_pack(1.0), 32)
+    w.write(8, 4)
+    w.write(0, 1)
+    for i in range(257):
+        w.write(i, 9)
+    # time transforms
+    w.write(0, 6)
+    w.write(0, 16)
+    # floors: two floor1 configs
+    w.write(1, 6)
+    for rangebits in (7, 10):
+        w.write(1, 16)
+        w.write(0, 5)
+        w.write(0, 2)
+        w.write(rangebits, 4)
+    # residues: two type 2
+    w.write(1, 6)
+    for n2 in (128, 1024):
+        w.write(2, 16)
+        w.write(0, 24)
+        w.write(n2 * channels, 24)
+        w.write(15, 24)
+        w.write(1, 6)
+        w.write(0, 8)
+        w.write(1, 3)
+        w.write(0, 1)
+        w.write(0, 3)
+        w.write(0, 1)
+        w.write(1, 8)
+    # mappings: two
+    w.write(1, 6)
+    for idx in (0, 1):
+        w.write(0, 16)
+        w.write(0, 1)
+        w.write(0, 1)
+        w.write(0, 2)
+        w.write(0, 8)    # time
+        w.write(idx, 8)  # floor
+        w.write(idx, 8)  # residue
+    # modes: two
+    w.write(1, 6)
+    for blockflag, mapping in ((0, 0), (1, 1)):
+        w.write(blockflag, 1)
+        w.write(0, 16)
+        w.write(0, 16)
+        w.write(mapping, 8)
+    w.write(1, 1)
+    return w.bytes()
+
+
+def encode_vorbis_mixed(
+    channels: list[np.ndarray], sr: int, serial: int = 0x5351
+) -> bytes:
+    """Encode with BOTH blocksizes (256 / 2048): every 4th block is
+    short, so the stream contains short→long, long→long and
+    long→short transitions and the decoder's prev/next window flags
+    and hybrid slopes are all exercised.  Same flat-floor / residue-2
+    scheme as :func:`encode_vorbis`."""
+    ch = len(channels)
+    sig = [np.asarray(c, dtype=np.float64) for c in channels]
+    total = min(len(c) for c in sig)
+    n0, n1 = _ENC_N, _ENC_N_LONG
+    # block size pattern and positions: S_k = S_{k-1} + 3n_{k-1}/4 - n_k/4
+    sizes = []
+    starts = []
+    covered = 0
+    k = 0
+    while covered < total or len(sizes) < 2:
+        n = n0 if k % 4 == 0 else n1
+        if not sizes:
+            starts.append(0)
+        else:
+            starts.append(starts[-1] + 3 * sizes[-1] // 4 - n // 4)
+            covered += sizes[-1] // 4 + n // 4
+        sizes.append(n)
+        k += 1
+    off = max(0, -min(starts))
+    c0 = starts[0] + off + sizes[0] // 2
+    padded_len = max(s + off + n for s, n in zip(starts, sizes))
+    padded = [np.zeros(padded_len) for _ in range(ch)]
+    for c in range(ch):
+        padded[c][c0 : c0 + total] = sig[c][:total]
+    value_book = Codebook(1, 257, [9] * 257, None)
+    class_book = Codebook(8, 2, [1, 1], None)
+    pages = [
+        _ogg_page(serial, 0, 0, [_enc_ident_mixed(ch, sr)], bos=True),
+        _ogg_page(serial, 1, 0, [_enc_comment(), _enc_setup_mixed(ch)]),
+    ]
+    seq = 2
+    finalized = 0
+    for bi, (n, s) in enumerate(zip(sizes, starts)):
+        long_blk = n == n1
+        prev_flag = 1 if (bi > 0 and sizes[bi - 1] == n1) else 0
+        if bi + 1 < len(sizes):
+            next_flag = 1 if sizes[bi + 1] == n1 else 0
+        else:
+            next_flag = 1  # no successor: window shape past EOS is moot
+        left_n = n if (not long_blk or prev_flag) else n0
+        right_n = n if (not long_blk or next_flag) else n0
+        win = vorbis_window(n, left_n, right_n)
+        n2 = n // 2
+        w = _LsbWriter()
+        w.write(0, 1)
+        w.write(1 if long_blk else 0, 1)  # mode number (2 modes)
+        if long_blk:
+            w.write(prev_flag, 1)
+            w.write(next_flag, 1)
+        res_q = []
+        any_nonzero = False
+        for c in range(ch):
+            seg = padded[c][s + off : s + off + n]
+            X = (4.0 / n) * mdct(seg * win)
+            peak = float(np.max(np.abs(X))) if len(X) else 0.0
+            if peak <= 0.0:
+                w.write(0, 1)
+                res_q.append(np.zeros(n2, dtype=np.int64))
+                continue
+            any_nonzero = True
+            q = _floor_q_for_peak(peak)
+            w.write(1, 1)
+            w.write(q, 8)
+            w.write(q, 8)
+            res = np.rint(X / _FLOOR1_DB[q]).astype(np.int64)
+            np.clip(res, -128, 128, out=res)
+            res_q.append(res)
+        if any_nonzero:
+            big = np.zeros(n2 * ch, dtype=np.int64)
+            for c in range(ch):
+                big[c::ch] = res_q[c]
+            psize = 16
+            n_parts = (n2 * ch) // psize
+            p = 0
+            while p < n_parts:
+                class_book.encode_scalar(w, 0)
+                for _ in range(8):
+                    if p >= n_parts:
+                        break
+                    for vlo in big[p * psize : (p + 1) * psize]:
+                        value_book.encode_scalar(w, int(vlo) + 128)
+                    p += 1
+        if bi > 0:
+            finalized += sizes[bi - 1] // 4 + n // 4
+        last = bi == len(sizes) - 1
+        granule = total if last else finalized
+        pages.append(_ogg_page(serial, seq, granule, [w.bytes()], eos=last))
+        seq += 1
+    return b"".join(pages)

@@ -461,3 +461,70 @@ def test_encode_media_vorbis_spark_sink(spark):
     ref = np.array(x)
     err = got - ref
     assert 10 * np.log10(np.dot(ref, ref) / np.dot(err, err)) > 35.0
+
+
+# ---------------------------------------------------------------------------
+# mixed long/short-block streams (hybrid windows through the bitstream)
+# ---------------------------------------------------------------------------
+
+
+def test_mixed_blocksize_round_trip_mono():
+    """The two-blocksize encoder writes short→long, long→long and
+    long→short transitions; the decoder's window flags and hybrid
+    slopes must reconstruct with exact length and clean SNR."""
+    from speech_data_pipeline_spark.operators.vorbis import (
+        encode_vorbis_mixed,
+    )
+
+    sr = 8000
+    t = np.arange(9001)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t / sr) + 0.2 * np.sin(
+        2 * np.pi * 1234 * t / sr
+    )
+    blob = encode_vorbis_mixed([sig], sr)
+    dec, dsr = decode_vorbis_bytes(blob)
+    assert dsr == sr and len(dec) == len(sig)
+    got = np.array(dec)
+    err = got - sig
+    assert 10 * np.log10(np.dot(sig, sig) / np.dot(err, err)) > 30.0
+
+
+def test_mixed_blocksize_round_trip_stereo_and_probe():
+    from speech_data_pipeline_spark.operators.mediainfo import (
+        probe_media_bytes,
+    )
+    from speech_data_pipeline_spark.operators.vorbis import (
+        encode_vorbis_mixed,
+    )
+
+    sr = 16000
+    t = np.arange(7003)
+    L = 0.5 * np.sin(2 * np.pi * 440 * t / sr)
+    R = 0.3 * np.sin(2 * np.pi * 880 * t / sr)
+    blob = encode_vorbis_mixed([L, R], sr)
+    chans, dsr = decode_vorbis_bytes(blob, mono=False)
+    assert dsr == sr and len(chans) == 2 and len(chans[0]) == len(L)
+    for ref, got in [(L, np.array(chans[0])), (R, np.array(chans[1]))]:
+        err = got - ref
+        assert 10 * np.log10(np.dot(ref, ref) / np.dot(err, err)) > 30.0
+    info = probe_media_bytes(blob)
+    assert info["format"] == "vorbis"
+    assert info["duration"] == pytest.approx(7003 / sr)
+
+
+def test_mixed_stream_actually_uses_both_modes():
+    """Paranoia: the packets must really select both modes (short and
+    long blocks), otherwise the hybrid path isn't exercised."""
+    from speech_data_pipeline_spark.operators.vorbis import (
+        encode_vorbis_mixed, ogg_packets,
+    )
+
+    blob = encode_vorbis_mixed([np.ones(6000) * 0.1], 8000)
+    modes = []
+    for i, (pkt, _, _) in enumerate(ogg_packets(blob)):
+        if i < 3:
+            continue  # headers
+        r = _Lsb(pkt)
+        assert r.read(1) == 0
+        modes.append(r.read(1))
+    assert 0 in modes and 1 in modes

@@ -7,7 +7,9 @@ cd /root/repo
 NEW="stats_wilson_ci stats_friedman_test stats_anova_twoway \
 survival_nelson_aalen survival_logrank_test eval_krippendorff_alpha \
 graph_connected_components lm_good_turing infra_compaction_plan \
-mix_waterfill_budget embed_matryoshka_recall sim_binary_hamming_topk"
+mix_waterfill_budget embed_matryoshka_recall sim_binary_hamming_topk \
+eval_mcnemar stats_bartlett stats_poisson_ratio stats_sign_test \
+recs_slope_one ml_gaussian_nb"
 
 for rep in 1 2; do
   SPARK_GRAFT_SF_DIR=stress_data/sf1 SPARK_GRAFT_PASSES=1 \
