@@ -1,6 +1,6 @@
 #!/bin/bash
 # Round-10 new-query scale evidence (serialized — run alone on the box):
-# sf1 x2, sf1skew x1, sf10 x2 for the 12 queries added this round.
+# sf1 x2, sf1skew x1, sf10 x2 for the 18 queries added this round.
 set -e
 cd /root/repo
 
