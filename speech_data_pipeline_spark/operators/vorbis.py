@@ -1403,3 +1403,178 @@ def encode_vorbis_mixed(
         pages.append(_ogg_page(serial, seq, granule, [w.bytes()], eos=last))
         seq += 1
     return b"".join(pages)
+
+
+# ---------------------------------------------------------------------------
+# coupled stereo fixture encoder (exercises square-polar de-coupling
+# through the real bitstream)
+# ---------------------------------------------------------------------------
+
+
+def _couple_forward(l_val: int, r_val: int) -> tuple[int, int]:
+    """Forward square-polar coupling: M = the larger-|.| channel
+    (ties -> left), A solved so the decoder's quadrant rules invert
+    exactly (verified element-wise; both ±(L−R) candidates are tried
+    because the sign convention flips with the quadrant)."""
+    m = l_val if abs(l_val) >= abs(r_val) else r_val
+    for a in (l_val - r_val, r_val - l_val):
+        if m > 0:
+            out = (m, m - a) if a > 0 else (m + a, m)
+        else:
+            out = (m, m + a) if a > 0 else (m - a, m)
+        if out == (l_val, r_val):
+            return m, a
+    raise AssertionError("square-polar forward has no solution")
+
+
+def _enc_setup_coupled() -> bytes:
+    """Stereo setup with ONE square-polar coupling step (magnitude =
+    channel 0, angle = channel 1); floor/residue/codebooks otherwise
+    identical to :func:`_enc_setup` for 2 channels (re-emitted rather
+    than bit-patched — the mapping section sits mid-stream)."""
+    w = _LsbWriter()
+    w.write_bytes(b"\x05vorbis")
+    w.write(1, 8)
+    w.write(0x564342, 24)
+    w.write(8, 16)
+    w.write(2, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(0, 5)
+    w.write(0, 5)
+    w.write(0, 4)
+    w.write(0x564342, 24)
+    w.write(1, 16)
+    w.write(257, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    for _ in range(257):
+        w.write(8, 5)
+    w.write(1, 4)
+    w.write(float32_pack(-128.0), 32)
+    w.write(float32_pack(1.0), 32)
+    w.write(8, 4)
+    w.write(0, 1)
+    for i in range(257):
+        w.write(i, 9)
+    w.write(0, 6)
+    w.write(0, 16)
+    w.write(0, 6)
+    w.write(1, 16)
+    w.write(0, 5)
+    w.write(0, 2)
+    w.write(7, 4)
+    w.write(0, 6)
+    w.write(2, 16)
+    w.write(0, 24)
+    w.write(256, 24)   # end: 128 * 2 channels
+    w.write(15, 24)
+    w.write(1, 6)
+    w.write(0, 8)
+    w.write(1, 3)
+    w.write(0, 1)
+    w.write(0, 3)
+    w.write(0, 1)
+    w.write(1, 8)
+    w.write(0, 6)      # 1 mapping
+    w.write(0, 16)
+    w.write(0, 1)      # 1 submap
+    w.write(1, 1)      # coupling flag SET
+    w.write(0, 8)      # 1 coupling step
+    w.write(0, 1)      # magnitude = ch 0 (ilog(channels-1) = 1 bit)
+    w.write(1, 1)      # angle = ch 1
+    w.write(0, 2)
+    w.write(0, 8)
+    w.write(0, 8)
+    w.write(0, 8)
+    w.write(0, 6)
+    w.write(0, 1)
+    w.write(0, 16)
+    w.write(0, 16)
+    w.write(0, 8)
+    w.write(1, 1)
+    return w.bytes()
+
+
+def encode_vorbis_coupled(
+    channels: list[np.ndarray], sr: int, serial: int = 0x5352
+) -> bytes:
+    """Stereo encode with one square-polar coupling step: residues are
+    stored as (magnitude, angle) pairs the decoder must de-couple, so
+    the §4.3.5 inverse runs on every packet.  A SHARED floor per block
+    keeps both channels' residues in the same units (coupling mixes
+    them); residues quantize to ±63 so angles stay inside the ±128
+    value book."""
+    if len(channels) != 2:
+        raise ValueError("coupled fixture encoder is stereo-only")
+    sig = [np.asarray(c, dtype=np.float64) for c in channels]
+    total = min(len(c) for c in sig)
+    n = _ENC_N
+    n2 = n // 2
+    hop = n2
+    nblocks = max(2, -(-total // hop) + 1)
+    padded_len = (nblocks - 1) * hop + n
+    padded = [np.zeros(padded_len) for _ in range(2)]
+    for c in range(2):
+        padded[c][n2 : n2 + total] = sig[c][:total]
+    win = vorbis_window(n, n, n)
+    value_book = Codebook(1, 257, [9] * 257, None)
+    class_book = Codebook(8, 2, [1, 1], None)
+    pages = [
+        _ogg_page(serial, 0, 0, [_enc_ident(2, sr)], bos=True),
+        _ogg_page(serial, 1, 0, [_enc_comment(), _enc_setup_coupled()]),
+    ]
+    seq = 2
+    for bi in range(nblocks):
+        w = _LsbWriter()
+        w.write(0, 1)
+        specs = []
+        for c in range(2):
+            seg = padded[c][bi * hop : bi * hop + n]
+            specs.append((4.0 / n) * mdct(seg * win))
+        peak = max(float(np.max(np.abs(s))) for s in specs)
+        if peak <= 0.0:
+            w.write(0, 1)
+            w.write(0, 1)
+        else:
+            # shared floor level, residues in ±63; a silent channel
+            # writes floor-nonzero = 0 so the decoder's §4.3.3
+            # propagation (partner audible -> residue still decoded)
+            # is exercised, and its output zeroes on the missing floor
+            q = _floor_q_for_peak(peak * 2.0)  # peak/63-ish headroom
+            floor_val = _FLOOR1_DB[q]
+            res = []
+            for c in range(2):
+                ch_peak = float(np.max(np.abs(specs[c])))
+                r_ = np.rint(specs[c] / floor_val).astype(np.int64)
+                np.clip(r_, -63, 63, out=r_)
+                res.append(r_)
+                if ch_peak <= 0.0:
+                    w.write(0, 1)
+                else:
+                    w.write(1, 1)
+                    w.write(q, 8)
+                    w.write(q, 8)
+            big = np.zeros(n2 * 2, dtype=np.int64)
+            for i in range(n2):
+                m, a = _couple_forward(int(res[0][i]), int(res[1][i]))
+                big[i * 2] = m
+                big[i * 2 + 1] = a
+            psize = 16
+            n_parts = (n2 * 2) // psize
+            p = 0
+            while p < n_parts:
+                class_book.encode_scalar(w, 0)
+                for _ in range(8):
+                    if p >= n_parts:
+                        break
+                    for vlo in big[p * psize : (p + 1) * psize]:
+                        value_book.encode_scalar(w, int(vlo) + 128)
+                    p += 1
+        granule = bi * hop
+        last = bi == nblocks - 1
+        if last:
+            granule = total
+        pages.append(_ogg_page(serial, seq, granule, [w.bytes()], eos=last))
+        seq += 1
+    return b"".join(pages)

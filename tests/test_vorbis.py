@@ -528,3 +528,68 @@ def test_mixed_stream_actually_uses_both_modes():
         assert r.read(1) == 0
         modes.append(r.read(1))
     assert 0 in modes and 1 in modes
+
+
+# ---------------------------------------------------------------------------
+# square-polar coupling through the bitstream
+# ---------------------------------------------------------------------------
+
+
+def test_couple_forward_inverts_all_quadrants():
+    from speech_data_pipeline_spark.operators.vorbis import _couple_forward
+
+    def inverse(m, a):
+        if m > 0:
+            return (m, m - a) if a > 0 else (m + a, m)
+        return (m, m + a) if a > 0 else (m - a, m)
+
+    rng = np.random.default_rng(5)
+    quads = set()
+    for _ in range(500):
+        l_v, r_v = int(rng.integers(-63, 64)), int(rng.integers(-63, 64))
+        m, a = _couple_forward(l_v, r_v)
+        assert inverse(m, a) == (l_v, r_v)
+        quads.add((m > 0, a > 0))
+    assert len(quads) == 4  # all four decoder branches exercised
+
+
+def test_coupled_stereo_round_trip():
+    """One square-polar coupling step in the mapping: the decoder's
+    §4.3.5 inverse runs on every packet and both channels reconstruct."""
+    from speech_data_pipeline_spark.operators.vorbis import (
+        encode_vorbis_coupled,
+    )
+
+    sr = 8000
+    t = np.arange(5000)
+    L = 0.5 * np.sin(2 * np.pi * 440 * t / sr)
+    R = -0.4 * np.sin(2 * np.pi * 620 * t / sr) + 0.1 * np.sin(
+        2 * np.pi * 50 * t / sr
+    )
+    chans, dsr = decode_vorbis_bytes(
+        encode_vorbis_coupled([L, R], sr), mono=False
+    )
+    assert dsr == sr and len(chans[0]) == len(L)
+    for ref, got in [(L, np.array(chans[0])), (R, np.array(chans[1]))]:
+        err = got - ref
+        assert 10 * np.log10(np.dot(ref, ref) / np.dot(err, err)) > 25.0
+
+
+def test_coupled_stream_with_one_silent_channel():
+    """Nonzero-vector propagation (spec §4.3.3): the silent channel's
+    floor bit is 0 but its residue still decodes because its coupling
+    partner is audible; output must stay silent on that channel."""
+    from speech_data_pipeline_spark.operators.vorbis import (
+        encode_vorbis_coupled,
+    )
+
+    sr = 8000
+    t = np.arange(3000)
+    L = 0.5 * np.sin(2 * np.pi * 440 * t / sr)
+    R = np.zeros(3000)
+    chans, _ = decode_vorbis_bytes(
+        encode_vorbis_coupled([L, R], sr), mono=False
+    )
+    gotL = np.array(chans[0])
+    err = gotL - L
+    assert 10 * np.log10(np.dot(L, L) / np.dot(err, err)) > 25.0
