@@ -467,19 +467,31 @@ def mine_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Slope One pair support floor and output size
+#: Slope One pair support floor, output size, and per-user profile cap
+#: (a 200k-item "user" is a bot/aggregator, not a taste signal — and
+#: uncapped it is a C(k,2) hot-task bomb: the skew corpus' hot customer
+#: rates 199,531 items = 19.9e9 pairs in ONE task. Real CF systems cap
+#: rater profiles; 256 first-by-id items keeps every user's pair block
+#: <= 32,640 rows.)
 _SLOPE1_MIN_N = 5
 _SLOPE1_K = 20
+_SLOPE1_PROFILE_CAP = 256
 
 
 @query(
     "recs_slope_one",
     oracle=f"""
-    WITH ur AS (
+    WITH ur0 AS (
       SELECT o_custkey AS u, l_partkey AS i,
              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1, 2
+    ), ur AS (
+      SELECT u, i, r FROM (
+        SELECT u, i, r,
+               row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+        FROM ur0
+      ) WHERE rn <= 256
     ), p AS (
       SELECT a.i AS item_i, b.i AS item_j,
              CAST(count(*) AS BIGINT) AS n_common,
@@ -507,14 +519,17 @@ def recs_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer aggregates; dev is one float ratio per output row.
 
     Plan shape at 100 TB: fact⋈orders for the customer key (shuffle
-    join on orderkey), one (user, item) grouped sum, one per-user
-    self-join — bounded per user by their item count, so pair volume
-    is linear in users with a per-user quadratic cap (the
-    basket_copurchase_pairs shape) — then a pair-grouped integer
-    aggregate and TakeOrdered(k).
+    join on orderkey), one (user, item) grouped sum, a deterministic
+    first-256-by-id profile cap (row_number per user — without it a
+    single hot "user" is a C(k,2) task bomb; measured: the skew
+    corpus' 199,531-item customer implies 19.9e9 pairs in one task),
+    then the per-user self-join — pair volume linear in users with a
+    hard per-user bound — a pair-grouped integer aggregate and
+    TakeOrdered(k).
     """
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
+    w_cap = Window.partitionBy("u").orderBy("i")
     ur = (
         li.join(od, li["l_orderkey"] == od["o_orderkey"])
         .select(
@@ -524,6 +539,9 @@ def recs_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("u", "i")
         .agg(F.sum("q").cast("long").alias("r"))
+        .withColumn("rn", F.row_number().over(w_cap))
+        .where(F.col("rn") <= _SLOPE1_PROFILE_CAP)
+        .drop("rn")
     )
     a = ur.select("u", F.col("i").alias("item_i"), F.col("r").alias("ra"))
     b = ur.select("u", F.col("i").alias("item_j"), F.col("r").alias("rb"))
