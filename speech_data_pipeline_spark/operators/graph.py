@@ -512,6 +512,7 @@ def label_propagation(
     iters: int = 3,
     a: str = "u",
     b: str = "v",
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) for
     community detection, fully deterministic: labels start as node
@@ -537,11 +538,33 @@ def label_propagation(
     """
     und = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionByName(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-    ).distinct()
-    nodes = und.select(F.col("src").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("lab")).persist()
+    )
+    if not edges_distinct:
+        # callers providing a DISTINCT u<v self-loop-free edge list skip
+        # this shuffle: the reversed copies are disjoint by construction
+        # (the k_core `edges_distinct_directed` contract)
+        und = und.distinct()
+    # The edge table feeds EVERY round's join; without persistence each
+    # round re-runs the whole upstream edge construction — at sf0.1 on
+    # the co-purchase graph that alone was ~2s × iters of the measured
+    # 10s (round-10 profile). One materialization, iters consumers.
+    und = und.persist()
+    if iters <= 0:
+        nodes = und.select(F.col("src").alias("node")).distinct()
+        return nodes.select("node", F.col("node").alias("lab"))
+    # Round 1 on the identity labeling needs no join and only ONE
+    # aggregate: every neighbor label equals the neighbor id and `und`
+    # is a set, so each (node, label) count is exactly 1 and the
+    # (count desc, label asc) argmax degenerates to min(neighbor) —
+    # the identical l1 the generic round computes from l0 = identity
+    # (and what the oracle's chained c1/l1 CTEs replay).
+    labels = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("lab"))
+        .persist()
+    )
     labels.count()
-    for _ in range(iters):
+    for _ in range(iters - 1):
         nxt = (
             und.join(
                 labels.select(
@@ -562,6 +585,7 @@ def label_propagation(
         nxt.count()
         labels.unpersist()
         labels = nxt
+    und.unpersist(blocking=False)
     return labels
 
 

@@ -1810,7 +1810,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    out = label_propagation(edges, iters=3)
+    out = label_propagation(edges, iters=3, edges_distinct=True)
     return out.select(
         F.col("node").alias("part_id"), F.col("lab").alias("community")
     )
@@ -3604,17 +3604,25 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pagerank/k-core/triangles in this registry, and the curation
     primitive behind "keep one crawl seed per mirror cluster".
 
-    Convergence is a driver loop (one join+groupBy round per step,
-    stop when no label changes — checked with a 1-row count). Rounds
-    are bounded by the component DIAMETER, which on co-purchase
-    graphs is tiny (measured 3 rounds at sf0.01; dense graphs
-    shrink diameter as they grow). Each round shuffles the edge list
-    once — linear work per round at any scale, the textbook
-    large-graph CC schedule (hash-min, à la Pregel).
+    The min-label fixpoint IS connected components with min-id
+    canonical labels — the exact contract
+    ``operators.graph.connected_components`` (dedup_resolve's CC
+    engine) already delivers, so this query calls the shared operator
+    instead of running a bespoke hash-min driver loop (round-10
+    optimization, guide §2.4/§1.2: the loop spent 8.2s/sf0.1 in
+    per-round localCheckpoint + convergence-count jobs; the shared
+    path's per-partition union-find contraction collapses all locally
+    visible structure in ONE pass, and the alternating-star rounds —
+    the 100 TB-hardened code path tests pin for dedup_resolve — only
+    merge cross-partition structure). Same fixpoint, same labels.
 
     Oracle: a recursive CTE propagates labels with the ``l < node``
     prune and takes per-node minima — the same fixpoint.
     """
+    from speech_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
@@ -3624,71 +3632,17 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         a.join(b_, "o")
         .where(F.col("u") < F.col("v"))
-        .select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .select("u", "v")
         .distinct()
-        .persist()
     )
-    adj = edges.select(
-        F.col("x").alias("n"), F.col("y").alias("nbr")
-    ).unionAll(
-        edges.select(F.col("y").alias("n"), F.col("x").alias("nbr"))
-    ).persist()
-    labels = (
-        adj.select("n")
-        .distinct()
-        .select("n", F.col("n").alias("lbl"))
-        .localCheckpoint()
-    )
-    while True:
-        nbr_min = (
-            adj.join(
-                labels.select(
-                    F.col("n").alias("nbr"), F.col("lbl").alias("nlbl")
-                ),
-                "nbr",
-            )
-            .groupBy("n")
-            .agg(F.min("nlbl").alias("nbl"))
-        )
-        upd = labels.join(nbr_min, "n", "left").select(
-            "n",
-            F.col("lbl").alias("old"),
-            F.least(
-                F.col("lbl"), F.coalesce(F.col("nbl"), F.col("lbl"))
-            ).alias("lbl"),
-        )
-        # pointer doubling (path compression): follow lbl -> label(lbl)
-        # once per round, turning O(diameter) hash-min rounds into
-        # O(log diameter) — the large-star trick
-        ptr = upd.select(
-            F.col("n").alias("lbl"), F.col("lbl").alias("lbl2")
-        )
-        new_labels = (
-            upd.join(ptr, "lbl", "left")
-            .select(
-                "n",
-                "old",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-            # truncate lineage every round: without this each iteration
-            # replans the whole history and the loop goes quadratic in
-            # rounds
-            .localCheckpoint()
-        )
-        changed = new_labels.where(F.col("lbl") < F.col("old")).count()
-        labels = new_labels.select("n", "lbl")
-        if changed == 0:
-            break
-    out = (
-        labels.groupBy("lbl")
+    comp = connected_components(edges, src="u", dst="v")
+    return (
+        comp.groupBy("component")
         .agg(F.count(F.lit(1)).cast("long").alias("size"))
-        .select(F.col("lbl").alias("comp_id"), "size")
+        .select(F.col("component").alias("comp_id"), "size")
         .orderBy(F.col("size").desc(), "comp_id")
         .limit(10)
     )
-    return out
 
 
 @query(
