@@ -1560,26 +1560,42 @@ def late_interaction_topk(
     """
     dim = len(query_vec)
     sub = dim // n_sub
-    v = F.col(vec_col)
-    score = None
-    for i in range(n_sub):
-        qi = F.array(
-            *[F.lit(float(x)) for x in query_vec[i * sub : (i + 1) * sub]]
+    # The 8×8 grid is built as ONE SQL string parsed JVM-side: the
+    # previous Column-algebra construction issued thousands of py4j
+    # round-trips (one per lambda/lit/operator node) and dominated the
+    # query's wall time at 4.8s of driver-side plan BUILDING before a
+    # 1s execution (round-10 profile; guide §1.2 "per-task work" —
+    # here per-PLAN work). The parsed expression tree is fold-for-fold
+    # the one the lambda form produced: same slices, same left-to-right
+    # double folds, same CASE/greatest/+ shape — bit-identical scores
+    # (re-proved against the DuckDB oracle, which mirrors this exact
+    # fold order).
+    def _qarr(i: int) -> str:
+        lits = ", ".join(
+            f"{float(x)!r}D" for x in query_vec[i * sub : (i + 1) * sub]
         )
+        return f"array({lits})"
+
+    sq = "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+    terms = []
+    for i in range(n_sub):
+        arr = _qarr(i)
+        l2q = f"sqrt(aggregate({arr}, 0.0D, {sq}))"
         cands = []
         for j in range(n_sub):
-            dj = F.slice(v, j * sub + 1, sub)
-            nd2 = F.aggregate(
-                dj,
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            dj = f"slice({vec_col}, {j * sub + 1}, {sub})"
+            nd2 = f"aggregate({dj}, 0.0D, {sq})"
+            dotx = (
+                f"aggregate(zip_with({dj}, {arr}, "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"0.0D, (acc, x) -> acc + x)"
             )
-            c = F.when(
-                nd2 > 0, dot(dj, qi) / (l2_norm(qi) * F.sqrt(nd2))
-            ).otherwise(F.lit(0.0))
-            cands.append(c)
-        best = F.greatest(*cands)
-        score = best if score is None else score + best
+            cands.append(
+                f"(CASE WHEN {nd2} > 0.0D THEN {dotx} / ({l2q} * sqrt({nd2}))"
+                f" ELSE 0.0D END)"
+            )
+        terms.append("greatest(" + ", ".join(cands) + ")")
+    score = F.expr(" + ".join(terms))
     return (
         df.select(F.col(id_col), trunc6(score).alias("li_score"))
         .orderBy(F.col("li_score").desc(), F.col(id_col))

@@ -751,16 +751,13 @@ def bpe_train(
             .unionByName(sentinel)
             .orderBy(F.col("c").desc(), "a", "b")
             .limit(1)
-            .localCheckpoint(eager=True)  # 1 row; reused by 2 branches
         )
-        outs.append(
-            top.where(F.col("c") > 0).select(
-                F.lit(rnd).alias("round"),
-                F.col("a").alias("left"),
-                F.col("b").alias("right"),
-                F.col("c").alias("pair_count"),
-            )
-        )
+        # ONE eager job per round, not two: the winning pair rides the
+        # checkpointed vocab as constant (a, b, c) columns, so the merge
+        # row for `outs` reads the checkpoint (limit 1) instead of
+        # needing its own checkpointed argmax — same values, half the
+        # per-round job round-trips (round-10 optimization, guide §1.2:
+        # per-round job overhead, not data volume, dominates locally).
         vocab = (
             vocab.crossJoin(F.broadcast(top))
             .select(
@@ -769,9 +766,23 @@ def bpe_train(
                 F.expr(
                     "replace(w, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')"
                 ).alias("w"),
+                "a",
+                "b",
+                "c",
             )
             .localCheckpoint(eager=True)
         )
+        outs.append(
+            vocab.where(F.col("c") > 0)
+            .limit(1)
+            .select(
+                F.lit(rnd).alias("round"),
+                F.col("a").alias("left"),
+                F.col("b").alias("right"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        vocab = vocab.select("word", "freq", "w")
     if not outs:  # n_merges=0: empty merge table, untouched vocab
         schema = "round int, left string, right string, pair_count long"
         return df.sparkSession.createDataFrame([], schema), vocab
@@ -876,19 +887,12 @@ def wordpiece_train(
             scored.unionByName(sentinel)
             .orderBy(F.col("score").desc(), F.col("c").desc(), "a", "b")
             .limit(1)
-            .localCheckpoint(eager=True)
-        )
-        outs.append(
-            top.where(F.col("c") > 0).select(
-                F.lit(rnd).alias("round"),
-                F.col("a").alias("left"),
-                F.col("b").alias("right"),
-                F.col("c").alias("pair_count"),
-                trunc6(F.col("score")).alias("score"),
-            )
         )
         # merged symbol = left || right-with-## stripped (right side is
-        # always a continuation; the sentinel's NUL pattern never hits)
+        # always a continuation; the sentinel's NUL pattern never hits).
+        # One eager job per round (the BPE pattern): the argmax rides
+        # the checkpointed vocab as constant columns and the merge row
+        # is read back from the checkpoint.
         vocab = (
             vocab.crossJoin(F.broadcast(top))
             .select(
@@ -898,9 +902,25 @@ def wordpiece_train(
                     "replace(w, ' ' || a || '  ' || b || ' ', "
                     "' ' || a || substring(b, 3) || ' ')"
                 ).alias("w"),
+                "a",
+                "b",
+                "c",
+                "score",
             )
             .localCheckpoint(eager=True)
         )
+        outs.append(
+            vocab.where(F.col("c") > 0)
+            .limit(1)
+            .select(
+                F.lit(rnd).alias("round"),
+                F.col("a").alias("left"),
+                F.col("b").alias("right"),
+                F.col("c").alias("pair_count"),
+                trunc6(F.col("score")).alias("score"),
+            )
+        )
+        vocab = vocab.select("word", "freq", "w")
     merges = outs[0]
     for o in outs[1:]:
         merges = merges.unionByName(o)
@@ -1044,7 +1064,10 @@ def unigram_lm_train(
     vocab = _unigram_costs(singles.unionByName(multis)).localCheckpoint(
         eager=True
     )
-    single_pieces = singles.select("piece").localCheckpoint(eager=True)
+    # the seed vocab contains every single character (with its cost),
+    # so the Laplace-floor piece list reads the checkpoint just made —
+    # no separate eager materialization needed
+    single_pieces = vocab.where(F.length("piece") == 1).select("piece")
 
     # per-word candidate edges, built once: (word, freq, n, j, i, piece)
     eb = words.select(

@@ -1212,27 +1212,35 @@ def ml_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("vec_id") % _KNN_ACC_MOD) == 0)
         & (F.col("vec_id") < _KNN_ACC_MOD * _KNN_ACC_CAP)
     )
-    a = e.select(
-        F.col("vec_id").alias("aid"),
-        F.col("embedding").alias("ea"),
-        F.col("label").alias("alabel"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("bid"),
-        F.col("embedding").alias("eb"),
-        F.col("label").alias("blabel"),
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # Row norms are computed ONCE per slice row, before the pair join
+    # (round-10 optimization, guide §1.2 per-task work): inside the
+    # join each anchor's norm was re-folded once per candidate —
+    # |slice|² interpreted higher-order folds instead of |slice|. The
+    # per-value arithmetic is unchanged (same fold, same doubles), so
+    # sim_pico is bit-identical; only WHERE the norm is evaluated moves.
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(
             F.transform(c, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+    )
+    a = e.select(
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("ea"),
+        F.col("label").alias("alabel"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("bid"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("blabel"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     pairs = (
         a.join(b, F.col("aid") != F.col("bid"))
@@ -1241,7 +1249,7 @@ def ml_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alabel",
             "bid",
             "blabel",
-            F.floor(dot / (norm(F.col("ea")) * norm(F.col("eb"))) * F.lit(1e12))
+            F.floor(dot / (F.col("na") * F.col("nb")) * F.lit(1e12))
             .cast("long")
             .alias("sim_pico"),
         )

@@ -35,6 +35,20 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescer floors partitions at minPartitionSize (default
+        # 1m), which collapses small-byte shuffle outputs to 1-2
+        # partitions; this engine's per-row kernels downstream of such
+        # shuffles are CPU-dense (md5 shingling, n-gram explodes,
+        # per-row fold math), so a byte-based floor serializes them
+        # onto one core (measured: minhash signatures 3.9s -> 0.9s at
+        # sf0.1/32 cores with a 64k floor). At cluster scale the
+        # parallelismFirst target (total/defaultParallelism) dominates
+        # and this floor binds only for shuffles under ~64k x cores,
+        # where task-scheduling overhead is noise either way.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
