@@ -376,7 +376,7 @@ def _oriented_triangles(edges: DataFrame, a: str = "u", b: str = "v"):
     as ``(su, v1, v2)`` — its three corners. See
     :func:`triangle_count` for the O(m^1.5) orientation argument."""
     # `e` feeds four branches (degree table, the two orientation joins,
-    # n_edges) and `oe` three (both wedge sides + the closing join);
+    # n_edges) and `oe` two (the out-adjacency collect + closing join);
     # without persistence the upstream edge construction re-evaluates
     # once per branch — measured 9.0s -> 2.3s at sf0.1 on the
     # co-purchase graph, and the same multiplier applies on a cluster.
@@ -409,8 +409,21 @@ def _oriented_triangles(edges: DataFrame, a: str = "u", b: str = "v"):
         (F.col("d1") < F.col("d2"))
         | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
     )
+    # Closing join: hash, not sort-merge (round 11, guide §3.1) — the
+    # wedge side is the Σ outdeg² candidate stream (41M rows at sf0.1,
+    # measured), and the default SortMergeJoin SORTS it; the hint
+    # builds the hash table on the EDGE side (m rows, bounded per
+    # partition under AQE splitting) and streams the candidates.
+    # Measured 7.9s → 5.2s on graph_triangle_count. (An array-collect
+    # wedge generation — one exchange instead of the self-join — was
+    # ALSO tried and is 1.1-2x SLOWER here: the nested
+    # transform/slice/struct lambdas are interpreted per element,
+    # which loses at 41M wedges; it wins only on small wedge streams,
+    # see graph_adamic_adar.)
     tri = wedges.join(
-        oe.select(F.col("su").alias("v1"), F.col("sv").alias("v2")),
+        oe.select(F.col("su").alias("v1"), F.col("sv").alias("v2")).hint(
+            "shuffle_hash"
+        ),
         ["v1", "v2"],
     ).select("su", "v1", "v2")
     return e, deg, tri
@@ -544,14 +557,16 @@ def label_propagation(
         # this shuffle: the reversed copies are disjoint by construction
         # (the k_core `edges_distinct_directed` contract)
         und = und.distinct()
+    if iters <= 0:
+        # no iteration ever consumes `und` twice here, so persisting it
+        # would leak a cache entry pinned by the returned lineage
+        nodes = und.select(F.col("src").alias("node")).distinct()
+        return nodes.select("node", F.col("node").alias("lab"))
     # The edge table feeds EVERY round's join; without persistence each
     # round re-runs the whole upstream edge construction — at sf0.1 on
     # the co-purchase graph that alone was ~2s × iters of the measured
     # 10s (round-10 profile). One materialization, iters consumers.
     und = und.persist()
-    if iters <= 0:
-        nodes = und.select(F.col("src").alias("node")).distinct()
-        return nodes.select("node", F.col("node").alias("lab"))
     # Round 1 on the identity labeling needs no join and only ONE
     # aggregate: every neighbor label equals the neighbor id and `und`
     # is a set, so each (node, label) count is exactly 1 and the

@@ -1570,6 +1570,14 @@ def late_interaction_topk(
     # double folds, same CASE/greatest/+ shape — bit-identical scores
     # (re-proved against the DuckDB oracle, which mirrors this exact
     # fold order).
+    import math
+
+    if not all(math.isfinite(float(x)) for x in query_vec):
+        # repr() of inf/nan ('inf', 'nan') is not parseable SQL; the
+        # Column-literal form this replaced accepted them, so fail loud
+        raise ValueError("late_interaction_topk: query_vec must be finite")
+    vec_sql = f"`{vec_col}`"
+
     def _qarr(i: int) -> str:
         lits = ", ".join(
             f"{float(x)!r}D" for x in query_vec[i * sub : (i + 1) * sub]
@@ -1583,7 +1591,7 @@ def late_interaction_topk(
         l2q = f"sqrt(aggregate({arr}, 0.0D, {sq}))"
         cands = []
         for j in range(n_sub):
-            dj = f"slice({vec_col}, {j * sub + 1}, {sub})"
+            dj = f"slice({vec_sql}, {j * sub + 1}, {sub})"
             nd2 = f"aggregate({dj}, 0.0D, {sq})"
             dotx = (
                 f"aggregate(zip_with({dj}, {arr}, "

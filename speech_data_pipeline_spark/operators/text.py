@@ -657,21 +657,14 @@ def bpe_train_merges(
     non-overlapping, boundary-preserving here by construction), so the
     whole trajectory replays as chained CTEs.
 
-    Fully declarative: the winning pair is a broadcast one-row argmax
-    (``orderBy().limit(1)``), never a driver round-trip.
-
-    Per-round cost is BOUNDED by eager lineage truncation: each
-    round's vocab (and the one-row winning pair) is
-    ``localCheckpoint(eager=True)``-ed, so round N's plan always reads
-    a materialized vocab-sized table — never a chain of N crossJoins —
-    and the wall time is linear in ``n_merges``. (A delta-maintained
-    pair-count table — the classic single-machine BPE trick — is a
-    pessimization here: locating the affected words still scans the
-    whole vocab, exactly what the recount costs, while tripling the
-    per-round shuffles; measured 22× slower at sf0.1.) Recounting from
-    the checkpointed vocab is one map-side explode + one vocab-sized
-    groupBy per round, and the corpus-sized work remains the single
-    up-front word count.
+    The merge loop itself runs as a single-task Arrow pass over the
+    Heaps-bounded word table (see :func:`bpe_train` for the round-11
+    rationale; the trajectory is bit-identical to the former per-round
+    distributed loop and stays oracle-gated). A delta-maintained
+    pair-count table — the classic single-machine BPE trick — was
+    measured 22× SLOWER than recounting when the loop was distributed;
+    in the local kernel the recount is a plain dict pass over the
+    bounded table and needs no such machinery.
 
     Returns ``(round, left, right, pair_count)`` — the merge table a
     tokenizer ships. :func:`bpe_train` additionally returns the
@@ -681,29 +674,133 @@ def bpe_train_merges(
     return merges
 
 
-def _pair_counts(frame: DataFrame, weight_col: str = "freq") -> DataFrame:
-    """Adjacent-symbol pair counts of a ``(freq, w)`` word table,
-    weighted by ``weight_col`` (negative weights = retraction rows for
-    the delta update). ``w`` is the double-space symbol string."""
-    syms = F.filter(F.split("w", " "), lambda x: x != "")
-    n = F.size(syms)
+#: mapInPandas output schemas of the single-task tokenizer trainers.
+_BPE_MERGE_SCHEMA = "round int, left string, right string, pair_count long"
+_WP_MERGE_SCHEMA = _BPE_MERGE_SCHEMA + ", score double"
+_TRAIN_VOCAB_SCHEMA = "word string, freq long, w string"
+
+
+def _tokenizer_words(df: DataFrame, text_col: str) -> DataFrame:
+    """The shared corpus-sized pass of every trainer: lowercase
+    ``[a-z]+`` word frequencies, coalesced so the FINAL (merge-side)
+    aggregation lands in one task — the map-side partial counts stay
+    fully parallel, and the single reduce task is what the local
+    training kernel then runs on without another exchange."""
     return (
-        frame.select(
-            F.col(weight_col).alias("_wt"),
+        df.select(
             F.explode(
-                F.when(
-                    n >= 2,
-                    F.zip_with(
-                        F.slice(syms, 1, n - 1),
-                        F.slice(syms, 2, n - 1),
-                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-                    ),
-                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-            ).alias("p"),
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1
+                )
+            ).alias("word")
         )
-        .groupBy("p.a", "p.b")
-        .agg(F.sum("_wt").alias("c"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .coalesce(1)
     )
+
+
+def _greedy_merge_rounds(
+    words: list, freqs: list, n_merges: int, wordpiece: bool
+):
+    """Pure-Python replay of the greedy merge trajectory over the
+    bounded word table — the EXACT sequence the former per-round
+    distributed loop (and the DuckDB oracle's chained CTEs) computes:
+
+    - pair counts: adjacent symbols of the double-space symbol string,
+      weighted by word freq;
+    - argmax: (count desc, a, b) for BPE; (score desc, count desc,
+      a, b) for WordPiece with ``score = c / (count(a)·count(b))`` as
+      an IEEE double division of exact ints (same value as Spark's
+      ``cast(double)/cast(double)``);
+    - merge: leftmost non-overlapping ``replace(' a  b ' -> ' ab ')``
+      (``str.replace`` and UTF8String.replace agree), WordPiece
+      stripping the right side's ``##`` continuation marker;
+    - a round with NO pairs is a no-op that emits no merge row (the
+      sentinel-row semantics of the distributed form).
+    """
+    if wordpiece:
+        ws = [
+            "  "
+            + w[0]
+            + ("  ##" + "  ##".join(w[1:]) if len(w) > 1 else "")
+            + "  "
+            for w in words
+        ]
+    else:
+        ws = ["  " + "  ".join(w) + "  " for w in words]
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        pc: dict = {}
+        sc: dict = {}
+        for wstr, f in zip(ws, freqs):
+            syms = [s for s in wstr.split(" ") if s]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + f
+            if wordpiece:
+                for s in syms:
+                    sc[s] = sc.get(s, 0) + f
+        if not pc:
+            continue
+        if wordpiece:
+            (a, b), c = min(
+                pc.items(),
+                key=lambda kv: (
+                    -(float(kv[1]) / float(sc[kv[0][0]] * sc[kv[0][1]])),
+                    -kv[1],
+                    kv[0],
+                ),
+            )
+            score = float(c) / float(sc[a] * sc[b])
+            merges.append((rnd, a, b, int(c), score))
+            rep = f" {a}{b[2:]} "
+        else:
+            (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rnd, a, b, int(c)))
+            rep = f" {a}{b} "
+        pat = f" {a}  {b} "
+        ws = [w.replace(pat, rep) for w in ws]
+    return ws, merges
+
+
+def _local_trainer(n_merges: int, wordpiece: bool, emit: str):
+    """mapInPandas kernel factory: consume the (single-partition) word
+    table, run :func:`_greedy_merge_rounds` once, emit either the
+    merge table or the trained vocab."""
+
+    def fn(batches):
+        frames = list(batches)
+        if frames:
+            allb = pd.concat(frames, ignore_index=True)
+            words = allb["word"].tolist()
+            freqs = allb["freq"].tolist()
+        else:
+            words, freqs = [], []
+        ws, merges = _greedy_merge_rounds(words, freqs, n_merges, wordpiece)
+        if emit == "merges":
+            cols = (
+                list(zip(*merges))
+                if merges
+                else [[]] * (5 if wordpiece else 4)
+            )
+            data = {
+                "round": cols[0],
+                "left": cols[1],
+                "right": cols[2],
+                "pair_count": cols[3],
+            }
+            types = {"round": "int32", "pair_count": "int64"}
+            if wordpiece:
+                data["score"] = cols[4]
+                types["score"] = "float64"
+            yield pd.DataFrame(data).astype(types)
+        else:
+            yield pd.DataFrame(
+                {"word": words, "freq": freqs, "w": ws}
+            ).astype({"freq": "int64"})
+
+    return fn
 
 
 def bpe_train(
@@ -715,80 +812,28 @@ def bpe_train(
     ``(merges, vocab)`` where ``vocab`` is the trained word table
     ``(word, freq, w)`` — ``w`` the word's final symbol string, whose
     symbol count IS the word's BPE token count (the encode step is a
-    join against this table, never a re-segmentation)."""
-    words = df.select(
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1)
-        ).alias("word")
-    ).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    vocab = words.select(
-        "word",
-        "freq",
-        F.concat(
-            F.lit("  "), F.concat_ws("  ", F.split("word", "")), F.lit("  ")
-        ).alias("w"),
+    join against this table, never a re-segmentation).
+
+    The merge loop runs as ONE single-task Arrow pass over the word
+    table (round-11 optimization, guide §1.2): corpus-sized work is
+    still the distributed word count, but the training STATE — the
+    word-frequency table — is Heaps-law bounded, the same bound the
+    former per-round distributed loop already relied on for its
+    broadcast one-row argmax and its localCheckpoint-per-round
+    materializations. Replaying the greedy trajectory in one
+    ``mapInPandas`` task replaces 2·n_merges eager vocab-sized jobs
+    (measured: the per-round job ladder, not data volume, dominated —
+    8c/32c scaling ratio 0.64) with zero extra jobs; the trajectory
+    itself is bit-identical (:func:`_greedy_merge_rounds`) and stays
+    gated by the DuckDB oracle's chained-CTE replay.
+    """
+    words = _tokenizer_words(df, text_col)
+    merges = words.mapInPandas(
+        _local_trainer(n_merges, False, "merges"), _BPE_MERGE_SCHEMA
     )
-    outs = []
-    # sentinel row (c=-1, NUL symbols): when a round finds NO pairs
-    # (fully merged / single-char corpus) the argmax survives as the
-    # sentinel, whose replace() pattern cannot occur — the round is
-    # a no-op instead of crossJoining an EMPTY table and silently
-    # wiping the vocab. Any real pair (c >= 1) outranks it.
-    sentinel = df.sparkSession.createDataFrame(
-        [("\x00", "\x00", -1)], "a string, b string, c long"
+    vocab = words.mapInPandas(
+        _local_trainer(n_merges, False, "vocab"), _TRAIN_VOCAB_SCHEMA
     )
-    # eager localCheckpoint per round: the iterate is materialized to
-    # block storage and its lineage CUT, so round N's plan is always
-    # "scan one vocab-sized table", not an N-deep crossJoin chain —
-    # the standard fixed-point-iteration rule (same as the Lloyd
-    # loop). Dropped iterates are reclaimed by the ContextCleaner when
-    # the Python references go out of scope; the table is
-    # distinct-word-sized (bounded by Heaps' law), not corpus-sized.
-    vocab = vocab.localCheckpoint(eager=True)
-    for rnd in range(1, n_merges + 1):
-        top = (
-            _pair_counts(vocab)
-            .unionByName(sentinel)
-            .orderBy(F.col("c").desc(), "a", "b")
-            .limit(1)
-        )
-        # ONE eager job per round, not two: the winning pair rides the
-        # checkpointed vocab as constant (a, b, c) columns, so the merge
-        # row for `outs` reads the checkpoint (limit 1) instead of
-        # needing its own checkpointed argmax — same values, half the
-        # per-round job round-trips (round-10 optimization, guide §1.2:
-        # per-round job overhead, not data volume, dominates locally).
-        vocab = (
-            vocab.crossJoin(F.broadcast(top))
-            .select(
-                "word",
-                "freq",
-                F.expr(
-                    "replace(w, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ')"
-                ).alias("w"),
-                "a",
-                "b",
-                "c",
-            )
-            .localCheckpoint(eager=True)
-        )
-        outs.append(
-            vocab.where(F.col("c") > 0)
-            .limit(1)
-            .select(
-                F.lit(rnd).alias("round"),
-                F.col("a").alias("left"),
-                F.col("b").alias("right"),
-                F.col("c").alias("pair_count"),
-            )
-        )
-        vocab = vocab.select("word", "freq", "w")
-    if not outs:  # n_merges=0: empty merge table, untouched vocab
-        schema = "round int, left string, right string, pair_count long"
-        return df.sparkSession.createDataFrame([], schema), vocab
-    merges = outs[0]
-    for o in outs[1:]:
-        merges = merges.unionByName(o)
     return merges, vocab
 
 
@@ -819,10 +864,10 @@ def wordpiece_train(
       engine-exactly.
 
     Scale shape = BPE's: corpus-sized work is the single word count;
-    each round is one vocab-sized pair count + one symbol count
-    (both map-side combinable), a broadcast 1-row argmax, and a
-    map-only replace; eager localCheckpoint per round keeps round N's
-    plan vocab-sized.
+    the merge loop itself runs as ONE single-task Arrow pass over the
+    Heaps-bounded word table (see :func:`bpe_train` — same round-11
+    rationale, same bit-identical trajectory contract, still gated by
+    the DuckDB oracle's chained-CTE replay).
 
     Returns ``(merges, vocab)``: merges = (round, left, right,
     pair_count, score — trunc6 double); vocab = (word, freq, w) with
@@ -831,99 +876,19 @@ def wordpiece_train(
     """
     from speech_data_pipeline_spark.functions import trunc6
 
-    words = df.select(
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1)
-        ).alias("word")
-    ).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    # "  c  ##a  ##t  ": first char plain, continuations ##-prefixed
-    vocab = words.select(
-        "word",
-        "freq",
-        F.concat(
-            F.lit("  "),
-            F.expr("substring(word, 1, 1)"),
-            F.when(
-                F.length("word") > 1,
-                F.concat(
-                    F.lit("  ##"),
-                    F.concat_ws(
-                        "  ##", F.expr("split(substring(word, 2), '')")
-                    ),
-                ),
-            ).otherwise(F.lit("")),
-            F.lit("  "),
-        ).alias("w"),
-    ).localCheckpoint(eager=True)
-    sentinel = df.sparkSession.createDataFrame(
-        [("\x00", "\x00", -1, -1.0)],
-        "a string, b string, c long, score double",
+    words = _tokenizer_words(df, text_col)
+    merges = words.mapInPandas(
+        _local_trainer(n_merges, True, "merges"), _WP_MERGE_SCHEMA
+    ).select(
+        "round",
+        "left",
+        "right",
+        "pair_count",
+        trunc6(F.col("score")).alias("score"),
     )
-    outs = []
-    for rnd in range(1, n_merges + 1):
-        syms_col = F.filter(F.split("w", " "), lambda x: x != "")
-        symc = (
-            vocab.select(F.col("freq").alias("_wt"),
-                         F.explode(syms_col).alias("s"))
-            .groupBy("s")
-            .agg(F.sum("_wt").alias("sc"))
-        )
-        pairs = _pair_counts(vocab)
-        scored = (
-            pairs.join(symc.select(F.col("s").alias("a"),
-                                   F.col("sc").alias("ca")), "a")
-            .join(symc.select(F.col("s").alias("b"),
-                              F.col("sc").alias("cb")), "b")
-            .select(
-                "a",
-                "b",
-                "c",
-                (F.col("c").cast("double")
-                 / (F.col("ca") * F.col("cb")).cast("double")
-                 ).alias("score"),
-            )
-        )
-        top = (
-            scored.unionByName(sentinel)
-            .orderBy(F.col("score").desc(), F.col("c").desc(), "a", "b")
-            .limit(1)
-        )
-        # merged symbol = left || right-with-## stripped (right side is
-        # always a continuation; the sentinel's NUL pattern never hits).
-        # One eager job per round (the BPE pattern): the argmax rides
-        # the checkpointed vocab as constant columns and the merge row
-        # is read back from the checkpoint.
-        vocab = (
-            vocab.crossJoin(F.broadcast(top))
-            .select(
-                "word",
-                "freq",
-                F.expr(
-                    "replace(w, ' ' || a || '  ' || b || ' ', "
-                    "' ' || a || substring(b, 3) || ' ')"
-                ).alias("w"),
-                "a",
-                "b",
-                "c",
-                "score",
-            )
-            .localCheckpoint(eager=True)
-        )
-        outs.append(
-            vocab.where(F.col("c") > 0)
-            .limit(1)
-            .select(
-                F.lit(rnd).alias("round"),
-                F.col("a").alias("left"),
-                F.col("b").alias("right"),
-                F.col("c").alias("pair_count"),
-                trunc6(F.col("score")).alias("score"),
-            )
-        )
-        vocab = vocab.select("word", "freq", "w")
-    merges = outs[0]
-    for o in outs[1:]:
-        merges = merges.unionByName(o)
+    vocab = words.mapInPandas(
+        _local_trainer(n_merges, True, "vocab"), _TRAIN_VOCAB_SCHEMA
+    )
     return merges, vocab
 
 
@@ -932,58 +897,101 @@ def wordpiece_train(
 UNIGRAM_Q = 1 << 20
 
 
-def _unigram_dp_cols():
-    """Viterbi forward + backtrack as pure Spark SQL higher-order
-    functions over a per-word edge list ``es`` (array of
-    ``struct<i,j,cost>`` sorted by (i, j), 0-based j, i = j + piece
-    length) and word length ``n``.
+def _unigram_local_rounds(
+    words: list,
+    freqs: list,
+    n_rounds: int,
+    ml: int,
+    seed_multi: int,
+):
+    """Pure-Python replay of the unigram-LM EM trajectory over the
+    bounded word table — the EXACT computation the former distributed
+    loop (and the DuckDB oracle's recursive CTEs) performs:
 
-    ``bests[i+1]`` (1-based array) = min total cost of segmenting
-    ``word[0:i]``; single-character pieces are always in the vocab so
-    every position is reachable. Backtrack walks ``cur`` from n to 0
-    picking, among edges that achieve ``bests[cur+1]``, the MINIMAL
-    ``j`` — i.e. the longest optimal piece — so ties resolve
-    identically in both engines. Everything is JVM-side expression
-    evaluation: no Python runs per row.
+    - seed: positional-multiplicity substring counts (len 1..``ml``)
+      weighted by word freq; vocab = all singles + top ``seed_multi``
+      multis by (cnt desc, piece asc);
+    - costs: ``-floor(ln(cnt/total)·2^20)`` with the same double ops
+      (cnt and total cast to double, IEEE divide, ln, multiply);
+    - E-step: integer Viterbi (min total cost; backtrack picks the
+      MINIMAL j, i.e. the longest optimal piece — the array_min tie
+      rule);
+    - M-step: multis keep freq-weighted usage (unused pieces prune),
+      the SEED single-char set gets usage + 1 (Laplace floor).
+
+    Returns ``(trajectory, vocab_rows, word_seg)`` as plain tuples.
     """
-    dp = """
-    aggregate(
-      sequence(1L, n), array(cast(0 as bigint)),
-      (acc, i) -> concat(acc, array(
-        array_min(transform(
-          filter(es, e -> e.i = i),
-          e -> element_at(acc, cast(e.j as int) + 1) + e.cost))))
-    )"""
-    minj = (
-        "array_min(transform(filter(es, e -> e.i = acc.cur AND "
-        "element_at(bests, cast(e.j as int) + 1) + e.cost = "
-        "element_at(bests, cast(acc.cur as int) + 1)), e -> e.j))"
-    )
-    bt = f"""
-    aggregate(
-      sequence(1L, n),
-      named_struct('cur', n, 'pieces', cast(array() as array<string>)),
-      (acc, x) -> if(acc.cur = 0, acc,
-        named_struct(
-          'cur', {minj},
-          'pieces', concat(acc.pieces, array(substring(
-            word, cast({minj} as int) + 1,
-            cast(acc.cur - {minj} as int))))))
-    ).pieces"""
-    return dp, bt
+    import math
 
+    q = UNIGRAM_Q
+    seedc: dict = {}
+    for w, f in zip(words, freqs):
+        n = len(w)
+        for j in range(n):
+            for ln_ in range(1, min(ml, n - j) + 1):
+                p = w[j : j + ln_]
+                seedc[p] = seedc.get(p, 0) + f
+    singles = {p: c for p, c in seedc.items() if len(p) == 1}
+    multis = sorted(
+        ((p, c) for p, c in seedc.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: int(seed_multi)]
+    vocab = dict(singles)
+    vocab.update(multis)
+    single_set = sorted(singles)
 
-def _unigram_costs(vocab: DataFrame) -> DataFrame:
-    """Attach integer log costs: ``cost = -floor(ln(cnt/total)·2^20)``
-    (positive BIGINT; total = sum of counts). One scalar aggregate
-    broadcast-crossed onto the bounded vocab table."""
-    total = vocab.agg(F.sum("cnt").cast("double").alias("_total"))
-    return vocab.crossJoin(F.broadcast(total)).select(
-        "piece",
-        "cnt",
-        (-F.floor(F.log(F.col("cnt").cast("double") / F.col("_total"))
-                  * F.lit(UNIGRAM_Q))).cast("long").alias("cost"),
-    )
+    def costs_of(v: dict) -> dict:
+        total = float(sum(v.values()))
+        return {
+            p: -math.floor(math.log(float(c) / total) * q)
+            for p, c in v.items()
+        }
+
+    def viterbi(w: str, costs: dict):
+        n = len(w)
+        bests = [0] * (n + 1)
+        for i in range(1, n + 1):
+            best = None
+            for ln_ in range(1, min(ml, i) + 1):
+                c = costs.get(w[i - ln_ : i])
+                if c is None:
+                    continue
+                cand = bests[i - ln_] + c
+                if best is None or cand < best:
+                    best = cand
+            bests[i] = best
+        pieces = []
+        cur = n
+        while cur > 0:
+            minj = None
+            for ln_ in range(1, min(ml, cur) + 1):
+                j = cur - ln_
+                c = costs.get(w[j:cur])
+                if c is not None and bests[j] + c == bests[cur]:
+                    minj = j  # longest piece = smallest j; loop ascends ln_
+            pieces.append(w[minj:cur])
+            cur = minj
+        return pieces, bests[n]
+
+    costs = costs_of(vocab)
+    traj = [(0, p, vocab[p], costs[p]) for p in vocab]
+    for rnd in range(1, int(n_rounds) + 1):
+        usage: dict = {}
+        for w, f in zip(words, freqs):
+            for p in viterbi(w, costs)[0]:
+                usage[p] = usage.get(p, 0) + f
+        vocab = {p: usage.get(p, 0) + 1 for p in single_set}
+        for p, u in usage.items():
+            if len(p) > 1:
+                vocab[p] = u
+        costs = costs_of(vocab)
+        traj.extend((rnd, p, vocab[p], costs[p]) for p in vocab)
+    seg = []
+    for w, f in zip(words, freqs):
+        pieces, total_cost = viterbi(w, costs)
+        seg.append((w, f, len(pieces), total_cost))
+    vocab_rows = [(p, vocab[p], costs[p]) for p in vocab]
+    return traj, vocab_rows, seg
 
 
 def unigram_lm_train(
@@ -1009,24 +1017,22 @@ def unigram_lm_train(
       ``cnt/total``; costs are the ml_q.py integer grid
       ``-floor(ln(p)·2^20)`` so Viterbi sums are BIGINT-exact and the
       whole trajectory replays in DuckDB.
-    - **E-step**: per-word Viterbi segmentation under current costs —
-      edge list (substring hits against the vocab) built by one
-      vocab-join per round over the cached substring table, then
-      forward DP + backtrack via ``aggregate`` higher-order
-      expressions (:func:`_unigram_dp_cols`) — all JVM-side, no
-      Python, no shuffle beyond the word-table groupBy. Ties prefer
-      the longest piece (minimal j), deterministically.
+    - **E-step**: per-word Viterbi segmentation under current costs;
+      ties prefer the longest piece (minimal j), deterministically.
     - **M-step**: piece usage = freq-weighted occurrence count in the
       Viterbi segmentations. New counts: multi-char pieces keep
       ``usage`` (unused pieces PRUNE — that's the EM's vocabulary
       selection); single characters get ``usage + 1`` (Laplace floor)
       so coverage never dies. Costs recomputed from the new total.
 
-    Scale shape: corpus-sized work is the single word count; every EM
-    round runs on the distinct-word table (Heaps-law bounded) and the
-    vocab (≤ ``seed_multi`` + alphabet rows, localCheckpoint-ed per
-    round like the BPE loop, so round N's plan never re-derives round
-    N-1). Per-word DP cost is O(len·max_piece_len) in-row arithmetic.
+    Scale shape: corpus-sized work is the single word count; the EM
+    loop itself runs as ONE single-task Arrow pass over the
+    Heaps-bounded word table (:func:`_unigram_local_rounds` — the
+    round-11 :func:`bpe_train` rationale: the former per-round
+    distributed jobs on the same bounded table were pure scheduling
+    overhead, and the trajectory is replayed value-exactly, still
+    gated by the DuckDB oracle's recursive CTEs). Per-word DP cost is
+    O(len·max_piece_len) integer arithmetic.
 
     Returns ``(trajectory, final_costs, word_seg)``:
     ``trajectory`` = (round, piece, cnt, cost) for rounds
@@ -1035,124 +1041,44 @@ def unigram_lm_train(
     token count and total cost under the FINAL vocab (encoding is a
     join against this table, never per-document re-segmentation).
     """
-    words = df.select(
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("([a-z]+)"), 1)
-        ).alias("word")
-    ).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    words = words.localCheckpoint(eager=True)
+    words = _tokenizer_words(df, text_col)
+    ml, sm, nr = int(max_piece_len), int(seed_multi), int(n_rounds)
 
-    ml = int(max_piece_len)
-    subs = words.select(
-        "word",
-        "freq",
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(1, length(word)), j -> "
-                f"transform(sequence(1, least({ml}, length(word) - j + 1)), "
-                f"L -> substring(word, cast(j as int), cast(L as int)))))"
-            )
-        ).alias("piece"),
+    def kernel(emit: str):
+        def fn(batches):
+            frames = list(batches)
+            if frames:
+                allb = pd.concat(frames, ignore_index=True)
+                ws = allb["word"].tolist()
+                fs = allb["freq"].tolist()
+            else:
+                ws, fs = [], []
+            traj, vocab_rows, seg = _unigram_local_rounds(ws, fs, nr, ml, sm)
+            if emit == "traj":
+                rows = traj
+                cols = {"round": "int32", "piece": None, "cnt": "int64",
+                        "cost": "int64"}
+            elif emit == "vocab":
+                rows = vocab_rows
+                cols = {"piece": None, "cnt": "int64", "cost": "int64"}
+            else:
+                rows = seg
+                cols = {"word": None, "freq": "int64", "n_pieces": "int64",
+                        "word_cost": "int64"}
+            data = list(zip(*rows)) if rows else [[]] * len(cols)
+            out = pd.DataFrame(dict(zip(cols, data)))
+            yield out.astype({k: t for k, t in cols.items() if t})
+
+        return fn
+
+    trajectory = words.mapInPandas(
+        kernel("traj"), "round int, piece string, cnt long, cost long"
     )
-    seedc = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
-    singles = seedc.where(F.length("piece") == 1)
-    multis = (
-        seedc.where(F.length("piece") > 1)
-        .orderBy(F.col("cnt").desc(), "piece")
-        .limit(int(seed_multi))
+    vocab = words.mapInPandas(
+        kernel("vocab"), "piece string, cnt long, cost long"
     )
-    vocab = _unigram_costs(singles.unionByName(multis)).localCheckpoint(
-        eager=True
-    )
-    # the seed vocab contains every single character (with its cost),
-    # so the Laplace-floor piece list reads the checkpoint just made —
-    # no separate eager materialization needed
-    single_pieces = vocab.where(F.length("piece") == 1).select("piece")
-
-    # per-word candidate edges, built once: (word, freq, n, j, i, piece)
-    eb = words.select(
-        "word",
-        "freq",
-        F.length("word").cast("long").alias("n"),
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(0, length(word) - 1), j -> "
-                f"transform(sequence(1, least({ml}, length(word) - j)), "
-                f"L -> named_struct('j', cast(j as bigint), "
-                f"'i', cast(j + L as bigint)))))"
-            )
-        ).alias("e"),
-    ).select(
-        "word",
-        "freq",
-        "n",
-        F.col("e.j").alias("j"),
-        F.col("e.i").alias("i"),
-        F.expr(
-            "substring(word, cast(e.j as int) + 1, cast(e.i - e.j as int))"
-        ).alias("piece"),
-    ).localCheckpoint(eager=True)
-
-    dp_expr, bt_expr = _unigram_dp_cols()
-
-    def e_step(costs: DataFrame) -> DataFrame:
-        """(word, freq, n, pieces, word_cost) under the given costs."""
-        es = (
-            eb.join(F.broadcast(costs.select("piece", "cost")), "piece")
-            .groupBy("word")
-            .agg(
-                F.first("freq").alias("freq"),
-                F.first("n").alias("n"),
-                F.array_sort(
-                    F.collect_list(F.struct("i", "j", "cost"))
-                ).alias("es"),
-            )
-        )
-        withdp = es.select(
-            "word", "freq", "n", "es", F.expr(dp_expr).alias("bests")
-        )
-        return withdp.select(
-            "word",
-            "freq",
-            "n",
-            F.expr(bt_expr).alias("pieces"),
-            F.expr("element_at(bests, cast(n as int) + 1)").alias(
-                "word_cost"
-            ),
-        )
-
-    trajectory = vocab.select(
-        F.lit(0).alias("round"), "piece", "cnt", "cost"
-    )
-    for rnd in range(1, int(n_rounds) + 1):
-        seg = e_step(vocab)
-        usage = (
-            seg.select("freq", F.explode("pieces").alias("piece"))
-            .groupBy("piece")
-            .agg(F.sum("freq").alias("usage"))
-        )
-        new_singles = (
-            single_pieces.join(usage, "piece", "left")
-            .select(
-                "piece",
-                (F.coalesce(F.col("usage"), F.lit(0)) + 1).alias("cnt"),
-            )
-        )
-        new_multis = usage.where(F.length("piece") > 1).select(
-            "piece", F.col("usage").alias("cnt")
-        )
-        vocab = _unigram_costs(
-            new_singles.unionByName(new_multis)
-        ).localCheckpoint(eager=True)
-        trajectory = trajectory.unionByName(
-            vocab.select(F.lit(rnd).alias("round"), "piece", "cnt", "cost")
-        )
-
-    word_seg = e_step(vocab).select(
-        "word",
-        "freq",
-        F.size("pieces").cast("long").alias("n_pieces"),
-        F.col("word_cost").cast("long").alias("word_cost"),
+    word_seg = words.mapInPandas(
+        kernel("seg"), "word string, freq long, n_pieces long, word_cost long"
     )
     return trajectory, vocab, word_seg
 

@@ -3365,34 +3365,37 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    deg = (
-        edges.select(F.col("x").alias("n"))
-        .unionAll(edges.select(F.col("y").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    # Degree table, capped-center filter, and wedge generation fused
+    # into ONE grouped collect + in-row pair explode (round 11, guide
+    # §2.4): a node's degree IS the size of its sorted neighbor array
+    # (edges are distinct), so the former deg aggregate + adj⋈deg join
+    # + wedge self-join — four shuffles and two sorts — collapse to a
+    # single exchange. The sorted array emits exactly the u < v pairs
+    # the join kept, and the ≤ cap array size bounds the per-row
+    # fan-out at C(cap, 2) just as the capped self-join did.
     adj = edges.select(F.col("x").alias("n"), F.col("y").alias("nbr")).unionAll(
         edges.select(F.col("y").alias("n"), F.col("x").alias("nbr"))
     )
-    ctr = (
-        adj.join(deg, "n")
-        .where((F.col("d") >= 2) & (F.col("d") <= _AA_HUB_CAP))
-        .select(
-            "n",
-            "nbr",
-            F.floor(F.lit(1e12) / F.log(F.col("d").cast("double")))
-            .cast("long")
-            .alias("w_pico"),
-        )
+    nbrs = adj.groupBy("n").agg(
+        F.array_sort(F.collect_list("nbr")).alias("ns")
     )
-    # the wedge weight is the CENTER's 1/ln(d) — identical on both
-    # legs of a wedge, so only the left leg carries it
-    cb = ctr.select(F.col("n"), F.col("nbr").alias("v"))
-    wedges = (
-        ctr.select("n", F.col("nbr").alias("u"), "w_pico")
-        .join(cb, "n")
-        .where(F.col("u") < F.col("v"))
+    ctr = nbrs.where(
+        (F.size("ns") >= 2) & (F.size("ns") <= _AA_HUB_CAP)
     )
+    # the wedge weight is the CENTER's 1/ln(d) — identical for every
+    # pair emitted from one center row, so it rides the explode
+    wedges = ctr.select(
+        F.floor(F.lit(1e12) / F.log(F.size("ns").cast("double")))
+        .cast("long")
+        .alias("w_pico"),
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (x, i) -> "
+                "transform(slice(ns, i + 2, size(ns) - i - 1), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p"),
+    ).select(F.col("p.u").alias("u"), F.col("p.v").alias("v"), "w_pico")
     scored = wedges.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("long").alias("n_common"),
         F.sum("w_pico").cast("long").alias("s_pico"),
@@ -3501,25 +3504,35 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    deg = (
-        edges.select(F.col("x").alias("n"))
-        .unionAll(edges.select(F.col("y").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    # Same round-11 fusion as graph_adamic_adar: ONE grouped collect
+    # replaces the deg aggregate + adj⋈deg join + wedge self-join
+    # (guide §2.4); degree = size of the sorted neighbor array, the
+    # sorted array emits the u < v pairs directly, and the FULL-degree
+    # table both Jaccard denominators need is a projection of the same
+    # persisted aggregate rather than a second grouped pass.
     adj = edges.select(
         F.col("x").alias("n"), F.col("y").alias("nbr")
     ).unionAll(edges.select(F.col("y").alias("n"), F.col("x").alias("nbr")))
-    ctr = (
-        adj.join(deg, "n")
-        .where((F.col("d") >= 2) & (F.col("d") <= _AA_HUB_CAP))
-        .select("n", "nbr")
+    nbrs = (
+        adj.groupBy("n")
+        .agg(F.array_sort(F.collect_list("nbr")).alias("ns"))
+        .persist()
     )
-    cb = ctr.select("n", F.col("nbr").alias("v"))
+    deg = nbrs.select("n", F.size("ns").cast("long").alias("d"))
+    ctr = nbrs.where(
+        (F.size("ns") >= 2) & (F.size("ns") <= _AA_HUB_CAP)
+    )
     scored = (
-        ctr.select("n", F.col("nbr").alias("u"))
-        .join(cb, "n")
-        .where(F.col("u") < F.col("v"))
+        ctr.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) -> "
+                    "transform(slice(ns, i + 2, size(ns) - i - 1), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
