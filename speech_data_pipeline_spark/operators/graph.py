@@ -39,8 +39,32 @@ Spark-specific mechanics:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _node_state(df: DataFrame) -> DataFrame:
+    """Broadcast-hint a NODE-sized iteration-state table (labels,
+    frontiers, distance/rank vectors, peel sets).
+
+    Every iterative operator here joins an O(nodes) state table onto
+    the O(edges) edge table once per round; without the hint the
+    planner (whose size estimates are garbage after a few joins)
+    shuffles the edge table every round. Broadcasting the state makes
+    the edge side exchange-free per round — the per-round shuffle
+    drops from edge-sized to zero (guide §3.1: broadcast the side you
+    KNOW is small; §2.4: remove shuffles outright).
+
+    Scale: state is node-sized, not corpus-sized, but node counts can
+    still outgrow a broadcast on billion-node graphs —
+    ``SPARK_GRAFT_BCAST_NODE_STATE=0`` reverts every such join to the
+    shuffle plan (strategy only; values are identical either way).
+    """
+    if os.environ.get("SPARK_GRAFT_BCAST_NODE_STATE", "1") == "0":
+        return df
+    return F.broadcast(df)
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -314,6 +338,13 @@ def pagerank_fixed_point(
     # zero outdeg divide (DIVIDE_BY_ZERO under ANSI); dropping them is
     # the dangling-node semantics the docstring already promises
     outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    # Left lazily chained on purpose (round-11 A/B): per-round
+    # broadcasts of the rank table were tried and consistently LOST
+    # 0.5-1s at sf0.1 on the textrank word graph — six sequential
+    # broadcast-build jobs replace pipelined shuffle stages — and
+    # persisting e/nodes cost another 0.4s of pure cache-write
+    # overhead (exchange reuse already dedupes the shared subtrees in
+    # the unrolled single plan).
     e = e.join(outdeg, "src")
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -386,46 +417,66 @@ def _oriented_triangles(edges: DataFrame, a: str = "u", b: str = "v"):
         .unionAll(e.select(F.col("y").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
     with_deg = (
-        e.join(deg.withColumnRenamed("n", "x").withColumnRenamed("d", "dx"), "x")
-        .join(deg.withColumnRenamed("n", "y").withColumnRenamed("d", "dy"), "y")
+        e.join(
+            _node_state(
+                deg.withColumnRenamed("n", "x").withColumnRenamed("d", "dx")
+            ),
+            "x",
+        )
+        .join(
+            _node_state(
+                deg.withColumnRenamed("n", "y").withColumnRenamed("d", "dy")
+            ),
+            "y",
+        )
     )
     lower_first = (F.col("dx") < F.col("dy")) | (
         (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
     )
+    # Hash-partition the oriented edge table by wedge pivot ONCE (round
+    # 11, guide §2.4): the wedge self-join below is then co-partitioned
+    # (zero exchange on either branch) — previously each branch
+    # re-shuffled the cached table by su.
     oe = with_deg.select(
         F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("su"),
         F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("sv"),
         F.when(lower_first, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
-    ).persist()
+    ).repartition("su").persist()
     l = oe.select(
         F.col("su"), F.col("sv").alias("v1"), F.col("dv").alias("d1")
     )
     r = oe.select(
         F.col("su"), F.col("sv").alias("v2"), F.col("dv").alias("d2")
     )
-    wedges = l.join(r, "su").where(
+    wedges = l.join(r.hint("shuffle_hash"), "su").where(
         (F.col("d1") < F.col("d2"))
         | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
     )
-    # Closing join: hash, not sort-merge (round 11, guide §3.1) — the
-    # wedge side is the Σ outdeg² candidate stream (41M rows at sf0.1,
-    # measured), and the default SortMergeJoin SORTS it; the hint
-    # builds the hash table on the EDGE side (m rows, bounded per
-    # partition under AQE splitting) and streams the candidates.
-    # Measured 7.9s → 5.2s on graph_triangle_count. (An array-collect
-    # wedge generation — one exchange instead of the self-join — was
-    # ALSO tried and is 1.1-2x SLOWER here: the nested
+    # Closing join: the wedge side is the Σ outdeg² candidate stream
+    # (41M rows at sf0.1, measured) — never sort it (guide §3.1;
+    # round-10's shuffle_hash hint, 7.9s → 5.2s) and, when the edge
+    # list is broadcastable, never SHUFFLE it either (round 11): with
+    # the m-row edge side broadcast the 41M candidates stream map-side
+    # straight into the count. m is known exactly (the table is
+    # persisted; one cheap count materializes it for its 4 consumers),
+    # so the choice is size-driven, not local-tuned:
+    # SPARK_GRAFT_BCAST_EDGES_MAX rows (default 8M ≈ 130 MB hash
+    # relation) — above it, the shuffled-hash plan stands. (An
+    # array-collect wedge generation — one exchange instead of the
+    # self-join — was ALSO tried and is 1.1-2x SLOWER here: the nested
     # transform/slice/struct lambdas are interpreted per element,
     # which loses at 41M wedges; it wins only on small wedge streams,
     # see graph_adamic_adar.)
-    tri = wedges.join(
-        oe.select(F.col("su").alias("v1"), F.col("sv").alias("v2")).hint(
-            "shuffle_hash"
-        ),
-        ["v1", "v2"],
-    ).select("su", "v1", "v2")
+    closing = oe.select(F.col("su").alias("v1"), F.col("sv").alias("v2"))
+    bcast_max = int(os.environ.get("SPARK_GRAFT_BCAST_EDGES_MAX", "8000000"))
+    if e.count() <= bcast_max:
+        closing = F.broadcast(closing)
+    else:
+        closing = closing.hint("shuffle_hash")
+    tri = wedges.join(closing, ["v1", "v2"]).select("su", "v1", "v2")
     return e, deg, tri
 
 
@@ -496,7 +547,12 @@ def bfs_hops(
     and k-means iterations do (exactly replayable as chained CTEs —
     the oracle in queries/corpus_q.py is that replay).
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # The edge table feeds every round's expansion join; persisting it
+    # stops the whole upstream edge construction re-running once per
+    # hop (round 11, guide §5) — and with the frontier/visited sides
+    # broadcast (node-sized by construction, _node_state) the edge
+    # table is never shuffled at all.
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).persist()
     spark = edges.sparkSession
     visited = spark.createDataFrame([(source, 0)], "node string, hop int").persist()
     frontier = visited.select("node")
@@ -508,10 +564,10 @@ def bfs_hops(
     # anti-join and the union.
     for k in range(1, max_hops + 1):
         nxt = (
-            e.join(frontier.withColumnRenamed("node", "_s"), "_s")
+            e.join(_node_state(frontier.withColumnRenamed("node", "_s")), "_s")
             .select(F.col("_d").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(_node_state(visited), "node", "left_anti")
             .withColumn("hop", F.lit(k))
             .persist()
         )
@@ -566,24 +622,32 @@ def label_propagation(
     # round re-runs the whole upstream edge construction — at sf0.1 on
     # the co-purchase graph that alone was ~2s × iters of the measured
     # 10s (round-10 profile). One materialization, iters consumers.
-    und = und.persist()
+    # Hash-partitioned by src (round 11, guide §2.4): the per-round
+    # label join broadcasts the node-sized label table (no edge
+    # shuffle), and both grouped aggregates cluster on src — hash(src)
+    # satisfies (src) and (src, nlab) alike — so every LPA round runs
+    # with ZERO exchanges after this one.
+    und = und.repartition("src").persist()
     # Round 1 on the identity labeling needs no join and only ONE
     # aggregate: every neighbor label equals the neighbor id and `und`
     # is a set, so each (node, label) count is exactly 1 and the
     # (count desc, label asc) argmax degenerates to min(neighbor) —
     # the identical l1 the generic round computes from l0 = identity
     # (and what the oracle's chained c1/l1 CTEs replay).
-    labels = (
-        und.groupBy(F.col("src").alias("node"))
-        .agg(F.min("dst").alias("lab"))
-        .persist()
+    labels = und.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("lab")
     )
-    labels.count()
+    # No per-round persist/count: each round's label table is consumed
+    # exactly once (the next round's broadcast build), so the chain is
+    # linear — the eager per-round materialization was one Spark job
+    # per round of pure overhead (round 11, guide §1.2).
     for _ in range(iters - 1):
-        nxt = (
+        labels = (
             und.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("lab").alias("nlab")
+                _node_state(
+                    labels.select(
+                        F.col("node").alias("dst"), F.col("lab").alias("nlab")
+                    )
                 ),
                 "dst",
             )
@@ -595,12 +659,7 @@ def label_propagation(
                     "l"
                 ].alias("lab")
             )
-            .persist()
         )
-        nxt.count()
-        labels.unpersist()
-        labels = nxt
-    und.unpersist(blocking=False)
     return labels
 
 
@@ -646,19 +705,33 @@ def k_core(
         # callers providing a DISTINCT u<v edge list skip this: the
         # reversed copies are disjoint by construction
         und = und.distinct()
-    und = und.persist()
+    # Hash-partition the edge table by src ONCE (round 11, guide §2.4):
+    # every round's degree count then needs no exchange (hash(src)
+    # satisfies the grouping), and the broadcast anti-joins below
+    # preserve the partitioning, so the per-round persist keeps it —
+    # the peel loop runs with ZERO edge-sized shuffles after this one.
+    und = und.repartition("src").persist()
     n_edges = und.count()
     for _ in range(rounds):
-        alive = (
+        # Peel by ANTI-joining the DEAD set instead of semi-joining the
+        # survivor set (round 11, guide §3.1): both orientations of
+        # every edge appear in `und`, so each dst also occurs as a src
+        # and alive/dead partition the node set — left_anti(dead) ≡
+        # left_semi(alive). The dead set is the handful of nodes a
+        # round peels (node-bounded, usually tiny), so it broadcasts
+        # where the survivor set (≈ all nodes) could not.
+        dead = (
             und.groupBy("src")
             .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") >= k)
+            .where(F.col("c") < k)
             .select("src")
         )
         nxt = (
-            und.join(alive, "src", "left_semi")
+            und.join(_node_state(dead), "src", "left_anti")
             .join(
-                alive.select(F.col("src").alias("dst")), "dst", "left_semi"
+                _node_state(dead.select(F.col("src").alias("dst"))),
+                "dst",
+                "left_anti",
             )
             .persist()
         )

@@ -607,10 +607,15 @@ def semantic_dedup(
     my_c = F.element_at(
         F.filter(F.col("cents"), lambda s: s["cell"] == F.col("cell")), 1
     )["c"]
+    # Persisted: the representative aggregate AND the final join both
+    # read `d`, and each read re-runs the 64-term in-row distance fold
+    # over the corpus — one materialization halves the per-row work
+    # (round 11, guide §5); the cached frame is 3 narrow columns.
     d = (
         g.crossJoin(F.broadcast(cents1))
         .withColumn("dist", _sqd(F.col("v"), my_c))
         .select("id", "cell", "dist")
+        .persist()
     )
     rep = d.groupBy("cell").agg(
         F.min(F.struct(F.col("dist"), F.col("id"))).alias("m")

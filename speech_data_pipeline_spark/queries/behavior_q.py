@@ -16,6 +16,7 @@ beyond-reference analytics north star (SURVEY.md §2 "beyond").
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2027,69 +2028,83 @@ def bradley_terry_fit(wl: DataFrame, rounds: int = _BT_ROUNDS) -> DataFrame:
     100 TB shape: the corpus-scale work is producing ``wl`` (callers:
     one lag window + one grouped count); everything here runs on the
     item×item table — |items|² rows, bounded by the type vocabulary,
-    broadcast-sized at any corpus scale. The per-round scalar
-    normalizer is a 1-row cross-attach (SCALAR_CROSS_WHITELIST).
+    broadcast-sized at any corpus scale. Because the fit state is that
+    bounded, the MM rounds run as ONE single-task Arrow pass over the
+    coalesced win table (round-11 optimization, the tokenizer-trainer
+    recipe, guide §1.2): the former per-round join/cross-attach chain
+    spent its time in 6 rounds of broadcast builds and scalar
+    aggregates, not in data. :func:`_bt_mm_rounds` replays the exact
+    integer/double trajectory (same fold quantization, same integer
+    divisions), so the values — still gated by the chained-CTE DuckDB
+    oracle — are unchanged.
     """
-    pairs = (
-        wl.select(F.col("win").alias("i"), F.col("lose").alias("j"), "cnt")
-        .unionAll(
-            wl.select(F.col("lose").alias("i"), F.col("win").alias("j"), "cnt")
-        )
-        .groupBy("i", "j")
-        .agg(F.sum("cnt").cast("long").alias("n"))
+    return wl.coalesce(1).mapInPandas(
+        _bt_local_fit(rounds), "i string, pi long"
     )
-    wins = wl.groupBy(F.col("win").alias("i")).agg(
-        F.sum("cnt").cast("long").alias("wi")
-    )
-    pi = pairs.select("i").distinct().select(
-        "i", F.lit(1000000).cast("long").alias("pi")
-    )
+
+
+def _bt_mm_rounds(rows: list, rounds: int) -> tuple[list, list]:
+    """Pure-Python replay of the MM trajectory over the bounded win
+    table — the EXACT sequence the former distributed loop (and the
+    DuckDB oracle's chained CTEs) computes:
+
+    - ``n_ij``: symmetrized integer pair counts (order-proof sums);
+    - ``tn``: per-pair ``floor(n·1e6 / max(π_i+π_j, 1) · 1e9)`` with
+      the identical double operation order, so the IEEE result matches
+      the engine expression bit for bit;
+    - per-item denominators, ``π_i ← W_i·10¹⁵ div max(Σtn, 1)`` and
+      the ``π·m·10⁶ div max(Σπ, 1)`` renormalization — all non-negative
+      integer divisions, where Python ``//`` equals SQL ``div``.
+    """
+    import math
+
+    n_map: dict = {}
+    wins: dict = {}
+    for w_, l_, c in rows:
+        c = int(c)
+        n_map[(w_, l_)] = n_map.get((w_, l_), 0) + c
+        n_map[(l_, w_)] = n_map.get((l_, w_), 0) + c
+        wins[w_] = wins.get(w_, 0) + c
+    items = sorted({i for i, _ in n_map})
+    pi = {i: 1000000 for i in items}
     for _ in range(rounds):
-        a = pi.select(F.col("i").alias("ia"), F.col("pi").alias("pia"))
-        b = pi.select(F.col("i").alias("ib"), F.col("pi").alias("pib"))
-        terms = (
-            pairs.join(F.broadcast(a), pairs["i"] == a["ia"])
-            .join(F.broadcast(b), pairs["j"] == b["ib"])
-            .select(
-                "i",
-                F.floor(
-                    F.col("n").cast("double") * F.lit(1000000.0)
-                    / F.greatest(
-                        F.col("pia") + F.col("pib"), F.lit(1).cast("long")
-                    ).cast("double")
-                    * F.lit(1000000000.0)
-                ).cast("long").alias("tn"),
+        dn = {i: 0 for i in items}
+        for (i, j), n in n_map.items():
+            dn[i] += math.floor(
+                float(n) * 1000000.0
+                / float(max(pi[i] + pi[j], 1))
+                * 1000000000.0
             )
-        )
-        denom = terms.groupBy("i").agg(
-            F.sum(F.col("tn").cast("decimal(38,0)")).alias("dn")
-        )
-        raw = denom.join(F.broadcast(wins), "i", "left").select(
-            "i",
-            F.expr(
-                "CAST(coalesce(wi, 0) AS DECIMAL(38,0)) * 1000000000000000 "
-                "div greatest(dn, CAST(1 AS DECIMAL(38,0)))"
-            ).cast("decimal(38,0)").alias("pi"),
-        )
-        norm = raw.agg(
-            F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
-            F.sum("pi").alias("s"),
-        )
-        # localCheckpoint truncates lineage per round — without it the
-        # 6-round join/cross-attach chain blows up Catalyst analysis
-        # time exponentially (the graph.py fixed-round contract).
-        pi = (
-            raw.crossJoin(F.broadcast(norm))
-            .select(
-                "i",
-                F.expr(
-                    "CAST(pi * m * 1000000 "
-                    "div greatest(s, CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
-                ).alias("pi"),
+        m = len(items)
+        raw = {
+            i: (wins.get(i, 0) * 10**15) // max(dn[i], 1) for i in items
+        }
+        s = sum(raw.values())
+        pi = {i: (raw[i] * m * 1000000) // max(s, 1) for i in items}
+    return items, [pi[i] for i in items]
+
+
+def _bt_local_fit(rounds: int):
+    """mapInPandas kernel factory: consume the (single-partition) win
+    table, run :func:`_bt_mm_rounds` once, emit ``(i, pi)``."""
+
+    def fn(batches):
+        frames = list(batches)
+        if frames:
+            allb = pd.concat(frames, ignore_index=True)
+            rows = list(
+                zip(
+                    allb["win"].tolist(),
+                    allb["lose"].tolist(),
+                    allb["cnt"].tolist(),
+                )
             )
-            .localCheckpoint(eager=False)
-        )
-    return pi
+        else:
+            rows = []
+        items, pis = _bt_mm_rounds(rows, rounds)
+        yield pd.DataFrame({"i": items, "pi": pis}).astype({"pi": "int64"})
+
+    return fn
 
 
 def _bt_oracle(rounds: int = _BT_ROUNDS) -> str:

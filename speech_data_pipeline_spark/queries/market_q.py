@@ -542,6 +542,12 @@ def recs_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_cap))
         .where(F.col("rn") <= _SLOPE1_PROFILE_CAP)
         .drop("rn")
+        # persisted: both sides of the pair self-join read ur, and each
+        # read re-ran the fact⋈orders join + grouped sum + cap window
+        # (round 11, guide §5); the cached frame is also already
+        # hash-partitioned by u from the cap window, so the self-join
+        # is co-partitioned — no further exchange on either side
+        .persist()
     )
     a = ur.select("u", F.col("i").alias("item_i"), F.col("r").alias("ra"))
     b = ur.select("u", F.col("i").alias("item_j"), F.col("r").alias("rb"))

@@ -1517,6 +1517,12 @@ def cluster_label_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         occ.join(assign, occ["doc_id"] == assign["id"])
         .groupBy("cell", "w")
         .agg(F.count(F.lit(1)).alias("c"))
+        # persisted: wt, ct, g and the scored join all read cw, and
+        # each read re-ran the corpus-scale token explode + assignment
+        # join (4 full passes measured in the round-11 before-plan: 73
+        # parquet scans); the cached frame is vocabulary×cells-sized
+        # (round 11, guide §5)
+        .persist()
     )
     wt = cw.groupBy("w").agg(F.sum("c").cast("long").alias("tw"))
     ct = cw.groupBy("cell").agg(F.sum("c").cast("long").alias("tc"))
